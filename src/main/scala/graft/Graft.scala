@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory: one place for every conf that affects semantics or
+  * local-mode performance, so Verify/Bench/tests/driver all agree.
+  *
+  * Scale notes (100 TB): AQE handles skew-join splitting and post-shuffle
+  * coalescing; shuffle.partitions is sized to cores locally but would be
+  * ~2-3x total executor cores on a real cluster (AQE coalesces down).
+  */
+object Graft {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(cores: String = cpus): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata events.parquet uses TIMESTAMP(NANOS) which Spark's parquet
+      // reader rejects; read the raw int64 and convert (see Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // single-file tables locally: split scans finer than the 128m default
+      // so local[N] actually fans out (no-op at cluster scale where files
+      // are many).
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.ui.enabled", "false")
+
+  def session(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Defensive: confs a foreign-built session (e.g. driver harness) may
+    * lack; all of these are runtime-settable. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

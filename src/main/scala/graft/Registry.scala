@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered operator/query: the Spark implementation plus (when
+  * SQL-expressible) the DuckDB oracle the driver hash-compares against.
+  * `bench = true` marks headline queries Bench.scala times at sf0.1.
+  */
+final case class Q(
+    name: String,
+    sql: Option[String],
+    bench: Boolean = false)(
+    val fn: (SparkSession, String) => DataFrame)
+
+object Registry {
+  def all: Seq[Q] =
+    operators.Analytics.queries ++
+      operators.Cleaning.queries ++
+      operators.StarSchema.queries ++
+      operators.SkillExtract.queries ++
+      operators.Enrich.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Temporal.queries ++
+      operators.Multimodal.queries
+
+  def byName(name: String): Q = all.find(_.name == name).get
+}

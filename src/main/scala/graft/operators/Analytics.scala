@@ -1,0 +1,345 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Nums._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OLAP analytics suite — the Superset-dashboard surface of the reference
+  * (trend charts, top-N rankings, distributions; see
+  * /root/reference/superset/, README.md:64-71) re-expressed as Spark
+  * DataFrame plans over the star-ish testdata schema.
+  *
+  * All queries: single shuffle per aggregation (map-side partial agg is
+  * automatic), dims broadcast, total ORDER BY for oracle hash parity.
+  */
+object Analytics {
+
+  /** TPC-H Q1-shaped pricing summary: wide-row scan -> grouped decimal
+    * aggregation. The scan only reads the 7 referenced columns.
+    */
+  def q1(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      // compare the raw NTZ column to a foldable literal (values are
+      // midnight-dated) so the predicate pushes down to the parquet scan;
+      // a cast-to-date on the column would block pushdown.
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(decp(col("l_quantity"))).as("sum_qty"),
+        dsum(decp(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(decp(col("l_extendedprice")) * decf(lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        dsum(decp(col("l_extendedprice")) * decf(lit(1.0) - col("l_discount"))
+          * decf(lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(decp(col("l_quantity"))).as("avg_qty"),
+        davg(decp(col("l_extendedprice"))).as("avg_price"),
+        davg(decf(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String = {
+    val disc = s"${sqlDecp("l_extendedprice")} * ${sqlDecf("1.0 - l_discount")}"
+    // DuckDB 1.0 multiplies (22,10)x(8,6) in int64 and overflows; the
+    // widen-cast to DECIMAL(30,10) is lossless (same scale) and forces
+    // int128 — the mathematical value is unchanged, so the final
+    // CAST(...AS DOUBLE) still matches Spark's exact DECIMAL(32,16) sum.
+    val discWide = s"CAST($disc AS DECIMAL(30,10))"
+    s"""SELECT l_returnflag, l_linestatus,
+       ${sqlDsum(sqlDecp("l_quantity"))} AS sum_qty,
+       ${sqlDsum(sqlDecp("l_extendedprice"))} AS sum_base_price,
+       ${sqlDsum(disc)} AS sum_disc_price,
+       ${sqlDsum(s"$discWide * ${sqlDecf("1.0 + l_tax")}")} AS sum_charge,
+       ${sqlDavg(sqlDecp("l_quantity"))} AS avg_qty,
+       ${sqlDavg(sqlDecp("l_extendedprice"))} AS avg_price,
+       ${sqlDavg(sqlDecf("l_discount"))} AS avg_disc,
+       COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+  }
+
+  /** TPC-H Q3-shaped: segment filter -> 3-way join -> agg -> top-10.
+    * customer is the small side (broadcast); orders/lineitem equi-join
+    * shuffles once on the order key.
+    */
+  def q3(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= cut)
+      .select(col("l_orderkey"),
+        (decp(col("l_extendedprice")) * decf(lit(1.0) - col("l_discount")))
+          .as("part_rev"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("part_rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       ${sqlDsum(s"${sqlDecp("l_extendedprice")} * ${sqlDecf("1.0 - l_discount")}")} AS revenue
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING'
+         AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+       ORDER BY revenue DESC, l_orderkey
+       LIMIT 10"""
+
+  /** TPC-H Q5-shaped snowflake: lineitem x orders shuffle join; customer,
+    * supplier, nation, region all broadcast. The c_nationkey =
+    * s_nationkey correlation rides on the broadcast side.
+    */
+  def q5(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate").between(
+        lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+        lit("1997-12-31 00:00:00").cast("timestamp_ntz")))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (decp(col("l_extendedprice")) * decf(lit(1.0) - col("l_discount")))
+          .as("part_rev"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup),
+        l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("part_rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       ${sqlDsum(s"${sqlDecp("l_extendedprice")} * ${sqlDecf("1.0 - l_discount")}")} AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+       GROUP BY n_name
+       ORDER BY revenue DESC, n_name"""
+
+  /** Reference dashboard: offres par source par mois (trend line). Events
+    * play the offer stream; one shuffle on (type, month).
+    */
+  def perSourceMonth(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("month", col("ts")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_events"), dsum(decp(col("value"))).as("sum_value"))
+      .orderBy("event_type", "month")
+
+  val perSourceMonthSql: String =
+    s"""SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
+       COUNT(*) AS n_events, ${sqlDsum(sqlDecp("value"))} AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Reference dashboard: top companies by offer volume/value -> customer
+    * ranking with a window over the aggregate (rank is deterministic:
+    * exact-decimal total + key tiebreak).
+    */
+  def companyRanking(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(decp(col("o_totalprice"))).as("total_value"),
+        count(lit(1)).as("n_orders"))
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("total_value").desc, col("c_custkey"))
+    per.join(c, per("o_custkey") === c("c_custkey"))
+      .select(col("nation"), col("c_custkey"), col("c_name"),
+        col("total_value"), col("n_orders"),
+        row_number().over(w).as("rank_in_nation"))
+      .filter(col("rank_in_nation") <= 5)
+      .orderBy(col("nation"), col("rank_in_nation"))
+  }
+
+  val companyRankingSql: String =
+    s"""SELECT nation, c_custkey, c_name, total_value, n_orders, rank_in_nation
+       FROM (
+         SELECT n_name AS nation, c_custkey, c_name, total_value, n_orders,
+           ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY total_value DESC, c_custkey)
+             AS rank_in_nation
+         FROM (SELECT o_custkey, ${sqlDsum(sqlDecp("o_totalprice"))} AS total_value,
+                 COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) t
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey) r
+       WHERE rank_in_nation <= 5
+       ORDER BY nation, rank_in_nation"""
+
+  /** Window-function suite: lag/lead/running sum per customer order
+    * history (evolution temporelle per entity).
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        decp(col("o_totalprice")).as("price"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("price").cast("double").as("price"),
+        lag(col("price"), 1).over(w).cast("double").as("prev_price"),
+        lead(col("price"), 1).over(w).cast("double").as("next_price"),
+        sum(col("price")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_total"),
+        row_number().over(w).as("order_seq"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+  }
+
+  val windowRunningSql: String =
+    s"""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       CAST(price AS DOUBLE) AS price,
+       CAST(LAG(price, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+       CAST(LEAD(price, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price,
+       CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+       FROM (SELECT *, ${sqlDecp("o_totalprice")} AS price FROM orders) o
+       ORDER BY o_custkey, order_seq"""
+
+  /** ROLLUP aggregate with grouping id (multi-level dashboard totals). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(decp(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       ${sqlDsum(sqlDecp("l_quantity"))} AS sum_qty, COUNT(*) AS n,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  /** Pivot: event types to columns (manual conditional agg — parity-safe
+    * and identical to what Spark's pivot plans anyway).
+    */
+  def pivotEventTypes(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def cnt(t: String) =
+      count(when(col("event_type") === t, 1)).as(s"n_$t")
+    e.groupBy(col("user_id"))
+      .agg(cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"),
+        cnt("error"))
+      .orderBy("user_id")
+  }
+
+  val pivotEventTypesSql: String =
+    """SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** left_semi / left_anti (EXISTS / NOT EXISTS) — customers with vs
+    * without recent orders.
+    */
+  def semiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp_ntz"))
+      .select("o_custkey")
+    val withO = c.join(recent, c("c_custkey") === recent("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("cohort", lit("active"))
+    val withoutO = c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("cohort", lit("inactive"))
+    withO.unionByName(withoutO)
+      .select("cohort", "c_mktsegment", "n")
+      .orderBy("cohort", "c_mktsegment")
+  }
+
+  val semiAntiJoinSql: String =
+    """SELECT 'active' AS cohort, c_mktsegment, COUNT(*) AS n FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                     AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       GROUP BY c_mktsegment
+       UNION ALL
+       SELECT 'inactive' AS cohort, c_mktsegment, COUNT(*) AS n FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       GROUP BY c_mktsegment
+       ORDER BY cohort, c_mktsegment"""
+
+  /** UNION / INTERSECT / EXCEPT over key sets. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+    val eventers = Tables.events(s, dir).select(col("user_id").as("k")).distinct()
+    val u = buyers.union(eventers).distinct().withColumn("op", lit("union"))
+    val i = buyers.intersect(eventers).withColumn("op", lit("intersect"))
+    val e = buyers.except(eventers).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e)
+      .groupBy("op").agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("op")
+  }
+
+  // CAST(SUM AS BIGINT): DuckDB widens SUM(BIGINT) to INT128, Spark keeps LONG.
+  val setOpsSql: String =
+    """WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         eventers AS (SELECT DISTINCT user_id AS k FROM events),
+         tagged AS (
+           SELECT 'union' AS op, k FROM (SELECT k FROM buyers UNION SELECT k FROM eventers)
+           UNION ALL
+           SELECT 'intersect' AS op, k FROM (SELECT k FROM buyers INTERSECT SELECT k FROM eventers)
+           UNION ALL
+           SELECT 'except' AS op, k FROM (SELECT k FROM buyers EXCEPT SELECT k FROM eventers))
+       SELECT op, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k FROM tagged
+       GROUP BY op ORDER BY op"""
+
+  /** HLL approximate distinct (rows-only check: HLL implementations
+    * differ across engines by design). Exact twin included for scale
+    * comparison in specs.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  def queries: Seq[Q] = Seq(
+    Q("q1_agg", Some(q1Sql), bench = true)(q1),
+    Q("q3_top_revenue", Some(q3Sql), bench = true)(q3),
+    Q("q5_region_revenue", Some(q5Sql), bench = true)(q5),
+    Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
+    Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),
+    Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),
+    Q("rollup_agg", Some(rollupAggSql))(rollupAgg),
+    Q("pivot_event_types", Some(pivotEventTypesSql))(pivotEventTypes),
+    Q("semi_anti_join", Some(semiAntiJoinSql))(semiAntiJoin),
+    Q("set_ops", Some(setOpsSql))(setOps),
+    Q("approx_distinct", None)(approxDistinct))
+}

@@ -1,0 +1,264 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Text._
+import graft.functions.Vectors._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for LLM-training-data curation over `documents` /
+  * `embeddings` — exact hash dedup, MinHash+LSH, SimHash, char-n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale shape (100 TB, SURVEY.md §6): every method is
+  *   per-row signature (map-only, codegen'd array exprs)
+  *   -> equi-shuffle-join on compact bucket keys (AQE splits skewed
+  *      buckets)
+  *   -> per-pair verification (map-side arithmetic on exact ints).
+  * Nothing touches the driver; candidate cardinality is controlled by
+  * band/row parameters, not data size. All hashes are md5-over-string so
+  * results are engine-portable and re-run-stable (SURVEY.md §5).
+  */
+object Dedup {
+
+  /** Exact content dedup: group by md5(text), survivor = min(doc_id).
+    * The md5 group key (not raw text) keeps shuffle rows narrow — at
+    * 100 TB you shuffle 32-byte keys, never document bodies.
+    */
+  def dedupExactHash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("h")
+
+  val dedupExactHashSql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+       FROM documents GROUP BY 1 ORDER BY h"""
+
+  // MinHash/LSH parameters: 16 hashes as 4 bands x 4 rows targets
+  // J >= ~0.5 candidates (P(fire) = 1-(1-J^4)^4); verification keeps
+  // jac >= 0.5. Word-3-gram shingles.
+  private val MhK = 16
+  private val MhBands = 4
+  private val MhRows = 4
+  private val MhTau = 0.5
+
+  /** MinHash -> banded LSH -> candidate pairs -> exact-Jaccard verify.
+    * Signature + band keys are one map pass; the only shuffles are the
+    * (band_id, band_hash) bucket join and the verification aggregation.
+    */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(wordShingles(toks(col("text")), 3)).as("shs"))
+    val bandRows = sh
+      .select(col("doc_id"),
+        posexplode(bandHashes(minhash(col("shs"), MhK), MhBands, MhRows))
+          .as(Seq("band_id", "band_hash")))
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand,
+      sh.select(col("doc_id"), explode(col("shs")).as("sh")), MhTau)
+  }
+
+  val dedupMinhashLshSql: String = {
+    s"""WITH shr AS (${sqlShingleRows(3)}),
+       mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
+              FROM shr, (SELECT unnest(generate_series(0, ${MhK - 1})) AS i) AS salts
+              GROUP BY doc_id, i),
+       bands AS (SELECT doc_id, i // $MhRows AS band_id,
+                        md5(string_agg(h, ',' ORDER BY i)) AS band_hash
+                 FROM mh GROUP BY doc_id, i // $MhRows),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id),
+       ${sqlVerifyJaccard(MhTau)}"""
+  }
+
+  // SimHash parameters: 32-bit signature (bit j = weighted parity of hex
+  // char j of each token's md5), 4 bands x 8 bits, Hamming <= 6.
+  private val ShBits = 32
+  private val ShBands = 4
+  private val ShMaxHamming = 6
+
+  /** SimHash near-dup: per-token md5 drives 32 signed bit votes weighted
+    * by term frequency; banded byte buckets generate candidates; verify
+    * by Hamming distance. The 32 bit-sums are 32 agg columns over
+    * (doc, token) — no 32x row blow-up.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val bitCols = (0 until ShBits).map(j =>
+      sum(col("cnt") *
+        (ascii(substring(md5(col("tok")), j + 1, 1)) % 2 * 2 - 1))
+        .as(s"b$j"))
+    val bitSums = tc.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = bitSums.select(col("doc_id"),
+      (0 until ShBits)
+        .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("sig"))
+    val bandRows = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until ShBands).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("sig"), b * 8) % 256).as("byte"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.byte").as("byte"))
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= ShMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupSimhashSql: String = {
+    val bitSums = (0 until ShBits).map(j =>
+      s"SUM(cnt * (ascii(substr(md5(tok), ${j + 1}, 1)) % 2 * 2 - 1)) AS b$j")
+      .mkString(", ")
+    val sigExpr = (0 until ShBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+                    FROM (SELECT doc_id, unnest(${sqlToks("text")}) AS tok
+                          FROM documents) GROUP BY doc_id, tok),
+       bits AS (SELECT doc_id, $bitSums FROM tc GROUP BY doc_id),
+       sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM bits),
+       bands AS (SELECT doc_id, sig, band, (sig >> (band * 8)) % 256 AS byte
+                 FROM sig, (SELECT unnest(generate_series(0, ${ShBands - 1})) AS band) AS bs),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.sig AS sig_a, b.sig AS sig_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.byte = b.byte
+                 AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $ShMaxHamming
+       ORDER BY doc_a, doc_b"""
+  }
+
+  // n-gram Jaccard: char-4-gram sets; candidate generation is 2-perm
+  // MinHash blocking (2 bands x 1 row, recall 1-(1-J)^2); verify J >= 0.8.
+  private val NgTau = 0.8
+
+  /** Char-n-gram Jaccard near-dup on MinHash-blocked candidates. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(charShingles(col("text"), 4)).as("shs"))
+    val keys = sh.select(col("doc_id"),
+      posexplode(minhash(col("shs"), 2)).as(Seq("perm", "h")))
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.perm") === col("b.perm") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand,
+      sh.select(col("doc_id"), explode(col("shs")).as("sh")), NgTau)
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH shr AS (${sqlCharShingleRows(4)}),
+       mh AS (SELECT doc_id, i AS perm, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
+              FROM shr, (SELECT unnest(generate_series(0, 1)) AS i) AS salts
+              GROUP BY doc_id, i),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM mh a JOIN mh b
+                  ON a.perm = b.perm AND a.h = b.h AND a.doc_id < b.doc_id),
+       ${sqlVerifyJaccard(NgTau)}"""
+
+  // Embedding near-dup threshold, chosen for the synthetic distribution
+  // (global max cosine ~= 0.51): tau = 0.4.
+  private val EmbTau = 0.4
+
+  /** Embedding-cosine near-dup, exact all-pairs baseline over quantized
+    * vectors (integer dot products — bit-identical across engines and
+    * across partitionings). At corpus scale the candidate set comes from
+    * the sign-LSH buckets of [[Similarity.annTopkLsh]]; the verification
+    * arithmetic here is unchanged.
+    */
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"), dotQ(col("qv"), col("qv")).as("nn"))
+    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosineQ(dotQ(col("a.qv"), col("b.qv")), col("a.nn"), col("b.nn"))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= EmbTau)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val dedupEmbeddingCosineSql: String =
+    s"""WITH q AS (SELECT vec_id, ${sqlQuantize("embedding")} AS qv FROM embeddings),
+       n AS (SELECT vec_id, qv, ${sqlDotQ("qv", "qv", 64)} AS nn FROM q),
+       p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ${sqlCosineQ(sqlDotQ("a.qv", "b.qv", 64), "a.nn", "b.nn")} AS cos_sim
+             FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       SELECT vec_a, vec_b, cos_sim FROM p
+       WHERE cos_sim >= $EmbTau ORDER BY vec_a, vec_b"""
+
+  /** Shared verification tail: exact Jaccard of candidate pairs from
+    * DISTINCT (doc_id, sh) rows. Intersection counts are an equi-join on
+    * (doc pair, shingle); all arithmetic is integer until the final
+    * IEEE division — deterministic under any partitioning.
+    */
+  private def verifyJaccard(cand: DataFrame, shRows: DataFrame,
+      tau: Double): DataFrame = {
+    val shr = shRows.distinct()
+    val cnt = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shr.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shr.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("ca.n").as("na"), col("cb.n").as("nb"),
+        (col("n_inter").cast("double") /
+          (col("ca.n") + col("cb.n") - col("n_inter")).cast("double"))
+          .as("jac"))
+      .filter(col("jac") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SQL tail matching [[verifyJaccard]]; expects CTEs `shr` and `cand`
+    * to be in scope and emits the final SELECT (starts with a CTE name,
+    * so splice after a trailing comma).
+    */
+  private def sqlVerifyJaccard(tau: Double): String =
+    s"""cnt AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+       inter AS (SELECT doc_a, doc_b, COUNT(*) AS n_inter
+                 FROM cand JOIN shr sa ON doc_a = sa.doc_id
+                           JOIN shr sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+                 GROUP BY doc_a, doc_b)
+       SELECT doc_a, doc_b, n_inter, ca.n AS na, cb.n AS nb,
+              CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) AS jac
+       FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+                  JOIN cnt cb ON doc_b = cb.doc_id
+       WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= $tau
+       ORDER BY doc_a, doc_b"""
+
+  def queries: Seq[Q] = Seq(
+    Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
+    Q("dedup_minhash_lsh", Some(dedupMinhashLshSql), bench = true)(dedupMinhashLsh),
+    Q("dedup_simhash", Some(dedupSimhashSql), bench = true)(dedupSimhash),
+    Q("dedup_ngram_jaccard", Some(dedupNgramJaccardSql))(dedupNgramJaccard),
+    Q("dedup_embedding_cosine", Some(dedupEmbeddingCosineSql), bench = true)(dedupEmbeddingCosine))
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Nums._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators: as-of join, sessionization, tumbling-window
+  * aggregation (the batch twin of the streaming path).
+  *
+  * Time axis is epoch MICROSECONDS as BIGINT everywhere (events.ts is
+  * parquet TIMESTAMP(NANOS); integer division truncates exactly like the
+  * oracle's epoch_us) — integer comparisons are engine-portable where raw
+  * NTZ timestamps are not (SURVEY.md §5).
+  */
+object Temporal {
+
+  /** As-of join (most-recent-order-at-or-before-event), re-expressed the
+    * Spark-native way: tag orders and events into ONE stream, sort each
+    * user's timeline once (a single shuffle on the key), and let
+    * `last(ignoreNulls)` carry the latest order forward over event rows.
+    * This is O(n log n) per key with no range-join blow-up — the shape
+    * that survives 100 TB, unlike a theta-join on (key, t_a <= t_b).
+    * Orders are pre-deduped to one per (custkey, date) with a max-key
+    * tie-break so the match is uniquely defined (DuckDB's ASOF JOIN
+    * otherwise picks an arbitrary row among time ties).
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_orderkey").as("okey"), lit(null).cast("long").as("event_id"),
+        lit(0).as("tag"))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+        lit(null).cast("long").as("okey"), col("event_id"), lit(1).as("tag"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    od.unionByName(ev)
+      .select(col("k"), col("t"), col("event_id"), col("tag"),
+        last(col("okey"), ignoreNulls = true).over(w).as("o_orderkey"),
+        when(last(col("okey"), ignoreNulls = true).over(w).isNotNull,
+          last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+          .as("o_t_us"))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts_us"),
+        col("o_orderkey"), col("o_t_us"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                   FROM orders GROUP BY 1, 2)
+       SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+              o.o_orderkey, epoch_us(o.o_orderdate) AS o_t_us
+       FROM events e ASOF LEFT JOIN od o
+         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+       ORDER BY event_id"""
+
+  /** Session gap threshold: 30 minutes, in microseconds. */
+  private val GapUs = 1800L * 1000000L
+
+  /** Sessionization via gap analysis: per user, a new session starts
+    * when the gap to the previous event exceeds 30 min; session id is the
+    * running count of starts. One shuffle on user_id; both windows share
+    * the same (user, time) sort order so Spark plans a single sort.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val flagged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("t"), col("value"))
+      .withColumn("new_sess",
+        when(col("t") - lag(col("t"), 1).over(w) > GapUs ||
+          lag(col("t"), 1).over(w).isNull, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("t")).as("start_us"), max(col("t")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        dsum(decp(col("value"))).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events),
+       flagged AS (
+         SELECT user_id, event_id, t, value,
+           CASE WHEN t - LAG(t, 1) OVER w > $GapUs
+                  OR LAG(t, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       sess AS (
+         SELECT user_id, event_id, t, value,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM flagged)
+       SELECT user_id, session_id, min(t) AS start_us, max(t) AS end_us,
+              COUNT(*) AS n_events, ${sqlDsum(sqlDecp("value"))} AS sum_value
+       FROM sess GROUP BY user_id, session_id
+       ORDER BY user_id, session_id"""
+
+  /** Tumbling-hour aggregation (batch twin of the streaming windowed
+    * count). Hour emitted as a formatted string — portable across
+    * engines where raw timestamps are not.
+    */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00")
+        .as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(decp(col("value"))).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val eventsHourlySql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+       event_type, COUNT(*) AS n_events, ${sqlDsum(sqlDecp("value"))} AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+
+  def queries: Seq[Q] = Seq(
+    Q("asof_join", Some(asofJoinSql), bench = true)(asofJoin),
+    Q("sessionize", Some(sessionizeSql), bench = true)(sessionize),
+    Q("events_hourly", Some(eventsHourlySql))(eventsHourly))
+}

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Text._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite for training-data curation over `documents`:
+  * language ID, quality scoring, token counting, fingerprinting, plus the
+  * reference's dashboard-style term analytics (top terms, co-occurrence).
+  *
+  * Everything is projection + one aggregation shuffle; the (doc, token)
+  * explosion always happens after projecting to (id, tokens) only
+  * (SURVEY.md §6). Ratios divide exact integers at the very end, so
+  * doubles are bit-identical to the oracle.
+  */
+object TextAnalysis {
+
+  /** Top-k terms across the corpus (word count, the dashboard classic). */
+  def topTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
+  val topTokensSql: String =
+    s"""SELECT token, COUNT(*) AS n
+       FROM (SELECT unnest(${sqlToks("text")}) AS token FROM documents)
+       GROUP BY token ORDER BY n DESC, token LIMIT 50"""
+
+  /** Skill co-occurrence pairs (the reference's skill-graph dashboard):
+    * per-doc skill matches self-joined with id_a < id_b. The join is on
+    * doc_id — narrow after the phrase-match dedup.
+    */
+  def skillCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val m = SkillExtract.skillExtractPhrase(s, dir)
+      .select(col("doc_id"), col("skill"), col("skill_id"))
+    m.as("a").join(m.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.skill_id") < col("b.skill_id"))
+      .groupBy(col("a.skill").as("skill_a"), col("b.skill").as("skill_b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("skill_a"), col("skill_b"))
+  }
+
+  val skillCooccurrenceSql: String =
+    s"""WITH m AS (SELECT * FROM (${SkillExtract.skillExtractPhraseSql}))
+       SELECT a.skill AS skill_a, b.skill AS skill_b, COUNT(*) AS n
+       FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.skill_id < b.skill_id
+       GROUP BY 1, 2 ORDER BY n DESC, skill_a, skill_b"""
+
+  // Stopword marker lists per language for the n-gram/stopword-hit
+  // language-ID heuristic. Priority order en > fr > de > es on ties.
+  private val Stop: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in", "to"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "como"))
+
+  private def hitCount(tk: Column, words: Seq[String]): Column =
+    size(filter(array_distinct(tk),
+      t => array_contains(array(words.map(lit): _*), t)))
+
+  private def sqlHitCount(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(list_distinct(tk), t -> list_contains($arr, t)))"
+  }
+
+  /** Language-ID heuristic: distinct stopword hits per language,
+    * priority-ordered argmax, confusion summary against the labeled
+    * `lang` column.
+    */
+  def langIdNgram(s: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    val hits = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        hitCount(tk, Stop(0)._2).as("en_hits"),
+        hitCount(tk, Stop(1)._2).as("fr_hits"),
+        hitCount(tk, Stop(2)._2).as("de_hits"),
+        hitCount(tk, Stop(3)._2).as("es_hits"))
+    hits.select(col("lang"), col("en_hits"), col("fr_hits"),
+        col("de_hits"), col("es_hits"),
+        when(col("en_hits") >= greatest(col("fr_hits"), col("de_hits"),
+          col("es_hits")) && col("en_hits") > 0, "en")
+          .when(col("fr_hits") >= greatest(col("de_hits"), col("es_hits")) &&
+            col("fr_hits") > 0, "fr")
+          .when(col("de_hits") >= col("es_hits") && col("de_hits") > 0, "de")
+          .when(col("es_hits") > 0, "es")
+          .otherwise("und").as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("en_hits")).as("sum_en_hits"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  val langIdNgramSql: String =
+    s"""WITH hits AS (
+         SELECT doc_id, lang,
+           ${sqlHitCount(Stop(0)._2)} AS en_hits,
+           ${sqlHitCount(Stop(1)._2)} AS fr_hits,
+           ${sqlHitCount(Stop(2)._2)} AS de_hits,
+           ${sqlHitCount(Stop(3)._2)} AS es_hits
+         FROM (SELECT doc_id, lang, ${sqlToks("text")} AS tk FROM documents)),
+       pred AS (
+         SELECT lang, en_hits, fr_hits, de_hits, es_hits,
+           CASE WHEN en_hits >= greatest(fr_hits, de_hits, es_hits) AND en_hits > 0 THEN 'en'
+                WHEN fr_hits >= greatest(de_hits, es_hits) AND fr_hits > 0 THEN 'fr'
+                WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                WHEN es_hits > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+         FROM hits)
+       SELECT lang, pred_lang, COUNT(*) AS n_docs,
+              CAST(SUM(en_hits) AS BIGINT) AS sum_en_hits
+       FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+
+  /** Per-document quality scoring: token count, stopword ratio, mean
+    * token length, bucket label. Integer counts; ratios divided once at
+    * the end (IEEE-deterministic).
+    */
+  def textQualityScore(s: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    val en = Stop(0)._2
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        size(tk).as("n_tokens"),
+        size(filter(tk, t => array_contains(array(en.map(lit): _*), t)))
+          .as("stop_cnt"))
+      .select(col("doc_id"), col("len"), col("n_tokens"), col("stop_cnt"),
+        ((col("len") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens").cast("double")).as("mean_tok_len"),
+        (col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("stop_ratio"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 40 && col("stop_ratio") < 0.2, "good")
+          .when(col("n_tokens") >= 15, "ok")
+          .otherwise("low"))
+      .orderBy("doc_id")
+  }
+
+  val textQualityScoreSql: String = {
+    val arr = Stop(0)._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+         SELECT doc_id, length(text) AS len, len(tk) AS n_tokens,
+                len(list_filter(tk, t -> list_contains($arr, t))) AS stop_cnt
+         FROM (SELECT doc_id, text, ${sqlToks("text")} AS tk FROM documents)),
+       r AS (
+         SELECT doc_id, len, n_tokens, stop_cnt,
+           CAST(len - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tok_len,
+           CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio
+         FROM f)
+       SELECT doc_id, len, n_tokens, stop_cnt, mean_tok_len, stop_ratio,
+         CASE WHEN n_tokens >= 40 AND stop_ratio < 0.2 THEN 'good'
+              WHEN n_tokens >= 15 THEN 'ok' ELSE 'low' END AS quality
+       FROM r ORDER BY doc_id"""
+  }
+
+  /** Token counting per source: whitespace tokens vs regex tokens (a
+    * BPE-ish `[a-z0-9]+` word/number segmentation).
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), size(toks(col("text"))).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("re_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("sum_ws_tokens"),
+        sum(col("re_tokens")).as("sum_re_tokens"))
+      .orderBy("source")
+
+  val tokenCountSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(${sqlToks("text")})) AS BIGINT) AS sum_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS sum_re_tokens
+       FROM documents GROUP BY source ORDER BY source"""
+
+  /** Document fingerprint: 2-perm MinHash signature over word-3-gram
+    * shingles (winnowing-style content signature) + shingle cardinality.
+    */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(wordShingles(toks(col("text")), 3)).as("shs"))
+      .select(col("doc_id"),
+        element_at(minhash(col("shs"), 2), 1).as("fp_a"),
+        element_at(minhash(col("shs"), 2), 2).as("fp_b"),
+        size(col("shs")).as("n_shingles"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    s"""WITH shr AS (${sqlShingleRows(3)})
+       SELECT doc_id, min(md5('0:' || sh)) AS fp_a, min(md5('1:' || sh)) AS fp_b,
+              CAST(COUNT(*) AS INT) AS n_shingles
+       FROM shr GROUP BY doc_id ORDER BY doc_id"""
+
+  def queries: Seq[Q] = Seq(
+    Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),
+    Q("skill_cooccurrence", Some(skillCooccurrenceSql))(skillCooccurrence),
+    Q("lang_id_ngram", Some(langIdNgramSql))(langIdNgram),
+    Q("text_quality_score", Some(textQualityScoreSql))(textQualityScore),
+    Q("token_count", Some(tokenCountSql))(tokenCount),
+    Q("doc_fingerprint", Some(docFingerprintSql))(docFingerprint))
+}

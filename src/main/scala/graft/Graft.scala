@@ -33,14 +33,16 @@ object Graft {
   def session(): SparkSession = {
     val s = builder().getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    s
+    tune(s)
   }
 
   /** Defensive: confs a foreign-built session (e.g. driver harness) may
-    * lack; all of these are runtime-settable. */
+    * lack (all runtime-settable), plus the engine's native-expression
+    * registrations (idempotent). */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    plans.LongDot.register(spark)
     spark
   }
 }

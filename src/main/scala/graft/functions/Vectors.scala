@@ -30,9 +30,14 @@ object Vectors {
   def sqlQuantize(e: String): String =
     s"list_transform($e, x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT))"
 
-  /** exact integer dot product of two quantized vectors (left fold). */
+  /** Exact integer dot product of two quantized vectors, via the native
+    * codegen'd [[graft.plans.LongDot]] expression (registered by
+    * `Graft.tune`). The composable `aggregate(zip_with(...))` fold
+    * computes identical bits but runs interpreted — 20x slower on
+    * all-pairs joins.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function(graft.plans.LongDot.FnName, a, b)
 
   /** SQL twin: exact integer dot via list comprehension over positions.
     * `dim` is the (fixed) embedding width.

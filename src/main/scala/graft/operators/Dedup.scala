@@ -46,17 +46,29 @@ object Dedup {
   private val MhTau = 0.5
 
   /** MinHash -> banded LSH -> candidate pairs -> exact-Jaccard verify.
-    * Signature + band keys are one map pass; the only shuffles are the
-    * (band_id, band_hash) bucket join and the verification aggregation.
+    *
+    * The signature is computed as 16 `min(md5(salt:shingle))` AGGREGATE
+    * columns over exploded (doc, shingle) rows rather than nested
+    * higher-order array functions: HOFs run interpreted, while this
+    * shape keeps md5 + min inside whole-stage codegen with map-side
+    * partial aggregation — one narrow shuffle of (doc_id, 16 hashes).
+    * Then one (band_id, band_hash) bucket join and the verification agg.
     */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
+    val shr = Tables.documents(s, dir)
       .select(col("doc_id"),
-        array_distinct(wordShingles(toks(col("text")), 3)).as("shs"))
-    val bandRows = sh
-      .select(col("doc_id"),
-        posexplode(bandHashes(minhash(col("shs"), MhK), MhBands, MhRows))
-          .as(Seq("band_id", "band_hash")))
+        explode(array_distinct(wordShingles(toks(col("text")), 3))).as("sh"))
+    val mhCols = (0 until MhK).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    val mh = shr.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bandRows = mh.select(col("doc_id"),
+      explode(array((0 until MhBands).map(b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws(",",
+            (0 until MhRows).map(r => col(s"mh${b * MhRows + r}")): _*))
+            .as("band_hash"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"),
+        col("bb.band_hash").as("band_hash"))
     val cand = bandRows.as("a")
       .join(bandRows.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -64,8 +76,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand,
-      sh.select(col("doc_id"), explode(col("shs")).as("sh")), MhTau)
+    verifyJaccard(cand, shr, MhTau)
   }
 
   val dedupMinhashLshSql: String = {
@@ -83,25 +94,38 @@ object Dedup {
        ${sqlVerifyJaccard(MhTau)}"""
   }
 
-  // SimHash parameters: 32-bit signature (bit j = weighted parity of hex
-  // char j of each token's md5), 4 bands x 8 bits, Hamming <= 6.
-  private val ShBits = 32
-  private val ShBands = 4
-  private val ShMaxHamming = 6
+  // SimHash parameters: 48-bit signature (bit j = weighted parity of a
+  // hex char of the token's salted md5), 3 bands x 16 bits, Hamming <= 3.
+  // Short correlated docs (shared vocab) compress the random-pair
+  // Hamming distribution, so bands must be wide: 16-bit bands admit
+  // ~2% of pairs as candidates where 8-bit bands admitted ~50%.
+  private val ShBits = 48
+  private val ShBands = 3
+  private val ShBandBits = 16
+  private val ShMaxHamming = 3
 
-  /** SimHash near-dup: per-token md5 drives 32 signed bit votes weighted
-    * by term frequency; banded byte buckets generate candidates; verify
-    * by Hamming distance. The 32 bit-sums are 32 agg columns over
-    * (doc, token) — no 32x row blow-up.
+  /** Hex char feeding bit j: chars 1..32 of md5(tok), then chars 1..16
+    * of md5("#:" + tok). One md5 per salt per (doc, token) row.
+    */
+  private def shBitChar(j: Int) =
+    if (j < 32) substring(col("h1"), j + 1, 1)
+    else substring(col("h2"), j - 31, 1)
+
+  /** SimHash near-dup: per-token md5 drives 48 signed bit votes weighted
+    * by term frequency; banded 16-bit buckets generate candidates;
+    * verify by Hamming distance. The 48 bit-sums are agg columns over
+    * (doc, token) — no 48x row blow-up, all inside codegen.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     val tc = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      // md5 once per salt per (doc, token); the bit-vote columns read
+      // substrings of these instead of re-hashing 48 times.
+      .withColumn("h1", md5(col("tok")))
+      .withColumn("h2", md5(concat(lit("#:"), col("tok"))))
     val bitCols = (0 until ShBits).map(j =>
-      sum(col("cnt") *
-        (ascii(substring(md5(col("tok")), j + 1, 1)) % 2 * 2 - 1))
-        .as(s"b$j"))
+      sum(col("cnt") * (ascii(shBitChar(j)) % 2 * 2 - 1)).as(s"b$j"))
     val bitSums = tc.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
     val sig = bitSums.select(col("doc_id"),
       (0 until ShBits)
@@ -110,7 +134,8 @@ object Dedup {
     val bandRows = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until ShBands).map(b =>
         struct(lit(b).as("band"),
-          (shiftright(col("sig"), b * 8) % 256).as("byte"))): _*)).as("bb"))
+          (shiftright(col("sig"), b * ShBandBits) % (1 << ShBandBits))
+            .as("byte"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.byte").as("byte"))
     bandRows.as("a")
@@ -127,18 +152,22 @@ object Dedup {
   }
 
   val dedupSimhashSql: String = {
+    def sqlBitChar(j: Int) =
+      if (j < 32) s"substr(h1, ${j + 1}, 1)" else s"substr(h2, ${j - 31}, 1)"
     val bitSums = (0 until ShBits).map(j =>
-      s"SUM(cnt * (ascii(substr(md5(tok), ${j + 1}, 1)) % 2 * 2 - 1)) AS b$j")
+      s"SUM(cnt * (ascii(${sqlBitChar(j)}) % 2 * 2 - 1)) AS b$j")
       .mkString(", ")
     val sigExpr = (0 until ShBits)
       .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH tc AS (SELECT doc_id, tok, COUNT(*) AS cnt
+    s"""WITH tc AS (SELECT doc_id, tok, COUNT(*) AS cnt,
+                           md5(tok) AS h1, md5('#:' || tok) AS h2
                     FROM (SELECT doc_id, unnest(${sqlToks("text")}) AS tok
-                          FROM documents) GROUP BY doc_id, tok),
+                          FROM documents) GROUP BY doc_id, tok, 4, 5),
        bits AS (SELECT doc_id, $bitSums FROM tc GROUP BY doc_id),
        sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM bits),
-       bands AS (SELECT doc_id, sig, band, (sig >> (band * 8)) % 256 AS byte
+       bands AS (SELECT doc_id, sig, band,
+                        (sig >> (band * $ShBandBits)) % ${1 << ShBandBits} AS byte
                  FROM sig, (SELECT unnest(generate_series(0, ${ShBands - 1})) AS band) AS bs),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.sig AS sig_a, b.sig AS sig_b

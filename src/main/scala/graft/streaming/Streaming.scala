@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.functions.Nums._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming twins of the batch temporal operators
+  * (SURVEY.md §2G): same aggregation logic declared over `readStream`,
+  * with event-time watermarks bounding state.
+  *
+  * At production scale these run against a file/queue source with
+  * `trigger(AvailableNow)` for catch-up or continuous micro-batches for
+  * tailing; state size is bounded by the watermark delay (1 h for the
+  * hourly windows, 30 min gap + delay for sessions), so executors hold
+  * O(active windows), never O(history).
+  */
+object Streaming {
+
+  /** Streaming scan of the events table: explicit schema (required by
+    * file streaming sources), nanosecond repair identical to the batch
+    * loader.
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val path = Tables.path(dir, "events")
+    val schema = s.read.parquet(path).schema // metadata-only driver read
+    // file streaming sources require a directory: stream the sf dir with
+    // a glob filter selecting the events table file
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling-hour counts with a 1 h watermark — the streaming twin of
+    * `events_hourly`. In append mode a window emits exactly once, when
+    * the watermark passes its end.
+    */
+  def eventsHourlyStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(decp(col("value"))).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Session windows (30 min gap) per user — the streaming twin of
+    * `sessionize`, using Spark's native `session_window` (merging
+    * event-time windows with watermark-bounded state) instead of a
+    * custom mapGroupsWithState: the built-in operator handles late
+    * merges and state eviction.
+    */
+  def sessionizeStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(decp(col("value"))).as("sum_value"))
+      .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Drive a streaming DF to completion against an in-memory sink and
+    * return the materialized table (test/dev harness; production would
+    * `writeStream` to files/Kafka with the same plan).
+    */
+  def runToMemory(df: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

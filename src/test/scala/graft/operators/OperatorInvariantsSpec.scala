@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the dedup/similarity/temporal operators that
+  * the hash-compare oracle cannot express (the oracle proves parity;
+  * these prove the parity target means what it claims).
+  */
+class OperatorInvariantsSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("dedup_exact_hash partitions the corpus: copies sum to doc count") {
+    val total = Dedup.dedupExactHash(spark, sf)
+      .agg(sum(col("n_copies"))).head.getLong(0)
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(total === docs)
+  }
+
+  test("dedup_minhash_lsh pairs are ordered, verified above tau") {
+    val rows = Dedup.dedupMinhashLsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val jac = r.getAs[Double]("jac")
+      assert(jac >= 0.5 && jac <= 1.0)
+      val inter = r.getAs[Long]("n_inter")
+      assert(inter <= math.min(r.getAs[Long]("na"), r.getAs[Long]("nb")))
+    }
+  }
+
+  test("dedup_simhash hamming respects the threshold") {
+    Dedup.dedupSimhash(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 3)
+    }
+  }
+
+  test("dedup_embedding_cosine pairs sit in [tau, 1]") {
+    Dedup.dedupEmbeddingCosine(spark, sf).collect().foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= 0.4 && c <= 1.0 + 1e-12)
+    }
+  }
+
+  test("ann_topk_bruteforce: dense ranks, non-increasing similarity") {
+    val rows = Similarity.annTopkBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.size))
+      val sims = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+  }
+
+  test("ann_topk_lsh finds only pairs the brute-force path also scores") {
+    val brute = Similarity.annTopkBruteforce(spark, sf)
+      .select("q_id", "vec_id", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.annTopkLsh(spark, sf).collect().foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      // if the pair made brute-force top-k, similarities must agree
+      brute.get(key).foreach(c => assert(c === r.getAs[Double]("cos_sim")))
+    }
+  }
+
+  test("asof_join matches are at-or-before the event") {
+    val rows = Temporal.asofJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("o_t_us"))) {
+        assert(r.getAs[Long]("o_t_us") <= r.getAs[Long]("ts_us"))
+        assert(!r.isNullAt(r.fieldIndex("o_orderkey")))
+      }
+    }
+  }
+
+  test("sessionize: sessions ordered, gap-separated, events conserved") {
+    val rows = Temporal.sessionize(spark, sf).collect()
+    val nEvents = rows.map(_.getAs[Long]("n_events")).sum
+    assert(nEvents === graft.sources.Tables.events(spark, sf).count())
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("session_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session starts strictly more than the 30-min gap after
+          // the previous session's last event
+          assert(b.getAs[Long]("start_us") - a.getAs[Long]("end_us") >
+            1800L * 1000000L)
+        case _ => ()
+      }
+      sorted.foreach(r =>
+        assert(r.getAs[Long]("start_us") <= r.getAs[Long]("end_us")))
+    }
+  }
+
+  test("events_hourly conserves the event count") {
+    val n = Temporal.eventsHourly(spark, sf)
+      .agg(sum(col("n_events"))).head.getLong(0)
+    assert(n === graft.sources.Tables.events(spark, sf).count())
+  }
+
+  test("multimodal pipeline decode is partition-parallel and deterministic") {
+    val a = MultimodalPipeline.decode(spark, sf).collect().sortBy(_.doc_id)
+    val b = MultimodalPipeline.decode(spark, sf).collect().sortBy(_.doc_id)
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach { m =>
+      assert(m.n_bytes > 0)
+      assert(m.width >= 16 && m.width < 656)
+      assert(m.height >= 16 && m.height < 496)
+    }
+    // stub checksum must match a reference reimplementation for one row
+    val doc0 = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") === a.head.doc_id).head.getAs[String]("text")
+    val expect = doc0.getBytes("UTF-8").foldLeft(0L)((s, x) => s * 31L + (x & 0xff))
+    assert(a.head.checksum === expect)
+  }
+}

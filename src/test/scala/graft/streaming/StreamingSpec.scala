@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SharedSpark
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming twins must agree with their batch operators: every window
+  * the stream emits (append mode emits once the watermark passes) must
+  * equal the batch result for that window exactly.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("streaming events_hourly emits exactly the batch windows") {
+    val streamed = Streaming.runToMemory(
+      Streaming.eventsHourlyStream(spark, sf), "hourly_stream").collect()
+      .map(r => (r.getAs[String]("hour"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    assert(streamed.nonEmpty, "watermark never released any window")
+    val batch = Temporal.eventsHourly(spark, sf).collect()
+      .map(r => (r.getAs[String]("hour"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    streamed.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"window $k: stream=$v batch=${batch.get(k)}")
+    }
+  }
+
+  test("streaming sessionize emits sessions that match the batch twin") {
+    val streamed = Streaming.runToMemory(
+      Streaming.sessionizeStream(spark, sf), "sess_stream").collect()
+    assert(streamed.nonEmpty, "watermark never released any session")
+    val batch = Temporal.sessionize(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+    streamed.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"))
+      val got = (r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))
+      assert(batch.get(key).contains(got),
+        s"session $key: stream=$got batch=${batch.get(key)}")
+    }
+  }
+}

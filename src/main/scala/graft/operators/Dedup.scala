@@ -69,12 +69,19 @@ object Dedup {
             .as("band_hash"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id").as("band_id"),
         col("bb.band_hash").as("band_hash"))
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Candidate pairs from grouped bucket membership rather than a
+    // self-join: one signature pass instead of two (Spark recomputes
+    // both branches of a self-join) and one less shuffle. Bucket list
+    // size is bounded by band selectivity (a band match implies 4 equal
+    // minhashes, i.e. J^4-likely similarity) — for adversarially skewed
+    // corpora swap back to the equi-join form and let AQE split buckets.
+    val cand = bandRows.groupBy("band_id", "band_hash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("doc_b"))
       .distinct()
     verifyJaccard(cand, shr, MhTau)
   }
@@ -138,10 +145,16 @@ object Dedup {
             .as("byte"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.byte").as("byte"))
-    bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
-          col("a.doc_id") < col("b.doc_id"))
+    // grouped-bucket pair generation (see dedupMinhashLsh): one
+    // signature pass, no self-join recompute
+    bandRows.groupBy("band", "byte")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+        .as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs"))))
+          .as("b"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()

@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LakeWarehouseSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private val schema = StructType(Seq(
+    StructField("job_url", StringType), StructField("titre", StringType),
+    StructField("via", StringType), StructField("n", LongType)))
+
+  test("JsonLake enforces schema and quarantines corrupt lines") {
+    val dir = Files.createTempDirectory("graft_lake").toFile
+    val f = new java.io.File(dir, "scrape.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"job_url":"u1","titre":"dev","via":"src0","n":1}""")
+    w.println("""{"job_url":"u2","titre":"ing","via":"src1","n":2}""")
+    w.println("""{"job_url":"u3","titre": BROKEN""") // malformed
+    w.println("""{"job_url":"u4","titre":"ops","via":"src0","n":"notanum"}""")
+    w.close()
+
+    val raw = JsonLake.readJson(spark, f.getAbsolutePath, schema)
+    val (clean, bad) = JsonLake.quarantine(raw)
+    assert(clean.count() === 2)
+    assert(bad.count() === 2)
+    assert(clean.columns.toSeq === schema.fieldNames.toSeq)
+    assert(clean.filter(col("job_url") === "u1").head.getAs[Long]("n") === 1L)
+    // quarantined rows keep their raw text for the audit trail
+    assert(bad.select(JsonLake.CorruptCol).collect()
+      .forall(!_.isNullAt(0)))
+  }
+
+  test("Warehouse partitioned fact write: one file per partition, pruned reads") {
+    val dir = Files.createTempDirectory("graft_wh").toFile.getAbsolutePath
+    val fact = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("ym"))
+    Warehouse.writeFactPartitioned(fact, s"$dir/fact", "ym", "o_orderkey")
+
+    val back = spark.read.parquet(s"$dir/fact")
+    assert(back.count() === fact.count())
+
+    // exactly one data file per ym partition (repartition aligned the
+    // shuffle with the layout)
+    val files = new java.io.File(s"$dir/fact").listFiles()
+      .filter(_.getName.startsWith("ym="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.nonEmpty)
+    files.foreach { case (p, n) => assert(n === 1, s"partition $p has $n files") }
+
+    // partition pruning reaches the scan
+    val plan = back.filter(col("ym") === 199706).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ym"),
+      s"no partition pruning in plan:\n$plan")
+  }
+}

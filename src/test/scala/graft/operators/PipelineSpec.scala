@@ -1,0 +1,61 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end flow: dirty scraper JSON -> warehouse star schema. */
+class PipelineSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def writeLake(): String = {
+    val dir = Files.createTempDirectory("graft_pipe").toFile
+    val f = new java.io.File(dir, "offers.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"job_url":"u1","titre":"Data Engineer!","via":"rekrute","publication_date":"2024-03-05","description":"spark data hash join cloud","contrat":"CDI","niveau_etudes":"Master"}""")
+    w.println("""{"job_url":"u1","titre":"Data Engineer!","via":"rekrute","publication_date":"2024-03-06","description":"dup of u1 later date","contrat":"CDI","niveau_etudes":"Master"}""")
+    w.println("""{"job_url":"u2","titre":"Vendeur","via":"indeed","publication_date":"07/04/2024","description":"vente magasin sort merge","contrat":"","niveau_etudes":"Bac"}""")
+    w.println("""{"job_url":"","titre":"NoUrl","via":"indeed","publication_date":"2024-01-01","description":"x","contrat":"CDD","niveau_etudes":"Bac"}""")
+    w.println("""{"job_url":"u3","titre":"Chercheur","via":"emploi","publication_date":"not a date","description":"table scan fast","contrat":"CDD","niveau_etudes":"Doctorat"}""")
+    w.println("""BROKEN {not json""")
+    w.close()
+    f.getAbsolutePath
+  }
+
+  test("lake -> star warehouse: dedup, quarantine, FK integrity") {
+    val out = Files.createTempDirectory("graft_pipe_out").toFile.getAbsolutePath
+    val r = Pipeline.run(spark, writeLake(), out)
+
+    assert(r.nRaw === 6)
+    assert(r.nQuarantined === 1)
+    // u1 deduped (earliest pub_date wins), empty-url row dropped
+    assert(r.nClean === 3)
+    // u3 has an unparseable date -> excluded from the partitioned fact
+    assert(r.nFacts === 2)
+    assert(r.nSkillLinks > 0)
+
+    // earliest-publication survivor for u1
+    val fact = spark.read.parquet(s"$out/fact_offre")
+    val u1 = fact.filter(col("job_url") === "u1").head
+    assert(u1.getAs[java.sql.Date]("pub_date").toString === "2024-03-05")
+
+    // FK integrity: every fact dim id resolves
+    val dSource = spark.read.parquet(s"$out/dim_source")
+    val joined = fact.join(dSource, fact("id_source") === dSource("id_source"))
+    assert(joined.count() === fact.count())
+
+    // bridge links only surviving offers, against the skill vocabulary
+    val bridge = spark.read.parquet(s"$out/offre_skill")
+    val skills = spark.read.parquet(s"$out/dim_skill")
+    assert(bridge.join(skills, "skill_id").count() === bridge.count())
+    assert(bridge.select("job_url").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("u1", "u2", "u3")))
+
+    // enrichment: u2's "vente" description classified Commerce, Bac -> 2
+    val contratDefault = spark.read.parquet(s"$out/dim_contrat")
+      .filter(col("value") === "unspecified")
+    assert(contratDefault.count() === 1) // u2's empty contrat defaulted
+  }
+}

@@ -43,6 +43,7 @@ object Graft {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     plans.LongDot.register(spark)
+    plans.SpaceSavingTopK.register(spark)
     spark
   }
 }

@@ -30,6 +30,20 @@ object TextAnalysis {
        FROM (SELECT unnest(${sqlToks("text")}) AS token FROM documents)
        GROUP BY token ORDER BY n DESC, token LIMIT 50"""
 
+  /** Sketched top-k terms via the SpaceSaving heavy-hitters aggregate
+    * ([[graft.plans.SpaceSavingTopK]]): bounded per-partition state and
+    * a single-row merge instead of shuffling the full term dictionary —
+    * the 100 TB form of [[topTokens]]. Rows-only check (the sketch is
+    * approximate by design; its guarantees are spec-tested).
+    */
+  def topTokensSketch(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("token"))
+      .agg(expr("graft_topk_sketch(token, 20, 256)").as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "e")))
+      .select((col("i") + 1).as("rank"), col("e.term").as("term"),
+        col("e.cnt").as("cnt"), col("e.err").as("err"))
+
   /** Skill co-occurrence pairs (the reference's skill-graph dashboard):
     * per-doc skill matches self-joined with id_a < id_b. The join is on
     * doc_id — narrow after the phrase-match dedup.
@@ -195,6 +209,7 @@ object TextAnalysis {
 
   def queries: Seq[Q] = Seq(
     Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),
+    Q("top_tokens_sketch", None)(topTokensSketch),
     Q("skill_cooccurrence", Some(skillCooccurrenceSql))(skillCooccurrence),
     Q("lang_id_ngram", Some(langIdNgramSql))(langIdNgram),
     Q("text_quality_score", Some(textQualityScoreSql))(textQualityScore),

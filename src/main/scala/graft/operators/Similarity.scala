@@ -154,7 +154,85 @@ object Similarity {
                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
        FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
 
+  // IVF parameters: deterministic coarse centroids (every 50th vector),
+  // nProbe=2 — the classic inverted-file ANN layout: assignment is a
+  // broadcast argmax, the inverted lists are an equi-join key.
+  private val IvfProbe = 2
+
+  /** IVF-bucketed ANN: corpus vectors are assigned to their nearest
+    * coarse centroid (broadcast argmax — one map pass); queries probe
+    * their `nProbe` nearest centroids and score only those inverted
+    * lists. Unlike sign-LSH buckets, IVF adapts to the data's actual
+    * geometry; centroids here are a deterministic corpus sample (a
+    * k-means refinement would slot in without changing the plan shape).
+    */
+  def annTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val cent = c.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("nn").as("c_nn"))
+    def nearest(n: Int, df: DataFrame, idCol: String) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_cos").desc, col("c_id"))
+      df.crossJoin(broadcast(cent))
+        .select(col(idCol), col("c_id"),
+          cosineQ(dotQ(col("qv"), col("c_qv")), col("nn"), col("c_nn"))
+            .as("c_cos"))
+        .withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") <= n)
+        .select(col(idCol), col("c_id"))
+    }
+    val assign = nearest(1, c, "vec_id")
+    val probes = nearest(IvfProbe, c.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("qv"), col("nn")), "q_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(assign, "c_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+      .join(c.select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn")), "q_id")
+      .join(c, "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        cosineQ(dotQ(col("q_qv"), col("qv")), col("q_nn"), col("nn"))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
+  val annTopkIvfSql: String =
+    s"""WITH $sqlQuant,
+       cent AS (SELECT vec_id AS c_id, qv AS c_qv, nn AS c_nn
+                FROM quant WHERE vec_id % 50 = 0),
+       assign AS (
+         SELECT vec_id, c_id FROM (
+           SELECT q.vec_id, c.c_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                    ${sqlCosineQ(sqlDotQ("q.qv", "c.c_qv", Dim), "q.nn", "c.c_nn")} DESC,
+                    c.c_id) AS r
+           FROM quant q CROSS JOIN cent c) WHERE r <= 1),
+       probes AS (
+         SELECT q_id, c_id FROM (
+           SELECT q.vec_id AS q_id, c.c_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                    ${sqlCosineQ(sqlDotQ("q.qv", "c.c_qv", Dim), "q.nn", "c.c_nn")} DESC,
+                    c.c_id) AS r
+           FROM quant q CROSS JOIN cent c WHERE q.vec_id % 100 = 0) WHERE r <= $IvfProbe),
+       cand AS (SELECT DISTINCT q_id, vec_id
+                FROM probes JOIN assign USING (c_id)
+                WHERE q_id <> vec_id),
+       scored AS (SELECT cand.q_id, cand.vec_id,
+                    ${sqlCosineQ(sqlDotQ("q.qv", "c.qv", Dim), "q.nn", "c.nn")} AS cos_sim
+                  FROM cand JOIN quant q ON cand.q_id = q.vec_id
+                            JOIN quant c ON cand.vec_id = c.vec_id)
+       SELECT q_id, vec_id, cos_sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
+
   def queries: Seq[Q] = Seq(
     Q("ann_topk_bruteforce", Some(annTopkBruteforceSql), bench = true)(annTopkBruteforce),
-    Q("ann_topk_lsh", Some(annTopkLshSql))(annTopkLsh))
+    Q("ann_topk_lsh", Some(annTopkLshSql))(annTopkLsh),
+    Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf))
 }

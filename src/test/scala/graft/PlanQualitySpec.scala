@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.{Analytics, StarSchema}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions: the properties §6 promises (pushdown,
+  * pruning, broadcast dims) must stay visible in the physical plan.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  test("q1: shipdate filter pushed into the parquet scan") {
+    val p = plan(Analytics.q1(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q1: scan pruned to referenced columns only") {
+    val p = plan(Analytics.q1(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("q5: dimension joins broadcast") {
+    val p = plan(Analytics.q5(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
+  test("fact_star_join: dims broadcast, fact side never exchanges pre-join") {
+    val p = plan(StarSchema.factStarJoin(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(2000))
+  }
+
+  test("skill extract: vocabulary join broadcast") {
+    val p = plan(operators.SkillExtract.skillExtractPhrase(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+}

@@ -254,6 +254,57 @@ object Dedup {
        SELECT vec_a, vec_b, cos_sim FROM p
        WHERE cos_sim >= $EmbTau ORDER BY vec_a, vec_b"""
 
+  /** Duplicate CLUSTERS from the verified near-dup pairs: connected
+    * components via min-label propagation, survivor = min doc_id per
+    * component. This is the step that turns pairwise similarity into an
+    * actual dedup decision (pairs alone over-delete: a~b, b~c must keep
+    * ONE of {a,b,c}, not two survivors).
+    *
+    * Shape: iterative (join + min-aggregate) rounds, converging in
+    * O(component diameter) supersteps — near-dup components are tiny by
+    * construction, so 2-4 rounds in practice. Each round
+    * `localCheckpoint`s to cut the growing lineage (the standard Spark
+    * iterative-algorithm pattern); the per-round `count` is the
+    * convergence test, not a data collect.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("l"))
+      val next = labels.union(prop)
+        .groupBy("v").agg(min(col("l")).as("l"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("l", "l0"), "v")
+        .filter(col("l") =!= col("l0")).count()
+      labels = next
+    }
+    labels.select(col("v").as("doc_id"), col("l").as("cluster_id"),
+      (col("v") === col("l")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
+       verts AS (SELECT doc_a AS v FROM pairs UNION SELECT doc_b FROM pairs),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach(v, l) AS (
+         SELECT v, v FROM verts
+         UNION
+         SELECT e.b, r.l FROM reach r JOIN edges e ON r.v = e.a)
+       SELECT v AS doc_id, min(l) AS cluster_id,
+              (v = min(l)) AS is_survivor
+       FROM reach GROUP BY v ORDER BY doc_id"""
+
   /** Shared verification tail: exact Jaccard of candidate pairs from
     * DISTINCT (doc_id, sh) rows. Intersection counts are an equi-join on
     * (doc pair, shingle); all arithmetic is integer until the final
@@ -302,5 +353,6 @@ object Dedup {
     Q("dedup_minhash_lsh", Some(dedupMinhashLshSql), bench = true)(dedupMinhashLsh),
     Q("dedup_simhash", Some(dedupSimhashSql), bench = true)(dedupSimhash),
     Q("dedup_ngram_jaccard", Some(dedupNgramJaccardSql))(dedupNgramJaccard),
+    Q("dedup_clusters", Some(dedupClustersSql))(dedupClusters),
     Q("dedup_embedding_cosine", Some(dedupEmbeddingCosineSql), bench = true)(dedupEmbeddingCosine))
 }

@@ -30,6 +30,24 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_clusters: endpoints co-clustered, survivor is the min id") {
+    val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_survivor"))).toMap
+    assert(clusters.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 === clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid not labeled by its min id")
+      members.foreach { case (doc, (_, surv)) =>
+        assert(surv === (doc == cid))
+      }
+    }
+  }
+
   test("dedup_simhash hamming respects the threshold") {
     Dedup.dedupSimhash(spark, sf).collect().foreach { r =>
       assert(r.getAs[Int]("hamming") >= 0 && r.getAs[Int]("hamming") <= 3)

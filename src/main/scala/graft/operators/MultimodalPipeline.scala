@@ -50,4 +50,58 @@ object MultimodalPipeline {
       .as[MediaRow]
       .mapPartitions(decodePartition)
   }
+
+  /** Resize stage (stub): a real implementation rescales pixel buffers;
+    * the contract — pure per-row transform of decoded media, target
+    * dims clamped to the source aspect — is what downstream relies on.
+    */
+  def resize(decoded: Dataset[DecodedMeta], maxW: Int,
+      maxH: Int): Dataset[DecodedMeta] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { m =>
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+      m.copy(
+        width = math.max(1, (m.width * scale).toInt),
+        height = math.max(1, (m.height * scale).toInt))
+    }
+  }
+
+  /** Frame-sample stage (stub): every `stride`-th frame of video rows;
+    * non-video rows pass through as a single frame. Output is one row
+    * per sampled frame — the explode shape a real sampler produces.
+    */
+  def frameSample(s: SparkSession, dir: String,
+      stride: Int): Dataset[FrameRow] = {
+    import s.implicits._
+    decode(s, dir).flatMap { m =>
+      if (m.kind == "video") {
+        val frames = m.n_bytes % 120 + 1 // matches multimodal_meta's stub
+        (0 until frames by stride).map(f =>
+          FrameRow(m.doc_id, f, m.checksum * 31L + f))
+      } else Seq(FrameRow(m.doc_id, 0, m.checksum))
+    }
+  }
+
+  /** Feature-extract stage (stub): a fixed-width deterministic feature
+    * vector per media row (a real extractor runs a model per partition;
+    * the batch shape and schema are the contract).
+    */
+  def features(decoded: Dataset[DecodedMeta], dim: Int): Dataset[FeatureRow] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions { rows =>
+      // one "model" per partition (stub): features from the checksum
+      rows.map { m =>
+        val v = Array.tabulate(dim)(i =>
+          (((m.checksum >>> (i % 48)) & 0xffL).toFloat / 255.0f))
+        FeatureRow(m.doc_id, v)
+      }
+    }
+  }
 }
+
+/** One sampled frame of a (stub-)decoded video. */
+final case class FrameRow(doc_id: Long, frame_idx: Int, frame_sig: Long)
+
+/** Fixed-width media feature vector. */
+final case class FeatureRow(doc_id: Long, features: Array[Float])

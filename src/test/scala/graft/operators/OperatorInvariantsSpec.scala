@@ -136,4 +136,39 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     val expect = doc0.getBytes("UTF-8").foldLeft(0L)((s, x) => s * 31L + (x & 0xff))
     assert(a.head.checksum === expect)
   }
+
+  test("multimodal resize/frame-sample/features stages keep their contracts") {
+    val decoded = MultimodalPipeline.decode(spark, sf)
+    val resized = MultimodalPipeline.resize(decoded, 64, 64).collect()
+    resized.foreach { m =>
+      assert(m.width <= 64 && m.height <= 64 && m.width >= 1 && m.height >= 1)
+    }
+    // aspect preserved within integer truncation for a known row
+    val before = decoded.collect().map(m => m.doc_id -> m).toMap
+    resized.foreach { m =>
+      val b = before(m.doc_id)
+      if (b.width > 64 || b.height > 64)
+        assert(m.width < b.width || m.height < b.height)
+    }
+
+    val frames = MultimodalPipeline.frameSample(spark, sf, stride = 7).collect()
+    assert(frames.nonEmpty)
+    frames.groupBy(_.doc_id).foreach { case (id, fs) =>
+      val idxs = fs.map(_.frame_idx).sorted
+      assert(idxs.head === 0)
+      assert(idxs.distinct.length === idxs.length)
+      if (before(id).kind == "video") idxs.sliding(2).foreach {
+        case Array(x, y) => assert(y - x === 7)
+        case _ => ()
+      }
+      else assert(idxs.toSeq === Seq(0))
+    }
+
+    val feats = MultimodalPipeline.features(decoded, dim = 16).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.features.length === 16)
+      assert(f.features.forall(x => x >= 0.0f && x <= 1.0f))
+    }
+  }
 }

@@ -23,7 +23,10 @@ import org.apache.spark.sql.types._
   */
 object Pipeline {
 
-  /** Landing-zone schema for scraped offers (transform_job.py:168-178). */
+  /** Landing-zone schema for scraped offers — the reference's
+    * global_schema (transform_job.py:15-38) including the nested
+    * NER-output skills struct.
+    */
   val offerSchema: StructType = StructType(Seq(
     StructField("job_url", StringType),
     StructField("titre", StringType),
@@ -31,7 +34,28 @@ object Pipeline {
     StructField("publication_date", StringType),
     StructField("description", StringType),
     StructField("contrat", StringType),
-    StructField("niveau_etudes", StringType)))
+    StructField("companie", StringType),
+    StructField("secteur", StringType),
+    StructField("niveau_etudes", StringType),
+    StructField("niveau_experience", StringType),
+    StructField("skills", StructType(Seq(
+      StructField("hard_skills", ArrayType(StringType)),
+      StructField("soft_skills", ArrayType(StringType)))))))
+
+  /** The reference's flatten_skills_udf (transform_job.py:145-175) —
+    * `{hard_skills: [...], soft_skills: [...]}` to
+    * `array<struct{nom, type_skill}>` — as pure array functions: no
+    * UDF, no Python worker round-trip, fully codegen-able.
+    */
+  def flatSkills: org.apache.spark.sql.Column = {
+    def typed(arr: org.apache.spark.sql.Column, t: String) =
+      transform(
+        filter(coalesce(arr, array().cast("array<string>")),
+          n => n.isNotNull && trim(n) =!= ""),
+        n => struct(lower(trim(n)).as("nom"), lit(t).as("type_skill")))
+    concat(typed(col("skills.hard_skills"), "hard"),
+      typed(col("skills.soft_skills"), "soft"))
+  }
 
   /** Cleaning stage (clean_data): required business keys present,
     * deterministic dedup by job_url (earliest publication wins),
@@ -53,27 +77,44 @@ object Pipeline {
           expr("try_to_date(publication_date, 'dd/MM/yyyy')")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn", "publication_date")
+      // comma-list secteur -> array (transform_job.py:216), trims, and
+      // 'Unspecified' domain defaulting (transform_job.py:231)
+      .withColumn("secteurs",
+        filter(split(coalesce(col("secteur"), lit("")), ",\\s*"),
+          x => trim(x) =!= ""))
+      .withColumn("compagnie",
+        coalesce(nullif(trim(col("companie")), lit("")), lit("Unspecified")))
       .withColumn("contrat",
         coalesce(nullif(trim(col("contrat")), lit("")), lit("Unspecified")))
       .withColumn("niveau_etudes",
         coalesce(nullif(trim(col("niveau_etudes")), lit("")), lit("Unspecified")))
+      .withColumn("niveau_experience",
+        coalesce(nullif(trim(col("niveau_experience")), lit("")), lit("Unspecified")))
+      .withColumn("skills_flat", flatSkills)
   }
 
-  /** Skill stage (skillner): broadcast-vocabulary phrase match over the
-    * description, returning the offer<->skill bridge.
+  /** Skill stage: the reference gets skills from BOTH the NER payload
+    * (skills struct, flattened) and skillner's phrase matching; the
+    * union feeds the skill dimension and bridge. Phrase matching is a
+    * broadcast-vocabulary equi-join over unigrams + array-side bigrams.
     */
-  def skillBridge(offers: DataFrame, vocab: DataFrame): DataFrame = {
+  def offerSkills(offers: DataFrame, vocab: DataFrame): DataFrame = {
     val toksC = filter(split(lower(col("description")), "\\s+"), t => t =!= lit(""))
     val bigrams = when(size(toksC) >= 2,
       zip_with(slice(toksC, lit(1), size(toksC) - 1),
         slice(toksC, lit(2), size(toksC) - 1),
         (x, y) => concat(x, lit(" "), y)))
       .otherwise(array().cast("array<string>"))
-    offers
+    val matched = offers
       .select(col("job_url"), explode(concat(toksC, bigrams)).as("term"))
       .join(broadcast(vocab), col("term") === vocab("skill"))
-      .select(col("job_url"), col("skill_id"))
-      .distinct()
+      .select(col("job_url"), col("skill").as("nom"),
+        col("skill_type").as("type_skill"))
+    val payload = offers
+      .select(col("job_url"), explode(col("skills_flat")).as("sk"))
+      .select(col("job_url"), col("sk.nom").as("nom"),
+        col("sk.type_skill").as("type_skill"))
+    matched.unionByName(payload).distinct()
   }
 
   /** Enrichment stage (Groq pipeline, deterministic re-expression). */
@@ -112,23 +153,35 @@ object Pipeline {
     val dSource = dim(offers, "via", "id_source")
     val dContrat = dim(offers, "contrat", "id_contrat")
     val dTitre = dim(offers, "titre_homogene", "id_titre")
-    val vocab = SkillExtract.vocabDf(s)
+    val dCompagnie = dim(offers, "compagnie", "id_compagnie")
 
     val fact = offers
       .join(broadcast(dSource), lower(trim(col("via"))) === dSource("value"))
       .join(broadcast(dContrat), lower(trim(col("contrat"))) === dContrat("value"))
       .join(broadcast(dTitre), col("titre_homogene") === dTitre("value"))
+      .join(broadcast(dCompagnie),
+        lower(trim(col("compagnie"))) === dCompagnie("value"))
       .select(col("job_url"), col("pub_date"), col("id_source"),
-        col("id_contrat"), col("id_titre"), col("secteur"),
-        col("niveau_qualification"),
+        col("id_contrat"), col("id_titre"), col("id_compagnie"),
+        col("secteur"), col("niveau_qualification"),
         (year(col("pub_date")) * 100 + month(col("pub_date"))).as("ym"))
 
-    val bridge = skillBridge(offers, vocab)
+    // skill dim is get-or-create over the UNION of payload + matched
+    // skills (insert_to_postgres.py get_or_create dim_skill semantics)
+    val links = offerSkills(offers, SkillExtract.vocabDf(s))
+    val dSkill = links.select(col("nom"), col("type_skill")).distinct()
+      .select(col("nom"), col("type_skill"),
+        row_number().over(Window.orderBy(col("nom"), col("type_skill")))
+          .as("id_skill"))
+    val bridge = links
+      .join(broadcast(dSkill), Seq("nom", "type_skill"))
+      .select(col("job_url"), col("id_skill")).distinct()
 
     Warehouse.writeDim(dSource, s"$outDir/dim_source")
     Warehouse.writeDim(dContrat, s"$outDir/dim_contrat")
     Warehouse.writeDim(dTitre, s"$outDir/dim_titre")
-    Warehouse.writeDim(vocab, s"$outDir/dim_skill")
+    Warehouse.writeDim(dCompagnie, s"$outDir/dim_compagnie")
+    Warehouse.writeDim(dSkill, s"$outDir/dim_skill")
     Warehouse.writeFactPartitioned(fact.filter(col("ym").isNotNull),
       s"$outDir/fact_offre", "ym", "job_url")
     bridge.write.mode("overwrite").parquet(s"$outDir/offre_skill")

@@ -14,7 +14,7 @@ class PipelineSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_pipe").toFile
     val f = new java.io.File(dir, "offers.jsonl")
     val w = new java.io.PrintWriter(f)
-    w.println("""{"job_url":"u1","titre":"Data Engineer!","via":"rekrute","publication_date":"2024-03-05","description":"spark data hash join cloud","contrat":"CDI","niveau_etudes":"Master"}""")
+    w.println("""{"job_url":"u1","titre":"Data Engineer!","via":"rekrute","publication_date":"2024-03-05","description":"spark data hash join cloud","contrat":"CDI","companie":"Acme","niveau_etudes":"Master","niveau_experience":"3 ans","skills":{"hard_skills":["Python","Spark "],"soft_skills":["Communication"]}}""")
     w.println("""{"job_url":"u1","titre":"Data Engineer!","via":"rekrute","publication_date":"2024-03-06","description":"dup of u1 later date","contrat":"CDI","niveau_etudes":"Master"}""")
     w.println("""{"job_url":"u2","titre":"Vendeur","via":"indeed","publication_date":"07/04/2024","description":"vente magasin sort merge","contrat":"","niveau_etudes":"Bac"}""")
     w.println("""{"job_url":"","titre":"NoUrl","via":"indeed","publication_date":"2024-01-01","description":"x","contrat":"CDD","niveau_etudes":"Bac"}""")
@@ -46,12 +46,20 @@ class PipelineSpec extends AnyFunSuite {
     val joined = fact.join(dSource, fact("id_source") === dSource("id_source"))
     assert(joined.count() === fact.count())
 
-    // bridge links only surviving offers, against the skill vocabulary
+    // bridge links only surviving offers; every link resolves in the
+    // get-or-create skill dim built from payload + phrase matches
     val bridge = spark.read.parquet(s"$out/offre_skill")
     val skills = spark.read.parquet(s"$out/dim_skill")
-    assert(bridge.join(skills, "skill_id").count() === bridge.count())
+    assert(bridge.join(skills, "id_skill").count() === bridge.count())
     assert(bridge.select("job_url").distinct().collect()
       .map(_.getString(0)).toSet.subsetOf(Set("u1", "u2", "u3")))
+    // the NER-payload skills were flattened, normalized, and
+    // dimensioned alongside the phrase-matched vocabulary terms
+    val skillNames = skills.collect().map(r => r.getAs[String]("nom")).toSet
+    assert(Set("python", "spark", "communication").subsetOf(skillNames))
+    val u1Skills = bridge.filter(col("job_url") === "u1").join(skills, "id_skill")
+      .collect().map(_.getAs[String]("nom")).toSet
+    assert(Set("python", "communication", "spark", "hash join").subsetOf(u1Skills))
 
     // enrichment: u2's "vente" description classified Commerce, Bac -> 2
     val contratDefault = spark.read.parquet(s"$out/dim_contrat")

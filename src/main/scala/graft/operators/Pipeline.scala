@@ -154,6 +154,20 @@ object Pipeline {
     val dContrat = dim(offers, "contrat", "id_contrat")
     val dTitre = dim(offers, "titre_homogene", "id_titre")
     val dCompagnie = dim(offers, "compagnie", "id_compagnie")
+    val dEtudes = dim(offers, "niveau_etudes", "id_niveau_etudes")
+    val dExp = dim(offers, "niveau_experience", "id_niveau_experience")
+
+    // dim_date: calendar spine over the observed publication range with
+    // the reference's attributes (schema.sql:3-11, populate_calendar)
+    val dDate = offers.filter(col("pub_date").isNotNull)
+      .agg(min(col("pub_date")).as("lo"), max(col("pub_date")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("full_date"))
+      .select(col("full_date"),
+        dayofmonth(col("full_date")).as("jour"),
+        month(col("full_date")).as("mois"),
+        quarter(col("full_date")).as("trimestre"),
+        year(col("full_date")).as("annee"),
+        (weekday(col("full_date")) + 1).as("jour_semaine"))
 
     val fact = offers
       .join(broadcast(dSource), lower(trim(col("via"))) === dSource("value"))
@@ -161,8 +175,13 @@ object Pipeline {
       .join(broadcast(dTitre), col("titre_homogene") === dTitre("value"))
       .join(broadcast(dCompagnie),
         lower(trim(col("compagnie"))) === dCompagnie("value"))
+      .join(broadcast(dEtudes),
+        lower(trim(col("niveau_etudes"))) === dEtudes("value"))
+      .join(broadcast(dExp),
+        lower(trim(col("niveau_experience"))) === dExp("value"))
       .select(col("job_url"), col("pub_date"), col("id_source"),
         col("id_contrat"), col("id_titre"), col("id_compagnie"),
+        col("id_niveau_etudes"), col("id_niveau_experience"),
         col("secteur"), col("niveau_qualification"),
         (year(col("pub_date")) * 100 + month(col("pub_date"))).as("ym"))
 
@@ -181,6 +200,9 @@ object Pipeline {
     Warehouse.writeDim(dContrat, s"$outDir/dim_contrat")
     Warehouse.writeDim(dTitre, s"$outDir/dim_titre")
     Warehouse.writeDim(dCompagnie, s"$outDir/dim_compagnie")
+    Warehouse.writeDim(dEtudes, s"$outDir/dim_niveau_etudes")
+    Warehouse.writeDim(dExp, s"$outDir/dim_niveau_experience")
+    Warehouse.writeDim(dDate, s"$outDir/dim_date")
     Warehouse.writeDim(dSkill, s"$outDir/dim_skill")
     Warehouse.writeFactPartitioned(fact.filter(col("ym").isNotNull),
       s"$outDir/fact_offre", "ym", "job_url")

@@ -41,10 +41,22 @@ class PipelineSpec extends AnyFunSuite {
     val u1 = fact.filter(col("job_url") === "u1").head
     assert(u1.getAs[java.sql.Date]("pub_date").toString === "2024-03-05")
 
-    // FK integrity: every fact dim id resolves
-    val dSource = spark.read.parquet(s"$out/dim_source")
-    val joined = fact.join(dSource, fact("id_source") === dSource("id_source"))
-    assert(joined.count() === fact.count())
+    // FK integrity: every fact dim id resolves, for every dimension
+    Seq("dim_source" -> "id_source", "dim_contrat" -> "id_contrat",
+      "dim_titre" -> "id_titre", "dim_compagnie" -> "id_compagnie",
+      "dim_niveau_etudes" -> "id_niveau_etudes",
+      "dim_niveau_experience" -> "id_niveau_experience").foreach {
+      case (d, id) =>
+        val dimDf = spark.read.parquet(s"$out/$d")
+        assert(fact.join(dimDf, fact(id) === dimDf(id)).count() === fact.count(),
+          s"dangling $id in fact")
+    }
+    // dim_date spans the observed publication range, one row per day
+    val dDate = spark.read.parquet(s"$out/dim_date")
+    assert(dDate.count() >= 2)
+    val span = dDate.agg(min(col("full_date")), max(col("full_date"))).head
+    assert(span.getDate(0).toString === "2024-03-05")
+    assert(span.getDate(1).toString === "2024-04-07")
 
     // bridge links only surviving offers; every link resolves in the
     // get-or-create skill dim built from payload + phrase matches

@@ -44,6 +44,7 @@ object Graft {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     plans.LongDot.register(spark)
     plans.SpaceSavingTopK.register(spark)
+    plans.WordShingles.register(spark)
     spark
   }
 }

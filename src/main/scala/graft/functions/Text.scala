@@ -30,8 +30,19 @@ object Text {
     * tokens yield one whole-doc shingle (slice clamps in both engines).
     * Pure per-row array work: the (doc, shingle) blow-up only happens
     * after projecting to (id, tokens), never on the full row.
+    *
+    * Backed by the codegen'd [[graft.plans.WordShingles]] expression
+    * (registered by Graft.tune); [[wordShinglesHof]] is the composable
+    * twin used to cross-check equivalence in specs.
     */
   def wordShingles(tokens: Column, k: Int): Column =
+    call_function(graft.plans.WordShingles.FnName, tokens, lit(k))
+
+  /** The pure-`functions._` formulation of [[wordShingles]] — three
+    * nested higher-order functions, interpreted; kept as the spec
+    * cross-check oracle for the native expression.
+    */
+  def wordShinglesHof(tokens: Column, k: Int): Column =
     transform(
       sequence(lit(1), greatest(size(tokens) - lit(k - 1), lit(1))),
       i => array_join(slice(tokens, i, lit(k)), " "))

@@ -33,6 +33,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r(1).getSeq[String](0) === Seq("a b"))
   }
 
+  test("native WordShingles equals the HOF formulation on the corpus") {
+    val docs = graft.sources.Tables.documents(spark, SharedSpark.sf)
+    for (k <- Seq(1, 2, 3, 7)) {
+      val diff = docs.select(
+        Text.wordShingles(Text.toks(col("text")), k).as("a"),
+        Text.wordShinglesHof(Text.toks(col("text")), k).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff === 0, s"k=$k: native and HOF shingles disagree")
+    }
+    // edge: empty token array yields [""] in both forms
+    val e = Seq("").toDF("t").select(
+      Text.wordShingles(Text.toks(col("t")), 3).as("a"),
+      Text.wordShinglesHof(Text.toks(col("t")), 3).as("b")).head
+    assert(e.getSeq[String](0) === Seq(""))
+    assert(e.getSeq[String](0) === e.getSeq[String](1))
+  }
+
   test("Text.charShingles slides over characters") {
     val r = Seq("abcde").toDF("t")
       .select(Text.charShingles(col("t"), 4).as("sh")).head

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.Keys
 import graft.functions.Nums._
 import graft.sources.{JsonLake, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -135,11 +136,14 @@ object Pipeline {
           .when(col("niveau_etudes").contains("Bac"), 2)
           .otherwise(1))
 
-  /** A get-or-create dimension as distinct + dense surrogate keys. */
+  /** A get-or-create dimension as distinct + dense surrogate keys
+    * (two-phase Keys.denseIds — a global ROW_NUMBER window would move
+    * every distinct title/company through one task at scale).
+    */
   def dim(df: DataFrame, natural: String, idCol: String): DataFrame =
-    df.select(lower(trim(col(natural))).as("value")).distinct()
-      .select(col("value"),
-        row_number().over(Window.orderBy(col("value"))).as(idCol))
+    Keys.denseIds(df.select(lower(trim(col(natural))).as("value")).distinct(),
+      Nil, Seq("value"), idCol)
+      .select("value", idCol)
 
   final case class Result(nRaw: Long, nClean: Long, nQuarantined: Long,
       nFacts: Long, nSkillLinks: Long)
@@ -188,10 +192,10 @@ object Pipeline {
     // skill dim is get-or-create over the UNION of payload + matched
     // skills (insert_to_postgres.py get_or_create dim_skill semantics)
     val links = offerSkills(offers, SkillExtract.vocabDf(s))
-    val dSkill = links.select(col("nom"), col("type_skill")).distinct()
-      .select(col("nom"), col("type_skill"),
-        row_number().over(Window.orderBy(col("nom"), col("type_skill")))
-          .as("id_skill"))
+    val dSkill = Keys.denseIds(
+      links.select(col("nom"), col("type_skill")).distinct(),
+      Nil, Seq("nom", "type_skill"), "id_skill")
+      .select("nom", "type_skill", "id_skill")
     val bridge = links
       .join(broadcast(dSkill), Seq("nom", "type_skill"))
       .select(col("job_url"), col("id_skill")).distinct()

@@ -1,10 +1,10 @@
 package graft.operators
 
 import graft.Q
+import graft.functions.Keys
 import graft.functions.Nums._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Star-schema warehouse build — the reference's Postgres loading stage
@@ -54,8 +54,10 @@ object StarSchema {
        FROM spine ORDER BY full_date"""
 
   /** get-or-create dimensions re-expressed: distinct natural keys +
-    * row_number surrogate ids, stacked for the order dims. Deterministic
-    * (sorted) unlike the reference's insertion-order serials.
+    * dense surrogate ids, stacked for the order dims. Deterministic
+    * (sorted) unlike the reference's insertion-order serials. Ids come
+    * from the two-phase Keys.denseIds — per-dim-partition windows would
+    * funnel each dim's full value set through one task at scale.
     */
   def dimSurrogateKeys(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -64,9 +66,8 @@ object StarSchema {
         .withColumn("dim_name", lit(name))
     val all = dim("o_orderpriority", "priority")
       .unionByName(dim("o_orderstatus", "status"))
-    all.select(col("dim_name"), col("value"),
-      row_number().over(
-        Window.partitionBy(col("dim_name")).orderBy(col("value"))).as("id"))
+    Keys.denseIds(all, Seq("dim_name"), Seq("value"), "id")
+      .select("dim_name", "value", "id")
       .orderBy("dim_name", "id")
   }
 
@@ -87,11 +88,9 @@ object StarSchema {
     */
   def factStarJoin(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    def dim(c: String) = {
-      val w = Window.orderBy(col("value"))
-      o.select(lower(trim(col(c))).as("value")).distinct()
-        .select(col("value"), row_number().over(w).as("id"))
-    }
+    def dim(c: String) =
+      Keys.denseIds(o.select(lower(trim(col(c))).as("value")).distinct(),
+        Nil, Seq("value"), "id")
     val dPrio = dim("o_orderpriority")
       .withColumnRenamed("value", "prio").withColumnRenamed("id", "id_priority")
     val dStat = dim("o_orderstatus")

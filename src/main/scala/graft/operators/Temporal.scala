@@ -98,8 +98,8 @@ object Temporal {
          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
        sess AS (
          SELECT user_id, event_id, t, value,
-           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM flagged)
        SELECT user_id, session_id, min(t) AS start_us, max(t) AS end_us,
               COUNT(*) AS n_events, ${sqlDsum(sqlDecp("value"))} AS sum_value

@@ -29,13 +29,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
   }
 
-  test("fact_star_join: dims broadcast, fact side never exchanges pre-join") {
+  test("fact_star_join: dims broadcast, fact side never shuffles pre-join") {
     val p = plan(StarSchema.factStarJoin(spark, sf))
-    assert("BroadcastHashJoin".r.findAllIn(p).size === 2, p.take(2000))
+    // >= 2: the two dim joins, plus Keys.denseIds' tiny offset joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
   test("skill extract: vocabulary join broadcast") {
     val p = plan(operators.SkillExtract.skillExtractPhrase(spark, sf))
     assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("no unpartitioned (single-task) window in any registered query") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans a global window — every row funnels through one task")
+    }
   }
 }

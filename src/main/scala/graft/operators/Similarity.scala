@@ -30,11 +30,19 @@ object Similarity {
   private val NPlanes = 8
   private val Dim = 64
 
-  /** Query set: every 100th vector — a bounded driver-independent
-    * selection that scales with the corpus.
+  /** Hard cap on the registered query set: every 100th vector AND
+    * vec_id below 100*MaxQueries, so |Q| <= MaxQueries no matter how
+    * large the corpus grows — brute-force stays O(|Q|*N) = O(N), never
+    * O(N^2/100).
     */
+  private val MaxQueries = 100
+  private val queryPred =
+    col("vec_id") % 100 === 0 && col("vec_id") < 100L * MaxQueries
+  private def sqlQueryPred(a: String) =
+    s"$a.vec_id % 100 = 0 AND $a.vec_id < ${100L * MaxQueries}"
+
   private def queriesDf(s: SparkSession, dir: String): DataFrame =
-    quantized(s, dir).filter(col("vec_id") % 100 === 0)
+    quantized(s, dir).filter(queryPred)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("nn").as("q_nn"))
 
@@ -67,22 +75,26 @@ object Similarity {
     s"""WITH $sqlQuant,
        scored AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
                     ${sqlCosineQ(sqlDotQ("q.qv", "c.qv", Dim), "q.nn", "c.nn")} AS cos_sim
-                  FROM quant q JOIN quant c ON q.vec_id % 100 = 0
+                  FROM quant q JOIN quant c ON ${sqlQueryPred("q")}
                    AND q.vec_id <> c.vec_id)
        SELECT q_id, vec_id, cos_sim,
               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
        FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
 
-  /** Deterministic ±1 hyperplane matrix (j < NPlanes, d < Dim) from md5
-    * parity — tiny, broadcast; identical in the SQL oracle.
+  /** Deterministic ±1 hyperplane j as a LITERAL array<bigint> — computed
+    * at plan-build time with the exact md5-parity formula the SQL twin
+    * uses (`ascii(first hex char of md5("j:d")) % 2`), so both engines
+    * see identical planes without materializing a planes relation.
     */
-  private def planesDf(s: SparkSession): DataFrame =
-    s.range(NPlanes).toDF("j").crossJoin(s.range(Dim).toDF("d"))
-      .select(col("j").cast("int").as("j"), col("d").cast("int").as("d"),
-        when(ascii(substring(md5(concat(col("j").cast("string"), lit(":"),
-          col("d").cast("string"))), 1, 1)) % 2 === 0, 1)
-          .otherwise(-1).as("w"))
+  private def planeVec(j: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Dim) { d =>
+      val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0).toInt % 2 == 0) 1L else -1L
+    }
+  }
 
   private val sqlPlanes =
     s"""planes AS (SELECT j, d,
@@ -91,19 +103,18 @@ object Similarity {
         FROM (SELECT unnest(generate_series(0, ${NPlanes - 1})) AS j) AS js,
              (SELECT unnest(generate_series(0, ${Dim - 1})) AS d) AS ds)"""
 
-  /** Sign-LSH bucket per vector: bit j = sign(q . plane_j), bucket =
-    * sum(bit_j << j). Integer dot products — exact under any shuffle.
+  /** Sign-LSH bucket per vector, fully MAP-SIDE: bit j = sign(qv .
+    * plane_j) via NPlanes codegen'd LongDot projections against literal
+    * plane arrays — zero shuffles, zero explode. (The first-round form
+    * posexploded each vector 64x and aggregated twice: two exchanges of
+    * a Dim-times-blown-up relation for what is per-row arithmetic.)
     */
   private def buckets(s: SparkSession, dir: String): DataFrame = {
-    val qr = quantized(s, dir)
-      .select(col("vec_id"), posexplode(col("qv")).as(Seq("d", "x")))
-    qr.join(broadcast(planesDf(s)), "d")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(sum(col("w") * col("x")).as("dot"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("dot") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
-        .as("bucket"))
+    val bucket = (0 until NPlanes).map { j =>
+      when(dotQ(col("qv"), lit(planeVec(j))) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    quantized(s, dir).withColumn("bucket", bucket)
   }
 
   private val sqlBuckets =
@@ -122,9 +133,8 @@ object Similarity {
     * within the candidate set is exact.
     */
   def annTopkLsh(s: SparkSession, dir: String): DataFrame = {
-    val b = buckets(s, dir)
-    val c = quantized(s, dir).join(b, "vec_id")
-    val q = c.filter(col("vec_id") % 100 === 0)
+    val c = buckets(s, dir)
+    val q = c.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
         col("nn").as("q_nn"), col("bucket").as("q_bucket"))
     val w = Window.partitionBy(col("q_id"))
@@ -147,44 +157,79 @@ object Similarity {
                 FROM quant JOIN buck ON quant.vec_id = buck.vec_id),
        scored AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
                     ${sqlCosineQ(sqlDotQ("q.qv", "c.qv", Dim), "q.nn", "c.nn")} AS cos_sim
-                  FROM corp q JOIN corp c ON q.vec_id % 100 = 0
+                  FROM corp q JOIN corp c ON ${sqlQueryPred("q")}
                    AND q.bucket = c.bucket AND q.vec_id <> c.vec_id)
        SELECT q_id, vec_id, cos_sim,
               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
        FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
 
-  // IVF parameters: deterministic coarse centroids (every 50th vector),
-  // nProbe=2 — the classic inverted-file ANN layout: assignment is a
-  // broadcast argmax, the inverted lists are an equi-join key.
+  // IVF parameters: a corpus-INDEPENDENT centroid count (the broadcast
+  // and the assignment cost stay bounded no matter how large the corpus
+  // grows), refined by IvfIters exact-integer Lloyd iterations; nProbe=2.
+  private val IvfK = 16
+  private val IvfIters = 2
   private val IvfProbe = 2
+
+  /** Nearest-centroid argmax for each row of `df` (bounded broadcast of
+    * <= IvfK centroids; one map pass over the data).
+    */
+  private def nearest(cent: DataFrame, df: DataFrame, idCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    df.crossJoin(broadcast(cent))
+      .select(col(idCol), col("c_id"),
+        cosineQ(dotQ(col("qv"), col("c_qv")), col("nn"), col("c_nn"))
+          .as("c_cos"))
+      .withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") <= n)
+      .select(col(idCol), col("c_id"))
+  }
+
+  /** One exact-integer Lloyd iteration: assign each vector to its
+    * nearest centroid, then replace each centroid with its cluster
+    * mean. Cosine is scale-invariant, so the "mean" keeps no fractional
+    * part: we take the element-wise integer SUM and scale it down by
+    * the cluster count with a portable floor-division
+    * (`(s - ((s % cnt + cnt) % cnt)) div cnt` — the numerator is an
+    * exact multiple of cnt, so Spark's `div` and DuckDB's `//` agree
+    * bit-for-bit and components stay in quantized range). Everything is
+    * distributed: the agg is 64 map-side-partial SUM columns, the
+    * centroid frame is <= IvfK rows.
+    */
+  private def lloyd(c: DataFrame, cent: DataFrame): DataFrame = {
+    val assign = nearest(cent, c, "vec_id", 1)
+    val sums = c.join(assign, "vec_id")
+      .groupBy(col("c_id"))
+      .agg(count(lit(1)).as("cnt"),
+        (0 until Dim).map(d =>
+          sum(element_at(col("qv"), d + 1)).as(s"s$d")): _*)
+    sums.select(col("c_id"),
+      array((0 until Dim).map(d =>
+        expr(s"(s$d - ((s$d % cnt + cnt) % cnt)) div cnt")): _*).as("c_qv"))
+      .select(col("c_id"), col("c_qv"),
+        dotQ(col("c_qv"), col("c_qv")).as("c_nn"))
+  }
 
   /** IVF-bucketed ANN: corpus vectors are assigned to their nearest
     * coarse centroid (broadcast argmax — one map pass); queries probe
     * their `nProbe` nearest centroids and score only those inverted
     * lists. Unlike sign-LSH buckets, IVF adapts to the data's actual
-    * geometry; centroids here are a deterministic corpus sample (a
-    * k-means refinement would slot in without changing the plan shape).
+    * geometry: seeds are the IvfK lowest-id vectors, refined by
+    * exact-integer k-means (deterministic in both engines). Total cost
+    * is O(IvfIters * K * N) assignment passes — linear in the corpus,
+    * with a bounded centroid broadcast.
     */
   def annTopkIvf(s: SparkSession, dir: String): DataFrame = {
     val c = quantized(s, dir)
-    val cent = c.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+    val seed = c.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("int").as("c_id"), col("qv").as("c_qv"),
         col("nn").as("c_nn"))
-    def nearest(n: Int, df: DataFrame, idCol: String) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("c_cos").desc, col("c_id"))
-      df.crossJoin(broadcast(cent))
-        .select(col(idCol), col("c_id"),
-          cosineQ(dotQ(col("qv"), col("c_qv")), col("nn"), col("c_nn"))
-            .as("c_cos"))
-        .withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") <= n)
-        .select(col(idCol), col("c_id"))
-    }
-    val assign = nearest(1, c, "vec_id")
-    val probes = nearest(IvfProbe, c.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("qv"), col("nn")), "q_id")
+    val cent = (1 to IvfIters).foldLeft(seed)((ct, _) => lloyd(c, ct))
+    val assign = nearest(cent, c, "vec_id", 1)
+    val probes = nearest(cent, c.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("qv"), col("nn")), "q_id", IvfProbe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     probes.join(assign, "c_id")
@@ -201,24 +246,40 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Nearest-centroid argmax over quant rows, DuckDB twin. */
+  private def sqlNearest(centCte: String, pred: String, n: Int): String =
+    s"""SELECT vec_id, c_id FROM (
+          SELECT q.vec_id, c.c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                   ${sqlCosineQ(sqlDotQ("q.qv", "c.c_qv", Dim), "q.nn", "c.c_nn")} DESC,
+                   c.c_id) AS r
+          FROM quant q CROSS JOIN $centCte c$pred) WHERE r <= $n"""
+
+  /** One unrolled exact-integer Lloyd iteration, DuckDB twin of
+    * [[lloyd]]: SUM per component, portable floor-division scale-down.
+    */
+  private def sqlLloydIter(i: Int): String = {
+    val sumCols =
+      (0 until Dim).map(d => s"SUM(qv[${d + 1}]) AS s$d").mkString(", ")
+    val meanList = (0 until Dim)
+      .map(d => s"((s$d - ((s$d % cnt + cnt) % cnt)) // cnt)")
+      .mkString("[", ", ", "]")
+    s"""asg$i AS (${sqlNearest(s"cent$i", "", 1)}),
+       sum$i AS (SELECT c_id, COUNT(*) AS cnt, $sumCols
+                 FROM quant JOIN asg$i USING (vec_id) GROUP BY c_id),
+       cent${i + 1} AS (SELECT c_id, c_qv, ${sqlDotQ("c_qv", "c_qv", Dim)} AS c_nn
+                 FROM (SELECT c_id, $meanList AS c_qv FROM sum$i))"""
+  }
+
   val annTopkIvfSql: String =
     s"""WITH $sqlQuant,
-       cent AS (SELECT vec_id AS c_id, qv AS c_qv, nn AS c_nn
-                FROM quant WHERE vec_id % 50 = 0),
-       assign AS (
-         SELECT vec_id, c_id FROM (
-           SELECT q.vec_id, c.c_id,
-                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                    ${sqlCosineQ(sqlDotQ("q.qv", "c.c_qv", Dim), "q.nn", "c.c_nn")} DESC,
-                    c.c_id) AS r
-           FROM quant q CROSS JOIN cent c) WHERE r <= 1),
+       cent0 AS (SELECT CAST(vec_id AS INT) AS c_id, qv AS c_qv, nn AS c_nn
+                 FROM quant WHERE vec_id < $IvfK),
+       ${(0 until IvfIters).map(sqlLloydIter).mkString(",\n")},
+       assign AS (${sqlNearest(s"cent$IvfIters", "", 1)}),
        probes AS (
-         SELECT q_id, c_id FROM (
-           SELECT q.vec_id AS q_id, c.c_id,
-                  ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-                    ${sqlCosineQ(sqlDotQ("q.qv", "c.c_qv", Dim), "q.nn", "c.c_nn")} DESC,
-                    c.c_id) AS r
-           FROM quant q CROSS JOIN cent c WHERE q.vec_id % 100 = 0) WHERE r <= $IvfProbe),
+         SELECT vec_id AS q_id, c_id FROM
+           (${sqlNearest(s"cent$IvfIters", s" WHERE ${sqlQueryPred("q")}", IvfProbe)})),
        cand AS (SELECT DISTINCT q_id, vec_id
                 FROM probes JOIN assign USING (c_id)
                 WHERE q_id <> vec_id),

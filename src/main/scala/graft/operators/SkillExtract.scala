@@ -53,7 +53,7 @@ object SkillExtract {
     * distinct. The oracle SQL uses an equivalent positional self-join
     * (clarity over speed is fine for the oracle).
     */
-  def skillExtractPhrase(s: SparkSession, dir: String): DataFrame = {
+  private def phraseMatches(s: SparkSession, dir: String): DataFrame = {
     val v = broadcast(vocabDf(s))
     val toks = split(col("text"), "\\s+")
     val bigrams = when(size(toks) >= 2,
@@ -66,8 +66,10 @@ object SkillExtract {
       .join(v, col("term") === v("skill"))
       .select(col("doc_id"), col("skill"), col("skill_type"), col("skill_id"))
       .distinct()
-      .orderBy("doc_id", "skill_id")
   }
+
+  def skillExtractPhrase(s: SparkSession, dir: String): DataFrame =
+    phraseMatches(s, dir).orderBy("doc_id", "skill_id")
 
   val skillExtractPhraseSql: String =
     s"""WITH toks AS ($tokensSql),
@@ -80,6 +82,70 @@ object SkillExtract {
            JOIN ($vocabSql) v ON a.token || ' ' || b.token = v.skill)
        SELECT DISTINCT doc_id, skill, skill_type, skill_id
        FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+       ORDER BY doc_id, skill_id"""
+
+  /** Admission threshold for scored partial matches: at least half of a
+    * multi-word skill's tokens must appear in the document (the skillner
+    * library's compatibility-score gate).
+    */
+  val ScoredTau = 0.5
+
+  /** Scored partial (n-gram) matching — skillner's `ngram_scored`
+    * results (skillner_logic.py:104-107): a multi-word vocabulary entry
+    * is admitted when >= ScoredTau of its tokens appear ANYWHERE in the
+    * document ("Apache Spark experience" matches vocab "spark sql" at
+    * 0.5 even though the full phrase never occurs). Contiguous full
+    * matches are excluded — they are the separate `full_matches` path
+    * ([[skillExtractPhrase]]).
+    *
+    * Shape: explode doc tokens -> broadcast-join the (tiny) exploded
+    * vocabulary tokens -> distinct (only MATCHING tokens survive to the
+    * shuffle) -> per-(doc, skill) count -> score filter -> anti-join
+    * full matches. Linear in corpus size; score = n_match/n_total is a
+    * small-integer ratio, bit-identical across engines.
+    */
+  def skillExtractNgramScored(s: SparkSession, dir: String): DataFrame = {
+    val vMulti = vocabDf(s)
+      .withColumn("vts", split(col("skill"), " "))
+      .filter(size(col("vts")) >= 2)
+      .select(col("skill"), col("skill_type"), col("skill_id"),
+        size(col("vts")).as("n_total"), explode(col("vts")).as("vt"))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val scored = toks.join(broadcast(vMulti), col("token") === col("vt"))
+      .select("doc_id", "skill_id", "skill", "skill_type", "n_total", "vt")
+      .distinct()
+      .groupBy("doc_id", "skill_id", "skill", "skill_type", "n_total")
+      .agg(count(lit(1)).as("n_match"))
+      .withColumn("score",
+        col("n_match").cast("double") / col("n_total").cast("double"))
+      .filter(col("score") >= ScoredTau)
+    scored.join(phraseMatches(s, dir).select("doc_id", "skill_id"),
+        Seq("doc_id", "skill_id"), "left_anti")
+      .select("doc_id", "skill_id", "skill", "skill_type", "score")
+      .orderBy("doc_id", "skill_id")
+  }
+
+  val skillExtractNgramScoredSql: String =
+    s"""WITH full_m AS ($skillExtractPhraseSql),
+       vtoks AS (SELECT skill_id, skill, skill_type,
+                   len(regexp_split_to_array(skill, ' ')) AS n_total,
+                   unnest(regexp_split_to_array(skill, ' ')) AS vt
+                 FROM ($vocabSql)
+                 WHERE len(regexp_split_to_array(skill, ' ')) >= 2),
+       toks AS ($tokensSql),
+       hits AS (SELECT DISTINCT doc_id, skill_id, skill, skill_type, n_total, vt
+                FROM toks JOIN vtoks ON toks.token = vtoks.vt),
+       scored AS (SELECT doc_id, skill_id, skill, skill_type,
+                    (CAST(COUNT(*) AS DOUBLE) / CAST(n_total AS DOUBLE)) AS score
+                  FROM hits
+                  GROUP BY doc_id, skill_id, skill, skill_type, n_total)
+       SELECT doc_id, skill_id, skill, skill_type, score
+       FROM scored s
+       WHERE score >= $ScoredTau
+         AND NOT EXISTS (SELECT 1 FROM full_m f
+                         WHERE f.doc_id = s.doc_id AND f.skill_id = s.skill_id)
        ORDER BY doc_id, skill_id"""
 
   /** Hard/soft typing rollup (the reference splits skills into
@@ -98,5 +164,6 @@ object SkillExtract {
 
   def queries: Seq[Q] = Seq(
     Q("skill_extract_phrase", Some(skillExtractPhraseSql), bench = true)(skillExtractPhrase),
+    Q("skill_extract_ngram_scored", Some(skillExtractNgramScoredSql))(skillExtractNgramScored),
     Q("skill_type_split", Some(skillTypeSplitSql))(skillTypeSplit))
 }

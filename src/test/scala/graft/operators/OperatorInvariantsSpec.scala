@@ -171,4 +171,33 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       assert(f.features.forall(x => x >= 0.0f && x <= 1.0f))
     }
   }
+
+  test("ngram-scored skills: partial-only, above tau, disjoint from full matches") {
+    val scored = SkillExtract.skillExtractNgramScored(spark, sf).collect()
+    assert(scored.nonEmpty)
+    scored.foreach { r =>
+      val sc = r.getAs[Double]("score")
+      assert(sc >= SkillExtract.ScoredTau && sc <= 1.0)
+      assert(r.getAs[String]("skill").contains(" "),
+        "only multi-word vocab entries take the scored path")
+    }
+    // disjoint from the contiguous full-match path by construction
+    val full = SkillExtract.skillExtractPhrase(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("skill_id"))).toSet
+    scored.foreach { r =>
+      assert(!full.contains(
+        (r.getAs[Long]("doc_id"), r.getAs[Int]("skill_id"))))
+    }
+    // recall gain: a doc containing "hash" but never "hash join" must
+    // admit the scored pair at 0.5 — the reference's ngram_scored path
+    val docsWithHash = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").rlike("(^| )hash( |$)") &&
+        !col("text").contains("hash join"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(docsWithHash.nonEmpty)
+    val scoredHashJoin = scored
+      .filter(_.getAs[String]("skill") == "hash join")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(docsWithHash.subsetOf(scoredHashJoin))
+  }
 }

@@ -57,24 +57,44 @@ object Cleaning {
                                   ORDER BY ts, event_id) = 1
        ORDER BY user_id, event_type"""
 
-  /** Multi-format date normalization. The reference tries strptime
-    * formats in order and defaults the year when absent
-    * (transform_job.py:120-142). Re-expressed as a regex-gated CASE so it
-    * is ANSI-safe, codegen'd, and deterministic. Input strings are
-    * derived from o_orderdate cycling through the reference's three
-    * accepted formats.
+  /** Year substituted into year-less date formats. The reference uses
+    * the CURRENT year (transform_job.py:133-137) — nondeterministic by
+    * design; here it is an explicit parameter so pipelines pin it (the
+    * registered query pins DefaultYear so the oracle is stable).
     */
-  def normalizeDateMultiformat(s: SparkSession, dir: String): DataFrame = {
-    val monthNum = Map(
-      "Jan" -> 1, "Feb" -> 2, "Mar" -> 3, "Apr" -> 4, "May" -> 5, "Jun" -> 6,
-      "Jul" -> 7, "Aug" -> 8, "Sep" -> 9, "Oct" -> 10, "Nov" -> 11, "Dec" -> 12)
+  val DefaultYear = 2025
+
+  private val monthNum: Map[String, Int] = {
+    val abbrev = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+    val full = Seq("January", "February", "March", "April", "May", "June",
+      "July", "August", "September", "October", "November", "December")
+    (abbrev.zipWithIndex ++ full.zipWithIndex)
+      .map { case (m, i) => m -> (i + 1) }.toMap
+  }
+
+  /** Multi-format date normalization. The reference tries strptime
+    * formats in order — `%Y-%m-%d`, `%d/%m/%Y`, `%d %b-%H:%M` AND
+    * `%d %B-%H:%M` (full month names, "1 March-12:53") — and defaults
+    * the year when absent (transform_job.py:120-142). Re-expressed as a
+    * regex-gated CASE so it is ANSI-safe, codegen'd, and deterministic.
+    * Input strings are derived from o_orderdate cycling through all
+    * four accepted formats (the %B form with a non-padded day, as the
+    * scrapers emit it).
+    */
+  def normalizeDateMultiformat(s: SparkSession, dir: String): DataFrame =
+    normalizeDateMultiformat(s, dir, DefaultYear)
+
+  def normalizeDateMultiformat(s: SparkSession, dir: String,
+      defaultYear: Int): DataFrame = {
     val raw = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"))
       .withColumn("raw_date",
-        when(col("o_orderkey") % 3 === 0, date_format(col("d"), "yyyy-MM-dd"))
-          .when(col("o_orderkey") % 3 === 1, date_format(col("d"), "dd/MM/yyyy"))
-          .otherwise(date_format(col("d"), "dd MMM-HH:mm")))
-    val mon = regexp_extract(col("raw_date"), "^(\\d{2}) ([A-Za-z]{3})-", 2)
+        when(col("o_orderkey") % 4 === 0, date_format(col("d"), "yyyy-MM-dd"))
+          .when(col("o_orderkey") % 4 === 1, date_format(col("d"), "dd/MM/yyyy"))
+          .when(col("o_orderkey") % 4 === 2, date_format(col("d"), "dd MMM-HH:mm"))
+          .otherwise(date_format(col("d"), "d MMMM-HH:mm")))
+    val mon = regexp_extract(col("raw_date"), "^(\\d{1,2}) ([A-Za-z]+)-", 2)
     val monAsNum = monthNum.foldLeft(lit(0)) { case (acc, (m, n)) =>
       when(mon === m, n).otherwise(acc)
     }
@@ -83,13 +103,15 @@ object Cleaning {
         to_date(col("raw_date"), "yyyy-MM-dd"))
         .when(col("raw_date").rlike("^\\d{2}/\\d{2}/\\d{4}$"),
           to_date(col("raw_date"), "dd/MM/yyyy"))
-        .when(col("raw_date").rlike("^\\d{2} [A-Za-z]{3}-\\d{2}:\\d{2}$"), {
+        .when(col("raw_date").rlike("^\\d{1,2} [A-Za-z]+-\\d{2}:\\d{2}$") &&
+          monAsNum >= 1, {
           // year-defaulted dates can be invalid (29 Feb 2025): guard the
           // day against the month's length — ANSI-safe in both engines,
           // and the reference's strptime would likewise reject them.
-          val dayN = regexp_extract(col("raw_date"), "^(\\d{2})", 1).cast("int")
-          when(dayN <= dayofmonth(last_day(make_date(lit(2025), monAsNum, lit(1)))),
-            make_date(lit(2025), monAsNum, dayN))
+          val dayN = regexp_extract(col("raw_date"), "^(\\d{1,2})", 1).cast("int")
+          when(dayN <= dayofmonth(
+              last_day(make_date(lit(defaultYear), monAsNum, lit(1)))),
+            make_date(lit(defaultYear), monAsNum, dayN))
             .otherwise(lit(null).cast("date"))
         })
         .otherwise(lit(null).cast("date")))
@@ -99,17 +121,22 @@ object Cleaning {
 
   val normalizeDateMultiformatSql: String = {
     val monthCase =
-      """CASE regexp_extract(raw_date, '^(\d{2}) ([A-Za-z]{3})-', 2)
+      """CASE regexp_extract(raw_date, '^(\d{1,2}) ([A-Za-z]+)-', 2)
          WHEN 'Jan' THEN 1 WHEN 'Feb' THEN 2 WHEN 'Mar' THEN 3 WHEN 'Apr' THEN 4
          WHEN 'May' THEN 5 WHEN 'Jun' THEN 6 WHEN 'Jul' THEN 7 WHEN 'Aug' THEN 8
          WHEN 'Sep' THEN 9 WHEN 'Oct' THEN 10 WHEN 'Nov' THEN 11 WHEN 'Dec' THEN 12
+         WHEN 'January' THEN 1 WHEN 'February' THEN 2 WHEN 'March' THEN 3
+         WHEN 'April' THEN 4 WHEN 'June' THEN 6 WHEN 'July' THEN 7
+         WHEN 'August' THEN 8 WHEN 'September' THEN 9 WHEN 'October' THEN 10
+         WHEN 'November' THEN 11 WHEN 'December' THEN 12
          ELSE 0 END"""
     s"""WITH raw AS (
          SELECT o_orderkey,
-           CASE CAST(o_orderkey % 3 AS INT)
+           CASE CAST(o_orderkey % 4 AS INT)
              WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
              WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
-             ELSE strftime(o_orderdate, '%d %b-%H:%M') END AS raw_date
+             WHEN 2 THEN strftime(o_orderdate, '%d %b-%H:%M')
+             ELSE strftime(o_orderdate, '%-d %B-%H:%M') END AS raw_date
          FROM orders)
        SELECT o_orderkey, raw_date,
          CASE
@@ -117,11 +144,12 @@ object Cleaning {
              THEN CAST(strptime(raw_date, '%Y-%m-%d') AS DATE)
            WHEN regexp_matches(raw_date, '^\\d{2}/\\d{2}/\\d{4}$$')
              THEN CAST(strptime(raw_date, '%d/%m/%Y') AS DATE)
-           WHEN regexp_matches(raw_date, '^\\d{2} [A-Za-z]{3}-\\d{2}:\\d{2}$$')
-                AND CAST(regexp_extract(raw_date, '^(\\d{2})', 1) AS INT)
-                    <= day(last_day(make_date(2025, $monthCase, 1)))
-             THEN make_date(2025, $monthCase,
-                    CAST(regexp_extract(raw_date, '^(\\d{2})', 1) AS INT))
+           WHEN regexp_matches(raw_date, '^\\d{1,2} [A-Za-z]+-\\d{2}:\\d{2}$$')
+                AND $monthCase >= 1
+                AND CAST(regexp_extract(raw_date, '^(\\d{1,2})', 1) AS INT)
+                    <= day(last_day(make_date($DefaultYear, $monthCase, 1)))
+             THEN make_date($DefaultYear, $monthCase,
+                    CAST(regexp_extract(raw_date, '^(\\d{1,2})', 1) AS INT))
            ELSE NULL END AS normalized
        FROM raw ORDER BY o_orderkey"""
   }

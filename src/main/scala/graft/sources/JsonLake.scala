@@ -30,6 +30,23 @@ object JsonLake {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path)
 
+  /** Compat reader for the reference's ACTUAL legacy lake layout:
+    * multi-line JSON ARRAYS, one array per scrape file
+    * (transform_job.py:111 `option("multiLine", True)`). Each file is
+    * one unsplittable blob — one task per file, no intra-file
+    * parallelism — so this exists for migrating the legacy layout;
+    * new data should land as NDJSON ([[readJson]]) which splits.
+    * Malformed array files still quarantine via [[CorruptCol]].
+    */
+  def readJsonArray(s: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    s.read
+      .schema(schema.add(StructField(CorruptCol, StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("multiLine", value = true)
+      .json(path)
+
   /** Split an ingested frame into (clean, quarantined) — the reference
     * drops rows missing required fields (transform_job.py:193-195);
     * quarantining instead keeps the audit trail a production lake needs.

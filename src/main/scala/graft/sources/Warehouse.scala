@@ -1,14 +1,16 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Warehouse sink — the reference loads its star schema into Postgres
   * row-by-row (insert_to_postgres.py `get_or_create` + INSERT per fact).
   * The Spark-native load is a partitioned columnar write; a JDBC
-  * warehouse would take the exact same frames via `df.write.jdbc` (the
-  * shaping below — partition alignment, file sizing — is what matters
-  * at scale, not the wire format).
+  * warehouse takes the exact same frames via [[writeJdbc]] (the shaping
+  * below — partition alignment, file sizing — is what matters at scale,
+  * not the wire format).
   */
 object Warehouse {
 
@@ -36,4 +38,27 @@ object Warehouse {
     */
   def writeDim(dim: DataFrame, path: String): Unit =
     dim.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Load a frame into a JDBC warehouse — the reference's
+    * insert_to_postgres.py role, but set-based: each partition streams
+    * its rows over one connection in `batchsize` batches instead of a
+    * driver-side INSERT per row. `numPartitions` caps concurrent
+    * connections (at cluster scale the warehouse, not Spark, is the
+    * bottleneck — don't open 1000 connections).
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      props: Properties = new Properties(), numPartitions: Int = 8,
+      batchSize: Int = 10000): Unit =
+    df.coalesce(numPartitions)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("batchsize", batchSize.toLong)
+      .jdbc(url, table, props)
+
+  /** Read a warehouse table back (round-trip verification and
+    * dimension lookups).
+    */
+  def readJdbc(s: SparkSession, url: String, table: String,
+      props: Properties = new Properties()): DataFrame =
+    s.read.jdbc(url, table, props)
 }

@@ -35,6 +35,29 @@ class LakeWarehouseSpec extends AnyFunSuite {
       .forall(!_.isNullAt(0)))
   }
 
+  test("readJsonArray ingests legacy multi-line JSON arrays, quarantines malformed files") {
+    val dir = Files.createTempDirectory("graft_lake_ml").toFile
+    val good = new java.io.PrintWriter(new java.io.File(dir, "scrape1.json"))
+    good.println("""[
+      {"job_url": "u1",
+       "titre": "dev", "via": "src0", "n": 1},
+      {"job_url": "u2", "titre": "ing",
+       "via": "src1", "n": 2}
+    ]""")
+    good.close()
+    val broken = new java.io.PrintWriter(new java.io.File(dir, "scrape2.json"))
+    broken.println("""[{"job_url": "u3", "titre": BROKEN""")
+    broken.close()
+
+    val raw = JsonLake.readJsonArray(spark, dir.getAbsolutePath, schema)
+    val (clean, bad) = JsonLake.quarantine(raw)
+    assert(clean.count() === 2)
+    assert(clean.select("job_url").collect().map(_.getString(0)).toSet ===
+      Set("u1", "u2"))
+    assert(bad.count() === 1)
+    assert(bad.select(JsonLake.CorruptCol).head.getString(0).contains("u3"))
+  }
+
   test("Warehouse partitioned fact write: one file per partition, pruned reads") {
     val dir = Files.createTempDirectory("graft_wh").toFile.getAbsolutePath
     val fact = Tables.orders(spark, sf)
@@ -59,5 +82,30 @@ class LakeWarehouseSpec extends AnyFunSuite {
       .executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(ym"),
       s"no partition pruning in plan:\n$plan")
+  }
+
+  test("JDBC warehouse sink: star frames round-trip through embedded Derby") {
+    // Derby ships with Spark (the Hive-metastore driver) — an
+    // in-process stand-in for the reference's Postgres warehouse.
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftwh;create=true"
+
+    val dim = graft.operators.StarSchema.dimSurrogateKeys(spark, sf)
+    Warehouse.writeJdbc(dim, url, "dim_stacked", props, numPartitions = 2)
+    val dimBack = Warehouse.readJdbc(spark, url, "dim_stacked", props)
+    assert(dimBack.count() === dim.count())
+    assert(dimBack.columns.sorted.toSeq === dim.columns.sorted.toSeq)
+    assert(dimBack.select("dim_name", "value", "id").collect().toSet ===
+      dim.select("dim_name", "value", "id").collect().toSet)
+
+    val fact = graft.operators.StarSchema.factStarJoin(spark, sf)
+    Warehouse.writeJdbc(fact, url, "fact_orders", props)
+    val factBack = Warehouse.readJdbc(spark, url, "fact_orders", props)
+    assert(factBack.count() === fact.count())
+    // overwrite is idempotent (the get-or-create reload path)
+    Warehouse.writeJdbc(fact, url, "fact_orders", props)
+    assert(Warehouse.readJdbc(spark, url, "fact_orders", props).count() ===
+      fact.count())
   }
 }

@@ -34,6 +34,7 @@ object Pipeline {
     StructField("via", StringType),
     StructField("publication_date", StringType),
     StructField("description", StringType),
+    StructField("competences", StringType),
     StructField("contrat", StringType),
     StructField("companie", StringType),
     StructField("secteur", StringType),
@@ -145,6 +146,12 @@ object Pipeline {
       Nil, Seq("value"), idCol)
       .select("value", idCol)
 
+  /** The reference's DEFAULT_DATE calendar sentinel
+    * (insert_to_postgres.py:10) — the row facts without a parseable
+    * publication date reference.
+    */
+  val SentinelDate = "2000-01-01"
+
   final case class Result(nRaw: Long, nClean: Long, nQuarantined: Long,
       nFacts: Long, nSkillLinks: Long)
 
@@ -157,28 +164,49 @@ object Pipeline {
     val dSource = dim(offers, "via", "id_source")
     val dContrat = dim(offers, "contrat", "id_contrat")
     val dTitre = dim(offers, "titre_homogene", "id_titre")
-    val dCompagnie = dim(offers, "compagnie", "id_compagnie")
+    // dim_compagnie carries a secteur attribute (schema.sql:36-41);
+    // companies appearing under several sectors keep the min — a
+    // deterministic stand-in for the reference's first-insert-wins
+    val dCompagnie = Keys.denseIds(
+      offers.select(lower(trim(col("compagnie"))).as("value"), col("secteur"))
+        .groupBy("value").agg(min(col("secteur")).as("secteur")),
+      Nil, Seq("value"), "id_compagnie")
+      .select("value", "secteur", "id_compagnie")
+    // the fact join needs only (value, id) — dropping secteur avoids an
+    // ambiguous column against the offer's own enriched secteur
+    val dCompagnieKeys = dCompagnie.drop("secteur")
     val dEtudes = dim(offers, "niveau_etudes", "id_niveau_etudes")
     val dExp = dim(offers, "niveau_experience", "id_niveau_experience")
 
     // dim_date: calendar spine over the observed publication range with
-    // the reference's attributes (schema.sql:3-11, populate_calendar)
+    // the FULL attribute set of the reference's populate_calendar
+    // (insert_to_postgres.py:95-135): month_name (%B), year_month
+    // (%Y%m), ISO week, date_str (%d/%m/%Y), plus the DEFAULT_DATE
+    // sentinel row (2000-01-01) facts with no valid date point at.
+    val sentinel = s.range(1)
+      .select(to_date(lit(SentinelDate)).as("full_date"))
     val dDate = offers.filter(col("pub_date").isNotNull)
       .agg(min(col("pub_date")).as("lo"), max(col("pub_date")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("full_date"))
+      .unionByName(sentinel).distinct()
       .select(col("full_date"),
         dayofmonth(col("full_date")).as("jour"),
         month(col("full_date")).as("mois"),
         quarter(col("full_date")).as("trimestre"),
         year(col("full_date")).as("annee"),
-        (weekday(col("full_date")) + 1).as("jour_semaine"))
+        (weekday(col("full_date")) + 1).as("jour_semaine"),
+        (year(col("full_date")) * 100 + month(col("full_date")))
+          .as("year_month"),
+        weekofyear(col("full_date")).as("week_of_year"),
+        date_format(col("full_date"), "MMMM").as("month_name"),
+        date_format(col("full_date"), "dd/MM/yyyy").as("date_str"))
 
     val fact = offers
       .join(broadcast(dSource), lower(trim(col("via"))) === dSource("value"))
       .join(broadcast(dContrat), lower(trim(col("contrat"))) === dContrat("value"))
       .join(broadcast(dTitre), col("titre_homogene") === dTitre("value"))
-      .join(broadcast(dCompagnie),
-        lower(trim(col("compagnie"))) === dCompagnie("value"))
+      .join(broadcast(dCompagnieKeys),
+        lower(trim(col("compagnie"))) === dCompagnieKeys("value"))
       .join(broadcast(dEtudes),
         lower(trim(col("niveau_etudes"))) === dEtudes("value"))
       .join(broadcast(dExp),
@@ -186,6 +214,8 @@ object Pipeline {
       .select(col("job_url"), col("pub_date"), col("id_source"),
         col("id_contrat"), col("id_titre"), col("id_compagnie"),
         col("id_niveau_etudes"), col("id_niveau_experience"),
+        // fact payload columns (schema.sql:78-80)
+        col("description"), col("competences"),
         col("secteur"), col("niveau_qualification"),
         (year(col("pub_date")) * 100 + month(col("pub_date"))).as("ym"))
 

@@ -51,12 +51,33 @@ class PipelineSpec extends AnyFunSuite {
         assert(fact.join(dimDf, fact(id) === dimDf(id)).count() === fact.count(),
           s"dangling $id in fact")
     }
-    // dim_date spans the observed publication range, one row per day
+    // dim_date spans the observed publication range plus the
+    // DEFAULT_DATE sentinel, with the reference's full attribute set
     val dDate = spark.read.parquet(s"$out/dim_date")
-    assert(dDate.count() >= 2)
-    val span = dDate.agg(min(col("full_date")), max(col("full_date"))).head
+    assert(dDate.count() >= 3)
+    assert(dDate.filter(col("full_date") === Pipeline.SentinelDate).count() === 1)
+    val span = dDate.filter(col("full_date") =!= Pipeline.SentinelDate)
+      .agg(min(col("full_date")), max(col("full_date"))).head
     assert(span.getDate(0).toString === "2024-03-05")
     assert(span.getDate(1).toString === "2024-04-07")
+    val mar5 = dDate.filter(col("full_date") === "2024-03-05").head
+    assert(mar5.getAs[Int]("year_month") === 202403)
+    assert(mar5.getAs[Int]("week_of_year") === 10)
+    assert(mar5.getAs[String]("month_name") === "March")
+    assert(mar5.getAs[String]("date_str") === "05/03/2024")
+    assert(mar5.getAs[Int]("jour_semaine") === 2) // Tuesday, isoweekday
+
+    // dim_compagnie carries the secteur attribute (schema.sql:36-41)
+    val dComp = spark.read.parquet(s"$out/dim_compagnie")
+    assert(dComp.columns.contains("secteur"))
+    assert(dComp.filter(col("value") === "acme").head
+      .getAs[String]("secteur") === "Data")
+
+    // fact payload columns (schema.sql:78-80) survive to the warehouse
+    assert(Seq("description", "competences", "secteur")
+      .forall(fact.columns.contains))
+    assert(fact.filter(col("job_url") === "u1").head
+      .getAs[String]("description").contains("spark"))
 
     // bridge links only surviving offers; every link resolves in the
     // get-or-create skill dim built from payload + phrase matches

@@ -37,35 +37,39 @@ object Dedup {
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_copies
        FROM documents GROUP BY 1 ORDER BY h"""
 
-  // MinHash/LSH parameters: 16 hashes as 4 bands x 4 rows targets
-  // J >= ~0.5 candidates (P(fire) = 1-(1-J^4)^4); verification keeps
-  // jac >= 0.5. Word-3-gram shingles.
-  private val MhK = 16
-  private val MhBands = 4
-  private val MhRows = 4
-  private val MhTau = 0.5
+  // MinHash/LSH default parameters (SimilarityConfig.Default): 16 hashes
+  // as 4 bands x 4 rows targets J >= ~0.5 candidates
+  // (P(fire) = 1-(1-J^4)^4); verification keeps jac >= 0.5. Word-3-gram
+  // shingles. The SQL oracles are written against Default.
+  private val D = SimilarityConfig.Default
 
   /** MinHash -> banded LSH -> candidate pairs -> exact-Jaccard verify.
     *
-    * The signature is computed as 16 `min(md5(salt:shingle))` AGGREGATE
+    * The signature is computed as k `min(md5(salt:shingle))` AGGREGATE
     * columns over exploded (doc, shingle) rows rather than nested
     * higher-order array functions: HOFs run interpreted, while this
     * shape keeps md5 + min inside whole-stage codegen with map-side
-    * partial aggregation — one narrow shuffle of (doc_id, 16 hashes).
+    * partial aggregation — one narrow shuffle of (doc_id, k hashes).
     * Then one (band_id, band_hash) bucket join and the verification agg.
     */
-  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    dedupMinhashLsh(s, dir, D)
+
+  def dedupMinhashLsh(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame = {
     val shr = Tables.documents(s, dir)
       .select(col("doc_id"),
-        explode(array_distinct(wordShingles(toks(col("text")), 3))).as("sh"))
-    val mhCols = (0 until MhK).map(i =>
+        explode(array_distinct(
+          wordShingles(toks(col("text")), cfg.shingleWidth))).as("sh"))
+    val mhCols = (0 until cfg.minhashK).map(i =>
       min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
     val mh = shr.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandRows = mh.select(col("doc_id"),
-      explode(array((0 until MhBands).map(b =>
+      explode(array((0 until cfg.minhashBands).map(b =>
         struct(lit(b).as("band_id"),
           md5(concat_ws(",",
-            (0 until MhRows).map(r => col(s"mh${b * MhRows + r}")): _*))
+            (0 until cfg.minhashRows)
+              .map(r => col(s"mh${b * cfg.minhashRows + r}")): _*))
             .as("band_hash"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band_id").as("band_id"),
         col("bb.band_hash").as("band_hash"))
@@ -83,33 +87,31 @@ object Dedup {
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
           .as("doc_b"))
       .distinct()
-    verifyJaccard(cand, shr, MhTau)
+    verifyJaccard(cand, shr, cfg.minhashTau)
   }
 
   val dedupMinhashLshSql: String = {
-    s"""WITH shr AS (${sqlShingleRows(3)}),
+    s"""WITH shr AS (${sqlShingleRows(D.shingleWidth)}),
        mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
-              FROM shr, (SELECT unnest(generate_series(0, ${MhK - 1})) AS i) AS salts
+              FROM shr, (SELECT unnest(generate_series(0, ${D.minhashK - 1})) AS i) AS salts
               GROUP BY doc_id, i),
-       bands AS (SELECT doc_id, i // $MhRows AS band_id,
+       bands AS (SELECT doc_id, i // ${D.minhashRows} AS band_id,
                         md5(string_agg(h, ',' ORDER BY i)) AS band_hash
-                 FROM mh GROUP BY doc_id, i // $MhRows),
+                 FROM mh GROUP BY doc_id, i // ${D.minhashRows}),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM bands a JOIN bands b
                   ON a.band_id = b.band_id AND a.band_hash = b.band_hash
                  AND a.doc_id < b.doc_id),
-       ${sqlVerifyJaccard(MhTau)}"""
+       ${sqlVerifyJaccard(D.minhashTau)}"""
   }
 
-  // SimHash parameters: 48-bit signature (bit j = weighted parity of a
-  // hex char of the token's salted md5), 3 bands x 16 bits, Hamming <= 3.
-  // Short correlated docs (shared vocab) compress the random-pair
-  // Hamming distribution, so bands must be wide: 16-bit bands admit
-  // ~2% of pairs as candidates where 8-bit bands admitted ~50%.
+  // SimHash: 48-bit signature (bit j = weighted parity of a hex char of
+  // the token's salted md5); default geometry 3 bands x 16 bits,
+  // Hamming <= 3. Short correlated docs (shared vocab) compress the
+  // random-pair Hamming distribution, so bands must be wide: 16-bit
+  // bands admit ~2% of pairs as candidates where 8-bit bands admitted
+  // ~50%.
   private val ShBits = 48
-  private val ShBands = 3
-  private val ShBandBits = 16
-  private val ShMaxHamming = 3
 
   /** Hex char feeding bit j: chars 1..32 of md5(tok), then chars 1..16
     * of md5("#:" + tok). One md5 per salt per (doc, token) row.
@@ -123,7 +125,11 @@ object Dedup {
     * verify by Hamming distance. The 48 bit-sums are agg columns over
     * (doc, token) — no 48x row blow-up, all inside codegen.
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    dedupSimhash(s, dir, D)
+
+  def dedupSimhash(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame = {
     val tc = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
@@ -139,10 +145,10 @@ object Dedup {
         .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
         .reduce(_ + _).as("sig"))
     val bandRows = sig.select(col("doc_id"), col("sig"),
-      explode(array((0 until ShBands).map(b =>
+      explode(array((0 until cfg.simhashBands).map(b =>
         struct(lit(b).as("band"),
-          (shiftright(col("sig"), b * ShBandBits) % (1 << ShBandBits))
-            .as("byte"))): _*)).as("bb"))
+          (shiftright(col("sig"), b * cfg.simhashBandBits) %
+            (1 << cfg.simhashBandBits)).as("byte"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"),
         col("bb.band").as("band"), col("bb.byte").as("byte"))
     // grouped-bucket pair generation (see dedupMinhashLsh): one
@@ -160,7 +166,7 @@ object Dedup {
       .distinct()
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sig_a ^ sig_b)").cast("int").as("hamming"))
-      .filter(col("hamming") <= ShMaxHamming)
+      .filter(col("hamming") <= cfg.simhashMaxHamming)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -180,29 +186,33 @@ object Dedup {
        bits AS (SELECT doc_id, $bitSums FROM tc GROUP BY doc_id),
        sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM bits),
        bands AS (SELECT doc_id, sig, band,
-                        (sig >> (band * $ShBandBits)) % ${1 << ShBandBits} AS byte
-                 FROM sig, (SELECT unnest(generate_series(0, ${ShBands - 1})) AS band) AS bs),
+                        (sig >> (band * ${D.simhashBandBits})) % ${1 << D.simhashBandBits} AS byte
+                 FROM sig, (SELECT unnest(generate_series(0, ${D.simhashBands - 1})) AS band) AS bs),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                        a.sig AS sig_a, b.sig AS sig_b
                 FROM bands a JOIN bands b
                   ON a.band = b.band AND a.byte = b.byte
                  AND a.doc_id < b.doc_id)
        SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
-       FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= $ShMaxHamming
+       FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= ${D.simhashMaxHamming}
        ORDER BY doc_a, doc_b"""
   }
 
-  // n-gram Jaccard: char-4-gram sets; candidate generation is 2-perm
-  // MinHash blocking (2 bands x 1 row, recall 1-(1-J)^2); verify J >= 0.8.
-  private val NgTau = 0.8
+  // n-gram Jaccard defaults: char-4-gram sets; candidate generation is
+  // 2-perm MinHash blocking (2 bands x 1 row, recall 1-(1-J)^2);
+  // verify J >= 0.8.
 
   /** Char-n-gram Jaccard near-dup on MinHash-blocked candidates. */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccard(s, dir, D)
+
+  def dedupNgramJaccard(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame = {
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"),
-        array_distinct(charShingles(col("text"), 4)).as("shs"))
+        array_distinct(charShingles(col("text"), cfg.ngramWidth)).as("shs"))
     val keys = sh.select(col("doc_id"),
-      posexplode(minhash(col("shs"), 2)).as(Seq("perm", "h")))
+      posexplode(minhash(col("shs"), cfg.ngramPerms)).as(Seq("perm", "h")))
     val cand = keys.as("a")
       .join(keys.as("b"),
         col("a.perm") === col("b.perm") && col("a.h") === col("b.h") &&
@@ -210,22 +220,21 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand,
-      sh.select(col("doc_id"), explode(col("shs")).as("sh")), NgTau)
+      sh.select(col("doc_id"), explode(col("shs")).as("sh")), cfg.ngramTau)
   }
 
   val dedupNgramJaccardSql: String =
-    s"""WITH shr AS (${sqlCharShingleRows(4)}),
+    s"""WITH shr AS (${sqlCharShingleRows(D.ngramWidth)}),
        mh AS (SELECT doc_id, i AS perm, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
-              FROM shr, (SELECT unnest(generate_series(0, 1)) AS i) AS salts
+              FROM shr, (SELECT unnest(generate_series(0, ${D.ngramPerms - 1})) AS i) AS salts
               GROUP BY doc_id, i),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM mh a JOIN mh b
                   ON a.perm = b.perm AND a.h = b.h AND a.doc_id < b.doc_id),
-       ${sqlVerifyJaccard(NgTau)}"""
+       ${sqlVerifyJaccard(D.ngramTau)}"""
 
-  // Embedding near-dup threshold, chosen for the synthetic distribution
-  // (global max cosine ~= 0.51): tau = 0.4.
-  private val EmbTau = 0.4
+  // Default embedding near-dup threshold, chosen for the synthetic
+  // distribution (global max cosine ~= 0.51): tau = 0.4.
 
   /** Embedding-cosine near-dup, exact all-pairs baseline over quantized
     * vectors (integer dot products — bit-identical across engines and
@@ -233,7 +242,11 @@ object Dedup {
     * the sign-LSH buckets of [[Similarity.annTopkLsh]]; the verification
     * arithmetic here is unchanged.
     */
-  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingCosine(s, dir, D)
+
+  def dedupEmbeddingCosine(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame = {
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .select(col("vec_id"), col("qv"), dotQ(col("qv"), col("qv")).as("nn"))
@@ -241,7 +254,7 @@ object Dedup {
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosineQ(dotQ(col("a.qv"), col("b.qv")), col("a.nn"), col("b.nn"))
           .as("cos_sim"))
-      .filter(col("cos_sim") >= EmbTau)
+      .filter(col("cos_sim") >= cfg.embeddingTau)
       .orderBy("vec_a", "vec_b")
   }
 
@@ -252,7 +265,7 @@ object Dedup {
                ${sqlCosineQ(sqlDotQ("a.qv", "b.qv", 64), "a.nn", "b.nn")} AS cos_sim
              FROM n a JOIN n b ON a.vec_id < b.vec_id)
        SELECT vec_a, vec_b, cos_sim FROM p
-       WHERE cos_sim >= $EmbTau ORDER BY vec_a, vec_b"""
+       WHERE cos_sim >= ${D.embeddingTau} ORDER BY vec_a, vec_b"""
 
   /** Duplicate CLUSTERS from the verified near-dup pairs: connected
     * components via min-label propagation, survivor = min doc_id per

@@ -1,0 +1,52 @@
+package graft.operators
+
+/** Per-deployment tuning for the near-duplicate / similarity suite.
+  *
+  * Round-1 thresholds were chosen against the synthetic corpus's
+  * similarity distribution (SURVEY.md §7b); a real deployment tunes
+  * them per corpus. The `Default` instance IS the round-1 geometry —
+  * every SQL oracle twin is written against it, so registered queries
+  * must keep using `Default` (custom configs are for library users and
+  * are spec-tested against operator invariants instead).
+  *
+  * Band geometry is the candidate-admission knob (for correlated short
+  * documents the Hamming/Jaccard distributions compress, so WIDER bands,
+  * not tighter thresholds, control the candidate volume — measured in
+  * SURVEY.md §7a); the taus are the final verification gates.
+  */
+final case class SimilarityConfig(
+    /** MinHash signature length (= bands * rows). */
+    minhashK: Int = 16,
+    /** LSH bands over the MinHash signature. */
+    minhashBands: Int = 4,
+    /** Hashes per band. P(candidate) = 1-(1-J^rows)^bands. */
+    minhashRows: Int = 4,
+    /** Exact-Jaccard verification threshold after MinHash blocking. */
+    minhashTau: Double = 0.5,
+    /** Word-shingle width feeding MinHash. */
+    shingleWidth: Int = 3,
+    /** SimHash bands (bands * bandBits <= 48 signature bits). */
+    simhashBands: Int = 3,
+    /** Bits per SimHash band. */
+    simhashBandBits: Int = 16,
+    /** Max Hamming distance admitted as a near-dup. */
+    simhashMaxHamming: Int = 3,
+    /** Character-shingle width for n-gram Jaccard. */
+    ngramWidth: Int = 4,
+    /** MinHash permutations used for n-gram candidate blocking. */
+    ngramPerms: Int = 2,
+    /** n-gram Jaccard verification threshold. */
+    ngramTau: Double = 0.8,
+    /** Embedding-cosine near-dup threshold. */
+    embeddingTau: Double = 0.4) {
+  require(minhashK == minhashBands * minhashRows,
+    s"minhashK ($minhashK) must equal bands*rows " +
+      s"(${minhashBands}*${minhashRows})")
+  require(simhashBands * simhashBandBits <= 48,
+    "SimHash band geometry exceeds the 48-bit signature")
+}
+
+object SimilarityConfig {
+  /** The oracle-verified round-1 geometry. */
+  val Default: SimilarityConfig = SimilarityConfig()
+}

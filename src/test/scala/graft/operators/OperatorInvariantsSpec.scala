@@ -172,6 +172,34 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("SimilarityConfig: taus and band geometry are monotone admission knobs") {
+    // default config reproduces the oracle-verified registered query
+    assert(Dedup.dedupMinhashLsh(spark, sf, SimilarityConfig.Default)
+      .collect().toSeq ===
+      Dedup.dedupMinhashLsh(spark, sf).collect().toSeq)
+
+    // loosening the embedding tau can only admit MORE pairs, and every
+    // default-tau pair survives
+    val deflt = Dedup.dedupEmbeddingCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = Dedup.dedupEmbeddingCosine(spark, sf,
+      SimilarityConfig(embeddingTau = 0.3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(deflt.subsetOf(loose) && loose.size >= deflt.size)
+
+    // tightening the verification tau can only drop pairs
+    val strict = Dedup.dedupMinhashLsh(spark, sf,
+      SimilarityConfig(minhashTau = 0.9)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val mhDefault = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(strict.subsetOf(mhDefault))
+
+    // invalid geometry is rejected at construction
+    assertThrows[IllegalArgumentException](SimilarityConfig(minhashBands = 5))
+    assertThrows[IllegalArgumentException](SimilarityConfig(simhashBands = 4))
+  }
+
   test("ngram-scored skills: partial-only, above tau, disjoint from full matches") {
     val scored = SkillExtract.skillExtractNgramScored(spark, sf).collect()
     assert(scored.nonEmpty)

@@ -22,9 +22,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Semantics match the interpreted fold exactly: integer multiply-add is
   * associative, so result bits are independent of evaluation strategy
   * (this is why [[graft.functions.Vectors]] quantizes floats first).
+  * Like the fold (`zip_with` pads, `+` null-propagates), a length
+  * mismatch or a null element yields NULL — and when the input types
+  * prove containsNull=false, the generated loop carries no per-element
+  * null checks at all.
   */
 case class LongDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  /** NULL can arise from mismatched lengths even for non-null inputs. */
+  override def nullable: Boolean = true
+
+  private def mayContainNulls: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -42,10 +54,15 @@ case class LongDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -54,13 +71,23 @@ case class LongDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // per-element null checks only when the types can't rule nulls out
+      val guard =
+        if (mayContainNulls)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $guard
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

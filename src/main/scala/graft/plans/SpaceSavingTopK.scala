@@ -27,6 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Output: array<struct<term, cnt, err>> of the top k by estimated
   * count (term as tie-break, so results are deterministic).
+  *
+  * Merges follow the mergeable-summaries rule (Agarwal et al.,
+  * "Mergeable Summaries"): when a merge truncates the combined buffer
+  * back to capacity, the largest dropped count becomes the buffer's
+  * `floor` — any absent term may have occurred up to `floor` times, so
+  * later insertions start from it as (floor+1, floor). Without this the
+  * post-merge `err` underestimates and the "frequency > N/capacity
+  * survives" guarantee silently breaks.
   */
 case class SpaceSavingTopK(
     child: Expression,
@@ -34,9 +42,9 @@ case class SpaceSavingTopK(
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, (Long, Long)]] {
+  extends TypedImperativeAggregate[SpaceSavingTopK.Buf] {
 
-  type Buf = mutable.HashMap[String, (Long, Long)] // term -> (cnt, err)
+  import SpaceSavingTopK.Buf
 
   override def children: Seq[Expression] = Seq(child)
 
@@ -48,42 +56,54 @@ case class SpaceSavingTopK(
   override def dataType: DataType = ArrayType(SpaceSavingTopK.entryType)
   override def nullable: Boolean = false
 
-  override def createAggregationBuffer(): Buf = mutable.HashMap.empty
+  override def createAggregationBuffer(): Buf = new Buf()
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
     if (v == null) return buf
     val term = v.toString
-    buf.get(term) match {
-      case Some((c, e)) => buf.update(term, (c + 1, e))
-      case None if buf.size < capacity => buf.update(term, (1L, 0L))
+    val m = buf.m
+    m.get(term) match {
+      case Some((c, e)) => m.update(term, (c + 1, e))
+      case None if m.size < capacity =>
+        // an absent term may have been dropped by an earlier merge
+        // truncation: it starts from the floor, not from zero
+        m.update(term, (buf.floor + 1, buf.floor))
       case None =>
-        // evict the minimum-count entry; inherit its count as error
-        val (mt, (mc, _)) = buf.minBy { case (t, (c, _)) => (c, t) }
-        buf.remove(mt)
-        buf.update(term, (mc + 1, mc))
+        // evict the minimum-count entry; inherit its count (at least
+        // the truncation floor) as error
+        val (mt, (mc, _)) = m.minBy { case (t, (c, _)) => (c, t) }
+        val base = math.max(mc, buf.floor)
+        m.remove(mt)
+        m.update(term, (base + 1, base))
     }
     buf
   }
 
   override def merge(a: Buf, b: Buf): Buf = {
-    b.foreach { case (t, (c, e)) =>
-      a.get(t) match {
-        case Some((c0, e0)) => a.update(t, (c0 + c, e0 + e))
-        case None => a.update(t, (c, e))
+    val m = a.m
+    b.m.foreach { case (t, (c, e)) =>
+      m.get(t) match {
+        case Some((c0, e0)) => m.update(t, (c0 + c, e0 + e))
+        case None => m.update(t, (c, e))
       }
     }
-    if (a.size > capacity) {
-      // truncate back to capacity, keeping the largest estimates
-      val keep = a.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(capacity)
-      a.clear()
-      keep.foreach { case (t, ce) => a.update(t, ce) }
+    a.floor = math.max(a.floor, b.floor)
+    if (m.size > capacity) {
+      // truncate back to capacity, keeping the largest estimates; the
+      // largest DROPPED count becomes the floor (mergeable-summaries
+      // rule) so the dropped mass stays accounted in later err values
+      val sorted = m.toSeq.sortBy { case (t, (c, _)) => (-c, t) }
+      val dropped = sorted.drop(capacity)
+      a.floor = math.max(a.floor, dropped.map(_._2._1).max)
+      m.clear()
+      sorted.take(capacity).foreach { case (t, ce) => m.update(t, ce) }
     }
     a
   }
 
   override def eval(buf: Buf): Any = {
-    val top = buf.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(k)
+    val top = buf.m.toSeq.sortBy { case (t, (c, _)) => (-c, t) }.take(k)
     new GenericArrayData(top.map { case (t, (c, e)) =>
       InternalRow(UTF8String.fromString(t), c, e)
     }.toArray[Any])
@@ -92,8 +112,9 @@ case class SpaceSavingTopK(
   override def serialize(buf: Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (t, (c, e)) =>
+    out.writeLong(buf.floor)
+    out.writeInt(buf.m.size)
+    buf.m.foreach { case (t, (c, e)) =>
       val bytes = t.getBytes("UTF-8")
       out.writeInt(bytes.length); out.write(bytes)
       out.writeLong(c); out.writeLong(e)
@@ -104,13 +125,14 @@ case class SpaceSavingTopK(
 
   override def deserialize(bytes: Array[Byte]): Buf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Buf()
+    buf.floor = in.readLong()
     val n = in.readInt()
-    val buf: Buf = mutable.HashMap.empty
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val tb = new Array[Byte](len); in.readFully(tb)
-      buf.update(new String(tb, "UTF-8"), (in.readLong(), in.readLong()))
+      buf.m.update(new String(tb, "UTF-8"), (in.readLong(), in.readLong()))
       i += 1
     }
     buf
@@ -126,6 +148,14 @@ case class SpaceSavingTopK(
 }
 
 object SpaceSavingTopK {
+  /** Sketch state: term -> (cnt, err) plus the merge-truncation floor
+    * (the largest count ever dropped from this buffer — an upper bound
+    * on any absent term's true frequency).
+    */
+  final class Buf(
+      val m: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty,
+      var floor: Long = 0L)
+
   val entryType: StructType = StructType(Seq(
     StructField("term", StringType, nullable = false),
     StructField("cnt", LongType, nullable = false),

@@ -88,4 +88,27 @@ class FunctionsSpec extends AnyFunSuite {
       .toDF("a", "b").select(Vectors.dotQ(col("a"), col("b"))).head
     assert(r.isNullAt(0))
   }
+
+  test("LongDot null-propagates like its HOF twin on ragged/null input") {
+    // length mismatch -> NULL (zip_with pads with null, + propagates)
+    val ragged = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L)))
+      .toDF("a", "b")
+    assert(ragged.select(Vectors.dotQ(col("a"), col("b"))).head.isNullAt(0))
+    assert(ragged.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)).head.isNullAt(0))
+
+    // null element -> NULL, both engines of computation
+    val holed = Seq((Seq(Option(1L), None, Option(3L)),
+      Seq(Option(4L), Option(5L), Option(6L)))).toDF("a", "b")
+    assert(holed.select(Vectors.dotQ(col("a"), col("b"))).head.isNullAt(0))
+    assert(holed.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)).head.isNullAt(0))
+
+    // non-null early elements before the hole do not mask the null
+    val tail = Seq((Seq(Option(1L), Option(2L), None),
+      Seq(Option(4L), Option(5L), Option(6L)))).toDF("a", "b")
+    assert(tail.select(Vectors.dotQ(col("a"), col("b"))).head.isNullAt(0))
+  }
 }

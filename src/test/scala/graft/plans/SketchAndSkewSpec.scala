@@ -28,6 +28,32 @@ class SketchAndSkewSpec extends AnyFunSuite {
     // the undisputed heavy hitter must survive any eviction sequence
     assert(est.map(_._1).contains("a"))
 
+    // merge-truncation accounting (mergeable-summaries rule): the
+    // largest dropped count becomes the floor, and later insertions
+    // carry it in (cnt, err)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = SpaceSavingTopK(
+      BoundReference(0, StringType, nullable = true), k = 3, capacity = 3)
+    def fill(terms: String*) = {
+      val b = agg.createAggregationBuffer()
+      terms.foreach(t => agg.update(b, InternalRow(UTF8String.fromString(t))))
+      b
+    }
+    val merged = agg.merge(
+      fill("a", "a", "a", "b", "b", "c"), // a:3 b:2 c:1
+      fill("d", "d", "e", "e", "f")) //       d:2 e:2 f:1
+    // combined a3 b2 d2 e2 c1 f1 -> keep {a,b,d}, max dropped count = 2
+    assert(merged.floor === 2L)
+    // round-trips through serialization
+    assert(agg.deserialize(agg.serialize(merged)).floor === 2L)
+    // a fresh term now starts from the floor: err 2, cnt floor+1
+    agg.update(merged, InternalRow(UTF8String.fromString("g")))
+    val (gc, ge) = merged.m("g")
+    assert(ge === 2L && gc === 3L)
+
     // with ample capacity the sketch is exact and matches top_tokens
     val sk = TextAnalysis.topTokensSketch(spark, sf).collect()
       .map(r => r.getAs[String]("term") -> r.getAs[Long]("cnt")).toMap

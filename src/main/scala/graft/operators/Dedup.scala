@@ -61,8 +61,16 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(
           wordShingles(toks(col("text")), cfg.shingleWidth))).as("sh"))
-    val mhCols = (0 until cfg.minhashK).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    // k minhashes from k/4 md5 evaluations: each salted md5's 32 hex
+    // chars split into four disjoint 8-char (32-bit) lanes; hex strings
+    // compare lexicographically as unsigned integers, so min-per-lane
+    // is a valid MinHash. md5 is the expensive op — 4x fewer calls;
+    // codegen's subexpression elimination shares each salt's digest
+    // across its four lanes.
+    val mhCols = (0 until cfg.minhashK).map { i =>
+      min(substring(md5(concat(lit(s"${i / 4}:"), col("sh"))),
+        (i % 4) * 8 + 1, 8)).as(s"mh$i")
+    }
     val mh = shr.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandRows = mh.select(col("doc_id"),
       explode(array((0 until cfg.minhashBands).map(b =>
@@ -92,7 +100,9 @@ object Dedup {
 
   val dedupMinhashLshSql: String = {
     s"""WITH shr AS (${sqlShingleRows(D.shingleWidth)}),
-       mh AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || sh)) AS h
+       mh AS (SELECT doc_id, i,
+                     min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh),
+                                (i % 4) * 8 + 1, 8)) AS h
               FROM shr, (SELECT unnest(generate_series(0, ${D.minhashK - 1})) AS i) AS salts
               GROUP BY doc_id, i),
        bands AS (SELECT doc_id, i // ${D.minhashRows} AS band_id,

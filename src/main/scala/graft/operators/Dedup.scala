@@ -123,17 +123,14 @@ object Dedup {
   // ~50%.
   private val ShBits = 48
 
-  /** Hex char feeding bit j: chars 1..32 of md5(tok), then chars 1..16
-    * of md5("#:" + tok). One md5 per salt per (doc, token) row.
-    */
-  private def shBitChar(j: Int) =
-    if (j < 32) substring(col("h1"), j + 1, 1)
-    else substring(col("h2"), j - 31, 1)
-
   /** SimHash near-dup: per-token md5 drives 48 signed bit votes weighted
     * by term frequency; banded 16-bit buckets generate candidates;
     * verify by Hamming distance. The 48 bit-sums are agg columns over
-    * (doc, token) — no 48x row blow-up, all inside codegen.
+    * (doc, token) — no 48x row blow-up, all inside codegen. Bit j's
+    * source parity comes packed in ONE BIGINT via the codegen'd
+    * [[graft.plans.HexParityBits]] (one byte loop instead of 48
+    * substring/ascii slices per row); the vote is then an integer
+    * `(packed >> j) & 1`.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     dedupSimhash(s, dir, D)
@@ -143,12 +140,12 @@ object Dedup {
     val tc = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      // md5 once per salt per (doc, token); the bit-vote columns read
-      // substrings of these instead of re-hashing 48 times.
-      .withColumn("h1", md5(col("tok")))
-      .withColumn("h2", md5(concat(lit("#:"), col("tok"))))
+      // md5 once per salt per (doc, token); all 48 parities packed once
+      .withColumn("pb", call_function(graft.plans.HexParityBits.FnName,
+        md5(col("tok")), md5(concat(lit("#:"), col("tok")))))
     val bitCols = (0 until ShBits).map(j =>
-      sum(col("cnt") * (ascii(shBitChar(j)) % 2 * 2 - 1)).as(s"b$j"))
+      sum(col("cnt") *
+        (shiftright(col("pb"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$j"))
     val bitSums = tc.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
     val sig = bitSums.select(col("doc_id"),
       (0 until ShBits)

@@ -111,4 +111,21 @@ class FunctionsSpec extends AnyFunSuite {
       Seq(Option(4L), Option(5L), Option(6L)))).toDF("a", "b")
     assert(tail.select(Vectors.dotQ(col("a"), col("b"))).head.isNullAt(0))
   }
+
+  test("HexParityBits packs exactly the ascii(substr)%2 parities") {
+    val df = Seq("spark", "graft", "x").toDF("t")
+      .select(md5(col("t")).as("h1"),
+        md5(concat(lit("#:"), col("t"))).as("h2"))
+    val packed = df.select(
+      call_function(graft.plans.HexParityBits.FnName, col("h1"), col("h2")))
+      .collect().map(_.getLong(0))
+    val unpacked = df.select(
+      (0 until 48).map { j =>
+        val c = if (j < 32) substring(col("h1"), j + 1, 1)
+                else substring(col("h2"), j - 31, 1)
+        ((ascii(c) % 2) * lit(1L << j)).as(s"p$j")
+      }.reduce(_ + _).as("packed"))
+      .collect().map(_.getLong(0))
+    assert(packed.toSeq === unpacked.toSeq)
+  }
 }

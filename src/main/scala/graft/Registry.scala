@@ -23,6 +23,7 @@ object Registry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Temporal.queries ++
+      operators.Curation.queries ++
       operators.Multimodal.queries
 
   def byName(name: String): Q = all.find(_.name == name).get

@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Text._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the sampling / filtering / scrubbing
+  * decisions a training-data pipeline makes AFTER cleaning and dedup.
+  * None exist in the reference (its corpus fits in Postgres); at 100 TB
+  * they are the steps between "deduped corpus" and "training mix".
+  *
+  * All selection is HASH-deterministic (md5 of the row's business key),
+  * never `rand()`: re-runs, retries, and different partitionings pick
+  * exactly the same rows, and the DuckDB oracle can replay the choice.
+  */
+object Curation {
+
+  /** Per-stratum sampling rates as (lang -> 16-bit hex threshold): a row
+    * is kept when the first 4 hex chars of its salted md5 — a uniform
+    * 16-bit value in hex order — fall below the stratum's threshold.
+    * 0x8000/0x10000 = 50% for English, 0x4000 = 25% for the tail.
+    */
+  private val StratRates = Seq("en" -> "8000")
+  private val DefaultRate = "4000"
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * documents chosen by hash threshold — map-side only (a filter over
+    * the scan; no shuffle, no RNG state), so it costs one pass at any
+    * corpus size and composes with pushdown.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(
+      md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 4)
+    val thr = StratRates.foldLeft(lit(DefaultRate)) { case (acc, (l, t)) =>
+      when(col("lang") === l, t).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+      .filter(col("bucket") < thr)
+      .orderBy("doc_id")
+  }
+
+  val sampleStratifiedSql: String = {
+    val thr = StratRates
+      .map { case (l, t) => s"WHEN lang = '$l' THEN '$t'" }
+      .mkString("CASE ", " ", s" ELSE '$DefaultRate' END")
+    s"""SELECT doc_id, lang, source,
+              substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+       FROM documents
+       WHERE substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 4) < $thr
+       ORDER BY doc_id"""
+  }
+
+  /** Max documents any one source may contribute (testdata sources
+    * carry 25 docs per sf0.01 unit, so the cap binds at every sf).
+    */
+  private val SourceCap = 10
+
+  /** Per-source contribution cap: keep at most `SourceCap` documents per
+    * source, chosen in hash order (a deterministic uniform shuffle of
+    * each source's documents). One partitioned window — shuffles only
+    * (source, doc_id, hash), never bodies; no source floods the mix no
+    * matter how large its crawl is.
+    */
+  def samplePerSourceCap(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("cap:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceCap)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  val samplePerSourceCapSql: String =
+    s"""SELECT source, doc_id,
+              CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+                AS INT) AS rk
+       FROM documents
+       QUALIFY rk <= $SourceCap
+       ORDER BY source, rk"""
+
+  /** Quality gate thresholds (first failing reason wins). */
+  private val MinTokens = 15
+  private val MaxStopRatio = 0.5
+  private val MaxLen = 5000
+
+  /** Keep/drop decision with an auditable reason — the step that turns
+    * [[TextAnalysis.textQualityScore]]'s signals into a curation
+    * decision. Pure projection; reasons make the drop set explainable
+    * (what a 100 TB curation run must log to be debuggable).
+    */
+  def qualityFilterReasons(s: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    val en = TextAnalysis.Stop(0)._2
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("len"),
+        size(tk).as("n_tokens"),
+        size(filter(tk, t => array_contains(array(en.map(lit): _*), t)))
+          .as("stop_cnt"))
+      .withColumn("stop_ratio",
+        col("stop_cnt").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("drop_reason",
+        when(col("n_tokens") < MinTokens, "too_short")
+          .when(col("stop_ratio") >= MaxStopRatio, "low_signal")
+          .when(col("len") > MaxLen, "too_long")
+          .otherwise(lit(null).cast("string")))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("drop_reason").isNull.as("keep"), col("drop_reason"))
+      .orderBy("doc_id")
+  }
+
+  val qualityFilterReasonsSql: String = {
+    val arr = TextAnalysis.Stop(0)._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+         SELECT doc_id, length(text) AS len, len(tk) AS n_tokens,
+                len(list_filter(tk, t -> list_contains($arr, t))) AS stop_cnt
+         FROM (SELECT doc_id, text, ${sqlToks("text")} AS tk FROM documents)),
+       r AS (
+         SELECT doc_id, n_tokens,
+           CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+                WHEN CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                     >= $MaxStopRatio THEN 'low_signal'
+                WHEN len > $MaxLen THEN 'too_long'
+                ELSE NULL END AS drop_reason
+         FROM f)
+       SELECT doc_id, n_tokens, stop_ratio,
+              (drop_reason IS NULL) AS keep, drop_reason
+       FROM r ORDER BY doc_id"""
+  }
+
+  /** Digit-run scrubbing over the events payload — the PII-redaction
+    * shape (emails/phones/ids are the same regexp_replace with a
+    * different pattern; the synthetic corpus only carries digits).
+    * Pure projection: scales as one map pass.
+    */
+  def redactDigits(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).as("n_runs"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("redacted"))
+      .orderBy("event_id")
+
+  val redactDigitsSql: String =
+    """SELECT event_id,
+              CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_runs,
+              regexp_replace(props, '[0-9]+', '#', 'g') AS redacted
+       FROM events ORDER BY event_id"""
+
+  def queries: Seq[Q] = Seq(
+    Q("sample_stratified", Some(sampleStratifiedSql))(sampleStratified),
+    Q("sample_per_source_cap", Some(samplePerSourceCapSql))(samplePerSourceCap),
+    Q("quality_filter_reasons", Some(qualityFilterReasonsSql))(qualityFilterReasons),
+    Q("redact_digits", Some(redactDigitsSql))(redactDigits))
+}

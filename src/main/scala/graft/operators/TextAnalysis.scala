@@ -67,7 +67,8 @@ object TextAnalysis {
 
   // Stopword marker lists per language for the n-gram/stopword-hit
   // language-ID heuristic. Priority order en > fr > de > es on ties.
-  private val Stop: Seq[(String, Seq[String])] = Seq(
+  // Shared with Curation's quality gate.
+  private[operators] val Stop: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "in", "to"),
     "fr" -> Seq("le", "la", "les", "et", "un", "une"),
     "de" -> Seq("der", "die", "das", "und", "ein"),

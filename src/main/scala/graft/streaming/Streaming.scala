@@ -62,6 +62,19 @@ object Streaming {
         unix_micros(col("w.end")).as("end_us"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the streaming twin of `dedup_exact_key`:
+    * first event per (user_id, event_type) survives, with
+    * `dropDuplicatesWithinWatermark` bounding the dedup state to the
+    * watermark horizon (an unbounded-key streaming dedup would
+    * accumulate state forever; within-watermark is the shape that runs
+    * indefinitely at ingest scale).
+    */
+  def dedupStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+
   /** Drive a streaming DF to completion against an in-memory sink and
     * return the materialized table (test/dev harness; production would
     * `writeStream` to files/Kafka with the same plan).

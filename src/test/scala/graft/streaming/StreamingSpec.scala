@@ -40,4 +40,18 @@ class StreamingSpec extends AnyFunSuite {
         s"session $key: stream=$got batch=${batch.get(key)}")
     }
   }
+
+  test("streaming dedup keeps exactly one event per key") {
+    val out = Streaming.runToMemory(
+      Streaming.dedupStream(spark, sf), "dedup_stream").collect()
+    assert(out.nonEmpty)
+    val keys = out.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("event_type")))
+    // one survivor per key, and the key set is exactly the batch one
+    assert(keys.length === keys.distinct.length, "duplicate key emitted")
+    val batchKeys = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keys.toSet === batchKeys)
+  }
 }

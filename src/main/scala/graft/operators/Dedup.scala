@@ -70,7 +70,7 @@ object Dedup {
     val mhCols = (0 until cfg.minhashK).map { i =>
       min(substring(md5(concat(lit(s"${i / 4}:"), col("sh"))),
         (i % 4) * 8 + 1, 8)).as(s"mh$i")
-    }
+    } :+ count(lit(1)).as("n") // shingle-set size rides the same agg
     val mh = shr.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
     val bandRows = mh.select(col("doc_id"),
       explode(array((0 until cfg.minhashBands).map(b =>
@@ -95,7 +95,8 @@ object Dedup {
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
           .as("doc_b"))
       .distinct()
-    verifyJaccard(cand, shr, cfg.minhashTau)
+    verifyJaccard(cand, shr, mh.select(col("doc_id"), col("n")),
+      cfg.minhashTau)
   }
 
   val dedupMinhashLshSql: String = {
@@ -137,16 +138,19 @@ object Dedup {
 
   def dedupSimhash(s: SparkSession, dir: String,
       cfg: SimilarityConfig): DataFrame = {
-    val tc = Tables.documents(s, dir)
+    // Per-OCCURRENCE votes: summing one ±1 vote per token occurrence
+    // equals the frequency-weighted sum over distinct tokens, so the
+    // (doc, token) count shuffle disappears — md5+parity run map-side
+    // and the single exchange carries (doc_id, 48 partial sums), never
+    // token rows.
+    val pb = call_function(graft.plans.HexParityBits.FnName,
+      md5(col("tok")), md5(concat(lit("#:"), col("tok"))))
+    val tokRows = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      // md5 once per salt per (doc, token); all 48 parities packed once
-      .withColumn("pb", call_function(graft.plans.HexParityBits.FnName,
-        md5(col("tok")), md5(concat(lit("#:"), col("tok")))))
+      .select(col("doc_id"), pb.as("pb"))
     val bitCols = (0 until ShBits).map(j =>
-      sum(col("cnt") *
-        (shiftright(col("pb"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$j"))
-    val bitSums = tc.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      sum(shiftright(col("pb"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
+    val bitSums = tokRows.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
     val sig = bitSums.select(col("doc_id"),
       (0 until ShBits)
         .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
@@ -227,7 +231,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(cand,
-      sh.select(col("doc_id"), explode(col("shs")).as("sh")), cfg.ngramTau)
+      sh.select(col("doc_id"), explode(col("shs")).as("sh")),
+      sh.select(col("doc_id"), size(col("shs")).cast("long").as("n")),
+      cfg.ngramTau)
   }
 
   val dedupNgramJaccardSql: String =
@@ -326,14 +332,16 @@ object Dedup {
        FROM reach GROUP BY v ORDER BY doc_id"""
 
   /** Shared verification tail: exact Jaccard of candidate pairs from
-    * DISTINCT (doc_id, sh) rows. Intersection counts are an equi-join on
-    * (doc pair, shingle); all arithmetic is integer until the final
-    * IEEE division — deterministic under any partitioning.
+    * (doc_id, sh) rows. CONTRACT: callers pass per-doc DISTINCT shingle
+    * rows (array_distinct before explode) and supply `cnt` = (doc_id,
+    * n) themselves — the signature aggregate / the array length yields
+    * it for free, so verification adds no dedup shuffle and no extra
+    * corpus pass. Intersection counts are an equi-join on (doc pair,
+    * shingle); all arithmetic is integer until the final IEEE division
+    * — deterministic under any partitioning.
     */
-  private def verifyJaccard(cand: DataFrame, shRows: DataFrame,
-      tau: Double): DataFrame = {
-    val shr = shRows.distinct()
-    val cnt = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+  private def verifyJaccard(cand: DataFrame, shr: DataFrame,
+      cnt: DataFrame, tau: Double): DataFrame = {
     val inter = cand
       .join(shr.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shr.as("sb"),

@@ -241,6 +241,63 @@ object Analytics {
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
+  /** CUBE aggregate with grouping id — all cross-tab margins at once,
+    * the full-lattice sibling of [[rollupAgg]].
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(decp(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val cubeAggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       ${sqlDsum(sqlDecp("l_quantity"))} AS sum_qty, COUNT(*) AS n,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  /** Exact per-group median WITHOUT an engine median() (engines disagree
+    * on interpolation): the middle one/two rows are selected by
+    * row_number against a windowed count and averaged in IEEE doubles —
+    * bit-portable, and every window is partitioned (parallel per
+    * group; no global funnel).
+    */
+  def groupMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("prio"))
+      .orderBy(col("price"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("prio"))
+    Tables.orders(s, dir)
+      .select(lower(trim(col("o_orderpriority"))).as("prio"),
+        decp(col("o_totalprice")).cast("double").as("price"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .filter(col("rn") === expr("(cnt + 1) div 2") ||
+        col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy("prio")
+      .agg((sum(col("price")) / count(lit(1))).as("median_price"),
+        max(col("cnt")).as("n"))
+      .orderBy("prio")
+  }
+
+  val groupMedianSql: String =
+    s"""WITH t AS (SELECT lower(trim(o_orderpriority)) AS prio,
+                     CAST(${sqlDecp("o_totalprice")} AS DOUBLE) AS price,
+                     o_orderkey
+                   FROM orders),
+       r AS (SELECT prio, price,
+               ROW_NUMBER() OVER (PARTITION BY prio ORDER BY price, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY prio) AS cnt
+             FROM t)
+       SELECT prio, SUM(price) / COUNT(*) AS median_price,
+              CAST(MAX(cnt) AS BIGINT) AS n
+       FROM r
+       WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+       GROUP BY prio ORDER BY prio"""
+
   /** Pivot: event types to columns (manual conditional agg — parity-safe
     * and identical to what Spark's pivot plans anyway).
     */
@@ -338,6 +395,8 @@ object Analytics {
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),
     Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),
     Q("rollup_agg", Some(rollupAggSql))(rollupAgg),
+    Q("cube_agg", Some(cubeAggSql))(cubeAgg),
+    Q("group_median", Some(groupMedianSql))(groupMedian),
     Q("pivot_event_types", Some(pivotEventTypesSql))(pivotEventTypes),
     Q("semi_anti_join", Some(semiAntiJoinSql))(semiAntiJoin),
     Q("set_ops", Some(setOpsSql))(setOps),

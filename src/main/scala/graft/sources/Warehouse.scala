@@ -39,6 +39,36 @@ object Warehouse {
   def writeDim(dim: DataFrame, path: String): Unit =
     dim.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Incremental get-or-create for a parquet dimension — the EXACT
+    * semantics of the reference's per-row `get_or_create`
+    * (insert_to_postgres.py:60-84) done set-based: existing values keep
+    * their ids forever; unseen values get fresh dense ids after the
+    * current max (sorted within the arriving batch — deterministic per
+    * batch, insertion-ordered across batches like the reference's
+    * serials). The max-id lookup is a scalar aggregate; id assignment
+    * is the two-phase [[graft.functions.Keys.denseIds]], so no global
+    * window appears even for high-cardinality dims.
+    *
+    * Returns the post-upsert dimension.
+    */
+  def upsertDim(values: DataFrame, path: String, idCol: String): DataFrame = {
+    val s = values.sparkSession
+    val valueCols = values.columns.toSeq
+    val incoming = values.distinct()
+    scala.util.Try(s.read.parquet(path)).toOption match {
+      case None =>
+        graft.functions.Keys.denseIds(incoming, Nil, valueCols, idCol)
+          .write.mode(SaveMode.Overwrite).parquet(path)
+      case Some(existing) =>
+        val novel = incoming.join(existing, valueCols, "left_anti")
+        val maxId = existing.agg(max(col(idCol))).head.getInt(0)
+        graft.functions.Keys.denseIds(novel, Nil, valueCols, idCol)
+          .withColumn(idCol, (col(idCol) + lit(maxId)).cast("int"))
+          .write.mode(SaveMode.Append).parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Load a frame into a JDBC warehouse — the reference's
     * insert_to_postgres.py role, but set-based: each partition streams
     * its rows over one connection in `batchsize` batches instead of a

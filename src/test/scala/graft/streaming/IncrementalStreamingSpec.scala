@@ -70,4 +70,43 @@ class IncrementalStreamingSpec extends AnyFunSuite {
     assert(due.nonEmpty)
     due.foreach(k => assert(emitted.contains(k), s"window $k never emitted"))
   }
+
+  test("streaming pipeline: get-or-create ids stable across micro-batches, exactly-once") {
+    def offer(url: String, via: String): String =
+      s"""{"job_url":"$url","titre":"t","via":"$via","publication_date":"2024-03-05","description":"d"}"""
+    val lake = Files.createTempDirectory("graft_sp_lake").toString
+    val out = Files.createTempDirectory("graft_sp_out").toString
+    val ckpt = Files.createTempDirectory("graft_sp_ckpt").toString
+
+    // batch 1: sources alpha and beta
+    val w1 = new java.io.PrintWriter(s"$lake/b1.jsonl")
+    w1.println(offer("u1", "alpha")); w1.println(offer("u2", "beta"))
+    w1.close()
+    StreamingPipeline.runOnce(spark, lake, out, ckpt)
+    val dim1 = spark.read.parquet(s"$out/dim_source").collect()
+      .map(r => r.getAs[String]("value") -> r.getAs[Int]("id_source")).toMap
+    assert(dim1 === Map("alpha" -> 1, "beta" -> 2))
+
+    // batch 2: beta repeats (must keep id 2), gamma is new (gets 3)
+    val w2 = new java.io.PrintWriter(s"$lake/b2.jsonl")
+    w2.println(offer("u3", "beta")); w2.println(offer("u4", "gamma"))
+    w2.close()
+    StreamingPipeline.runOnce(spark, lake, out, ckpt)
+    val dim2 = spark.read.parquet(s"$out/dim_source").collect()
+      .map(r => r.getAs[String]("value") -> r.getAs[Int]("id_source")).toMap
+    assert(dim2 === Map("alpha" -> 1, "beta" -> 2, "gamma" -> 3))
+
+    // facts: all four offers, FK-resolving, batch-2 beta reuses id 2
+    val fact = spark.read.parquet(s"$out/fact_offre")
+    assert(fact.count() === 4)
+    val byUrl = fact.collect()
+      .map(r => r.getAs[String]("job_url") -> r.getAs[Int]("id_source")).toMap
+    assert(byUrl("u1") === 1 && byUrl("u2") === 2 &&
+      byUrl("u3") === 2 && byUrl("u4") === 3)
+
+    // exactly-once: re-draining with no new files adds nothing
+    StreamingPipeline.runOnce(spark, lake, out, ckpt)
+    assert(spark.read.parquet(s"$out/fact_offre").count() === 4)
+    assert(spark.read.parquet(s"$out/dim_source").count() === 3)
+  }
 }

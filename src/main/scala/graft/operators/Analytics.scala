@@ -298,6 +298,22 @@ object Analytics {
        WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
        GROUP BY prio ORDER BY prio"""
 
+  /** Skew-safe per-user event counts via explicit two-phase salting
+    * ([[graft.functions.Skew.saltedCount]]): partials on (key, salt)
+    * fan a hot key over 8 reducers, the final agg sums partials.
+    * Registered so the skew pattern itself is oracle-verified — the
+    * result must equal the plain GROUP BY exactly.
+    */
+  def skewSaltedCounts(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Skew
+      .saltedCount(Tables.events(s, dir), col("user_id"), col("event_id"), 8)
+      .select(col("k").as("user_id"), col("n"))
+      .orderBy("user_id")
+
+  val skewSaltedCountsSql: String =
+    """SELECT user_id, COUNT(*) AS n FROM events
+       GROUP BY user_id ORDER BY user_id"""
+
   /** Pivot: event types to columns (manual conditional agg — parity-safe
     * and identical to what Spark's pivot plans anyway).
     */
@@ -397,6 +413,7 @@ object Analytics {
     Q("rollup_agg", Some(rollupAggSql))(rollupAgg),
     Q("cube_agg", Some(cubeAggSql))(cubeAgg),
     Q("group_median", Some(groupMedianSql))(groupMedian),
+    Q("skew_salted_counts", Some(skewSaltedCountsSql))(skewSaltedCounts),
     Q("pivot_event_types", Some(pivotEventTypesSql))(pivotEventTypes),
     Q("semi_anti_join", Some(semiAntiJoinSql))(semiAntiJoin),
     Q("set_ops", Some(setOpsSql))(setOps),

@@ -164,6 +164,49 @@ object Similarity {
                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
        FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
 
+  /** Index-quality evaluation: recall@k of the sign-LSH index against
+    * the exact brute-force baseline, per query. The operator a real ANN
+    * deployment runs continuously (on a sampled query set) to catch
+    * index drift; composes the two registered paths, so its cost is
+    * bounded by theirs.
+    */
+  def annRecallLsh(s: SparkSession, dir: String): DataFrame = {
+    val bf = annTopkBruteforce(s, dir).select(col("q_id"), col("vec_id"))
+    val ls = annTopkLsh(s, dir).select(col("q_id"), col("vec_id"))
+    val inter = bf.join(ls, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    bf.select("q_id").distinct()
+      .join(inter, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / TopK).as("recall"))
+      .orderBy("q_id")
+  }
+
+  val annRecallLshSql: String = {
+    def ranked(rel: String, extraPred: String) =
+      s"""SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     ${sqlCosineQ(sqlDotQ("q.qv", "c.qv", Dim), "q.nn", "c.nn")} DESC,
+                     c.vec_id) AS r
+            FROM $rel q JOIN $rel c ON ${sqlQueryPred("q")}$extraPred
+             AND q.vec_id <> c.vec_id) WHERE r <= $TopK"""
+    s"""WITH $sqlQuant,
+       $sqlPlanes,
+       $sqlBuckets,
+       corp AS (SELECT quant.vec_id, qv, nn, bucket
+                FROM quant JOIN buck ON quant.vec_id = buck.vec_id),
+       bf AS (${ranked("quant", "")}),
+       lshk AS (${ranked("corp", " AND q.bucket = c.bucket")}),
+       inter AS (SELECT q_id, COUNT(*) AS n_hit
+                 FROM bf JOIN lshk USING (q_id, vec_id) GROUP BY q_id),
+       qs AS (SELECT DISTINCT q_id FROM bf)
+       SELECT qs.q_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+              CAST(COALESCE(n_hit, 0) AS DOUBLE) / $TopK AS recall
+       FROM qs LEFT JOIN inter USING (q_id) ORDER BY q_id"""
+  }
+
   // IVF parameters: a corpus-INDEPENDENT centroid count (the broadcast
   // and the assignment cost stay bounded no matter how large the corpus
   // grows), refined by IvfIters exact-integer Lloyd iterations; nProbe=2.
@@ -295,5 +338,6 @@ object Similarity {
   def queries: Seq[Q] = Seq(
     Q("ann_topk_bruteforce", Some(annTopkBruteforceSql), bench = true)(annTopkBruteforce),
     Q("ann_topk_lsh", Some(annTopkLshSql))(annTopkLsh),
-    Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf))
+    Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf),
+    Q("ann_recall_lsh", Some(annRecallLshSql))(annRecallLsh))
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Cluster-deployment entry point: register graft's native expressions
+  * through the standard extensions mechanism —
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * — so EVERY session on the cluster (JDBC gateways, notebooks, jobs)
+  * gets `graft_long_dot`, `graft_word_shingles`, `graft_hex_parity`
+  * and `graft_topk_sketch` without calling `Graft.tune` first.
+  * `Graft.tune` remains the per-session (temp-function) route for
+  * environments where the session is built by someone else.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(plans.LongDot.FnName),
+      info(plans.LongDot.FnName,
+        "_FUNC_(a, b) - exact integer dot product of two array<bigint>"),
+      (exprs: Seq[Expression]) => plans.LongDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(plans.WordShingles.FnName),
+      info(plans.WordShingles.FnName,
+        "_FUNC_(tokens, k) - sliding word k-grams joined by spaces"),
+      (exprs: Seq[Expression]) => plans.WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier(plans.HexParityBits.FnName),
+      info(plans.HexParityBits.FnName,
+        "_FUNC_(h1, h2) - 48 hex-char parities packed into a bigint"),
+      (exprs: Seq[Expression]) => plans.HexParityBits(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(plans.SpaceSavingTopK.FnName),
+      info(plans.SpaceSavingTopK.FnName,
+        "_FUNC_(col, k, capacity) - SpaceSaving heavy-hitters sketch"),
+      (exprs: Seq[Expression]) => plans.SpaceSavingTopK(exprs(0),
+        k = exprs(1).eval().asInstanceOf[Int],
+        capacity = exprs(2).eval().asInstanceOf[Int]).toAggregateExpression()))
+  }
+}

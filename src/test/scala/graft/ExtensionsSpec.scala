@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cluster entry point must register every native expression at
+  * session build — no Graft.tune call anywhere in this spec.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions registers the native functions at session build") {
+    val shared = SharedSpark.spark // force shared context into existence
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_long_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d, " +
+          "graft_word_shingles(array('a','b','c'), 2) AS sh, " +
+          "graft_hex_parity(md5('x'), md5('y')) AS p").head
+      assert(r.getAs[Long]("d") === 32L)
+      assert(r.getAs[Seq[String]]("sh") === Seq("a b", "b c"))
+      val top = s2.range(10).selectExpr("CAST(id % 3 AS STRING) AS t")
+        .selectExpr("graft_topk_sketch(t, 2, 8) AS top").head
+      assert(top.getSeq[org.apache.spark.sql.Row](0).nonEmpty)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}

@@ -200,6 +200,33 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](SimilarityConfig(simhashBands = 4))
   }
 
+  test("curation: deterministic sampling, caps enforced, reasons consistent") {
+    // hash sampling is a pure function of the data — rerun identical
+    val s1 = Curation.sampleStratified(spark, sf).collect().toSeq
+    val s2 = Curation.sampleStratified(spark, sf).collect().toSeq
+    assert(s1 === s2 && s1.nonEmpty)
+
+    // no source exceeds its contribution cap, and ranks are 1..n
+    val capped = Curation.samplePerSourceCap(spark, sf).collect()
+    val bySource = capped.groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length <= 10))
+    bySource.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to rows.length))
+    }
+
+    // every drop has a reason, every keep has none
+    Curation.qualityFilterReasons(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Boolean]("keep") === (r.getAs[String]("drop_reason") == null))
+    }
+
+    // redaction removes every digit and counts each run
+    Curation.redactDigits(spark, sf).collect().take(200).foreach { r =>
+      assert(!r.getAs[String]("redacted").exists(_.isDigit))
+      assert(r.getAs[Int]("n_runs") >= 0)
+    }
+  }
+
   test("ngram-scored skills: partial-only, above tau, disjoint from full matches") {
     val scored = SkillExtract.skillExtractNgramScored(spark, sf).collect()
     assert(scored.nonEmpty)

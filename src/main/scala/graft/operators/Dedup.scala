@@ -342,6 +342,13 @@ object Dedup {
     */
   private def verifyJaccard(cand: DataFrame, shr: DataFrame,
       cnt: DataFrame, tau: Double): DataFrame = {
+    // NOTE (measured): semi-filtering shr to candidate docs behind an
+    // explicit exchange — to share one materialization across sa/sb —
+    // REGRESSED minhash 1.35s -> 2.0s at sf0.1: deriving the
+    // candidate-doc set re-executes the candidate chain before
+    // verification can start, and the extra exchange serializes
+    // stages. Two independent streaming passes over the (narrow)
+    // shingle projection win; see SURVEY §7a's persist() lesson.
     val inter = cand
       .join(shr.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(shr.as("sb"),

@@ -41,6 +41,12 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("sampling reads ids and labels, never document bodies") {
+    val p = plan(operators.Curation.sampleStratified(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("text"), s"unpruned scan: $readSchema")
+  }
+
   test("no unpartitioned (single-task) window in any registered query") {
     import org.apache.spark.sql.execution.window.WindowExec
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -314,6 +314,25 @@ object Analytics {
     """SELECT user_id, COUNT(*) AS n FROM events
        GROUP BY user_id ORDER BY user_id"""
 
+  /** Skew-safe equi-join via [[graft.functions.Skew.saltedJoin]]: the
+    * fact side salts on a row-identity hash, the dim side replicates
+    * once per salt, so one hot user fans over 8 reducers. The result
+    * must equal the plain join exactly — oracle-gated here through a
+    * cohort rollup.
+    */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir).select(col("user_id")).distinct()
+      .withColumn("cohort", (col("user_id") % 3).cast("int"))
+    graft.functions.Skew
+      .saltedJoin(Tables.events(s, dir), users, "user_id", "event_id", 8)
+      .groupBy("cohort").agg(count(lit(1)).as("n"))
+      .orderBy("cohort")
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT CAST(user_id % 3 AS INT) AS cohort, COUNT(*) AS n
+       FROM events GROUP BY 1 ORDER BY 1"""
+
   /** Pivot: event types to columns (manual conditional agg — parity-safe
     * and identical to what Spark's pivot plans anyway).
     */
@@ -414,6 +433,7 @@ object Analytics {
     Q("cube_agg", Some(cubeAggSql))(cubeAgg),
     Q("group_median", Some(groupMedianSql))(groupMedian),
     Q("skew_salted_counts", Some(skewSaltedCountsSql))(skewSaltedCounts),
+    Q("skew_salted_join", Some(skewSaltedJoinSql))(skewSaltedJoin),
     Q("pivot_event_types", Some(pivotEventTypesSql))(pivotEventTypes),
     Q("semi_anti_join", Some(semiAntiJoinSql))(semiAntiJoin),
     Q("set_ops", Some(setOpsSql))(setOps),

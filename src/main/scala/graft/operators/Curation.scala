@@ -153,9 +153,75 @@ object Curation {
               regexp_replace(props, '[0-9]+', '#', 'g') AS redacted
        FROM events ORDER BY event_id"""
 
+  /** Tokens per packed training sequence. */
+  private val SeqBudget = 2048L
+
+  /** Sequence packing — concatenate-then-chunk, the pretraining layout:
+    * documents are laid end-to-end in deterministic (source, doc_id)
+    * order and each doc is tagged with the fixed-budget sequence bin its
+    * first token lands in. Per-source partitioned windows (parallel;
+    * no global funnel); the cumulative SUM is BIGINT-cast on the oracle
+    * side (DuckDB widens windowed SUM to HUGEINT).
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_tok"),
+        expr(s"CAST((cum - n_tokens) div $SeqBudget AS INT)").as("seq_bin"))
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+                     CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tokens
+                   FROM documents),
+       c AS (SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             FROM t)
+       SELECT doc_id, source, n_tokens, cum - n_tokens AS start_tok,
+              CAST((cum - n_tokens) // $SeqBudget AS INT) AS seq_bin
+       FROM c ORDER BY doc_id"""
+
+  /** Token-budget mix report: per-language token mass and its fraction
+    * of the corpus — the number a training-mix designer steers on. The
+    * corpus total joins in via a broadcast 1-row aggregate (no global
+    * window); the fraction divides two exact BIGINTs.
+    */
+  def tokenBudgetMix(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("t"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("lang_tokens"))
+    val tot = per.agg(sum(col("lang_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("lang_tokens"),
+        (col("lang_tokens").cast("double") /
+          col("total_tokens").cast("double")).as("token_frac"))
+      .orderBy("lang")
+  }
+
+  val tokenBudgetMixSql: String =
+    s"""WITH t AS (SELECT lang, CAST(len(${sqlToks("text")}) AS BIGINT) AS t
+                   FROM documents),
+       per AS (SELECT lang, COUNT(*) AS n_docs,
+                      CAST(SUM(t) AS BIGINT) AS lang_tokens
+               FROM t GROUP BY lang),
+       tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per)
+       SELECT lang, n_docs, lang_tokens,
+              CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_frac
+       FROM per CROSS JOIN tot ORDER BY lang"""
+
   def queries: Seq[Q] = Seq(
     Q("sample_stratified", Some(sampleStratifiedSql))(sampleStratified),
     Q("sample_per_source_cap", Some(samplePerSourceCapSql))(samplePerSourceCap),
     Q("quality_filter_reasons", Some(qualityFilterReasonsSql))(qualityFilterReasons),
-    Q("redact_digits", Some(redactDigitsSql))(redactDigits))
+    Q("redact_digits", Some(redactDigitsSql))(redactDigits),
+    Q("pack_sequences", Some(packSequencesSql))(packSequences),
+    Q("token_budget_mix", Some(tokenBudgetMixSql))(tokenBudgetMix))
 }

@@ -119,7 +119,15 @@ object Pipeline {
     matched.unionByName(payload).distinct()
   }
 
-  /** Enrichment stage (Groq pipeline, deterministic re-expression). */
+  /** Enrichment stage (Groq pipeline, deterministic re-expression of
+    * its fallback-profile rules, init_groq.py:164-228): title
+    * homogenization, sector classification, qualification ordinal,
+    * plus the reference's contract and experience canonicalization.
+    * Deviation from the reference, documented: its fallback forces
+    * unknown contracts to "CDI" and unknown experience to "senior" —
+    * that fabricates data, so unrecognized values stay "Unspecified"
+    * here (the transform_job fillna domain).
+    */
   def enrich(offers: DataFrame): DataFrame =
     offers
       .withColumn("titre_homogene",
@@ -136,6 +144,22 @@ object Pipeline {
           .when(col("niveau_etudes").contains("Licence"), 3)
           .when(col("niveau_etudes").contains("Bac"), 2)
           .otherwise(1))
+      // contract canonicalization (init_groq.py:185-195)
+      .withColumn("contrat",
+        when(lower(col("contrat")).contains("cdi"), "CDI")
+          .when(lower(col("contrat")).contains("cdd"), "CDD")
+          .when(lower(col("contrat")).contains("freelance"), "Freelance")
+          .when(lower(col("contrat")).contains("stage"), "Stage")
+          .otherwise(col("contrat")))
+      // experience canonicalization (init_groq.py:198-205; the
+      // reference checks the expert list FIRST, so "senior" => expert)
+      .withColumn("niveau_experience",
+        when(lower(col("niveau_experience"))
+          .rlike("5 ans|10 ans|senior|expert"), "expert")
+          .when(lower(col("niveau_experience"))
+            .rlike("junior|débutant|1 an|2 ans"), "junior")
+          .when(col("niveau_experience") === "Unspecified", "Unspecified")
+          .otherwise("senior"))
 
   /** A get-or-create dimension as distinct + dense surrogate keys
     * (two-phase Keys.denseIds — a global ROW_NUMBER window would move

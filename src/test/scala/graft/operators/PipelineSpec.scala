@@ -98,5 +98,11 @@ class PipelineSpec extends AnyFunSuite {
     val contratDefault = spark.read.parquet(s"$out/dim_contrat")
       .filter(col("value") === "unspecified")
     assert(contratDefault.count() === 1) // u2's empty contrat defaulted
+
+    // canonicalization: "3 ans" is neither junior- nor expert-listed ->
+    // senior (init_groq.py experience rules); absent stays Unspecified
+    val expValues = spark.read.parquet(s"$out/dim_niveau_experience")
+      .collect().map(_.getAs[String]("value")).toSet
+    assert(expValues === Set("senior", "unspecified"))
   }
 }

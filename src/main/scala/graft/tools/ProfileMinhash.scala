@@ -19,8 +19,10 @@ object ProfileMinhash {
     for (round <- 1 to 2) {
       println(s"--- round $round")
       time("scan+shingle+explode (count)")(shr.count())
+      // mirrors Dedup's 4-lanes-per-digest signature shape
       val mhCols = (0 until 16).map(i =>
-        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+        min(substring(md5(concat(lit(s"${i / 4}:"), col("sh"))),
+          (i % 4) * 8 + 1, 8)).as(s"mh$i"))
       val mh = shr.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
       time("minhash agg")(mh.write.format("noop").mode("overwrite").save())
       val bandRows = mh.select(col("doc_id"),

@@ -207,12 +207,14 @@ object Similarity {
        FROM qs LEFT JOIN inter USING (q_id) ORDER BY q_id"""
   }
 
-  // IVF parameters: a corpus-INDEPENDENT centroid count (the broadcast
-  // and the assignment cost stay bounded no matter how large the corpus
-  // grows), refined by IvfIters exact-integer Lloyd iterations; nProbe=2.
-  private val IvfK = 16
-  private val IvfIters = 2
-  private val IvfProbe = 2
+  // IVF defaults (SimilarityConfig.Default): a corpus-INDEPENDENT
+  // centroid count (the broadcast and the assignment cost stay bounded
+  // no matter how large the corpus grows), refined by exact-integer
+  // Lloyd iterations; nProbe=2. Oracle SQL is written against Default.
+  private val D = SimilarityConfig.Default
+  private def IvfK = D.ivfK
+  private def IvfIters = D.ivfIters
+  private def IvfProbe = D.ivfProbe
 
   /** Nearest-centroid argmax for each row of `df` (bounded broadcast of
     * <= IvfK centroids; one map pass over the data).
@@ -264,15 +266,20 @@ object Similarity {
     * is O(IvfIters * K * N) assignment passes — linear in the corpus,
     * with a bounded centroid broadcast.
     */
-  def annTopkIvf(s: SparkSession, dir: String): DataFrame = {
+  def annTopkIvf(s: SparkSession, dir: String): DataFrame =
+    annTopkIvf(s, dir, D)
+
+  def annTopkIvf(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame = {
     val c = quantized(s, dir)
-    val seed = c.filter(col("vec_id") < IvfK)
+    val seed = c.filter(col("vec_id") < cfg.ivfK)
       .select(col("vec_id").cast("int").as("c_id"), col("qv").as("c_qv"),
         col("nn").as("c_nn"))
-    val cent = (1 to IvfIters).foldLeft(seed)((ct, _) => lloyd(c, ct))
+    val cent = (1 to cfg.ivfIters).foldLeft(seed)((ct, _) => lloyd(c, ct))
     val assign = nearest(cent, c, "vec_id", 1)
     val probes = nearest(cent, c.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("qv"), col("nn")), "q_id", IvfProbe)
+      .select(col("vec_id").as("q_id"), col("qv"), col("nn")), "q_id",
+      cfg.ivfProbe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
     probes.join(assign, "c_id")

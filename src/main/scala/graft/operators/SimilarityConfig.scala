@@ -38,12 +38,20 @@ final case class SimilarityConfig(
     /** n-gram Jaccard verification threshold. */
     ngramTau: Double = 0.8,
     /** Embedding-cosine near-dup threshold. */
-    embeddingTau: Double = 0.4) {
+    embeddingTau: Double = 0.4,
+    /** IVF coarse-centroid count (corpus-independent). */
+    ivfK: Int = 16,
+    /** Exact-integer Lloyd refinement iterations. */
+    ivfIters: Int = 2,
+    /** Inverted lists probed per query. */
+    ivfProbe: Int = 2) {
   require(minhashK == minhashBands * minhashRows,
     s"minhashK ($minhashK) must equal bands*rows " +
       s"(${minhashBands}*${minhashRows})")
   require(simhashBands * simhashBandBits <= 48,
     "SimHash band geometry exceeds the 48-bit signature")
+  require(ivfK >= 1 && ivfIters >= 0 && ivfProbe >= 1 && ivfProbe <= ivfK,
+    "IVF geometry invalid (need K >= 1, iters >= 0, 1 <= probe <= K)")
 }
 
 object SimilarityConfig {

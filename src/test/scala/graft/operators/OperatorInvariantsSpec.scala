@@ -198,6 +198,15 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     // invalid geometry is rejected at construction
     assertThrows[IllegalArgumentException](SimilarityConfig(minhashBands = 5))
     assertThrows[IllegalArgumentException](SimilarityConfig(simhashBands = 4))
+    assertThrows[IllegalArgumentException](SimilarityConfig(ivfProbe = 99))
+
+    // IVF: probing fewer inverted lists can only shrink the result set
+    val ivfDefault = Similarity.annTopkIvf(spark, sf).count()
+    val ivfOneProbe = Similarity.annTopkIvf(spark, sf,
+      SimilarityConfig(ivfProbe = 1)).count()
+    assert(ivfOneProbe <= ivfDefault)
+    assert(Similarity.annTopkIvf(spark, sf, SimilarityConfig.Default)
+      .collect().toSeq === Similarity.annTopkIvf(spark, sf).collect().toSeq)
   }
 
   test("curation: deterministic sampling, caps enforced, reasons consistent") {

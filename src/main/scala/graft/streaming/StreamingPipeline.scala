@@ -38,22 +38,62 @@ object StreamingPipeline {
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (ok, bad) = JsonLake.quarantine(batch)
-        val offers = Pipeline.enrich(Pipeline.clean(ok))
-        val dSource = Warehouse.upsertDim(
-          offers.select(lower(trim(col("via"))).as("value")),
-          s"$outDir/dim_source", "id_source")
-        val fact = offers
-          .join(broadcast(dSource),
-            lower(trim(col("via"))) === dSource("value"))
-          .select(col("job_url"), col("pub_date"), col("id_source"),
-            col("secteur"), col("niveau_qualification"))
-        fact.write.mode("append").parquet(s"$outDir/fact_offre")
-        bad.write.mode("append").json(s"$outDir/quarantine")
-        ()
+        loadBatch(batch, outDir)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** Load one micro-batch of raw offers into the warehouse: the full
+    * star — six get-or-create dims, the skill dim + bridge, fact and
+    * quarantine appends. Also the REBUILD path's incremental sibling:
+    * callable on any static frame for backfill chunks.
+    */
+  def loadBatch(batch: DataFrame, outDir: String): Unit = {
+    val (ok, bad) = JsonLake.quarantine(batch)
+    val offers = Pipeline.enrich(Pipeline.clean(ok))
+
+    def up(natural: org.apache.spark.sql.Column, dim: String, id: String) =
+      Warehouse.upsertDim(offers.select(natural.as("value")),
+        s"$outDir/$dim", id)
+    val dSource = up(lower(trim(col("via"))), "dim_source", "id_source")
+    val dContrat = up(lower(trim(col("contrat"))), "dim_contrat", "id_contrat")
+    val dTitre = up(col("titre_homogene"), "dim_titre", "id_titre")
+    val dComp = up(lower(trim(col("compagnie"))), "dim_compagnie",
+      "id_compagnie")
+    val dEtudes = up(lower(trim(col("niveau_etudes"))), "dim_niveau_etudes",
+      "id_niveau_etudes")
+    val dExp = up(lower(trim(col("niveau_experience"))),
+      "dim_niveau_experience", "id_niveau_experience")
+
+    val fact = offers
+      .join(broadcast(dSource), lower(trim(col("via"))) === dSource("value"))
+      .join(broadcast(dContrat),
+        lower(trim(col("contrat"))) === dContrat("value"))
+      .join(broadcast(dTitre), col("titre_homogene") === dTitre("value"))
+      .join(broadcast(dComp), lower(trim(col("compagnie"))) === dComp("value"))
+      .join(broadcast(dEtudes),
+        lower(trim(col("niveau_etudes"))) === dEtudes("value"))
+      .join(broadcast(dExp),
+        lower(trim(col("niveau_experience"))) === dExp("value"))
+      .select(col("job_url"), col("pub_date"), col("id_source"),
+        col("id_contrat"), col("id_titre"), col("id_compagnie"),
+        col("id_niveau_etudes"), col("id_niveau_experience"),
+        col("description"), col("competences"), col("secteur"),
+        col("niveau_qualification"))
+    fact.write.mode("append").parquet(s"$outDir/fact_offre")
+
+    // skill dim (get-or-create on the nom+type pair) and bridge
+    val links = Pipeline.offerSkills(offers,
+      graft.operators.SkillExtract.vocabDf(batch.sparkSession))
+    val dSkill = Warehouse.upsertDim(
+      links.select(col("nom"), col("type_skill")),
+      s"$outDir/dim_skill", "id_skill")
+    links.join(broadcast(dSkill), Seq("nom", "type_skill"))
+      .select(col("job_url"), col("id_skill")).distinct()
+      .write.mode("append").parquet(s"$outDir/offre_skill")
+
+    bad.write.mode("append").json(s"$outDir/quarantine")
   }
 
   /** Drain all currently-available lake files and stop. */

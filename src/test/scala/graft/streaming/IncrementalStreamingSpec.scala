@@ -73,7 +73,7 @@ class IncrementalStreamingSpec extends AnyFunSuite {
 
   test("streaming pipeline: get-or-create ids stable across micro-batches, exactly-once") {
     def offer(url: String, via: String): String =
-      s"""{"job_url":"$url","titre":"t","via":"$via","publication_date":"2024-03-05","description":"d"}"""
+      s"""{"job_url":"$url","titre":"t","via":"$via","publication_date":"2024-03-05","description":"hash join data","contrat":"CDI","companie":"Acme","niveau_etudes":"Master","niveau_experience":"junior"}"""
     val lake = Files.createTempDirectory("graft_sp_lake").toString
     val out = Files.createTempDirectory("graft_sp_out").toString
     val ckpt = Files.createTempDirectory("graft_sp_ckpt").toString
@@ -103,6 +103,24 @@ class IncrementalStreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[String]("job_url") -> r.getAs[Int]("id_source")).toMap
     assert(byUrl("u1") === 1 && byUrl("u2") === 2 &&
       byUrl("u3") === 2 && byUrl("u4") === 3)
+
+    // full star: every dim resolves for every fact row
+    Seq("dim_contrat" -> "id_contrat", "dim_titre" -> "id_titre",
+      "dim_compagnie" -> "id_compagnie",
+      "dim_niveau_etudes" -> "id_niveau_etudes",
+      "dim_niveau_experience" -> "id_niveau_experience").foreach {
+      case (d, id) =>
+        val dimDf = spark.read.parquet(s"$out/$d")
+        assert(fact.join(dimDf, fact(id) === dimDf(id)).count() ===
+          fact.count(), s"dangling $id")
+    }
+    // skill dim + bridge: phrase matches landed, links resolve
+    val skills = spark.read.parquet(s"$out/dim_skill")
+    assert(skills.collect().map(_.getAs[String]("nom")).contains("hash join"))
+    val bridge = spark.read.parquet(s"$out/offre_skill")
+    assert(bridge.count() > 0)
+    assert(bridge.join(skills,
+      bridge("id_skill") === skills("id_skill")).count() === bridge.count())
 
     // exactly-once: re-draining with no new files adds nothing
     StreamingPipeline.runOnce(spark, lake, out, ckpt)

@@ -126,5 +126,23 @@ class IncrementalStreamingSpec extends AnyFunSuite {
     StreamingPipeline.runOnce(spark, lake, out, ckpt)
     assert(spark.read.parquet(s"$out/fact_offre").count() === 4)
     assert(spark.read.parquet(s"$out/dim_source").count() === 3)
+
+    // EQUIVALENCE with the batch rebuild: loading the same lake in one
+    // shot must yield the same facts once surrogate ids are resolved
+    // back to natural values (ids themselves may number differently —
+    // batch sorts globally, incremental per arrival batch)
+    val outB = Files.createTempDirectory("graft_sp_rebuild").toString
+    graft.operators.Pipeline.run(spark, lake, outB)
+    def resolved(dir: String): Set[(String, String, String)] = {
+      val f = spark.read.parquet(s"$dir/fact_offre")
+      val dSrc = spark.read.parquet(s"$dir/dim_source")
+        .withColumnRenamed("value", "src_value")
+      val dCon = spark.read.parquet(s"$dir/dim_contrat")
+        .withColumnRenamed("value", "con_value")
+      f.join(dSrc, "id_source").join(dCon, "id_contrat")
+        .select("job_url", "src_value", "con_value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    }
+    assert(resolved(out) === resolved(outB))
   }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.{Keys, Text, Vectors}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generated-input cross-checks: every native codegen'd expression must
+  * agree with its compositional (functions._) twin on arbitrary inputs,
+  * not just the oracle corpus. Cases are generated with fixed seeds
+  * (deterministic re-runs) and batched into single DataFrames so each
+  * property is one Spark job, not hundreds.
+  */
+class GeneratedInputsSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("WordShingles equals its HOF twin on generated token arrays") {
+    val tokGen = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+    val cases = sample(tokGen, 150)
+    assert(cases.exists(_.isEmpty) || cases.nonEmpty) // includes empties
+    val df = cases.map(Tuple1(_)).toDF("toks")
+    for (k <- 1 to 4) {
+      val bad = df.select(
+        Text.wordShingles(col("toks"), k).as("a"),
+        Text.wordShinglesHof(col("toks"), k).as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(bad === 0L, s"k=$k mismatch")
+    }
+  }
+
+  test("LongDot equals the zip_with/aggregate fold on generated vectors") {
+    val vecGen = for {
+      n <- Gen.choose(0, 12)
+      xs <- Gen.listOfN(n, Gen.choose(-1000000L, 1000000L))
+    } yield xs
+    val pairGen = for {
+      a <- vecGen
+      b <- Gen.oneOf(vecGen, Gen.const(a)) // mix equal and ragged lengths
+    } yield (a, b)
+    val df = sample(pairGen, 300).toDF("a", "b")
+    val bad = df.select(
+      Vectors.dotQ(col("a"), col("b")).as("x"),
+      aggregate(zip_with(col("a"), col("b"), (p, q) => p * q),
+        lit(0L), (acc, v) => acc + v).as("y"))
+      .filter(not(col("x") <=> col("y"))).count()
+    assert(bad === 0L)
+  }
+
+  test("HexParityBits equals the explicit ascii(substr)%2 sum on generated digests") {
+    val strGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val df = sample(strGen, 200).map(Tuple1(_)).toDF("t")
+      .select(md5(col("t")).as("h1"), md5(concat(lit("#:"), col("t"))).as("h2"))
+    val explicitSum = (0 until 48).map { j =>
+      val c = if (j < 32) substring(col("h1"), j + 1, 1)
+              else substring(col("h2"), j - 31, 1)
+      (ascii(c) % 2) * lit(1L << j)
+    }.reduce(_ + _)
+    val bad = df.select(
+      call_function(plans.HexParityBits.FnName, col("h1"), col("h2")).as("x"),
+      explicitSum.as("y"))
+      .filter(not(col("x") <=> col("y"))).count()
+    assert(bad === 0L)
+  }
+
+  test("denseIds equals sorted rank per generated case") {
+    // many generated cases ride ONE frame: case id is the group column,
+    // so each case gets its own independent 1-based numbering
+    val caseGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)).map(_.distinct)
+    val cases = sample(caseGen, 40).zipWithIndex
+    val rows = cases.flatMap { case (vs, i) => vs.map(v => (s"c$i", v)) }
+    val out = Keys.denseIds(rows.toDF("case_id", "v"),
+      Seq("case_id"), Seq("v"), "id", buckets = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    cases.foreach { case (vs, i) =>
+      vs.sorted.zipWithIndex.foreach { case (v, rank) =>
+        assert(out((s"c$i", v)) === rank + 1, s"case c$i value $v")
+      }
+    }
+  }
+}

@@ -46,6 +46,7 @@ object Graft {
     plans.SpaceSavingTopK.register(spark)
     plans.WordShingles.register(spark)
     plans.HexParityBits.register(spark)
+    plans.AsOfJoinPlan.ensureStrategy(spark)
     spark
   }
 }

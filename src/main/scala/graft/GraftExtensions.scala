@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier(plans.LongDot.FnName),
       info(plans.LongDot.FnName,

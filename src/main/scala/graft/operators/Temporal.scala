@@ -53,6 +53,31 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** The same as-of join through the custom whole-operator route:
+    * [[graft.plans.AsOfJoinNode]] → AsOfJoinStrategy → AsOfJoinExec
+    * (logical plan + strategy + physical merge pass). Unlike the
+    * tagged-union form above, neither side is widened with the other's
+    * columns before its shuffle and there is no window state — each
+    * side shuffles itself once, clustered on its key, and one forward
+    * merge per partition emits the latest order at-or-before each
+    * event. Same oracle as `asof_join`; the two implementations gate
+    * each other.
+    */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_t_us"),
+        col("o_orderkey"))
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    graft.plans.AsOfJoinPlan.asof(ev, od, "user_id", "k", "ts_us", "o_t_us")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("o_orderkey"), col("o_t_us"))
+      .orderBy("event_id")
+  }
+
   val asofJoinSql: String =
     """WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
                    FROM orders GROUP BY 1, 2)
@@ -125,6 +150,7 @@ object Temporal {
 
   def queries: Seq[Q] = Seq(
     Q("asof_join", Some(asofJoinSql), bench = true)(asofJoin),
+    Q("asof_join_native", Some(asofJoinSql), bench = true)(asofJoinNative),
     Q("sessionize", Some(sessionizeSql), bench = true)(sessionize),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly))
 }

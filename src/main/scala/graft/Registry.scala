@@ -23,6 +23,7 @@ object Registry {
       operators.Similarity.queries ++
       operators.TextAnalysis.queries ++
       operators.Temporal.queries ++
+      operators.Stats.queries ++
       operators.Curation.queries ++
       operators.Multimodal.queries
 

@@ -1,0 +1,235 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Nums._
+import graft.functions.Text._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution / relevance statistics — the dashboard-and-curation
+  * layer above plain aggregates: exact percentiles, histograms,
+  * time-spine gap filling, interval (range) joins, and TF-IDF term
+  * relevance. Like everything oracle-gated, each query is built from
+  * engine-portable primitives only: integer index selection instead of
+  * engine `percentile()` interpolation, exact integer division instead
+  * of `ln` (libm logs are not correctly-rounded, so their last ulp may
+  * differ across engines — SURVEY.md §5 discipline).
+  */
+object Stats {
+
+  /** Exact per-group percentiles (p50/p90/p99) by index selection —
+    * `percentile_disc` semantics: the value at row ceil(p*n) of the
+    * sorted group. Engines disagree on `percentile()` interpolation;
+    * an actually-selected row is bit-portable. The index arithmetic is
+    * pure integers. One partitioned window per group (parallel across
+    * groups; a 100 TB fact with few groups would swap in the
+    * two-phase [[graft.plans.SpaceSavingTopK]]-style sketch instead —
+    * this is the exact form).
+    */
+  def percentileGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("prio"))
+      .orderBy(col("price"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("prio"))
+    Tables.orders(s, dir)
+      .select(lower(trim(col("o_orderpriority"))).as("prio"),
+        decp(col("o_totalprice")).cast("double").as("price"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .groupBy("prio")
+      .agg(
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("price"))).as("p50"),
+        max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("price"))).as("p90"),
+        max(when(col("rn") === expr("(99 * cnt + 99) div 100"), col("price"))).as("p99"),
+        max(col("cnt")).as("n"))
+      .orderBy("prio")
+  }
+
+  val percentileGroupSql: String =
+    s"""WITH t AS (SELECT lower(trim(o_orderpriority)) AS prio,
+                     CAST(${sqlDecp("o_totalprice")} AS DOUBLE) AS price, o_orderkey
+                   FROM orders),
+       r AS (SELECT prio, price,
+               ROW_NUMBER() OVER (PARTITION BY prio ORDER BY price, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY prio) AS cnt
+             FROM t)
+       SELECT prio, MAX(CASE WHEN rn = (cnt + 1) // 2 THEN price END) AS p50,
+              MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN price END) AS p90,
+              MAX(CASE WHEN rn = (99 * cnt + 99) // 100 THEN price END) AS p99,
+              CAST(MAX(cnt) AS BIGINT) AS n
+       FROM r GROUP BY prio ORDER BY prio"""
+
+  /** Histogram bucket width (order totals run 850..510k). */
+  private val BinWidth = 25000.0
+
+  /** Fixed-width histogram: one GROUP BY over a map-side bin
+    * projection — the single-shuffle shape that holds at any scale
+    * (bins are bounded by the value range, not the row count). The bin
+    * edge division runs in doubles on an exact decimal value: one IEEE
+    * division + floor, bit-identical in both engines.
+    */
+  def histogramBins(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(decp(col("o_totalprice")).as("p"))
+      .select(floor(col("p").cast("double") / BinWidth).cast("long").as("bin"),
+        col("p"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), dsum(col("p")).as("sum_price"))
+      .withColumn("bin_lo", col("bin").cast("double") * BinWidth)
+      .select(col("bin"), col("bin_lo"), col("n"), col("sum_price"))
+      .orderBy("bin")
+
+  val histogramBinsSql: String =
+    s"""WITH t AS (SELECT CAST(FLOOR(CAST(${sqlDecp("o_totalprice")} AS DOUBLE)
+                     / $BinWidth) AS BIGINT) AS bin,
+                   ${sqlDecp("o_totalprice")} AS p
+                   FROM orders)
+       SELECT bin, CAST(bin AS DOUBLE) * $BinWidth AS bin_lo, COUNT(*) AS n,
+              ${sqlDsum("p")} AS sum_price
+       FROM t GROUP BY bin ORDER BY bin"""
+
+  /** Time-spine gap fill with forward fill: a complete (event_type, day)
+    * spine over the corpus date range, daily aggregates joined on, holes
+    * marked and value-filled from the latest preceding day. The spine is
+    * a tiny generated frame (days x types — calendar-bounded, not
+    * row-bounded) broadcast against the daily aggregate; the forward
+    * fill is a partitioned `last(ignoreNulls)` window, parallel per
+    * type. The reporting-layer twin of [[StarSchema.dimDateSpine]].
+    */
+  def gapFillFfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(decp(col("value"))).as("day_value"))
+    val days = ev.agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val spine = ev.select(col("event_type")).distinct().crossJoin(days)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    broadcast(spine)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("ffill_value"),
+        col("n_events").isNull.as("gap"))
+      .orderBy("event_type", "day")
+  }
+
+  val gapFillFfillSql: String =
+    s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                         COUNT(*) AS n_events,
+                         ${sqlDsum(sqlDecp("value"))} AS day_value
+                       FROM events GROUP BY 1, 2),
+       b AS (SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+             FROM events),
+       days AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                  AS DATE) AS day FROM b),
+       spine AS (SELECT t.event_type, d.day
+                 FROM (SELECT DISTINCT event_type FROM events) t
+                 CROSS JOIN days d)
+       SELECT s.event_type, s.day, COALESCE(dl.n_events, 0) AS n_events,
+              LAST_VALUE(dl.day_value IGNORE NULLS) OVER (
+                PARTITION BY s.event_type ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value,
+              (dl.n_events IS NULL) AS gap
+       FROM spine s LEFT JOIN daily dl
+         ON s.event_type = dl.event_type AND s.day = dl.day
+       ORDER BY s.event_type, s.day"""
+
+  /** Range-join interval length AND bucket width: 1 hour in micros.
+    * Width == interval length means every interval overlaps at most 2
+    * buckets, so the fan-out is bounded by 2x regardless of data.
+    */
+  private val RangeUs = 3600000000L
+
+  /** Interval (range) join, Spark-native: Spark has no inequality-join
+    * operator (a bare `ON t >= s AND t < e` plans as a nested-loop
+    * cross product), so the interval containment is re-expressed as an
+    * EQUI-join on a time bucket: probes carry `t div W`, intervals
+    * explode to their (<= 2, distinct) covering buckets, the bucket
+    * join pre-filters to same-hour pairs and the exact predicate
+    * verifies. One shuffle on a key whose cardinality grows with the
+    * time span (spreads at scale) and whose skew AQE can split — vs
+    * the built-in plan that would ship every probe to every interval.
+    * Here: events inside the hour after each 'error' event (blast
+    * radius of an incident); DuckDB's native IEJoin is the oracle.
+    */
+  def rangeJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val iv = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("iv_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + lit(RangeUs))
+      .withColumn("b", explode(array_distinct(
+        array(expr(s"s div ${RangeUs}L"), expr(s"(e - 1) div ${RangeUs}L")))))
+    val pr = ev.select(col("event_id"), unix_micros(col("ts")).as("t"),
+      decp(col("value")).as("v"))
+      .withColumn("b", expr(s"t div ${RangeUs}L"))
+    iv.join(pr, Seq("b"))
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_in_window"), dsum(col("v")).as("sum_value"))
+      .orderBy("iv_id")
+  }
+
+  val rangeJoinBucketedSql: String =
+    s"""WITH iv AS (SELECT event_id AS iv_id, epoch_us(ts) AS s,
+                      epoch_us(ts) + $RangeUs AS e
+                    FROM events WHERE event_type = 'error'),
+       ev AS (SELECT epoch_us(ts) AS t, ${sqlDecp("value")} AS v FROM events)
+       SELECT iv_id, COUNT(*) AS n_in_window, ${sqlDsum("v")} AS sum_value
+       FROM iv JOIN ev ON ev.t >= iv.s AND ev.t < iv.e
+       GROUP BY iv_id ORDER BY iv_id"""
+
+  /** Top terms per document. */
+  private val TfidfTopK = 3
+
+  /** TF-IDF top-k terms per document — term frequency weighted by
+    * inverse document frequency, with RAW idf (score = tf/df, one
+    * exact BIGINT/BIGINT IEEE division) instead of the textbook
+    * log-damped form: libm `ln` is not correctly-rounded, so its last
+    * ulp may differ between engines and the whole point of this
+    * registry is bit-exact cross-engine results. Within a document the
+    * raw and log forms rank identically whenever df alone decides (tf
+    * equal), and the damping constant is irrelevant to top-k selection
+    * here. Shape: two narrow (token-projected) aggregations and one
+    * equi-join of (doc,term)-level rows — the df side is
+    * term-cardinality sized. Deterministic top-k tie-break on term.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val score = col("tf").cast("double") / col("df").cast("double")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        score.as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfTopK)
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfidfTopTermsSql: String =
+    s"""WITH tok AS (SELECT doc_id, UNNEST(${sqlToks("lower(text)")}) AS term
+                     FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       sc AS (SELECT t.doc_id, t.term, t.tf, df.df,
+                CAST(t.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+                ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                  ORDER BY CAST(t.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+                           t.term) AS rank
+              FROM tf t JOIN df ON t.term = df.term)
+       SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+       FROM sc WHERE rank <= $TfidfTopK ORDER BY doc_id, rank"""
+
+  def queries: Seq[Q] = Seq(
+    Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
+    Q("histogram_bins", Some(histogramBinsSql))(histogramBins),
+    Q("gap_fill_ffill", Some(gapFillFfillSql))(gapFillFfill),
+    Q("range_join_bucketed", Some(rangeJoinBucketedSql))(rangeJoinBucketed),
+    Q("tfidf_top_terms", Some(tfidfTopTermsSql))(tfidfTopTerms))
+}

@@ -47,6 +47,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!readSchema.contains("text"), s"unpruned scan: $readSchema")
   }
 
+  test("range_join_bucketed: bucket equi-join, never a nested-loop product") {
+    val p = plan(operators.Stats.rangeJoinBucketed(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("gap_fill_ffill: calendar spine broadcast against the daily agg") {
+    val p = plan(operators.Stats.gapFillFfill(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("tfidf: documents scan pruned to id and text") {
+    val p = plan(operators.Stats.tfidfTopTerms(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("asof_join_native: custom exec, no window machinery, no union") {
+    val p = plan(operators.Temporal.asofJoinNative(spark, sf))
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    assert(!p.contains("Window") && !p.contains("Union"), p.take(2000))
+  }
+
   test("no unpartitioned (single-task) window in any registered query") {
     import org.apache.spark.sql.execution.window.WindowExec
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -226,10 +226,103 @@ object Stats {
        SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
        FROM sc WHERE rank <= $TfidfTopK ORDER BY doc_id, rank"""
 
+  /** The 100 TB form of [[percentileGroup]]: Spark's built-in
+    * `approx_percentile` (Greenwald-Khanna mergeable sketch) — bounded
+    * per-partition state, map-side partials, no per-group sort. This is
+    * what replaces exact index selection when one group spans billions
+    * of rows. Rows-only gate (DuckDB's approx algorithm differs by
+    * design); StatsSpec pins the GK error bound against the exact
+    * percentiles.
+    */
+  def approxQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(lower(trim(col("o_orderpriority"))).as("prio"),
+        decp(col("o_totalprice")).cast("double").as("price"))
+      .groupBy("prio")
+      .agg(
+        expr("approx_percentile(price, array(0.5, 0.9, 0.99), 10000)")
+          .as("quantiles"),
+        count(lit(1)).as("n"))
+      .orderBy("prio")
+
+  /** Per-group mode (most frequent value, deterministic tie-break):
+    * dominant order priority per market segment. Two single-shuffle
+    * aggs + a partitioned top-1 window over group-cardinality rows.
+    */
+  def modePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables.orders(s, dir).join(
+      Tables.customer(s, dir),
+      col("o_custkey") === col("c_custkey"))
+      .select(lower(trim(col("c_mktsegment"))).as("seg"),
+        lower(trim(col("o_orderpriority"))).as("prio"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("n").desc, col("prio"))
+    j.groupBy("seg", "prio").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("seg"), col("prio").as("mode_prio"), col("n"), col("rk"))
+      .orderBy("seg")
+  }
+
+  val modePerGroupSql: String =
+    """WITH j AS (SELECT lower(trim(c.c_mktsegment)) AS seg,
+                    lower(trim(o.o_orderpriority)) AS prio
+                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       cnt AS (SELECT seg, prio, COUNT(*) AS n FROM j GROUP BY 1, 2),
+       r AS (SELECT seg, prio, n,
+               ROW_NUMBER() OVER (PARTITION BY seg ORDER BY n DESC, prio) AS rk
+             FROM cnt)
+       SELECT seg, prio AS mode_prio, n, CAST(rk AS INT) AS rk
+       FROM r WHERE rk = 1 ORDER BY seg"""
+
+  /** Daily-count anomaly detection by z-score, bit-portable: the group
+    * moments are EXACT BIGINT sums (sx, sxx, n — each < 2^53 so their
+    * double images are exact), and mean/variance/z are a fixed sequence
+    * of single IEEE operations both engines execute identically —
+    * population variance as (n*sxx - sx^2)/n^2, sqrt is
+    * correctly-rounded by IEEE-754. No engine stddev() (those make no
+    * cross-engine bit guarantees). Shape: daily agg (1 shuffle), tiny
+    * per-type moment frame broadcast back, map-side z. The
+    * monitoring-layer twin of [[gapFillFfill]].
+    */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val st = d.groupBy(col("event_type").as("et"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).as("n"))
+    val z = (col("x").cast("double") - col("sx").cast("double") / col("n").cast("double")) /
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        (col("n") * col("n")).cast("double"))
+    d.join(broadcast(st), col("event_type") === col("et"))
+      .select(col("event_type"), col("day"), col("x"), z.as("z"))
+      .withColumn("anomaly", abs(col("z")) >= 2.0)
+      .orderBy("event_type", "day")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                    CAST(COUNT(*) AS BIGINT) AS x
+                  FROM events GROUP BY 1, 2),
+       st AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM d GROUP BY 1),
+       z AS (SELECT d.event_type, d.day, d.x,
+               (CAST(d.x AS DOUBLE) - CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE))
+                 / sqrt(CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE)
+                        / CAST(st.n * st.n AS DOUBLE)) AS z
+             FROM d JOIN st ON d.event_type = st.event_type)
+       SELECT event_type, day, x, z, (abs(z) >= 2.0) AS anomaly
+       FROM z ORDER BY event_type, day"""
+
   def queries: Seq[Q] = Seq(
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
     Q("histogram_bins", Some(histogramBinsSql))(histogramBins),
     Q("gap_fill_ffill", Some(gapFillFfillSql))(gapFillFfill),
     Q("range_join_bucketed", Some(rangeJoinBucketedSql))(rangeJoinBucketed),
-    Q("tfidf_top_terms", Some(tfidfTopTermsSql))(tfidfTopTerms))
+    Q("tfidf_top_terms", Some(tfidfTopTermsSql))(tfidfTopTerms),
+    Q("mode_per_group", Some(modePerGroupSql))(modePerGroup),
+    Q("anomaly_zscore", Some(anomalyZscoreSql))(anomalyZscore),
+    Q("approx_quantile", None)(approxQuantile))
 }

@@ -68,6 +68,44 @@ class StatsSpec extends AnyFunSuite {
     assert(fast.length === naive.size)
   }
 
+  test("mode_per_group: one row per group, count equals the true max") {
+    val out = Stats.modePerGroup(spark, sf).collect()
+    val counts = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(lower(trim(col("c_mktsegment"))).as("seg"),
+        lower(trim(col("o_orderpriority"))).as("prio"))
+      .count().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).max)
+    assert(out.map(_.getString(0)).distinct.length === out.length)
+    out.foreach(r => assert(r.getLong(2) === counts(r.getString(0))))
+  }
+
+  test("anomaly_zscore: z sums to ~0 per type, flag matches |z| >= 2") {
+    val out = Stats.anomalyZscore(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum) < 1e-9 * rs.length)
+    }
+    out.foreach(r => assert(r.getBoolean(4) === (math.abs(r.getDouble(3)) >= 2.0)))
+  }
+
+  test("approx_quantile tracks the exact percentiles within GK accuracy") {
+    val exact = Stats.percentileGroup(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val approx = Stats.approxQuantile(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val qs = r.getSeq[Double](1)
+      val (p50, p90, p99) = exact(r.getString(0))
+      // accuracy 10000 => rank error <= n/10000; sf0.001 groups are a few
+      // hundred rows, so the sketch must be exact-to-near-exact here
+      assert(math.abs(qs(0) - p50) / p50 < 0.05, s"p50 off in $r")
+      assert(math.abs(qs(1) - p90) / p90 < 0.05, s"p90 off in $r")
+      assert(math.abs(qs(2) - p99) / p99 < 0.05, s"p99 off in $r")
+    }
+  }
+
   test("tfidf_top_terms: ranks 1..3 per doc, score is exactly tf/df") {
     val out = Stats.tfidfTopTerms(spark, sf).collect()
     assert(out.nonEmpty)

@@ -320,8 +320,8 @@ object Stats {
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
     Q("histogram_bins", Some(histogramBinsSql))(histogramBins),
     Q("gap_fill_ffill", Some(gapFillFfillSql))(gapFillFfill),
-    Q("range_join_bucketed", Some(rangeJoinBucketedSql))(rangeJoinBucketed),
-    Q("tfidf_top_terms", Some(tfidfTopTermsSql))(tfidfTopTerms),
+    Q("range_join_bucketed", Some(rangeJoinBucketedSql), bench = true)(rangeJoinBucketed),
+    Q("tfidf_top_terms", Some(tfidfTopTermsSql), bench = true)(tfidfTopTerms),
     Q("mode_per_group", Some(modePerGroupSql))(modePerGroup),
     Q("anomaly_zscore", Some(anomalyZscoreSql))(anomalyZscore),
     Q("approx_quantile", None)(approxQuantile))

@@ -217,11 +217,87 @@ object Curation {
               CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_frac
        FROM per CROSS JOIN tot ORDER BY lang"""
 
+  /** Decontamination shingle width and eval-set selector (5% by id
+    * hash-free modulus so the oracle replays it; a real deployment
+    * passes an explicit benchmark/eval table instead).
+    */
+  private val DecontamK = 5
+  private val EvalMod = 20
+
+  /** Test-set decontamination: flag (train, eval) pairs sharing at
+    * least one word-5-gram — the n-gram-overlap contamination check run
+    * before any benchmark number is trusted. Shape: one shingle
+    * explosion per side projected to (sh, id) — bodies never leave the
+    * map side — and one equi-join on the shingle. Here the "eval set"
+    * is a 5% id slice so it scales WITH the corpus and the join stays a
+    * shuffle join; against a real fixed-size eval set the eval side is
+    * a broadcast and the whole check is map-side. Overlap counting, not
+    * membership: n_shared grades contamination severity for triage.
+    */
+  def decontaminateOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        wordShingles(toks(col("text")), DecontamK))).as("sh"))
+    val ev = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    val tr = sh.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id").as("train_id"), col("sh"))
+    tr.join(ev, Seq("sh"))
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  val decontaminateOverlapSql: String =
+    s"""WITH shr AS (${sqlShingleRows(DecontamK)}),
+       ev AS (SELECT doc_id AS eval_id, sh FROM shr WHERE doc_id % $EvalMod = 0),
+       tr AS (SELECT doc_id AS train_id, sh FROM shr WHERE doc_id % $EvalMod <> 0)
+       SELECT train_id, eval_id, COUNT(*) AS n_shared
+       FROM tr JOIN ev USING (sh)
+       GROUP BY train_id, eval_id
+       ORDER BY train_id, eval_id"""
+
+  /** Train/val/test thresholds on the 16-bit md5 prefix: 5% test
+    * (< 0x0ccc), next 5% val (< 0x1999), rest train.
+    */
+  private val TestThr = "0ccc"
+  private val ValThr = "1999"
+
+  /** Deterministic dataset split by salted hash — the assignment every
+    * training run needs to be reproducible across re-runs, retries and
+    * repartitioning. Pure map-side projection (zero shuffles, same
+    * class as [[sampleStratified]]); the hash prefix is uniform so the
+    * split fractions hold per-stratum too.
+    */
+  def datasetSplitHash(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), h.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < TestThr, "test")
+          .when(col("bucket") < ValThr, "val")
+          .otherwise("train"))
+      .orderBy("doc_id")
+  }
+
+  val datasetSplitHashSql: String =
+    s"""SELECT doc_id, lang,
+              substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket,
+              CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        < '$TestThr' THEN 'test'
+                   WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+                        < '$ValThr' THEN 'val'
+                   ELSE 'train' END AS split
+       FROM documents ORDER BY doc_id"""
+
   def queries: Seq[Q] = Seq(
     Q("sample_stratified", Some(sampleStratifiedSql))(sampleStratified),
     Q("sample_per_source_cap", Some(samplePerSourceCapSql))(samplePerSourceCap),
     Q("quality_filter_reasons", Some(qualityFilterReasonsSql))(qualityFilterReasons),
     Q("redact_digits", Some(redactDigitsSql))(redactDigits),
     Q("pack_sequences", Some(packSequencesSql))(packSequences),
-    Q("token_budget_mix", Some(tokenBudgetMixSql))(tokenBudgetMix))
+    Q("token_budget_mix", Some(tokenBudgetMixSql))(tokenBudgetMix),
+    Q("decontaminate_overlap", Some(decontaminateOverlapSql))(decontaminateOverlap),
+    Q("dataset_split_hash", Some(datasetSplitHashSql))(datasetSplitHash))
 }

@@ -75,6 +75,36 @@ object Streaming {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("event_id"), col("user_id"), col("event_type"))
 
+  /** Streaming heavy-hitters — the [[graft.plans.SpaceSavingTopK]]
+    * sketch inside a windowed streaming aggregation: per-hour top-5
+    * users by event count. The sketch is a TypedImperativeAggregate,
+    * so Spark keeps ONE bounded buffer per open window as streaming
+    * state and merges partials exactly as in batch — the state size is
+    * `capacity` entries per window regardless of key cardinality,
+    * which is what lets a top-k run indefinitely over an unbounded
+    * stream (an exact groupBy-count twin would hold every key ever
+    * seen). Capacity 256 exceeds the testdata's per-hour cardinality,
+    * so counts are exact here and the spec can compare against the
+    * batch sketch verbatim.
+    */
+  def topkStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(call_function(graft.plans.SpaceSavingTopK.FnName,
+        col("user_id").cast("string"), lit(5), lit(256)).as("top_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("top_users"))
+
+  /** Batch twin of [[topkStream]] (same plan over the batch loader). */
+  def topkBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(call_function(graft.plans.SpaceSavingTopK.FnName,
+        col("user_id").cast("string"), lit(5), lit(256)).as("top_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("top_users"))
+
   /** Drive a streaming DF to completion against an in-memory sink and
     * return the materialized table (test/dev harness; production would
     * `writeStream` to files/Kafka with the same plan).

@@ -15,6 +15,19 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Round-1's only red row: DuckDB widens a windowed integer SUM to
+  // HUGEINT while Spark emits BIGINT, so the driver's hash sees a type
+  // mismatch on equal values. Guard the whole bug class: any windowed
+  // SUM in an oracle string must be wrapped in CAST(... AS BIGINT) (or
+  // feed a double/decimal aggregate, which never widens).
+  test("no oracle carries an uncast windowed integer SUM") {
+    val uncast = """(?<!CAST\()SUM\s*\(\s*(?!CAST)[a-z_0-9]+\s*\)\s+OVER""".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(uncast.findFirstIn(sql).isEmpty,
+        s"$name oracle has an uncast windowed SUM (HUGEINT-widening risk)")
+    }
+  }
+
   // Pair-producing ops may legitimately be sparse at sf0.001; everything
   // else must produce rows.
   private val maySparse = Set("dedup_simhash", "dedup_ngram_jaccard",

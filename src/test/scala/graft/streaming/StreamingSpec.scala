@@ -54,4 +54,19 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(keys.toSet === batchKeys)
   }
+
+  test("streaming top-k sketch windows equal the batch sketch") {
+    val streamed = Streaming.runToMemory(
+      Streaming.topkStream(spark, sf), "topk_stream").collect()
+      .map(r => r.getAs[String]("hour") ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toString)).toMap
+    assert(streamed.nonEmpty, "watermark never released any window")
+    val batch = Streaming.topkBatch(spark, sf).collect()
+      .map(r => r.getAs[String]("hour") ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toString)).toMap
+    streamed.foreach { case (h, top) =>
+      assert(batch.get(h).contains(top),
+        s"hour $h: stream=$top batch=${batch.get(h)}")
+    }
+  }
 }

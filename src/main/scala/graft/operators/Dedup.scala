@@ -57,6 +57,22 @@ object Dedup {
 
   def dedupMinhashLsh(s: SparkSession, dir: String,
       cfg: SimilarityConfig): DataFrame = {
+    val b = minhashBlocks(s, dir, cfg)
+    verifyJaccard(b.cand, b.shr, b.cnt, cfg.minhashTau)
+  }
+
+  /** The shared MinHash->banded-LSH blocking stage: per-doc distinct
+    * shingle rows, per-doc shingle counts, and the distinct candidate
+    * pair set. [[dedupMinhashLsh]], [[dedupContainment]] and
+    * [[dedupEditDistance]] all verify these same candidates with their
+    * own (Jaccard / containment / Levenshtein) metric — blocking cost is
+    * identical no matter which verification runs.
+    */
+  private final case class MinhashBlocks(
+      shr: DataFrame, cnt: DataFrame, cand: DataFrame)
+
+  private def minhashBlocks(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): MinhashBlocks = {
     val shr = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(
@@ -95,12 +111,15 @@ object Dedup {
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
           .as("doc_b"))
       .distinct()
-    verifyJaccard(cand, shr, mh.select(col("doc_id"), col("n")),
-      cfg.minhashTau)
+    MinhashBlocks(shr, mh.select(col("doc_id"), col("n")), cand)
   }
 
-  val dedupMinhashLshSql: String = {
-    s"""WITH shr AS (${sqlShingleRows(D.shingleWidth)}),
+  /** Shared DuckDB CTE block producing `shr` (distinct doc/shingle
+    * rows) and `cand` (blocked candidate pairs) — the SQL twin of
+    * [[minhashBlocks]]. Splice as the head of a WITH clause.
+    */
+  private val sqlMinhashBlockCtes: String =
+    s"""shr AS (${sqlShingleRows(D.shingleWidth)}),
        mh AS (SELECT doc_id, i,
                      min(substr(md5(CAST(i // 4 AS VARCHAR) || ':' || sh),
                                 (i % 4) * 8 + 1, 8)) AS h
@@ -112,9 +131,11 @@ object Dedup {
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM bands a JOIN bands b
                   ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-                 AND a.doc_id < b.doc_id),
+                 AND a.doc_id < b.doc_id)"""
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $sqlMinhashBlockCtes,
        ${sqlVerifyJaccard(D.minhashTau)}"""
-  }
 
   // SimHash: 48-bit signature (bit j = weighted parity of a hex char of
   // the token's salted md5); default geometry 3 bands x 16 bits,
@@ -331,6 +352,91 @@ object Dedup {
               (v = min(l)) AS is_survivor
        FROM reach GROUP BY v ORDER BY doc_id"""
 
+  /** Containment near-dup: |A∩B| / min(|A|,|B|) over word-shingle sets
+    * on the LSH-blocked candidates. Containment is the asymmetric twin
+    * of Jaccard — it fires when a short document is embedded in a longer
+    * one (quote inclusion, boilerplate wrapping), where Jaccard's
+    * union-normalization dilutes the overlap below tau. Same blocking,
+    * same integer intersection counts, one different final division.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    dedupContainment(s, dir, D)
+
+  def dedupContainment(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame = {
+    val b = minhashBlocks(s, dir, cfg)
+    val inter = b.cand
+      .join(b.shr.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(b.shr.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(b.cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(b.cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("ca.n").as("na"), col("cb.n").as("nb"),
+        (col("n_inter").cast("double") /
+          least(col("ca.n"), col("cb.n")).cast("double")).as("containment"))
+      .filter(col("containment") >= cfg.containTau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH $sqlMinhashBlockCtes,
+       cnt AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+       inter AS (SELECT doc_a, doc_b, COUNT(*) AS n_inter
+                 FROM cand JOIN shr sa ON doc_a = sa.doc_id
+                           JOIN shr sb ON doc_b = sb.doc_id AND sa.sh = sb.sh
+                 GROUP BY doc_a, doc_b)
+       SELECT doc_a, doc_b, n_inter, ca.n AS na, cb.n AS nb,
+              CAST(n_inter AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment
+       FROM inter JOIN cnt ca ON doc_a = ca.doc_id
+                  JOIN cnt cb ON doc_b = cb.doc_id
+       WHERE CAST(n_inter AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE)
+             >= ${D.containTau}
+       ORDER BY doc_a, doc_b"""
+
+  /** Edit-distance near-dup: exact Levenshtein verification of the
+    * LSH-blocked candidates, admitted when the distance relative to the
+    * longer text is <= tau. Character-level edit distance is the
+    * strictest verifier (order-sensitive where shingle metrics are
+    * bag-like) and is O(len^2) per pair — affordable ONLY because the
+    * banded blocking bounds the candidate set; running it all-pairs at
+    * corpus scale would be O(N^2 * len^2). Texts join in per-pair AFTER
+    * blocking, so bodies never shuffle during candidate generation.
+    */
+  def dedupEditDistance(s: SparkSession, dir: String): DataFrame =
+    dedupEditDistance(s, dir, D)
+
+  def dedupEditDistance(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    minhashBlocks(s, dir, cfg).cand
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("da.text"), col("db.text")).as("dist"),
+        greatest(length(col("da.text")), length(col("db.text"))).as("mx"))
+      .select(col("doc_a"), col("doc_b"), col("dist"),
+        (col("dist").cast("double") / col("mx").cast("double"))
+          .as("rel_dist"))
+      .filter(col("rel_dist") <= cfg.editRelTau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupEditDistanceSql: String =
+    s"""WITH $sqlMinhashBlockCtes,
+       d AS (SELECT doc_a, doc_b,
+               CAST(levenshtein(da.text, db.text) AS INT) AS dist,
+               greatest(length(da.text), length(db.text)) AS mx
+             FROM cand JOIN documents da ON doc_a = da.doc_id
+                       JOIN documents db ON doc_b = db.doc_id)
+       SELECT doc_a, doc_b, dist,
+              CAST(dist AS DOUBLE) / CAST(mx AS DOUBLE) AS rel_dist
+       FROM d
+       WHERE CAST(dist AS DOUBLE) / CAST(mx AS DOUBLE) <= ${D.editRelTau}
+       ORDER BY doc_a, doc_b"""
+
   /** Shared verification tail: exact Jaccard of candidate pairs from
     * (doc_id, sh) rows. CONTRACT: callers pass per-doc DISTINCT shingle
     * rows (array_distinct before explode) and supply `cnt` = (doc_id,
@@ -389,5 +495,7 @@ object Dedup {
     Q("dedup_simhash", Some(dedupSimhashSql), bench = true)(dedupSimhash),
     Q("dedup_ngram_jaccard", Some(dedupNgramJaccardSql))(dedupNgramJaccard),
     Q("dedup_clusters", Some(dedupClustersSql))(dedupClusters),
+    Q("dedup_containment", Some(dedupContainmentSql))(dedupContainment),
+    Q("dedup_editdist", Some(dedupEditDistanceSql))(dedupEditDistance),
     Q("dedup_embedding_cosine", Some(dedupEmbeddingCosineSql), bench = true)(dedupEmbeddingCosine))
 }

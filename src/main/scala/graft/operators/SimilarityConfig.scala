@@ -39,6 +39,10 @@ final case class SimilarityConfig(
     ngramTau: Double = 0.8,
     /** Embedding-cosine near-dup threshold. */
     embeddingTau: Double = 0.4,
+    /** Containment (|A∩B| / min set size) admission threshold. */
+    containTau: Double = 0.5,
+    /** Max Levenshtein distance relative to the longer text. */
+    editRelTau: Double = 0.1,
     /** IVF coarse-centroid count (corpus-independent). */
     ivfK: Int = 16,
     /** Exact-integer Lloyd refinement iterations. */

@@ -170,6 +170,74 @@ object TextAnalysis {
        FROM r ORDER BY doc_id"""
   }
 
+  // Repetition flag thresholds: the corpus p90 of each signal (a doc in
+  // the top decile of either is flagged).
+  private val RepTopTokTau = 0.14
+  private val RepDupBigramTau = 0.065
+
+  /** Repetition-based quality signals (the Gopher-style filters): the
+    * most frequent token's share of the document and the fraction of
+    * word bigrams that are repeats of an earlier bigram. Boilerplate,
+    * keyword stuffing and template spam all light these up while
+    * length/stopword scores stay normal.
+    *
+    * Shape: two narrow (doc_id, gram) explosions aggregated
+    * independently (map-side partial agg, one shuffle each) joined on
+    * doc_id; ratios divide exact BIGINTs once at the end. The bigram
+    * duplicate count is total - distinct, both riding the same agg.
+    */
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tokStats = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_tokens"), max(col("n")).as("top_tok_cnt"))
+    val biStats = docs
+      .select(col("doc_id"),
+        explode(wordShingles(toks(col("text")), 2)).as("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_uniq_bigrams"))
+    tokStats.join(biStats, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("top_tok_cnt"),
+        (col("top_tok_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("top_tok_frac"),
+        ((col("n_bigrams") - col("n_uniq_bigrams")).cast("double") /
+          col("n_bigrams").cast("double")).as("dup_bigram_frac"))
+      .withColumn("repetitive",
+        col("top_tok_frac") > RepTopTokTau ||
+          col("dup_bigram_frac") > RepDupBigramTau)
+      .orderBy("doc_id")
+  }
+
+  val qualityRepetitionSql: String =
+    s"""WITH t AS (SELECT doc_id, ${sqlToks("text")} AS tk FROM documents),
+       tc AS (SELECT doc_id, tok, COUNT(*) AS n
+              FROM (SELECT doc_id, unnest(tk) AS tok FROM t)
+              GROUP BY doc_id, tok),
+       ts AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                     CAST(MAX(n) AS BIGINT) AS top_tok_cnt
+              FROM tc GROUP BY doc_id),
+       bg AS (SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg
+              FROM (SELECT doc_id, tk,
+                      unnest(generate_series(1, greatest(len(tk) - 1, 1))) AS i
+                    FROM t)),
+       bs AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                     COUNT(DISTINCT bg) AS n_uniq_bigrams
+              FROM bg GROUP BY doc_id)
+       SELECT doc_id, n_tokens, top_tok_cnt,
+              CAST(top_tok_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                AS top_tok_frac,
+              CAST(n_bigrams - n_uniq_bigrams AS DOUBLE)
+                / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
+              (CAST(top_tok_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 > $RepTopTokTau
+               OR CAST(n_bigrams - n_uniq_bigrams AS DOUBLE)
+                 / CAST(n_bigrams AS DOUBLE) > $RepDupBigramTau)
+                AS repetitive
+       FROM ts JOIN bs USING (doc_id) ORDER BY doc_id"""
+
   /** Token counting per source: whitespace tokens vs regex tokens (a
     * BPE-ish `[a-z0-9]+` word/number segmentation).
     */
@@ -214,6 +282,7 @@ object TextAnalysis {
     Q("skill_cooccurrence", Some(skillCooccurrenceSql))(skillCooccurrence),
     Q("lang_id_ngram", Some(langIdNgramSql))(langIdNgram),
     Q("text_quality_score", Some(textQualityScoreSql))(textQualityScore),
+    Q("quality_repetition", Some(qualityRepetitionSql))(qualityRepetition),
     Q("token_count", Some(tokenCountSql))(tokenCount),
     Q("doc_fingerprint", Some(docFingerprintSql))(docFingerprint))
 }

@@ -39,6 +39,31 @@ object Warehouse {
   def writeDim(dim: DataFrame, path: String): Unit =
     dim.coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Write a table bucketed + sorted by its join/aggregation key.
+    *
+    * Bucketing is the 100 TB shuffle eliminator: two tables bucketed by
+    * the same key into the same bucket count join bucket-to-bucket with
+    * NO Exchange on either side — the shuffle is paid ONCE at write
+    * time instead of on every downstream join/groupBy. For a fact table
+    * joined on its key by every dashboard query, this converts the
+    * cluster's dominant recurring cost into a one-time layout cost.
+    * `sortBy` additionally gives sorted bucket files, so the merge join
+    * needs no sort either (one file per bucket per writing task).
+    *
+    * Registered through the session catalog (`saveAsTable`) because
+    * bucket metadata lives in the catalog, not the parquet files; plain
+    * `.parquet(path)` readers see normal files and ignore bucketing.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** Incremental get-or-create for a parquet dimension — the EXACT
     * semantics of the reference's per-row `get_or_create`
     * (insert_to_postgres.py:60-84) done set-based: existing values keep

@@ -30,6 +30,55 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_containment dominates Jaccard on the same candidates") {
+    val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jac")).toMap
+    val rows = Dedup.dedupContainment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.5 && c <= 1.0)
+      assert(r.getAs[Long]("n_inter") <=
+        math.min(r.getAs[Long]("na"), r.getAs[Long]("nb")))
+      // containment >= jaccard always (min-normalized vs union-normalized)
+      jac.get(key).foreach(j => assert(c >= j))
+    }
+    // every Jaccard-admitted pair is containment-admitted (tau_c <= tau_j)
+    jac.keys.foreach(k => assert(rows.exists(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == k)))
+  }
+
+  test("dedup_editdist: verified distances are tiny and symmetric-safe") {
+    val rows = Dedup.dedupEditDistance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val rel = r.getAs[Double]("rel_dist")
+      assert(rel >= 0.0 && rel <= 0.1)
+      assert(r.getAs[Int]("dist") >= 0)
+    }
+  }
+
+  test("quality_repetition: fractions bounded, flag matches its inputs") {
+    val rows = TextAnalysis.qualityRepetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var flagged = 0
+    rows.foreach { r =>
+      val tf = r.getAs[Double]("top_tok_frac")
+      val bf = r.getAs[Double]("dup_bigram_frac")
+      assert(tf > 0.0 && tf <= 1.0 && bf >= 0.0 && bf < 1.0)
+      assert(r.getAs[Long]("top_tok_cnt") <= r.getAs[Long]("n_tokens"))
+      val expect = tf > 0.14 || bf > 0.065
+      assert(r.getAs[Boolean]("repetitive") === expect)
+      if (expect) flagged += 1
+    }
+    // thresholds sit at the corpus p90: the flag must neither be empty
+    // nor fire on everything
+    assert(flagged > 0 && flagged < rows.length)
+  }
+
   test("dedup_clusters: endpoints co-clustered, survivor is the min id") {
     val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))

@@ -108,4 +108,34 @@ class LakeWarehouseSpec extends AnyFunSuite {
     assert(Warehouse.readJdbc(spark, url, "fact_orders", props).count() ===
       fact.count())
   }
+
+  test("bucketed tables join with zero Exchange on either side") {
+    val dir = Files.createTempDirectory("graft_buckets").toFile.getAbsolutePath
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val items = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    Warehouse.writeBucketed(orders, "graft_b_orders", "o_orderkey", 4,
+      Some(s"$dir/orders"))
+    Warehouse.writeBucketed(items, "graft_b_items", "l_orderkey", 4,
+      Some(s"$dir/items"))
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path a fact-fact join takes at scale
+      // (broadcast would mask the bucketing)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_items"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(2000)}")
+      assert(joined.count() === items.count()) // FK join: every item hits
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+      spark.sql("DROP TABLE IF EXISTS graft_b_items")
+    }
+  }
 }

@@ -105,6 +105,34 @@ object Streaming {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("top_users"))
 
+  /** Stream-static enrichment join — the streaming twin of the
+    * fact-dim broadcast join: each micro-batch of events joins the
+    * static customer dimension on the user key. Stream-static equi-joins
+    * are STATELESS (no watermark, no state store): the static side is
+    * (re)broadcast and each batch row passes through once, which is why
+    * this is the canonical shape for attaching dimensions at ingest
+    * instead of paying the join on every downstream query. The static
+    * side re-resolves per batch, so slowly-changing dims pick up updates
+    * between micro-batches.
+    */
+  def enrichStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir).join(
+      broadcast(enrichDim(s, dir)), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"))
+
+  /** Batch twin of [[enrichStream]] (same join over the batch loader). */
+  def enrichBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).join(
+      broadcast(enrichDim(s, dir)), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("segment"))
+
+  private def enrichDim(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+
   /** Drive a streaming DF to completion against an in-memory sink and
     * return the materialized table (test/dev harness; production would
     * `writeStream` to files/Kafka with the same plan).

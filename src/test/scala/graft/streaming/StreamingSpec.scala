@@ -55,6 +55,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.toSet === batchKeys)
   }
 
+  test("stream-static enrichment join equals the batch join, stateless") {
+    val streamDf = Streaming.enrichStream(spark, sf)
+    val out = Streaming.runToMemory(streamDf, "enrich_stream").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[String]("segment")))
+    assert(out.nonEmpty)
+    assert(out.length === out.map(_._1).distinct.length)
+    val batch = Streaming.enrichBatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("user_id"), r.getAs[String]("segment"))).toMap
+    assert(out.length === batch.size)
+    out.foreach { case (id, v) =>
+      assert(batch.get(id).contains(v), s"event $id: stream=$v batch=${batch.get(id)}")
+    }
+    // every event found its dimension row (keys are a subset by data)
+    assert(out.forall(_._2._2 != null))
+  }
+
   test("streaming top-k sketch windows equal the batch sketch") {
     val streamed = Streaming.runToMemory(
       Streaming.topkStream(spark, sf), "topk_stream").collect()

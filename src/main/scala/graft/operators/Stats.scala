@@ -316,8 +316,128 @@ object Stats {
        SELECT event_type, day, x, z, (abs(z) >= 2.0) AS anomaly
        FROM z ORDER BY event_type, day"""
 
+  /** Exact per-group Pearson correlation (quantity vs line revenue)
+    * from exact decimal moments: n, Σx, Σy, Σxy, Σx², Σy² accumulate in
+    * DECIMAL (one shuffle, map-side partials), each moment casts to
+    * double once (correctly rounded — (14,4)-scale products stay far
+    * below 2^53 in the int scale), and r is a fixed sequence of IEEE
+    * ops both engines execute identically. No engine `corr()` — those
+    * accumulate in running doubles whose partial-sum order is
+    * partition-dependent, which breaks both cross-engine parity AND
+    * re-run determinism at scale.
+    */
+  def corrExact(s: SparkSession, dir: String): DataFrame = {
+    val x = decp(col("l_quantity"))
+    val y = decp(col("l_extendedprice"))
+    val m = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"), x.as("x"), y.as("y"))
+      .groupBy("flag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+    m.select(col("flag"), col("n").cast("long").as("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
+      .orderBy("flag")
+  }
+
+  val corrExactSql: String = {
+    val x = sqlDecp("l_quantity")
+    val y = sqlDecp("l_extendedprice")
+    // DuckDB stores DECIMAL(<=18) in int64 and multiplies in-width, so
+    // (14,4)x(14,4) products overflow; widening one operand to (19,4)
+    // forces int128 arithmetic. Same numeric values, scale 8, exact.
+    val xw = "CAST(l_quantity AS DECIMAL(19,4))"
+    val yw = "CAST(l_extendedprice AS DECIMAL(19,4))"
+    s"""WITH m AS (SELECT l_returnflag AS flag,
+                     CAST(COUNT(*) AS DOUBLE) AS n,
+                     ${sqlDsum(x)} AS sx, ${sqlDsum(y)} AS sy,
+                     ${sqlDsum(s"$xw * $yw")} AS sxy,
+                     ${sqlDsum(s"$xw * $xw")} AS sxx,
+                     ${sqlDsum(s"$yw * $yw")} AS syy
+                   FROM lineitem GROUP BY 1)
+       SELECT flag, CAST(n AS BIGINT) AS n,
+              (n * sxy - sx * sy)
+                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+       FROM m ORDER BY flag"""
+  }
+
+  /** Rank-function window suite per market segment: ntile quartile,
+    * percent_rank, cume_dist over customers by balance. Every window
+    * orders with a unique tie-break (custkey) — without it percent_rank
+    * and ntile are partition-order-dependent and no two runs (let alone
+    * engines) agree. Partitioned windows only: parallel per segment.
+    */
+  def windowRankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("bal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), lower(trim(col("c_mktsegment"))).as("seg"),
+        decp(col("c_acctbal")).cast("double").as("bal"))
+      .select(col("seg"), col("c_custkey"), col("bal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("seg", "c_custkey")
+  }
+
+  val windowRankSuiteSql: String =
+    s"""WITH t AS (SELECT c_custkey, lower(trim(c_mktsegment)) AS seg,
+                     CAST(${sqlDecp("c_acctbal")} AS DOUBLE) AS bal
+                   FROM customer)
+       SELECT seg, c_custkey, bal,
+              CAST(NTILE(4) OVER (PARTITION BY seg
+                ORDER BY bal DESC, c_custkey) AS INT) AS quartile,
+              PERCENT_RANK() OVER (PARTITION BY seg
+                ORDER BY bal DESC, c_custkey) AS pct_rank,
+              CUME_DIST() OVER (PARTITION BY seg
+                ORDER BY bal DESC, c_custkey) AS cume
+       FROM t ORDER BY seg, c_custkey"""
+
+  /** Equi-depth (quartile) histogram of order totals: ntile assigns
+    * each row its depth-balanced bin, then one agg per bin — the
+    * data-adaptive complement of [[histogramBins]]' fixed-width bins
+    * (equal mass per bin instead of equal width). The global ntile
+    * window is PARTITIONED by order-year, so the sort spreads; at 100 TB
+    * the exact global quantile cutpoints would come from
+    * [[approxQuantile]]'s sketch instead.
+    */
+  def histogramEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("yr"))
+      .orderBy(col("p"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("yr"),
+        decp(col("o_totalprice")).as("p"), col("o_orderkey"))
+      .withColumn("bin", ntile(4).over(w))
+      .groupBy("yr", "bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("p")).cast("double").as("lo"),
+        max(col("p")).cast("double").as("hi"),
+        dsum(col("p")).as("sum_price"))
+      .orderBy("yr", "bin")
+  }
+
+  val histogramEquidepthSql: String =
+    s"""WITH t AS (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                     ${sqlDecp("o_totalprice")} AS p, o_orderkey
+                   FROM orders),
+       b AS (SELECT yr, p,
+               NTILE(4) OVER (PARTITION BY yr ORDER BY p, o_orderkey) AS bin
+             FROM t)
+       SELECT yr, CAST(bin AS INT) AS bin, COUNT(*) AS n,
+              CAST(MIN(p) AS DOUBLE) AS lo, CAST(MAX(p) AS DOUBLE) AS hi,
+              ${sqlDsum("p")} AS sum_price
+       FROM b GROUP BY yr, bin ORDER BY yr, bin"""
+
   def queries: Seq[Q] = Seq(
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
+    Q("corr_exact", Some(corrExactSql))(corrExact),
+    Q("window_rank_suite", Some(windowRankSuiteSql))(windowRankSuite),
+    Q("histogram_equidepth", Some(histogramEquidepthSql))(histogramEquidepth),
     Q("histogram_bins", Some(histogramBinsSql))(histogramBins),
     Q("gap_fill_ffill", Some(gapFillFfillSql))(gapFillFfill),
     Q("range_join_bucketed", Some(rangeJoinBucketedSql), bench = true)(rangeJoinBucketed),

@@ -4,6 +4,7 @@ import graft.Q
 import graft.functions.Text._
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis suite for training-data curation over `documents`:
@@ -64,6 +65,53 @@ object TextAnalysis {
        SELECT a.skill AS skill_a, b.skill AS skill_b, COUNT(*) AS n
        FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.skill_id < b.skill_id
        GROUP BY 1, 2 ORDER BY n DESC, skill_a, skill_b"""
+
+  /** Top skills per sector — the reference's flagship dashboard shape
+    * (sector drill-down into its dominant skills) as one composed
+    * pipeline: keyword sector classification joined to the
+    * phrase-extracted skills, counted, top-3 per sector by a
+    * partitioned rank window. Catalyst rewrites the rank filter into a
+    * WindowGroupLimit (per-partition top-k pushdown), so only k rows
+    * per sector survive each partial — the window never materializes
+    * the full (sector, skill) ranking.
+    */
+  def topSkillsPerSector(s: SparkSession, dir: String): DataFrame = {
+    val sectors = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("text").contains("spark"), "Data")
+          .when(col("text").contains("stream"), "Streaming")
+          .when(col("text").contains("customer"), "CRM")
+          .when(col("text").contains("vector"), "ML")
+          .otherwise("Autre").as("secteur"))
+    val w = Window.partitionBy(col("secteur"))
+      .orderBy(col("n").desc, col("skill"))
+    SkillExtract.skillExtractPhrase(s, dir)
+      .join(sectors, "doc_id")
+      .groupBy("secteur", "skill")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("secteur", "rk")
+  }
+
+  val topSkillsPerSectorSql: String =
+    s"""WITH m AS (SELECT * FROM (${SkillExtract.skillExtractPhraseSql})),
+       sec AS (SELECT doc_id, CASE
+                 WHEN contains(text, 'spark') THEN 'Data'
+                 WHEN contains(text, 'stream') THEN 'Streaming'
+                 WHEN contains(text, 'customer') THEN 'CRM'
+                 WHEN contains(text, 'vector') THEN 'ML'
+                 ELSE 'Autre' END AS secteur
+               FROM documents),
+       cnt AS (SELECT secteur, skill, COUNT(*) AS n
+               FROM m JOIN sec USING (doc_id)
+               GROUP BY secteur, skill),
+       r AS (SELECT secteur, skill, n,
+               ROW_NUMBER() OVER (PARTITION BY secteur
+                 ORDER BY n DESC, skill) AS rk
+             FROM cnt)
+       SELECT secteur, skill, n, CAST(rk AS INT) AS rk
+       FROM r WHERE rk <= 3 ORDER BY secteur, rk"""
 
   // Stopword marker lists per language for the n-gram/stopword-hit
   // language-ID heuristic. Priority order en > fr > de > es on ties.
@@ -280,6 +328,7 @@ object TextAnalysis {
     Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),
     Q("top_tokens_sketch", None)(topTokensSketch),
     Q("skill_cooccurrence", Some(skillCooccurrenceSql))(skillCooccurrence),
+    Q("top_skills_per_sector", Some(topSkillsPerSectorSql))(topSkillsPerSector),
     Q("lang_id_ngram", Some(langIdNgramSql))(langIdNgram),
     Q("text_quality_score", Some(textQualityScoreSql))(textQualityScore),
     Q("quality_repetition", Some(qualityRepetitionSql))(qualityRepetition),

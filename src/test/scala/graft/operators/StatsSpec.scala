@@ -89,6 +89,69 @@ class StatsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getBoolean(4) === (math.abs(r.getDouble(3)) >= 2.0)))
   }
 
+  test("corr_exact: r in [-1,1] and matches a plain-Scala Pearson") {
+    val rows = Stats.corrExact(spark, sf).collect()
+    assert(rows.length === 3) // A/N/R return flags
+    val raw = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"))
+      .collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val v = r.getAs[Double]("r")
+      assert(v >= -1.0 && v <= 1.0)
+      assert(r.getAs[Long]("n") === raw(r.getAs[String]("flag")).length.toLong)
+      val xs = raw(r.getAs[String]("flag"))
+      val n = xs.length.toDouble
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val syy = xs.map(p => p._2 * p._2).sum
+      val expected = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      // the reference sums doubles (ordering noise); exact-moment r must
+      // sit within float-accumulation distance of it
+      assert(math.abs(v - expected) < 1e-9, s"r=$v expected=$expected")
+    }
+  }
+
+  test("window_rank_suite: quartiles balanced, pct_rank/cume bounded and monotone") {
+    val rows = Stats.windowRankSuite(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("seg")).foreach { case (_, g) =>
+      val byBal = g.sortBy(r => (-r.getAs[Double]("bal"), r.getAs[Long]("c_custkey")))
+      // quartile sizes differ by at most 1; ranks are non-decreasing in order
+      val sizes = byBal.groupBy(_.getAs[Int]("quartile")).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1)
+      byBal.foreach { r =>
+        val pr = r.getAs[Double]("pct_rank")
+        val cd = r.getAs[Double]("cume")
+        assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0 && cd >= pr)
+      }
+      assert(byBal.map(_.getAs[Int]("quartile")).toSeq === byBal.map(_.getAs[Int]("quartile")).toSeq.sorted)
+    }
+  }
+
+  test("histogram_equidepth: bins balanced within 1, ranges ordered, mass conserved") {
+    val rows = Stats.histogramEquidepth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === Tables.orders(spark, sf).count())
+    rows.groupBy(_.getAs[Int]("yr")).foreach { case (_, g) =>
+      val ns = g.map(_.getAs[Long]("n"))
+      assert(ns.max - ns.min <= 1, s"unbalanced bins: ${ns.toSeq}")
+      val sorted = g.sortBy(_.getAs[Int]("bin"))
+      sorted.sliding(2).foreach {
+        // ties may straddle a boundary, so hi(k) == lo(k+1) is legal
+        case Array(a, b) =>
+          assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+        case _ => ()
+      }
+    }
+  }
+
   test("approx_quantile tracks the exact percentiles within GK accuracy") {
     val exact = Stats.percentileGroup(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))

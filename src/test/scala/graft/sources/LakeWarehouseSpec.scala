@@ -84,6 +84,38 @@ class LakeWarehouseSpec extends AnyFunSuite {
       s"no partition pruning in plan:\n$plan")
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    val dir = Files.createTempDirectory("graft_dpp").toFile.getAbsolutePath
+    val fact = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("ym"))
+    Warehouse.writeFactPartitioned(fact, s"$dir/fact", "ym", "o_orderkey")
+    val back = spark.read.parquet(s"$dir/fact")
+
+    // dim knows which periods matter only at RUN time (static pruning
+    // can't see through the join) — DPP injects the dim's ym set into
+    // the fact scan as a runtime partition filter, the mechanism that
+    // keeps a 100 TB date-partitioned fact from full-scanning when a
+    // query joins a filtered calendar/period dimension. The dim needs a
+    // SELECTIVE non-join predicate for the optimizer to plan DPP, so it
+    // carries a tag column filtered at query time.
+    val kept = fact.select(col("ym")).distinct()
+      .collect().map(_.getAs[Int]("ym")).sorted.take(2).toSet
+    fact.select(col("ym")).distinct()
+      .withColumn("tag",
+        when(col("ym").isin(kept.toSeq: _*), "keep").otherwise("skip"))
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("tag") === "keep")
+    val joined = back.join(dim, Seq("ym"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no DPP in plan:\n${plan.take(3000)}")
+    // and the result is still correct
+    assert(joined.count() ===
+      fact.filter(col("ym").isin(kept.toSeq: _*)).count())
+  }
+
   test("JDBC warehouse sink: star frames round-trip through embedded Derby") {
     // Derby ships with Spark (the Hive-metastore driver) — an
     // in-process stand-in for the reference's Postgres warehouse.

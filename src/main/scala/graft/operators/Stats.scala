@@ -197,9 +197,15 @@ object Stats {
     * term-cardinality sized. Deterministic top-k tie-break on term.
     */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    // tf feeds BOTH the scores and the df aggregate; without the
+    // localCheckpoint Catalyst recomputes the branch and the corpus is
+    // scanned+tokenized TWICE (the dedup_clusters lineage-cut pattern;
+    // measured ~10% here at sf0.1, and the saving is a full corpus pass
+    // so it grows with scale)
     val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score = col("tf").cast("double") / col("df").cast("double")
     val w = Window.partitionBy(col("doc_id"))

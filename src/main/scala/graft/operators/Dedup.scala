@@ -77,6 +77,15 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(
           wordShingles(toks(col("text")), cfg.shingleWidth))).as("sh"))
+    // NOTE (measured): localCheckpoint(shr) — to stop verify re-deriving
+    // the shingle rows — regressed every best-of-3 percentile by
+    // ~0.4-0.5 s at sf0.1 (JIT noise is ~±0.3 s, the shift was
+    // consistent): shr is a pre-shuffle exploded stream, cheap to
+    // recompute inside codegen but expensive to materialize and re-read
+    // 3x. The checkpoint pattern pays off only for compact
+    // POST-aggregation frames (see Stats.tfidfTopTerms); recompute wins
+    // for wide streaming passes (same lesson as SURVEY §7a's
+    // persist()/semi-filter rejections).
     // k minhashes from k/4 md5 evaluations: each salted md5's 32 hex
     // chars split into four disjoint 8-char (32-bit) lanes; hex strings
     // compare lexicographically as unsigned integers, so min-per-lane

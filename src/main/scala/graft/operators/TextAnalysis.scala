@@ -50,6 +50,13 @@ object TextAnalysis {
     * doc_id — narrow after the phrase-match dedup.
     */
   def skillCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    // NOTE (measured): localCheckpoint(m) is a no-op here (1.46 vs
+    // 1.52 s best-of-3, noise). The self-join does recompute the
+    // extract chain (two corpus scans in the plan), but that chain is
+    // cheap codegen work (split+explode+broadcast-join — no md5), so
+    // the recompute ~equals the checkpoint's materialize+re-read. The
+    // tf-frame checkpoint rule needs an EXPENSIVE shared chain
+    // (Stats.tfidfTopTerms' corpus tokenize+agg) to pay off.
     val m = SkillExtract.skillExtractPhrase(s, dir)
       .select(col("doc_id"), col("skill"), col("skill_id"))
     m.as("a").join(m.as("b"),

@@ -291,6 +291,96 @@ object Curation {
                    ELSE 'train' END AS split
        FROM documents ORDER BY doc_id"""
 
+  /** Per-quality-bucket admission rates as 16-bit hex thresholds:
+    * keep all 'good' docs, half of 'ok', 1/8 of 'low'.
+    */
+  private val QualityRates =
+    Seq("good" -> "ffff", "ok" -> "8000", "low" -> "2000")
+
+  /** Quality-weighted sampling: admission probability depends on the
+    * document's quality bucket — the curation move that up-weights
+    * high-quality text in the training mix without hard-dropping the
+    * tail. Same hash-threshold determinism as [[sampleStratified]]
+    * (map-side, no RNG, oracle-replayable); the quality signal is
+    * [[TextAnalysis.textQualityScore]]'s bucket, so the whole operator
+    * is one projection pipeline over the corpus scan.
+    */
+  def sampleQualityWeighted(s: SparkSession, dir: String): DataFrame = {
+    val tk = toks(col("text"))
+    val en = TextAnalysis.Stop(0)._2
+    val bucket = substring(
+      md5(concat(lit("qw:"), col("doc_id").cast("string"))), 1, 4)
+    val thr = QualityRates.foldLeft(lit("0000")) { case (acc, (q, t)) =>
+      when(col("quality") === q, t).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(tk).as("n_tokens"),
+        (size(filter(tk, t => array_contains(array(en.map(lit): _*), t)))
+          .cast("double") / size(tk).cast("double")).as("stop_ratio"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 40 && col("stop_ratio") < 0.2, "good")
+          .when(col("n_tokens") >= 15, "ok")
+          .otherwise("low"))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < thr)
+      .select(col("doc_id"), col("quality"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val sampleQualityWeightedSql: String = {
+    val arr = TextAnalysis.Stop(0)._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    val thr = QualityRates
+      .map { case (q, t) => s"WHEN quality = '$q' THEN '$t'" }
+      .mkString("CASE ", " ", " ELSE '0000' END")
+    s"""WITH f AS (
+         SELECT doc_id, len(tk) AS n_tokens,
+                CAST(len(list_filter(tk, t -> list_contains($arr, t))) AS DOUBLE)
+                  / CAST(len(tk) AS DOUBLE) AS stop_ratio
+         FROM (SELECT doc_id, ${sqlToks("text")} AS tk FROM documents)),
+       q AS (
+         SELECT doc_id,
+           CASE WHEN n_tokens >= 40 AND stop_ratio < 0.2 THEN 'good'
+                WHEN n_tokens >= 15 THEN 'ok' ELSE 'low' END AS quality,
+           substr(md5('qw:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bucket
+         FROM f)
+       SELECT doc_id, quality, bucket FROM q
+       WHERE bucket < $thr ORDER BY doc_id"""
+  }
+
+  /** Sharded-export report: every document lands in a deterministic
+    * shard (a uniform hex digit of its salted md5 — one digit = 16
+    * shards; k digits would give 16^k), with per-shard doc and token
+    * mass. Shards balance within sampling noise no matter how the
+    * corpus is partitioned. This is the layout step before writing N
+    * training files: at cluster scale the same expression feeds
+    * `repartition(col("shard"))` + a partitioned write so each shard is
+    * one task's single file ([[graft.sources.Warehouse]] alignment
+    * rule). Hex digit -> int goes through a position lookup in the hex
+    * alphabet — portable string arithmetic, no engine-specific hex
+    * parsing.
+    */
+  def exportShards(s: SparkSession, dir: String): DataFrame = {
+    val shard = expr(
+      """CAST(locate(substring(md5(CONCAT('shard:', CAST(doc_id AS STRING))), 4, 1),
+                     '0123456789abcdef') - 1 AS INT)""")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("t"),
+        shard.as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"))
+      .orderBy("shard")
+  }
+
+  val exportShardsSql: String =
+    s"""WITH t AS (SELECT doc_id,
+                     CAST(len(${sqlToks("text")}) AS BIGINT) AS t,
+                     CAST(strpos('0123456789abcdef',
+                       substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1
+                       AS INT) AS shard
+                   FROM documents)
+       SELECT shard, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS sum_tokens
+       FROM t GROUP BY shard ORDER BY shard"""
+
   def queries: Seq[Q] = Seq(
     Q("sample_stratified", Some(sampleStratifiedSql))(sampleStratified),
     Q("sample_per_source_cap", Some(samplePerSourceCapSql))(samplePerSourceCap),
@@ -299,5 +389,7 @@ object Curation {
     Q("pack_sequences", Some(packSequencesSql))(packSequences),
     Q("token_budget_mix", Some(tokenBudgetMixSql))(tokenBudgetMix),
     Q("decontaminate_overlap", Some(decontaminateOverlapSql))(decontaminateOverlap),
-    Q("dataset_split_hash", Some(datasetSplitHashSql))(datasetSplitHash))
+    Q("dataset_split_hash", Some(datasetSplitHashSql))(datasetSplitHash),
+    Q("sample_quality_weighted", Some(sampleQualityWeightedSql))(sampleQualityWeighted),
+    Q("export_shards", Some(exportShardsSql))(exportShards))
 }

@@ -79,6 +79,34 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(flagged > 0 && flagged < rows.length)
   }
 
+  test("sample_quality_weighted: rates ordered good >= ok >= low, good kept fully") {
+    val quality = TextAnalysis.textQualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("quality")).toMap
+    val kept = Curation.sampleQualityWeighted(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("quality")).toMap
+    assert(kept.nonEmpty)
+    // the sampler's inline quality recomputation must agree with the
+    // registered quality operator
+    kept.foreach { case (id, q) => assert(quality(id) === q) }
+    val totals = quality.values.groupBy(identity).view.mapValues(_.size)
+    val keptBy = kept.values.groupBy(identity).view.mapValues(_.size)
+    def rate(q: String): Double =
+      keptBy.getOrElse(q, 0).toDouble / totals.getOrElse(q, 1).toDouble
+    assert(rate("good") === 1.0) // ffff threshold admits everything
+    if (totals.getOrElse("ok", 0) >= 20)
+      assert(rate("ok") > 0.3 && rate("ok") < 0.7)
+    assert(rate("good") >= rate("ok") && rate("ok") >= rate("low"))
+  }
+
+  test("export_shards: all 16 shards hit, mass conserved, balanced") {
+    val rows = Curation.exportShards(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("shard")).toSet === (0 until 16).toSet)
+    val nDocs = rows.map(_.getAs[Long]("n_docs"))
+    assert(nDocs.sum === graft.sources.Tables.documents(spark, sf).count())
+    // uniform hash digit: no shard more than 3x the smallest at n=500
+    assert(nDocs.max <= 3 * nDocs.min, s"unbalanced: ${nDocs.toSeq}")
+  }
+
   test("dedup_clusters: endpoints co-clustered, survivor is the min id") {
     val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partitioning-independence: the engine's central numeric claim is
+  * that every result is BIT-identical under any physical execution —
+  * that is what makes results reproducible across cluster re-runs,
+  * executor counts, and AQE decisions at 100 TB. Running each query
+  * under different shuffle partition counts changes partial-aggregation
+  * grouping and merge order; exact decimal/integer accumulation means
+  * the collected rows must not move by an ulp. (Row.toString prints
+  * doubles via Double.toString, whose shortest-roundtrip form is
+  * injective on bits for non-NaN values — string equality here IS bit
+  * equality.)
+  */
+class DeterminismSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  // double-producing queries whose accumulation order a shuffle width
+  // change would perturb if anything ran in floating point
+  private val names = Seq(
+    "corr_exact", "anomaly_zscore", "tfidf_top_terms",
+    "quality_repetition", "token_budget_mix", "dedup_minhash_lsh",
+    "q1_agg", "window_rank_suite")
+
+  names.foreach { n =>
+    test(s"$n is bit-identical under different shuffle partitioning") {
+      val q = Registry.byName(n)
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        val a = q.fn(spark, sf).collect().map(_.toString).toSeq
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = q.fn(spark, sf).collect().map(_.toString).toSeq
+        assert(a.nonEmpty)
+        assert(a === b)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+}

@@ -105,6 +105,39 @@ object Streaming {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("top_users"))
 
+  /** Stream-stream interval join — the streaming twin of
+    * `range_join_bucketed`'s blast-radius query: pair every 'error'
+    * event with the events in the hour after it, as the pairs arrive.
+    * Structured Streaming requires an EQUALITY predicate on
+    * stream-stream joins (state is keyed by it), so the same time-bucket
+    * rewrite the batch operator uses for shuffle locality serves here as
+    * the state key: intervals explode to their <= 2 covering hour
+    * buckets, probes carry their bucket, the exact range predicate
+    * verifies. Both sides carry watermarks and the join condition bounds
+    * event-time distance, so buffered state evicts once the watermark
+    * passes an interval's end — O(events per horizon) state, which is
+    * what lets the join run indefinitely. Emits raw pairs (append-mode
+    * safe); per-interval aggregation happens downstream as in batch.
+    */
+  def rangeJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val W = 3600000000L // 1 h in micros — bucket width == interval length
+    val iv = eventsStream(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("iv_id"), col("ts").as("iv_ts"))
+      .withWatermark("iv_ts", "1 hour")
+      .withColumn("b", explode(array_distinct(array(
+        expr(s"unix_micros(iv_ts) div ${W}L"),
+        expr(s"(unix_micros(iv_ts) + ${W}L - 1) div ${W}L")))))
+    val pr = eventsStream(s, dir)
+      .select(col("event_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .withColumn("b", expr(s"unix_micros(ts) div ${W}L"))
+    iv.join(pr, iv("b") === pr("b") &&
+        expr("ts >= iv_ts AND ts < iv_ts + INTERVAL 1 HOUR"))
+      .select(col("iv_id"), col("event_id"),
+        unix_micros(col("iv_ts")).as("iv_us"), unix_micros(col("ts")).as("us"))
+  }
+
   /** Stream-static enrichment join — the streaming twin of the
     * fact-dim broadcast join: each micro-batch of events joins the
     * static customer dimension on the user key. Stream-static equi-joins

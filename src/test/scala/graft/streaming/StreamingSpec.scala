@@ -55,6 +55,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(keys.toSet === batchKeys)
   }
 
+  test("stream-stream interval join emits exactly the batch interval pairs") {
+    val out = Streaming.runToMemory(
+      Streaming.rangeJoinStream(spark, sf), "range_stream").collect()
+      .map(r => (r.getAs[Long]("iv_id"), r.getAs[Long]("event_id"))).toSet
+    assert(out.nonEmpty)
+    // batch definition of the same pairs (the range_join_bucketed
+    // pre-aggregation relation)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val iv = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("iv_id"), col("ts").as("iv_ts"))
+    val batch = iv.join(ev.select(col("event_id"), col("ts")),
+        expr("ts >= iv_ts AND ts < iv_ts + INTERVAL 1 HOUR"))
+      .select(col("iv_id"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === batch)
+  }
+
   test("stream-static enrichment join equals the batch join, stateless") {
     val streamDf = Streaming.enrichStream(spark, sf)
     val out = Streaming.runToMemory(streamDf, "enrich_stream").collect()

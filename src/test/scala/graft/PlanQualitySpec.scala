@@ -58,17 +58,58 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("tfidf: documents scan pruned to id and text") {
-    val p = plan(operators.Stats.tfidfTopTerms(spark, sf))
-    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
-    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
-      s"unpruned scan: $readSchema")
+  test("tfidf: single corpus pass — the df branch reads the tf checkpoint, not parquet") {
+    val df = operators.Stats.tfidfTopTerms(spark, sf)
+    val p = plan(df)
+    // the corpus scan happened ONCE while materializing the tf
+    // checkpoint; the final plan (tf scores x df agg) must read the
+    // checkpointed rows on both branches and never re-scan documents
+    assert(!p.contains("documents.parquet"), s"df branch re-scans the corpus:\n${p.take(2000)}")
+    assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"), p.take(2000))
+    // and the checkpointed frame carries only (doc_id, term, tf) — the
+    // pruning property, enforced structurally
+    assert(df.queryExecution.analyzed.collectLeaves()
+      .forall(_.output.map(_.name).toSet.subsetOf(Set("doc_id", "term", "tf"))))
   }
 
   test("asof_join_native: custom exec, no window machinery, no union") {
     val p = plan(operators.Temporal.asofJoinNative(spark, sf))
     assert(p.contains("AsOfJoin"), p.take(2000))
     assert(!p.contains("Window") && !p.contains("Union"), p.take(2000))
+  }
+
+  // Queries whose plan legitimately contains a nested-loop/cartesian
+  // node, each BOUNDED by construction (never corpus x corpus):
+  //  - dedup_embedding_cosine: the declared exact all-pairs baseline
+  //  - ann_*: query set hard-capped at 100 / centroids capped at IvfK,
+  //    both broadcast
+  //  - gap_fill_ffill: event-type set x calendar days spine
+  //  - token_budget_mix: corpus agg x broadcast 1-row total
+  private val BoundedProductQueries = Set(
+    "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_topk_lsh",
+    "ann_topk_ivf", "ann_recall_lsh", "gap_fill_ffill", "token_budget_mix")
+
+  test("no unbounded cartesian/nested-loop join in any registered query") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // a product join input is safe iff it is corpus-free or
+    // aggregate-compacted (bounded cardinality regardless of data size)
+    // — e.g. Keys.denseIds' bucket-offset self-join joins two tiny
+    // aggregates; an all-pairs join over raw rows is not
+    def safeSide(p: SparkPlan): Boolean =
+      p.find(_.isInstanceOf[BaseAggregateExec]).nonEmpty ||
+        !p.toString.contains("Scan parquet")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!BoundedProductQueries(name)) {
+        val prods = fn(spark, sf).queryExecution.sparkPlan.collect {
+          case j: BroadcastNestedLoopJoinExec => j.children
+          case j: CartesianProductExec => j.children
+        }.flatten
+        prods.foreach(side => assert(safeSide(side),
+          s"$name: product join over a raw corpus-scale input"))
+      }
+    }
   }
 
   test("no unpartitioned (single-task) window in any registered query") {

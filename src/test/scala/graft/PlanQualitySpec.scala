@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Analytics, StarSchema}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regressions: the properties §6 promises (pushdown,
@@ -109,6 +110,37 @@ class PlanQualitySpec extends AnyFunSuite {
         prods.foreach(side => assert(safeSide(side),
           s"$name: product join over a raw corpus-scale input"))
       }
+    }
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // at 100 TB a selectively-filtered dim joined to a fact over a
+    // shuffle should ship only fact rows that can match: Spark's
+    // runtime bloom-filter injection builds a bloom from the filtered
+    // side and applies might_contain to the fact scan. Local datasets
+    // sit under the 10 GB application-side default, so the spec lowers
+    // the threshold to observe the mechanism.
+    val conf = spark.conf
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val thrKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val prevT = conf.get(thrKey)
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set(thrKey, "0")
+      val li = graft.sources.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity")
+      val ord = graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${p.take(2000)}")
+      assert(j.count() > 0)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set(thrKey, prevT)
     }
   }
 

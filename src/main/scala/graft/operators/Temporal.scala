@@ -87,6 +87,42 @@ object Temporal {
          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
        ORDER BY event_id"""
 
+  /** As-of tolerance: 8400 days in micros (the corpus' event-to-order
+    * gaps run ~8200-8800 days, so the bound genuinely splits matches).
+    */
+  private val TolUs = 8400L * 86400L * 1000000L
+
+  /** As-of join with a TOLERANCE bound (pandas merge_asof / kdb wj
+    * semantics): the latest order at-or-before the event matches only
+    * if it is within the tolerance window; staler state is treated as
+    * no match. Composes the plain as-of (the latest candidate has the
+    * smallest gap, so "latest within tolerance" ≡ "latest, if within
+    * tolerance") — one extra map-side conditional, no new shuffle. The
+    * oracle can't extend DuckDB's ASOF JOIN (one inequality only), so
+    * it uses the explicit left-join + rank form.
+    */
+  def asofJoinTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ok = col("o_t_us").isNotNull && col("ts_us") - col("o_t_us") <= TolUs
+    asofJoin(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        when(ok, col("o_orderkey")).as("o_orderkey"),
+        when(ok, col("o_t_us")).as("o_t_us"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinToleranceSql: String =
+    s"""WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                    FROM orders GROUP BY 1, 2),
+       m AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+               o.o_orderkey, epoch_us(o.o_orderdate) AS o_t_us,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+             FROM events e LEFT JOIN od o ON e.user_id = o.o_custkey
+               AND o.o_orderdate <= e.ts
+               AND epoch_us(e.ts) - epoch_us(o.o_orderdate) <= $TolUs)
+       SELECT event_id, user_id, ts_us, o_orderkey, o_t_us
+       FROM m WHERE rn = 1 ORDER BY event_id"""
+
   /** Session gap threshold: 30 minutes, in microseconds. */
   private val GapUs = 1800L * 1000000L
 
@@ -151,6 +187,7 @@ object Temporal {
   def queries: Seq[Q] = Seq(
     Q("asof_join", Some(asofJoinSql), bench = true)(asofJoin),
     Q("asof_join_native", Some(asofJoinSql), bench = true)(asofJoinNative),
+    Q("asof_join_tolerance", Some(asofJoinToleranceSql))(asofJoinTolerance),
     Q("sessionize", Some(sessionizeSql), bench = true)(sessionize),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly))
 }

@@ -172,6 +172,31 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("asof_join_tolerance nulls exactly the beyond-tolerance matches") {
+    val tol = 8400L * 86400L * 1000000L
+    val plain = Temporal.asofJoin(spark, sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Any]("o_orderkey")), Option(r.getAs[Any]("o_t_us"))))
+      .toMap
+    val rows = Temporal.asofJoinTolerance(spark, sf).collect()
+    assert(rows.length === plain.size)
+    var matched = 0; var nulled = 0
+    rows.foreach { r =>
+      val (pk, pt) = plain(r.getAs[Long]("event_id"))
+      val inTol = pt.exists(t =>
+        r.getAs[Long]("ts_us") - t.asInstanceOf[Long] <= tol)
+      if (inTol) {
+        matched += 1
+        assert(Option(r.getAs[Any]("o_orderkey")) === pk)
+      } else {
+        nulled += 1
+        assert(r.isNullAt(r.fieldIndex("o_orderkey")))
+        assert(r.isNullAt(r.fieldIndex("o_t_us")))
+      }
+    }
+    assert(matched > 0 && nulled > 0, s"tolerance bound doesn't split: $matched/$nulled")
+  }
+
   test("sessionize: sessions ordered, gap-separated, events conserved") {
     val rows = Temporal.sessionize(spark, sf).collect()
     val nEvents = rows.map(_.getAs[Long]("n_events")).sum

@@ -123,6 +123,92 @@ object Temporal {
        SELECT event_id, user_id, ts_us, o_orderkey, o_t_us
        FROM m WHERE rn = 1 ORDER BY event_id"""
 
+  /** FORWARD as-of join (pandas merge_asof direction='forward'): for
+    * each order, the customer's EARLIEST event at-or-after the order
+    * date — "first activity after the order". The same tagged-union
+    * single-sort shape as [[asofJoin]] run in reverse time order, with
+    * `last(ignoreNulls)` carrying the next event backward onto order
+    * rows; events tag-sort before orders at timestamp ties (an event at
+    * exactly t matches). Customers outside the event population yield
+    * honest no-match rows.
+    */
+  def asofJoinForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+        col("event_id"), lit(null).cast("long").as("okey"), lit(0).as("tag"))
+    val od = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(min(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey").as("okey"),
+        lit(1).as("tag"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t").desc, col("tag"), col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(od)
+      .select(col("k"), col("t"), col("okey"), col("tag"),
+        last(col("event_id"), ignoreNulls = true).over(w).as("event_id"),
+        when(last(col("event_id"), ignoreNulls = true).over(w).isNotNull,
+          last(when(col("tag") === 0, col("t")), ignoreNulls = true).over(w))
+          .as("ev_t_us"))
+      .filter(col("tag") === 1)
+      .select(col("okey").as("o_orderkey"), col("k").as("o_custkey"),
+        col("t").as("o_t_us"), col("event_id"), col("ev_t_us"))
+      .orderBy("o_orderkey")
+  }
+
+  val asofJoinForwardSql: String =
+    """WITH od AS (SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
+                   FROM orders GROUP BY 1, 2),
+       m AS (SELECT od.o_orderkey, od.o_custkey,
+               epoch_us(od.o_orderdate) AS o_t_us,
+               e.event_id, epoch_us(e.ts) AS ev_t_us,
+               ROW_NUMBER() OVER (PARTITION BY od.o_orderkey
+                 ORDER BY e.ts ASC, e.event_id ASC) AS rn
+             FROM od LEFT JOIN events e ON e.user_id = od.o_custkey
+               AND e.ts >= od.o_orderdate)
+       SELECT o_orderkey, o_custkey, o_t_us, event_id, ev_t_us
+       FROM m WHERE rn = 1 ORDER BY o_orderkey"""
+
+  /** Time-weighted average of `value` per user (the kdb/Influx `twa`):
+    * each observation is weighted by how long it was current — the
+    * honest mean of an irregularly-sampled signal, where the arithmetic
+    * mean over-weights bursts. Weights are exact integer microsecond
+    * durations (lead over one partitioned sort), products accumulate in
+    * DECIMAL, and the single division happens at the end — bit-portable
+    * like every other aggregate here. The last observation per user
+    * carries zero weight (nothing is known after it).
+    */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        decp(col("value")).as("v"), col("event_id"))
+      .withColumn("dur",
+        coalesce(lead(col("t"), 1).over(w) - col("t"), lit(0L)))
+      .groupBy("user_id")
+      .agg(
+        (sum(col("v") * col("dur").cast("decimal(19,0)")).cast("double") /
+          sum(col("dur")).cast("double")).as("twa"),
+        sum(col("dur")).as("span_us"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val timeWeightedAvgSql: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+                     ${sqlDecp("value")} AS v, event_id
+                   FROM events),
+       d AS (SELECT user_id, v,
+               COALESCE(LEAD(t, 1) OVER (PARTITION BY user_id
+                 ORDER BY t, event_id) - t, 0) AS dur
+             FROM e)
+       SELECT user_id,
+              CAST(CAST(SUM(v * CAST(dur AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) AS twa,
+              CAST(SUM(dur) AS BIGINT) AS span_us, COUNT(*) AS n_events
+       FROM d GROUP BY user_id ORDER BY user_id"""
+
   /** Session gap threshold: 30 minutes, in microseconds. */
   private val GapUs = 1800L * 1000000L
 
@@ -188,6 +274,8 @@ object Temporal {
     Q("asof_join", Some(asofJoinSql), bench = true)(asofJoin),
     Q("asof_join_native", Some(asofJoinSql), bench = true)(asofJoinNative),
     Q("asof_join_tolerance", Some(asofJoinToleranceSql))(asofJoinTolerance),
+    Q("asof_join_forward", Some(asofJoinForwardSql))(asofJoinForward),
+    Q("time_weighted_avg", Some(timeWeightedAvgSql))(timeWeightedAvg),
     Q("sessionize", Some(sessionizeSql), bench = true)(sessionize),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly))
 }

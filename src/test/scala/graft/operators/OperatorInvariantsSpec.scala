@@ -197,6 +197,58 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(matched > 0 && nulled > 0, s"tolerance bound doesn't split: $matched/$nulled")
   }
 
+  test("asof_join_forward equals the naive earliest-at-or-after match") {
+    import graft.sources.Tables
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val rows = Temporal.asofJoinForward(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var matched = 0; var unmatched = 0
+    rows.foreach { r =>
+      val cands = events.get(r.getAs[Long]("o_custkey")).map(_.toSeq)
+        .getOrElse(Seq.empty)
+        .filter(_._2 >= r.getAs[Long]("o_t_us"))
+      if (cands.isEmpty) {
+        unmatched += 1
+        assert(r.isNullAt(r.fieldIndex("event_id")))
+      } else {
+        matched += 1
+        val best = cands.minBy(c => (c._2, c._3))
+        assert(r.getAs[Long]("ev_t_us") === best._2)
+        assert(r.getAs[Long]("event_id") === best._3)
+      }
+    }
+    // the corpus has customers with and without events: both paths hit
+    assert(matched > 0 && unmatched > 0)
+  }
+
+  test("time_weighted_avg sits within each user's value range, spans match") {
+    import graft.sources.Tables
+    val bounds = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("span"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+          r.getAs[Long]("span"), r.getAs[Long]("n"))).toMap
+    val rows = Temporal.timeWeightedAvg(spark, sf).collect()
+    assert(rows.length === bounds.size)
+    rows.foreach { r =>
+      val (lo, hi, span, n) = bounds(r.getAs[Long]("user_id"))
+      val twa = r.getAs[Double]("twa")
+      // a weighted mean cannot escape the sample range
+      assert(twa >= lo - 1e-9 && twa <= hi + 1e-9, s"twa=$twa not in [$lo,$hi]")
+      // total weight = last-minus-first timestamp (zero-weight tail)
+      assert(r.getAs[Long]("span_us") === span)
+      assert(r.getAs[Long]("n_events") === n)
+    }
+  }
+
   test("sessionize: sessions ordered, gap-separated, events conserved") {
     val rows = Temporal.sessionize(spark, sf).collect()
     val nEvents = rows.map(_.getAs[Long]("n_events")).sum

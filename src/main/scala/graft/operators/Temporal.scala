@@ -209,6 +209,47 @@ object Temporal {
               CAST(SUM(dur) AS BIGINT) AS span_us, COUNT(*) AS n_events
        FROM d GROUP BY user_id ORDER BY user_id"""
 
+  /** [[asofJoinTolerance]] through the custom AsOfJoinExec (tolerance
+    * evaluated inside the merge pass — no post-filter pass; same
+    * oracle, the two implementations gate each other).
+    */
+  def asofJoinToleranceNative(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey").as("k"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_t_us"),
+        col("o_orderkey"))
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    graft.plans.AsOfJoinPlan.asof(ev, od, "user_id", "k", "ts_us", "o_t_us",
+      toleranceUs = Some(TolUs))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("o_orderkey"), col("o_t_us"))
+      .orderBy("event_id")
+  }
+
+  /** [[asofJoinForward]] through the custom AsOfJoinExec
+    * (`forward = true`: both sides merge in descending time order and
+    * the candidate rule flips to earliest-at-or-after).
+    */
+  def asofJoinForwardNative(s: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(min(col("o_orderkey")).as("o_orderkey"))
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_t_us"),
+        col("o_orderkey"))
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id").as("uid"),
+        unix_micros(col("ts")).as("ev_t_us"))
+    graft.plans.AsOfJoinPlan.asof(od, ev, "o_custkey", "uid",
+      "o_t_us", "ev_t_us", forward = true)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_t_us"),
+        col("event_id"), col("ev_t_us"))
+      .orderBy("o_orderkey")
+  }
+
   /** Session gap threshold: 30 minutes, in microseconds. */
   private val GapUs = 1800L * 1000000L
 
@@ -275,6 +316,8 @@ object Temporal {
     Q("asof_join_native", Some(asofJoinSql), bench = true)(asofJoinNative),
     Q("asof_join_tolerance", Some(asofJoinToleranceSql))(asofJoinTolerance),
     Q("asof_join_forward", Some(asofJoinForwardSql))(asofJoinForward),
+    Q("asof_join_tolerance_native", Some(asofJoinToleranceSql))(asofJoinToleranceNative),
+    Q("asof_join_forward_native", Some(asofJoinForwardSql))(asofJoinForwardNative),
     Q("time_weighted_avg", Some(timeWeightedAvgSql))(timeWeightedAvg),
     Q("sessionize", Some(sessionizeSql), bench = true)(sessionize),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly))

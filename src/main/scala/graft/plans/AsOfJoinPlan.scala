@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -42,7 +42,9 @@ case class AsOfJoinNode(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    toleranceUs: Option[Long] = None,
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -61,6 +63,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinNode =>
       AsOfJoinExec(j.leftKeys, j.rightKeys, j.leftTime, j.rightTime,
+        j.toleranceUs, j.forward,
         planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
@@ -78,6 +81,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    toleranceUs: Option[Long],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan)
   extends BinaryExecNode {
@@ -88,9 +93,14 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // direction = the TIME sort order both sides arrive in: ascending for
+  // backward (latest <=), descending for forward (earliest >=) — the
+  // merge pass below is direction-agnostic given the flipped comparison
+  private def timeDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, timeDir))
 
   /** One output row per left row, in the left child's order/partitions. */
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -103,6 +113,8 @@ case class AsOfJoinExec(
     val rKeyExprs = rightKeys
     val lTimeExpr = leftTime
     val rTimeExpr = rightTime
+    val tol = toleranceUs
+    val fwd = forward
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
@@ -117,6 +129,7 @@ case class AsOfJoinExec(
       // only same-key consumes copy; stale-key rows are drained in place.
       var matchKey: UnsafeRow = null
       var matchRow: InternalRow = null
+      var matchTime = 0L // valid only when tol is set (LongType enforced)
       lIt.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lTim = lTimeProj(lRow)
@@ -132,10 +145,15 @@ case class AsOfJoinExec(
               rBuf.next() // stale key: no future left row can match it
             } else {
               val rTim = rTimeProj(rBuf.head)
+              // in forward mode both sides scan time-DESCENDING and the
+              // candidate rule flips: advance while rTim >= lTim, the
+              // last copy = earliest right row at-or-after lTim
+              val cmp = timeOrd.compare(rTim, lTim)
               if (rTim.anyNull) {
                 rBuf.next() // null time never matches
-              } else if (timeOrd.compare(rTim, lTim) <= 0) {
+              } else if (if (fwd) cmp >= 0 else cmp <= 0) {
                 matchKey = rKey.copy()
+                if (tol.isDefined) matchTime = rTim.getLong(0)
                 matchRow = rBuf.next().copy()
               } else {
                 done = true // first same-key row beyond lTime: stop
@@ -144,7 +162,12 @@ case class AsOfJoinExec(
           }
         }
         val hit = matchRow != null && !lKey.anyNull && !lTim.anyNull &&
-          keyOrd.compare(matchKey, lKey) == 0
+          keyOrd.compare(matchKey, lKey) == 0 &&
+          tol.forall { t =>
+            val gap = if (fwd) matchTime - lTim.getLong(0)
+                      else lTim.getLong(0) - matchTime
+            gap <= t
+          }
         joined(lRow, if (hit) matchRow else nullRight)
       }
     }
@@ -169,13 +192,19 @@ object AsOfJoinPlan {
     }
   }
 
-  /** As-of join `left` to `right`: for each left row, the right row with
-    * the same key and the greatest `rightTime <= leftTime` (left outer).
+  /** As-of join `left` to `right` (left outer): for each left row, the
+    * right row with the same key and — backward (default) — the
+    * greatest `rightTime <= leftTime`, or — `forward = true` — the
+    * smallest `rightTime >= leftTime`. `toleranceUs` bounds the match's
+    * time gap (pandas merge_asof tolerance; requires LongType time
+    * columns); a latest/earliest candidate beyond it yields no match.
     * Column-name API; both frames keep all their columns.
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           toleranceUs: Option[Long] = None,
+           forward: Boolean = false): DataFrame = {
     val s = left.sparkSession
     ensureStrategy(s)
     val lPlan = left.queryExecution.analyzed
@@ -184,8 +213,16 @@ object AsOfJoinPlan {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${p.output.map(_.name).mkString(", ")}"))
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    if (toleranceUs.isDefined) {
+      require(lt.dataType == org.apache.spark.sql.types.LongType &&
+        rt.dataType == org.apache.spark.sql.types.LongType,
+        "toleranceUs requires LongType (epoch micros) time columns")
+      require(toleranceUs.get >= 0, "tolerance must be non-negative")
+    }
     PlanBridge.ofRows(s, AsOfJoinNode(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+      lt, rt, toleranceUs, forward))
   }
 }

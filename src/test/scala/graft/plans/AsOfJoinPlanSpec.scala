@@ -65,6 +65,42 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("tolerance and forward modes equal plain-Scala on generated inputs") {
+    val leftGen = for {
+      k <- Gen.choose(0L, 6L)
+      t <- Gen.choose(0L, 30L)
+    } yield (k, t)
+    val rightGen = for {
+      k <- Gen.choose(0L, 4L)
+      t <- Gen.choose(0L, 30L)
+    } yield (k, t)
+    val lefts = sample(leftGen, 300).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }
+    val rights = sample(rightGen, 100).distinct
+      .map { case (k, t) => (k, t, k * 1000 + t) }
+    val lDf = lefts.toDF("lid", "k", "t")
+    val rDf = rights.toDF("rk", "rt", "payload")
+
+    def run(tol: Option[Long], fwd: Boolean) =
+      AsOfJoinPlan.asof(lDf, rDf, "k", "rk", "t", "rt", tol, fwd)
+        .select("lid", "payload").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    for (tol <- Seq(Some(0L), Some(3L), Some(100L)); fwd <- Seq(false, true)) {
+      val got = run(tol, fwd)
+      lefts.foreach { case (lid, k, t) =>
+        val cands = rights.filter(r => r._1 == k &&
+          (if (fwd) r._2 >= t else r._2 <= t) &&
+          tol.forall(x => (if (fwd) r._2 - t else t - r._2) <= x))
+        val expect =
+          if (fwd) cands.sortBy(_._2).headOption.map(_._3)
+          else cands.sortBy(_._2).lastOption.map(_._3)
+        assert(got(lid) === expect, s"lid=$lid tol=$tol fwd=$fwd")
+      }
+    }
+  }
+
   test("null left keys stay emitted but unmatched; empty right side is safe") {
     val lDf = Seq((1L, Option(5L), 10L), (2L, Option.empty[Long], 10L))
       .toDF("lid", "k", "t")

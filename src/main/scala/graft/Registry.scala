@@ -25,6 +25,7 @@ object Registry {
       operators.Temporal.queries ++
       operators.Stats.queries ++
       operators.Curation.queries ++
+      operators.DataQuality.queries ++
       operators.Multimodal.queries
 
   def byName(name: String): Q = all.find(_.name == name).get

@@ -107,6 +107,38 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(nDocs.max <= 3 * nDocs.min, s"unbalanced: ${nDocs.toSeq}")
   }
 
+  test("constraint_check passes the clean corpus and counts injected violations") {
+    val spark2 = spark
+    import spark2.implicits._
+    val clean = DataQuality.constraintCheck(spark, sf).collect()
+    assert(clean.length === 5)
+    clean.foreach { r =>
+      assert(r.getAs[Boolean]("passed"), r.getAs[String]("constraint"))
+      assert(r.getAs[Long]("violations") === 0L)
+    }
+    // corrupt frame: one null id, one duplicate id, one bad lang, one
+    // inconsistent n_chars, one empty text (rows engineered so each
+    // violation is independent)
+    val bad = Seq(
+      (Option(1L), "abc", "en", 3L),
+      (Option(1L), "abcd", "en", 4L),      // duplicate doc_id
+      (Option.empty[Long], "xy", "en", 2L), // null doc_id
+      (Option(2L), "hello", "xx", 5L),      // lang outside domain
+      (Option(3L), "hey", "fr", 99L),       // n_chars inconsistent
+      (Option(4L), "", "de", 0L))           // empty text
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val viols = DataQuality.constraintCheckDf(bad).collect()
+      .map(r => r.getAs[String]("constraint") ->
+        r.getAs[Long]("violations")).toMap
+    assert(viols("doc_id_not_null") === 1L)
+    assert(viols("doc_id_unique") === 1L)
+    assert(viols("lang_in_domain") === 1L)
+    assert(viols("n_chars_consistent") === 1L)
+    assert(viols("text_nonempty") === 1L)
+    assert(DataQuality.constraintCheckDf(bad).collect()
+      .forall(!_.getAs[Boolean]("passed")))
+  }
+
   test("dedup_clusters: endpoints co-clustered, survivor is the min id") {
     val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))

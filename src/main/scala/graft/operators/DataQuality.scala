@@ -70,27 +70,35 @@ object DataQuality {
   def constraintCheck(s: SparkSession, dir: String): DataFrame =
     constraintCheckDf(Tables.documents(s, dir))
 
+  /** Generic expectation runner: each (name, violation-count aggregate)
+    * pair becomes one report row — the whole suite is ONE aggregation
+    * pass over `df` no matter how many checks it carries.
+    */
+  def constraintSuite(df: DataFrame,
+      checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.zipWithIndex.map { case ((_, e), i) => e.as(s"v$i") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(checks.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("constraint"), col(s"v$i").as("violations"),
+          (col(s"v$i") === 0).as("passed"))
+      }: _*)).as("c"))
+      .select(col("c.*"))
+      .orderBy("constraint")
+  }
+
   /** The suite against any documents-shaped frame (doc_id, text, lang,
     * n_chars) — the ingest gate runs it on each candidate batch.
     */
   def constraintCheckDf(docs: DataFrame): DataFrame = {
     val langArr = array(LangDomain.map(lit): _*)
-    val viols = Seq(
+    constraintSuite(docs, Seq(
       "doc_id_not_null" -> count(when(col("doc_id").isNull, 1)),
       "doc_id_unique" -> (count(col("doc_id")) - countDistinct(col("doc_id"))),
       "lang_in_domain" ->
         count(when(!array_contains(langArr, col("lang")), 1)),
       "n_chars_consistent" ->
         count(when(length(col("text")) =!= col("n_chars"), 1)),
-      "text_nonempty" -> count(when(length(col("text")) === 0, 1)))
-    val aggs = viols.zipWithIndex.map { case ((_, e), i) => e.as(s"v$i") }
-    docs.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(viols.zipWithIndex.map { case ((n, _), i) =>
-        struct(lit(n).as("constraint"), col(s"v$i").as("violations"),
-          (col(s"v$i") === 0).as("passed"))
-      }: _*)).as("c"))
-      .select(col("c.*"))
-      .orderBy("constraint")
+      "text_nonempty" -> count(when(length(col("text")) === 0, 1))))
   }
 
   val constraintCheckSql: String = {

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Pipeline
+import graft.operators.{DataQuality, Pipeline}
 import graft.sources.{JsonLake, Warehouse}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -37,21 +37,50 @@ object StreamingPipeline {
       .json(lakeDir)
     raw.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        loadBatch(batch, outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        loadBatch(batch, outDir, batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()
   }
 
+  /** Post-clean invariants the pipeline itself must uphold: a
+    * violation means a pipeline regression, not bad input (bad input is
+    * the quarantine's job), so the gate refuses to publish the batch.
+    */
+  private[streaming] def offerChecks
+      : Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "job_url_not_null" -> count(when(col("job_url").isNull, 1)),
+    "job_url_unique" -> (count(col("job_url")) -
+      countDistinct(col("job_url"))),
+    "titre_not_null" -> count(when(col("titre").isNull, 1)))
+
   /** Load one micro-batch of raw offers into the warehouse: the full
     * star — six get-or-create dims, the skill dim + bridge, fact and
     * quarantine appends. Also the REBUILD path's incremental sibling:
     * callable on any static frame for backfill chunks.
+    *
+    * Every batch is CONSTRAINT-GATED (the Deequ pattern,
+    * [[DataQuality.constraintSuite]]): the expectation report is always
+    * appended to `load_audit`; if any expectation fails, the batch is
+    * diverted to `rejected_batches` and the warehouse is NOT touched —
+    * fail the load, never publish a corrupt snapshot.
     */
-  def loadBatch(batch: DataFrame, outDir: String): Unit = {
+  def loadBatch(batch: DataFrame, outDir: String, batchId: Long = -1L,
+      checks: Seq[(String, org.apache.spark.sql.Column)] = offerChecks)
+      : Unit = {
     val (ok, bad) = JsonLake.quarantine(batch)
     val offers = Pipeline.enrich(Pipeline.clean(ok))
+
+    val gate = DataQuality.constraintSuite(offers, checks)
+      .withColumn("batch_id", lit(batchId))
+    gate.write.mode("append").parquet(s"$outDir/load_audit")
+    val failed = gate.filter(!col("passed")).limit(1).count() > 0
+    if (failed) {
+      offers.write.mode("append").parquet(s"$outDir/rejected_batches")
+      bad.write.mode("append").json(s"$outDir/quarantine")
+      return
+    }
 
     def up(natural: org.apache.spark.sql.Column, dim: String, id: String) =
       Warehouse.upsertDim(offers.select(natural.as("value")),

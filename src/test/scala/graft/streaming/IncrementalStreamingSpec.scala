@@ -145,4 +145,39 @@ class IncrementalStreamingSpec extends AnyFunSuite {
     }
     assert(resolved(out) === resolved(outB))
   }
+
+  test("constraint gate audits every batch and refuses to publish on failure") {
+    import graft.operators.{DataQuality, Pipeline}
+    import graft.sources.JsonLake
+    import org.apache.spark.sql.types.{StringType, StructField}
+    def offer(url: String): String =
+      s"""{"job_url":"$url","titre":"t","via":"alpha","publication_date":"2024-03-05","description":"hash join data","contrat":"CDI","companie":"Acme","niveau_etudes":"Master","niveau_experience":"junior"}"""
+    val lake = Files.createTempDirectory("graft_gate_lake").toString
+    val w = new java.io.PrintWriter(s"$lake/b.jsonl")
+    w.println(offer("u1")); w.println(offer("u2")); w.close()
+    val schema = Pipeline.offerSchema
+      .add(StructField(JsonLake.CorruptCol, StringType, nullable = true))
+    val batch = spark.read.schema(schema).json(lake)
+
+    // healthy batch: audit row per check, all passed, star published
+    val okOut = Files.createTempDirectory("graft_gate_ok").toString
+    StreamingPipeline.loadBatch(batch, okOut, batchId = 7L)
+    val audit = spark.read.parquet(s"$okOut/load_audit").collect()
+    assert(audit.length === 3)
+    audit.foreach { r =>
+      assert(r.getAs[Boolean]("passed"), r.getAs[String]("constraint"))
+      assert(r.getAs[Long]("batch_id") === 7L)
+    }
+    assert(spark.read.parquet(s"$okOut/fact_offre").count() === 2)
+
+    // failing expectation: batch diverted, warehouse untouched
+    val badOut = Files.createTempDirectory("graft_gate_bad").toString
+    StreamingPipeline.loadBatch(batch, badOut, batchId = 8L,
+      checks = Seq("no_rows_allowed" -> count(lit(1))))
+    assert(!spark.read.parquet(s"$badOut/load_audit").collect()
+      .exists(_.getAs[Boolean]("passed")))
+    assert(spark.read.parquet(s"$badOut/rejected_batches").count() === 2)
+    assert(!new java.io.File(s"$badOut/fact_offre").exists(),
+      "failed batch must not publish facts")
+  }
 }

@@ -45,6 +45,7 @@ object Graft {
     plans.LongDot.register(spark)
     plans.SpaceSavingTopK.register(spark)
     plans.WordShingles.register(spark)
+    plans.CharShingles.register(spark)
     plans.HexParityBits.register(spark)
     plans.AsOfJoinPlan.ensureStrategy(spark)
     spark

@@ -34,6 +34,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => plans.WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier(plans.CharShingles.FnName),
+      info(plans.CharShingles.FnName,
+        "_FUNC_(s, n) - sliding character n-grams"),
+      (exprs: Seq[Expression]) => plans.CharShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier(plans.HexParityBits.FnName),
       info(plans.HexParityBits.FnName,
         "_FUNC_(h1, h2) - 48 hex-char parities packed into a bigint"),

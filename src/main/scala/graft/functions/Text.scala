@@ -56,8 +56,17 @@ object Text {
                 unnest(generate_series(1, greatest(len(tk) - ${k - 1}, 1))) AS i
               FROM (SELECT doc_id, ${sqlToks("text")} AS tk FROM documents))"""
 
-  /** Sliding char n-grams of `text`. */
+  /** Sliding char n-grams of `text`. Backed by the codegen'd
+    * [[graft.plans.CharShingles]] expression; [[charShinglesHof]] is
+    * the composable twin used to cross-check equivalence in specs.
+    */
   def charShingles(text: Column, n: Int): Column =
+    call_function(graft.plans.CharShingles.FnName, text, lit(n))
+
+  /** The pure-`functions._` formulation of [[charShingles]] —
+    * interpreted HOF chain, kept as the spec cross-check oracle.
+    */
+  def charShinglesHof(text: Column, n: Int): Column =
     transform(
       sequence(lit(1), greatest(length(text) - lit(n - 1), lit(1))),
       i => substr(text, i, lit(n)))

@@ -33,7 +33,13 @@ final case class SimilarityConfig(
     simhashMaxHamming: Int = 3,
     /** Character-shingle width for n-gram Jaccard. */
     ngramWidth: Int = 4,
-    /** MinHash permutations used for n-gram candidate blocking. */
+    /** MinHash permutations for standalone char-level blocking. UNUSED
+      * by the registered queries since round 2: few-perm char blocking
+      * admitted ~26% of all pairs on same-vocab corpora (measured —
+      * see Dedup.dedupNgramJaccard), so n-gram verification now rides
+      * the word-LSH band blocking. Kept for library users who need a
+      * purely character-level pipeline.
+      */
     ngramPerms: Int = 2,
     /** n-gram Jaccard verification threshold. */
     ngramTau: Double = 0.8,

@@ -33,6 +33,24 @@ class GeneratedInputsSpec extends AnyFunSuite {
     }
   }
 
+  test("CharShingles equals its HOF twin on generated strings incl. multi-byte") {
+    val strGen = Gen.frequency(
+      4 -> Gen.listOf(Gen.alphaNumChar).map(_.mkString),
+      1 -> Gen.const(""),
+      // includes a supplementary-plane char (surrogate pair in UTF-16)
+      2 -> Gen.listOf(Gen.oneOf("a", "é", "中", "𝕊", " "))
+        .map(_.mkString))
+    val cases = sample(strGen, 200)
+    val df = cases.map(Tuple1(_)).toDF("s")
+    for (n <- 1 to 5) {
+      val bad = df.select(
+        Text.charShingles(col("s"), n).as("a"),
+        Text.charShinglesHof(col("s"), n).as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(bad === 0L, s"n=$n mismatch")
+    }
+  }
+
   test("LongDot equals the zip_with/aggregate fold on generated vectors") {
     val vecGen = for {
       n <- Gen.choose(0, 12)

@@ -452,6 +452,86 @@ object Dedup {
        WHERE CAST(dist AS DOUBLE) / CAST(mx AS DOUBLE) <= ${D.editRelTau}
        ORDER BY doc_a, doc_b"""
 
+  /** INCREMENTAL near-dup detection — the operational form at 100 TB:
+    * a daily batch must dedup against the whole historical corpus
+    * without re-shingling it. The per-doc MinHash signature + band
+    * hashes are persisted once per document ([[signatureStore]]); each
+    * new batch computes signatures for ITS documents only, bucket-joins
+    * its band rows against the store (historical bodies are never
+    * touched — the store is (doc_id, band_id, band_hash, n) plus the
+    * signature columns for verification), and appends its own rows to
+    * the store. Cost per batch: O(batch) signature work + one
+    * equi-join against band-partitioned history.
+    *
+    * Verification uses signature-estimated Jaccard (matching minhash
+    * lanes / k) rather than exact shingle intersection — exact verify
+    * would need historical shingles, i.e. the bodies this path exists
+    * to avoid re-reading. At k=16 lanes the estimator's std-err is
+    * ~0.1; production tunes k via [[SimilarityConfig]].
+    */
+  def signatureStore(docs: DataFrame, cfg: SimilarityConfig = D): DataFrame = {
+    val shr = docs.select(col("doc_id"),
+      explode(array_distinct(
+        wordShingles(toks(col("text")), cfg.shingleWidth))).as("sh"))
+    val mhCols = (0 until cfg.minhashK).map { i =>
+      min(substring(md5(concat(lit(s"${i / 4}:"), col("sh"))),
+        (i % 4) * 8 + 1, 8)).as(s"mh$i")
+    } :+ count(lit(1)).as("n")
+    shr.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      .select(col("doc_id") +: col("n") +:
+        (0 until cfg.minhashBands).map(b =>
+          md5(concat_ws(",",
+            (0 until cfg.minhashRows)
+              .map(r => col(s"mh${b * cfg.minhashRows + r}")): _*))
+            .as(s"band$b")) ++:
+        (0 until cfg.minhashK).map(i => col(s"mh$i")): _*)
+  }
+
+  /** Signature-level Jaccard estimate between two signature rows
+    * (fraction of matching minhash lanes).
+    */
+  private def estJaccard(cfg: SimilarityConfig): org.apache.spark.sql.Column =
+    (0 until cfg.minhashK)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / cfg.minhashK.toDouble
+
+  /** Near-dup pairs between `newSigs` and `storeSigs` (both
+    * [[signatureStore]]-shaped): banded bucket join generates
+    * candidates (new x (store ∪ new)), signature-estimated Jaccard
+    * admits pairs at `tau`. `newSigs` doc_ids must be disjoint from the
+    * store's; pairs within the new batch are included (doc_a < doc_b).
+    */
+  def dedupIncremental(newSigs: DataFrame, storeSigs: DataFrame,
+      cfg: SimilarityConfig = D, tau: Double = 0.5): DataFrame = {
+    def bandRows(sigs: DataFrame) = sigs.select(col("doc_id") +:
+      (0 until cfg.minhashBands).map(b => col(s"band$b")): _*)
+      .select(col("doc_id"), explode(array((0 until cfg.minhashBands).map(
+        b => struct(lit(b).as("band_id"), col(s"band$b").as("band_hash"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"),
+        col("bb.band_hash").as("band_hash"))
+    val cand = bandRows(newSigs).as("nb")
+      .join(bandRows(storeSigs.unionByName(newSigs)).as("ab"),
+        col("nb.band_id") === col("ab.band_id") &&
+          col("nb.band_hash") === col("ab.band_hash") &&
+          col("nb.doc_id") < col("ab.doc_id"))
+      .select(col("nb.doc_id").as("doc_a"), col("ab.doc_id").as("doc_b"))
+      .union(bandRows(newSigs).as("nb")
+        .join(bandRows(storeSigs).as("ab"),
+          col("nb.band_id") === col("ab.band_id") &&
+            col("nb.band_hash") === col("ab.band_hash") &&
+            col("nb.doc_id") > col("ab.doc_id"))
+        .select(col("ab.doc_id").as("doc_a"), col("nb.doc_id").as("doc_b")))
+      .distinct()
+    val all = storeSigs.unionByName(newSigs)
+    cand
+      .join(all.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(all.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), estJaccard(cfg).as("est_jac"))
+      .filter(col("est_jac") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Shared verification tail: exact Jaccard of candidate pairs from
     * (doc_id, sh) rows. CONTRACT: callers pass per-doc DISTINCT shingle
     * rows (array_distinct before explode) and supply `cnt` = (doc_id,

@@ -139,6 +139,37 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       .forall(!_.getAs[Boolean]("passed")))
   }
 
+  test("incremental dedup equals the full-corpus run restricted to new docs") {
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val split = 250L
+    val hist = Dedup.signatureStore(docs.filter(col("doc_id") < split))
+    val fresh = Dedup.signatureStore(docs.filter(col("doc_id") >= split))
+    val all = Dedup.signatureStore(docs)
+
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("est_jac")).toMap
+
+    // batching must not change which pairs fire: the incremental run
+    // (new batch vs persisted history) equals the full run restricted
+    // to pairs touching a new doc (doc_b >= split: ids order the batch)
+    val full = pairs(Dedup.dedupIncremental(all, all.filter(lit(false))))
+    val inc = pairs(Dedup.dedupIncremental(fresh, hist))
+    assert(inc.nonEmpty)
+    assert(inc === full.filter { case ((_, b), _) => b >= split })
+    inc.values.foreach(j => assert(j >= 0.5 && j <= 1.0))
+
+    // every strongly-similar exact pair is found by the estimator
+    // (est err ~0.1 at k=16, so only assert well-above-threshold pairs)
+    Dedup.dedupMinhashLsh(spark, sf).collect()
+      .filter(r => r.getAs[Double]("jac") >= 0.7)
+      .foreach { r =>
+        val k = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        assert(full.contains(k), s"strong pair $k missed")
+      }
+  }
+
   test("dedup_clusters: endpoints co-clustered, survivor is the min id") {
     val pairs = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))

@@ -422,8 +422,42 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Large-orders report (TPC-H Q18 shape): orders whose line quantity
+    * total crosses a threshold, with customer attribution — aggregate +
+    * HAVING + join back for detail. The HAVING is a post-aggregation
+    * filter over order-cardinality rows (map-side partial agg compacts
+    * the corpus first); the qualifying-key set then drives ordinary
+    * broadcast-ish joins for attribution.
+    */
+  def bigOrders(s: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(decp(col("l_quantity"))).as("total_qty_d"))
+      .filter(col("total_qty_d") > 150)
+    qty.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        decp(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("total_qty_d").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  val bigOrdersSql: String =
+    s"""WITH qty AS (SELECT l_orderkey, SUM(${sqlDecp("l_quantity")}) AS total_qty_d
+                     FROM lineitem GROUP BY l_orderkey
+                     HAVING SUM(${sqlDecp("l_quantity")}) > 150)
+       SELECT c.c_name, c.c_custkey, o.o_orderkey,
+              CAST(o.o_orderdate AS DATE) AS o_date,
+              CAST(${sqlDecp("o.o_totalprice")} AS DOUBLE) AS o_totalprice,
+              CAST(total_qty_d AS DOUBLE) AS total_qty
+       FROM qty JOIN orders o ON qty.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+       ORDER BY total_qty DESC, o.o_orderkey"""
+
   def queries: Seq[Q] = Seq(
     Q("q1_agg", Some(q1Sql), bench = true)(q1),
+    Q("big_orders_having", Some(bigOrdersSql))(bigOrders),
     Q("q3_top_revenue", Some(q3Sql), bench = true)(q3),
     Q("q5_region_revenue", Some(q5Sql), bench = true)(q5),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),

@@ -439,8 +439,42 @@ object Stats {
               ${sqlDsum("p")} AS sum_price
        FROM b GROUP BY yr, bin ORDER BY yr, bin"""
 
+  /** Rolling 7-day window over the daily event series per type — a
+    * RANGE frame over the integer day index, not a ROWS frame: gap days
+    * carry no row, and a ROWS-frame "last 7 rows" would silently reach
+    * back weeks across gaps. The window is partitioned per type and
+    * runs over the (tiny) daily aggregate, not raw events; sums are
+    * exact BIGINTs.
+    */
+  def rollingWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("day_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_idx"))
+      .rangeBetween(-6, Window.currentRow)
+    daily.select(col("event_type"), col("day_idx"), col("n"),
+        sum(col("n")).over(w).as("n_7d"),
+        count(lit(1)).over(w).as("days_present_7d"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  val rollingWindowRangeSql: String =
+    """WITH daily AS (SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_idx,
+             COUNT(*) AS n
+           FROM events GROUP BY 1, 2)
+       SELECT event_type, CAST(day_idx AS INT) AS day_idx, n,
+              CAST(SUM(n) OVER w AS BIGINT) AS n_7d,
+              COUNT(*) OVER w AS days_present_7d
+       FROM daily
+       WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       ORDER BY event_type, day_idx"""
+
   def queries: Seq[Q] = Seq(
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
+    Q("rolling_window_range", Some(rollingWindowRangeSql))(rollingWindowRange),
     Q("corr_exact", Some(corrExactSql))(corrExact),
     Q("window_rank_suite", Some(windowRankSuiteSql))(windowRankSuite),
     Q("histogram_equidepth", Some(histogramEquidepthSql))(histogramEquidepth),

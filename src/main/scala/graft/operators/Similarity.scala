@@ -342,9 +342,130 @@ object Similarity {
                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
        FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
 
+  // Product quantization geometry: 8 subspaces x 8 dims, 16-entry
+  // codebook per subspace (seeds = the 16 lowest-id vectors' subvectors,
+  // one exact-integer Lloyd refinement), squared-L2 distance.
+  private val PqSub = 8
+  private val PqSubDim = 8
+  private val PqK = 16
+
+  /** PQ-encoded ANN — the smallest-memory ANN tier: each corpus vector
+    * compresses to 8 code bytes (one nearest-codebook-entry id per
+    * subspace; 8 B vs 256 B for the raw quantized vector), and query
+    * scoring is Asymmetric Distance Computation: the query precomputes
+    * its distance to every codebook entry (|Q| x 8 x 16 lookup rows,
+    * broadcast), and a corpus vector's approximate distance is the sum
+    * of 8 table lookups — no per-pair vector arithmetic at all. Like
+    * IVF, codebooks are corpus-independent (fixed K seeds + one
+    * exact-integer Lloyd step, floor-division means), so training cost
+    * and broadcast size do not grow with the corpus; encoding is
+    * O(K * N) map work. All distances are exact BIGINTs (quantized
+    * subvector squared-L2 < 2^53), so ranking is bit-portable.
+    */
+  def annTopkPq(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    // (vec_id, s, sv): the 8-dim subvector of each subspace
+    val sv = c.select(col("vec_id"), posexplode(array((0 until PqSub).map(
+        ss => slice(col("qv"), ss * PqSubDim + 1, PqSubDim)): _*))
+        .as(Seq("s", "sv")))
+    val seed = sv.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("c_id"), col("s"),
+        col("sv").as("cv"))
+
+    // exact integer squared-L2 via three LongDot products
+    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      dotQ(a, a) - lit(2L) * dotQ(a, b) + dotQ(b, b)
+
+    // nearest codebook entry per (vector, subspace)
+    def assign(rows: DataFrame, idCol: String, cb: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol), col("s"))
+        .orderBy(col("d"), col("c_id"))
+      rows.join(broadcast(cb), "s")
+        .select(col(idCol), col("s"), col("c_id"),
+          l2(col("sv"), col("cv")).as("d"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col(idCol), col("s"), col("c_id"))
+    }
+
+    // one Lloyd step: floor-division integer means per (s, c_id)
+    val asg0 = assign(sv, "vec_id", seed)
+    val sums = sv.join(asg0, Seq("vec_id", "s"))
+      .groupBy(col("s"), col("c_id"))
+      .agg(count(lit(1)).as("cnt"),
+        (0 until PqSubDim).map(d =>
+          sum(element_at(col("sv"), d + 1)).as(s"m$d")): _*)
+    val cb = sums.select(col("s"), col("c_id"),
+      array((0 until PqSubDim).map(d =>
+        expr(s"(m$d - ((m$d % cnt + cnt) % cnt)) div cnt")): _*).as("cv"))
+
+    val codes = assign(sv, "vec_id", cb)
+      .withColumnRenamed("c_id", "code")
+    // ADC lookup table: query x subspace x codebook entry
+    val qdt = sv.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("s"), col("sv"))
+      .join(broadcast(cb), "s")
+      .select(col("q_id"), col("s"), col("c_id").as("code"),
+        l2(col("sv"), col("cv")).as("d"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_l2"), col("vec_id"))
+    codes.join(broadcast(qdt), Seq("s", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("approx_l2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
+  val annTopkPqSql: String = {
+    def sqlL2(a: String, b: String) =
+      s"(${sqlDotQ(a, a, PqSubDim)} - 2 * ${sqlDotQ(a, b, PqSubDim)}" +
+        s" + ${sqlDotQ(b, b, PqSubDim)})"
+    def sqlAssign(rowsRel: String, idCol: String, cbRel: String) =
+      s"""SELECT $idCol, s, c_id FROM (
+            SELECT r.$idCol, r.s, c.c_id,
+                   ROW_NUMBER() OVER (PARTITION BY r.$idCol, r.s
+                     ORDER BY ${sqlL2("r.sv", "c.cv")}, c.c_id) AS rk
+            FROM $rowsRel r JOIN $cbRel c ON r.s = c.s) WHERE rk = 1"""
+    val sumCols = (0 until PqSubDim)
+      .map(d => s"SUM(sv[${d + 1}]) AS m$d").mkString(", ")
+    val meanList = (0 until PqSubDim)
+      .map(d => s"((m$d - ((m$d % cnt + cnt) % cnt)) // cnt)")
+      .mkString("[", ", ", "]")
+    s"""WITH $sqlQuant,
+       sv AS (SELECT vec_id, s, qv[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS sv
+              FROM quant, (SELECT unnest(generate_series(0, ${PqSub - 1})) AS s) AS ss),
+       seed AS (SELECT CAST(vec_id AS INT) AS c_id, s, sv AS cv
+                FROM sv WHERE vec_id < $PqK),
+       asg0 AS (${sqlAssign("sv", "vec_id", "seed")}),
+       sums AS (SELECT sv.s, c_id, COUNT(*) AS cnt, $sumCols
+                FROM sv JOIN asg0 ON sv.vec_id = asg0.vec_id AND sv.s = asg0.s
+                GROUP BY sv.s, c_id),
+       cb AS (SELECT s, c_id, $meanList AS cv FROM sums),
+       codes AS (SELECT vec_id, s, c_id AS code
+                 FROM (${sqlAssign("sv", "vec_id", "cb")})),
+       qsv AS (SELECT vec_id AS q_id, s, sv FROM sv
+               WHERE ${sqlQueryPred("sv")}),
+       qdt AS (SELECT q.q_id, q.s, c.c_id AS code,
+                      ${sqlL2("q.sv", "c.cv")} AS d
+               FROM qsv q JOIN cb c ON q.s = c.s),
+       scored AS (SELECT qdt.q_id, codes.vec_id,
+                         CAST(SUM(qdt.d) AS BIGINT) AS approx_l2
+                  FROM codes JOIN qdt
+                    ON codes.s = qdt.s AND codes.code = qdt.code
+                  WHERE qdt.q_id <> codes.vec_id
+                  GROUP BY qdt.q_id, codes.vec_id)
+       SELECT q_id, vec_id, approx_l2,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY approx_l2, vec_id) AS INT) AS rank
+       FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("ann_topk_bruteforce", Some(annTopkBruteforceSql), bench = true)(annTopkBruteforce),
     Q("ann_topk_lsh", Some(annTopkLshSql))(annTopkLsh),
     Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf),
+    Q("ann_topk_pq", Some(annTopkPqSql))(annTopkPq),
     Q("ann_recall_lsh", Some(annRecallLshSql))(annRecallLsh))
 }

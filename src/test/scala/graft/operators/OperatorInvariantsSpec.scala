@@ -224,6 +224,27 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_topk_pq: dense ranks, non-decreasing distance, beats random recall") {
+    val rows = Similarity.annTopkPq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to g.length))
+      val ds = sorted.map(_.getAs[Long]("approx_l2"))
+      assert(ds.forall(_ >= 0L))
+      assert(ds.toSeq === ds.sorted.toSeq)
+    }
+    // 16-entry x 8-subspace codebooks are coarse on this near-uniform
+    // synthetic corpus (measured recall@5 ~0.24 vs brute force at
+    // sf0.01); the spec pins "far above random" (random ~ k/N), the
+    // oracle pins exactness of the computation itself
+    val bf = Similarity.annTopkBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val pq = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    assert(recall >= 0.1, s"recall@5=$recall")
+  }
+
   test("asof_join matches are at-or-before the event") {
     val rows = Temporal.asofJoin(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -362,7 +362,20 @@ object Similarity {
     * O(K * N) map work. All distances are exact BIGINTs (quantized
     * subvector squared-L2 < 2^53), so ranking is bit-portable.
     */
-  def annTopkPq(s: SparkSession, dir: String): DataFrame = {
+  /** PQ building blocks shared by [[annTopkPq]] and [[annTopkIvfPq]]:
+    * trained codebooks `cb` (s, c_id, cv), per-vector `codes`
+    * (vec_id, s, code), and the query ADC lookup table `qdt`
+    * (q_id, s, code, d).
+    */
+  private final case class PqParts(cb: DataFrame, codes: DataFrame,
+      qdt: DataFrame)
+
+  // exact integer squared-L2 via three LongDot products
+  private def pqL2(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    dotQ(a, a) - lit(2L) * dotQ(a, b) + dotQ(b, b)
+
+  private def pqParts(s: SparkSession, dir: String): PqParts = {
     val c = quantized(s, dir)
     // (vec_id, s, sv): the 8-dim subvector of each subspace
     val sv = c.select(col("vec_id"), posexplode(array((0 until PqSub).map(
@@ -372,17 +385,13 @@ object Similarity {
       .select(col("vec_id").cast("int").as("c_id"), col("s"),
         col("sv").as("cv"))
 
-    // exact integer squared-L2 via three LongDot products
-    def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      dotQ(a, a) - lit(2L) * dotQ(a, b) + dotQ(b, b)
-
     // nearest codebook entry per (vector, subspace)
     def assign(rows: DataFrame, idCol: String, cb: DataFrame): DataFrame = {
       val w = Window.partitionBy(col(idCol), col("s"))
         .orderBy(col("d"), col("c_id"))
       rows.join(broadcast(cb), "s")
         .select(col(idCol), col("s"), col("c_id"),
-          l2(col("sv"), col("cv")).as("d"))
+          pqL2(col("sv"), col("cv")).as("d"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col(idCol), col("s"), col("c_id"))
@@ -406,10 +415,15 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("s"), col("sv"))
       .join(broadcast(cb), "s")
       .select(col("q_id"), col("s"), col("c_id").as("code"),
-        l2(col("sv"), col("cv")).as("d"))
+        pqL2(col("sv"), col("cv")).as("d"))
+    PqParts(cb, codes, qdt)
+  }
+
+  def annTopkPq(s: SparkSession, dir: String): DataFrame = {
+    val p = pqParts(s, dir)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_l2"), col("vec_id"))
-    codes.join(broadcast(qdt), Seq("s", "code"))
+    p.codes.join(broadcast(p.qdt), Seq("s", "code"))
       .filter(col("q_id") =!= col("vec_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("d")).as("approx_l2"))
@@ -418,7 +432,48 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  val annTopkPqSql: String = {
+  /** IVF-PQ — the full-scale ANN composition: IVF's coarse centroids
+    * prune the corpus to nProbe inverted lists per query, and PQ codes
+    * score ONLY those candidates by ADC table lookup. Per-query cost is
+    * O(list length) lookups instead of O(N), and per-vector index state
+    * is one coarse list id + 8 code bytes — the memory/throughput shape
+    * real billion-vector indexes (FAISS IVF-PQ) run. Training of both
+    * quantizers is corpus-independent and exact-integer, so the whole
+    * index build AND search replay bit-identically in the oracle.
+    */
+  def annTopkIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val cfg = D
+    val c = quantized(s, dir)
+    val seed = c.filter(col("vec_id") < cfg.ivfK)
+      .select(col("vec_id").cast("int").as("c_id"), col("qv").as("c_qv"),
+        col("nn").as("c_nn"))
+    val cent = (1 to cfg.ivfIters).foldLeft(seed)((ct, _) => lloyd(c, ct))
+    val assign = nearest(cent, c, "vec_id", 1)
+    val probes = nearest(cent, c.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("qv"), col("nn")), "q_id",
+      cfg.ivfProbe)
+    val cand = probes.join(assign, "c_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val p = pqParts(s, dir)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_l2"), col("vec_id"))
+    cand
+      .join(p.codes, "vec_id")
+      .join(broadcast(p.qdt), Seq("q_id", "s", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("approx_l2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Shared DuckDB CTE block for the PQ quantizer: `sv` (subvectors),
+    * `pqseed`/`pqasg0`/`pqsums` (training), `cb` (codebooks), `codes`
+    * (per-vector code bytes), `qdt` (query ADC tables). Expects `quant`
+    * in scope; splice into a WITH clause.
+    */
+  private val sqlPqCtes: String = {
     def sqlL2(a: String, b: String) =
       s"(${sqlDotQ(a, a, PqSubDim)} - 2 * ${sqlDotQ(a, b, PqSubDim)}" +
         s" + ${sqlDotQ(b, b, PqSubDim)})"
@@ -433,23 +488,27 @@ object Similarity {
     val meanList = (0 until PqSubDim)
       .map(d => s"((m$d - ((m$d % cnt + cnt) % cnt)) // cnt)")
       .mkString("[", ", ", "]")
-    s"""WITH $sqlQuant,
-       sv AS (SELECT vec_id, s, qv[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS sv
+    s"""sv AS (SELECT vec_id, s, qv[s * $PqSubDim + 1 : s * $PqSubDim + $PqSubDim] AS sv
               FROM quant, (SELECT unnest(generate_series(0, ${PqSub - 1})) AS s) AS ss),
-       seed AS (SELECT CAST(vec_id AS INT) AS c_id, s, sv AS cv
+       pqseed AS (SELECT CAST(vec_id AS INT) AS c_id, s, sv AS cv
                 FROM sv WHERE vec_id < $PqK),
-       asg0 AS (${sqlAssign("sv", "vec_id", "seed")}),
-       sums AS (SELECT sv.s, c_id, COUNT(*) AS cnt, $sumCols
-                FROM sv JOIN asg0 ON sv.vec_id = asg0.vec_id AND sv.s = asg0.s
+       pqasg0 AS (${sqlAssign("sv", "vec_id", "pqseed")}),
+       pqsums AS (SELECT sv.s, c_id, COUNT(*) AS cnt, $sumCols
+                FROM sv JOIN pqasg0 ON sv.vec_id = pqasg0.vec_id AND sv.s = pqasg0.s
                 GROUP BY sv.s, c_id),
-       cb AS (SELECT s, c_id, $meanList AS cv FROM sums),
+       cb AS (SELECT s, c_id, $meanList AS cv FROM pqsums),
        codes AS (SELECT vec_id, s, c_id AS code
                  FROM (${sqlAssign("sv", "vec_id", "cb")})),
        qsv AS (SELECT vec_id AS q_id, s, sv FROM sv
                WHERE ${sqlQueryPred("sv")}),
        qdt AS (SELECT q.q_id, q.s, c.c_id AS code,
                       ${sqlL2("q.sv", "c.cv")} AS d
-               FROM qsv q JOIN cb c ON q.s = c.s),
+               FROM qsv q JOIN cb c ON q.s = c.s)"""
+  }
+
+  val annTopkPqSql: String =
+    s"""WITH $sqlQuant,
+       $sqlPqCtes,
        scored AS (SELECT qdt.q_id, codes.vec_id,
                          CAST(SUM(qdt.d) AS BIGINT) AS approx_l2
                   FROM codes JOIN qdt
@@ -460,12 +519,37 @@ object Similarity {
               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
                 ORDER BY approx_l2, vec_id) AS INT) AS rank
        FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
-  }
+
+  val annTopkIvfPqSql: String =
+    s"""WITH $sqlQuant,
+       cent0 AS (SELECT CAST(vec_id AS INT) AS c_id, qv AS c_qv, nn AS c_nn
+                 FROM quant WHERE vec_id < $IvfK),
+       ${(0 until IvfIters).map(sqlLloydIter).mkString(",\n")},
+       assign AS (${sqlNearest(s"cent$IvfIters", "", 1)}),
+       probes AS (
+         SELECT vec_id AS q_id, c_id FROM
+           (${sqlNearest(s"cent$IvfIters", s" WHERE ${sqlQueryPred("q")}", IvfProbe)})),
+       cand AS (SELECT DISTINCT q_id, vec_id
+                FROM probes JOIN assign USING (c_id)
+                WHERE q_id <> vec_id),
+       $sqlPqCtes,
+       scored AS (SELECT cand.q_id, cand.vec_id,
+                         CAST(SUM(qdt.d) AS BIGINT) AS approx_l2
+                  FROM cand JOIN codes ON cand.vec_id = codes.vec_id
+                            JOIN qdt ON qdt.q_id = cand.q_id
+                                    AND qdt.s = codes.s
+                                    AND qdt.code = codes.code
+                  GROUP BY cand.q_id, cand.vec_id)
+       SELECT q_id, vec_id, approx_l2,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY approx_l2, vec_id) AS INT) AS rank
+       FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
 
   def queries: Seq[Q] = Seq(
     Q("ann_topk_bruteforce", Some(annTopkBruteforceSql), bench = true)(annTopkBruteforce),
     Q("ann_topk_lsh", Some(annTopkLshSql))(annTopkLsh),
     Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf),
     Q("ann_topk_pq", Some(annTopkPqSql))(annTopkPq),
+    Q("ann_topk_ivfpq", Some(annTopkIvfPqSql))(annTopkIvfPq),
     Q("ann_recall_lsh", Some(annRecallLshSql))(annRecallLsh))
 }

@@ -245,6 +245,32 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"recall@5=$recall")
   }
 
+  test("ann_topk_ivfpq scores agree with the full-PQ path on shared pairs") {
+    val pq = Similarity.annTopkPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Long]("approx_l2")).toMap
+    val rows = Similarity.annTopkIvfPq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var shared = 0
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to g.length))
+      val ds = sorted.map(_.getAs[Long]("approx_l2"))
+      assert(ds.toSeq === ds.sorted.toSeq)
+    }
+    // the two paths share one quantizer: wherever both report a pair,
+    // the ADC distance must be IDENTICAL (pruning changes candidates,
+    // never scores)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      pq.get(k).foreach { d =>
+        shared += 1
+        assert(d === r.getAs[Long]("approx_l2"), s"pair $k score drift")
+      }
+    }
+    assert(shared > 0, "paths never overlap — quantizers diverged")
+  }
+
   test("asof_join matches are at-or-before the event") {
     val rows = Temporal.asofJoin(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -88,7 +88,8 @@ class PlanQualitySpec extends AnyFunSuite {
   //  - token_budget_mix: corpus agg x broadcast 1-row total
   private val BoundedProductQueries = Set(
     "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_topk_lsh",
-    "ann_topk_ivf", "ann_recall_lsh", "gap_fill_ffill", "token_budget_mix")
+    "ann_topk_ivf", "ann_topk_ivfpq", "ann_recall_lsh", "gap_fill_ffill",
+    "token_budget_mix")
 
   test("no unbounded cartesian/nested-loop join in any registered query") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -166,6 +166,63 @@ object Streaming {
       .select(col("c_custkey").as("user_id"),
         col("c_mktsegment").as("segment"))
 
+  /** Per-user activity state carried by [[UserActivity]] rows. */
+  case class UserActivity(user_id: Long, n_events: Long, last_us: Long)
+
+  /** Custom keyed streaming state — the `mapGroupsWithState` tier for
+    * semantics no built-in operator expresses: a per-user running
+    * activity tracker (event count + last-seen time) that emits its
+    * updated state every micro-batch and EVICTS idle users via
+    * event-time timeout (watermark + 1 h past last activity). This is
+    * the (d)-tier streaming extension point: `session_window`,
+    * `dropDuplicatesWithinWatermark` etc. cover the standard shapes
+    * (and are preferred — see `sessionizeStream`); custom state is for
+    * the rest, and the timeout discipline is what keeps state bounded
+    * on an unbounded key space. Typed `Dataset` API throughout —
+    * `GroupState[UserActivity]` is a case-class encoder, not a Row.
+    */
+  def userActivityStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    def track(userId: Long, rows: Iterator[(Long, java.time.Instant)],
+        state: GroupState[UserActivity]): Iterator[UserActivity] = {
+      if (state.hasTimedOut) {
+        state.remove() // idle past the horizon: drop the key's state
+        Iterator.empty
+      } else {
+        val prev = state.getOption.getOrElse(UserActivity(userId, 0L, 0L))
+        var n = prev.n_events
+        var last = prev.last_us
+        rows.foreach { case (_, t) =>
+          n += 1
+          last = math.max(last, t.getEpochSecond * 1000000L + t.getNano / 1000L)
+        }
+        val next = UserActivity(userId, n, last)
+        state.update(next)
+        // time out 1 h (event time) after the last activity
+        state.setTimeoutTimestamp(last / 1000L + 3600L * 1000L)
+        Iterator.single(next)
+      }
+    }
+    eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      // the WATERMARKED column itself must flow into the stateful
+      // operator (a derived long would orphan the watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.time.Instant)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout())(track)
+      .toDF()
+  }
+
+  /** Batch twin of [[userActivityStream]]'s FINAL state per user. */
+  def userActivityBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+
   /** Drive a streaming DF to completion against an in-memory sink and
     * return the materialized table (test/dev harness; production would
     * `writeStream` to files/Kafka with the same plan).

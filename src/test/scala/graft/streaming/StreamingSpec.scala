@@ -90,6 +90,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.forall(_._2._2 != null))
   }
 
+  test("custom mapGroupsWithState tracker converges to the batch per-user totals") {
+    val out = Streaming.runToMemory(
+      Streaming.userActivityStream(spark, sf), "activity_stream", "update")
+      .collect()
+    assert(out.nonEmpty)
+    // update mode emits the running state each batch: the LAST emission
+    // per user (max n_events — the counter is monotone) is the final state
+    val finalState = out.groupBy(_.getAs[Long]("user_id")).map {
+      case (u, rows) => u -> rows.map(r =>
+        (r.getAs[Long]("n_events"), r.getAs[Long]("last_us"))).maxBy(_._1)
+    }
+    val batch = Streaming.userActivityBatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("last_us"))).toMap
+    assert(finalState.keySet === batch.keySet)
+    finalState.foreach { case (u, st) =>
+      assert(batch(u) === st, s"user $u: stream=$st batch=${batch(u)}")
+    }
+  }
+
   test("streaming top-k sketch windows equal the batch sketch") {
     val streamed = Streaming.runToMemory(
       Streaming.topkStream(spark, sf), "topk_stream").collect()

@@ -455,9 +455,107 @@ object Analytics {
                 JOIN customer c ON o.o_custkey = c.c_custkey
        ORDER BY total_qty DESC, o.o_orderkey"""
 
+  /** Funnel conversion (view -> click -> purchase, strictly ordered in
+    * time per user): stage k counts users whose first stage-k event
+    * happens AFTER their first stage-(k-1) event — the product-analytics
+    * classic. Three conditional min-aggregations over (user, type, t)
+    * rows; each stage's per-user frame is tiny (<= |users|) and
+    * broadcasts back, so the corpus is scanned once per stage with no
+    * wide shuffle. Fractions are exact-integer divisions vs the stage-1
+    * population.
+    */
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("t")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(broadcast(v), "user_id")
+      .filter(col("t") > col("tv"))
+      .groupBy("user_id").agg(min(col("t")).as("tc"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(c), "user_id")
+      .filter(col("t") > col("tc"))
+      .groupBy("user_id").agg(min(col("t")).as("tp"))
+    val counts = v.agg(count(lit(1)).as("n")).withColumn("stage_ord", lit(1))
+      .withColumn("stage", lit("view"))
+      .unionByName(c.agg(count(lit(1)).as("n"))
+        .withColumn("stage_ord", lit(2)).withColumn("stage", lit("click")))
+      .unionByName(p.agg(count(lit(1)).as("n"))
+        .withColumn("stage_ord", lit(3)).withColumn("stage", lit("purchase")))
+    val first = v.agg(count(lit(1)).as("n1"))
+    counts.crossJoin(broadcast(first))
+      .select(col("stage_ord"), col("stage"), col("n").as("n_users"),
+        (col("n").cast("double") / col("n1").cast("double")).as("conv_frac"))
+      .orderBy("stage_ord")
+  }
+
+  val funnelConversionSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       v AS (SELECT user_id, MIN(t) AS tv FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT ev.user_id, MIN(t) AS tc FROM ev JOIN v USING (user_id)
+             WHERE event_type = 'click' AND t > tv GROUP BY ev.user_id),
+       p AS (SELECT ev.user_id, MIN(t) AS tp FROM ev JOIN c USING (user_id)
+             WHERE event_type = 'purchase' AND t > tc GROUP BY ev.user_id),
+       counts AS (
+         SELECT 1 AS stage_ord, 'view' AS stage, COUNT(*) AS n FROM v
+         UNION ALL SELECT 2, 'click', COUNT(*) FROM c
+         UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p),
+       first AS (SELECT COUNT(*) AS n1 FROM v)
+       SELECT stage_ord, stage, n AS n_users,
+              CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_frac
+       FROM counts CROSS JOIN first ORDER BY stage_ord"""
+
+  /** Weekly cohort retention: users are cohorted by first-activity
+    * week; cell (cohort, offset) counts how many are active `offset`
+    * weeks later, as a fraction of the cohort. Two narrow aggregations
+    * ((user, week) distinct activity and per-user first week — both
+    * user-cardinality) and one joined count; the cohort dimension
+    * broadcasts. The dashboard layout every retention chart reads.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(s, dir)
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), lit("1970-01-01")) / 7)
+          .cast("int").as("week"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_n"))
+    wk.join(broadcast(cohort), "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("offset"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_n").cast("double"))
+          .as("retention"))
+      .orderBy("cohort_week", "offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH wk AS (SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS INT) AS week
+           FROM events),
+       cohort AS (SELECT user_id, MIN(week) AS cohort_week
+                  FROM wk GROUP BY user_id),
+       sizes AS (SELECT cohort_week, COUNT(*) AS cohort_n
+                 FROM cohort GROUP BY cohort_week),
+       act AS (SELECT c.cohort_week, wk.week - c.cohort_week AS wk_off,
+                      COUNT(*) AS n_active
+               FROM wk JOIN cohort c USING (user_id)
+               GROUP BY c.cohort_week, wk.week - c.cohort_week)
+       SELECT act.cohort_week, CAST(wk_off AS INT) AS "offset", n_active,
+              CAST(n_active AS DOUBLE) / CAST(cohort_n AS DOUBLE) AS retention
+       FROM act JOIN sizes ON act.cohort_week = sizes.cohort_week
+       ORDER BY act.cohort_week, wk_off"""
+
   def queries: Seq[Q] = Seq(
     Q("q1_agg", Some(q1Sql), bench = true)(q1),
     Q("big_orders_having", Some(bigOrdersSql))(bigOrders),
+    Q("funnel_conversion", Some(funnelConversionSql))(funnelConversion),
+    Q("cohort_retention", Some(cohortRetentionSql))(cohortRetention),
     Q("q3_top_revenue", Some(q3Sql), bench = true)(q3),
     Q("q5_region_revenue", Some(q5Sql), bench = true)(q5),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),

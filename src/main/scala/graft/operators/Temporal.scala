@@ -253,16 +253,14 @@ object Temporal {
   /** Session gap threshold: 30 minutes, in microseconds. */
   private val GapUs = 1800L * 1000000L
 
-  /** Sessionization via gap analysis: per user, a new session starts
-    * when the gap to the previous event exceeds 30 min; session id is the
-    * running count of starts. One shuffle on user_id; both windows share
-    * the same (user, time) sort order so Spark plans a single sort.
+  /** Event rows with their gap-analysis session id — the shared first
+    * stage of [[sessionize]] and [[topEventPaths]].
     */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
+  private def sessionizedEvents(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("t"), col("event_id"))
-    val flagged = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"),
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("t"), col("value"))
       .withColumn("new_sess",
         when(col("t") - lag(col("t"), 1).over(w) > GapUs ||
@@ -270,6 +268,15 @@ object Temporal {
       .withColumn("session_id",
         sum(col("new_sess"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Sessionization via gap analysis: per user, a new session starts
+    * when the gap to the previous event exceeds 30 min; session id is the
+    * running count of starts. One shuffle on user_id; both windows share
+    * the same (user, time) sort order so Spark plans a single sort.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val flagged = sessionizedEvents(s, dir)
     flagged.groupBy(col("user_id"), col("session_id"))
       .agg(min(col("t")).as("start_us"), max(col("t")).as("end_us"),
         count(lit(1)).as("n_events"),
@@ -293,6 +300,85 @@ object Temporal {
               COUNT(*) AS n_events, ${sqlDsum(sqlDecp("value"))} AS sum_value
        FROM sess GROUP BY user_id, session_id
        ORDER BY user_id, session_id"""
+
+  /** Top session PATHS — the event-sequence analytic on top of
+    * sessionization: each session renders as its time-ordered event-type
+    * string ("view>click>purchase"), counted across the corpus. The
+    * path builds array-side per session (sorted struct collect, one agg
+    * on the already-sessionized frame); only (path, count) survives to
+    * the final top-k. Deterministic: struct sort orders by (t,
+    * event_id), the global ORDER BY ties on path.
+    */
+  def topEventPaths(s: SparkSession, dir: String): DataFrame =
+    sessionizedEvents(s, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("t"), col("event_id"),
+          col("event_type")))), x => x.getField("event_type")), ">")
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+
+  val topEventPathsSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+                   FROM events),
+       flagged AS (
+         SELECT user_id, event_id, event_type, t,
+           CASE WHEN t - LAG(t, 1) OVER w > $GapUs
+                  OR LAG(t, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       sess AS (
+         SELECT user_id, event_id, event_type, t,
+           CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         FROM flagged),
+       paths AS (
+         SELECT user_id, session_id,
+                string_agg(event_type, '>' ORDER BY t, event_id) AS path
+         FROM sess GROUP BY user_id, session_id)
+       SELECT path, COUNT(*) AS n FROM paths
+       GROUP BY path ORDER BY n DESC, path LIMIT 20"""
+
+  /** Event-type transition matrix (first-order Markov view of user
+    * behavior): for consecutive events per user, count (from -> to)
+    * pairs and each row's probability among transitions leaving `from`.
+    * One lead window per user + one aggregation; the per-source totals
+    * are a type-cardinality frame broadcast back.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type").as("ft"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), col("from_type") === col("ft"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH e AS (SELECT user_id, event_type AS from_type, epoch_us(ts) AS t,
+                    event_id
+                  FROM events),
+       seq AS (SELECT from_type,
+                 LEAD(from_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id) AS to_type
+               FROM e),
+       pairs AS (SELECT from_type, to_type, COUNT(*) AS n
+                 FROM seq WHERE to_type IS NOT NULL
+                 GROUP BY from_type, to_type),
+       totals AS (SELECT from_type AS ft, CAST(SUM(n) AS BIGINT) AS n_from
+                  FROM pairs GROUP BY from_type)
+       SELECT from_type, to_type, n,
+              CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+       FROM pairs JOIN totals ON from_type = ft
+       ORDER BY from_type, to_type"""
 
   /** Tumbling-hour aggregation (batch twin of the streaming windowed
     * count). Hour emitted as a formatted string — portable across
@@ -320,5 +406,7 @@ object Temporal {
     Q("asof_join_forward_native", Some(asofJoinForwardSql))(asofJoinForwardNative),
     Q("time_weighted_avg", Some(timeWeightedAvgSql))(timeWeightedAvg),
     Q("sessionize", Some(sessionizeSql), bench = true)(sessionize),
+    Q("top_event_paths", Some(topEventPathsSql))(topEventPaths),
+    Q("event_transitions", Some(eventTransitionsSql))(eventTransitions),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly))
 }

@@ -238,7 +238,9 @@ object Stats {
     * what replaces exact index selection when one group spans billions
     * of rows. Rows-only gate (DuckDB's approx algorithm differs by
     * design); StatsSpec pins the GK error bound against the exact
-    * percentiles.
+    * percentiles. Output is scalar columns (not the raw sketch array):
+    * downstream consumers — including the driver's row-hash — want a
+    * flat frame.
     */
   def approxQuantile(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -249,6 +251,9 @@ object Stats {
         expr("approx_percentile(price, array(0.5, 0.9, 0.99), 10000)")
           .as("quantiles"),
         count(lit(1)).as("n"))
+      .select(col("prio"), col("quantiles")(0).as("ap50"),
+        col("quantiles")(1).as("ap90"), col("quantiles")(2).as("ap99"),
+        col("n"))
       .orderBy("prio")
 
   /** Per-group mode (most frequent value, deterministic tie-break):

@@ -159,7 +159,7 @@ class StatsSpec extends AnyFunSuite {
     val approx = Stats.approxQuantile(spark, sf).collect()
     assert(approx.nonEmpty)
     approx.foreach { r =>
-      val qs = r.getSeq[Double](1)
+      val qs = Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))
       val (p50, p90, p99) = exact(r.getString(0))
       // accuracy 10000 => rank error <= n/10000; sf0.001 groups are a few
       // hundred rows, so the sketch must be exact-to-near-exact here

@@ -25,6 +25,8 @@ object Registry {
       operators.Temporal.queries ++
       operators.Stats.queries ++
       operators.Curation.queries ++
+      operators.Chunking.queries ++
+      operators.Graph.queries ++
       operators.DataQuality.queries ++
       operators.Multimodal.queries
 

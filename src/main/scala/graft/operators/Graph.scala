@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the skill co-occurrence graph — the "which
+  * skills are structurally central" layer above raw pair counts
+  * (reference surfaces only the counts; centrality is the standard
+  * next question a labor-market dashboard asks). Nodes are skills,
+  * undirected edges are "extracted from the same document"
+  * ([[TextAnalysis.skillCooccurrence]] pairs, both directions).
+  *
+  * PageRank here is FIXED-POINT INTEGER arithmetic end to end: ranks
+  * are BIGINTs scaled by 10^12, every step is integer multiply /
+  * integer divide / integer sum — exact, associative, and therefore
+  * bit-identical across engines and partitionings (a double-valued
+  * PageRank could not be oracle-gated: cross-engine SUM(double) order
+  * differs). Three Jacobi iterations unrolled — at corpus scale each
+  * iteration is one shuffle of (dst, contribution) pairs, the classic
+  * Pregel super-step shape; the node set, degree table, and rank
+  * vector are all |skills|-sized (tiny next to the corpus), so the
+  * plan's only big input is the extraction chain itself.
+  *
+  * Headroom: contributions sum to <= SCALE per node-neighborhood and
+  * 85 * SUM stays far under 2^63 for any |V| <= 10^6; a larger node
+  * universe drops SCALE to 10^9 (documented, config-free here because
+  * the property is structural, not tuned).
+  */
+object Graph {
+
+  /** Rank fixed-point scale (1.0 == 10^12). */
+  val Scale = 1000000000000L
+
+  /** Unrolled power-iteration count. */
+  val Iters = 3
+
+  /** r' = (15% * SCALE/|V|) + 85% * sum_in(r_u div deg_u), all in
+    * integer arithmetic; damping 0.85 as the exact rational 85/100.
+    */
+  def pagerankSkills(s: SparkSession, dir: String): DataFrame = {
+    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+    val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    val deg = e.groupBy(col("src").as("skill"))
+      .agg(count(lit(1)).as("deg"))
+    val nV = deg.agg(count(lit(1)).as("nv"))
+    // every node sits in at least one edge (edges define the node set),
+    // so inner joins below lose nothing and need no null branch
+    var r = deg.crossJoin(broadcast(nV))
+      .select(col("skill"), col("deg"), col("nv"),
+        expr(s"${Scale}L div nv").as("r"))
+    for (_ <- 1 to Iters) {
+      val contrib = r.join(e, r("skill") === e("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("cs"))
+      r = deg.crossJoin(broadcast(nV))
+        .join(contrib, col("skill") === col("dst"))
+        .select(col("skill"), col("deg"), col("nv"),
+          expr(s"((15 * (${Scale}L div nv)) div 100) + ((85 * cs) div 100)")
+            .as("r"))
+    }
+    r.select(col("skill"), col("deg"), col("r").as("rank"))
+      .orderBy(col("rank").desc, col("skill"))
+  }
+
+  val pagerankSkillsSql: String = {
+    def iter(prev: String, k: Int): String =
+      s"""r$k AS (SELECT d.skill, d.deg, d.nv,
+               ((15 * ($Scale // d.nv)) // 100)
+                 + ((85 * CAST(SUM(p.r // p.deg) AS BIGINT)) // 100) AS r
+             FROM e JOIN $prev p ON e.src = p.skill
+                    JOIN dn d ON e.dst = d.skill
+             GROUP BY d.skill, d.deg, d.nv)"""
+    s"""WITH cooc AS (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e AS (SELECT skill_a AS src, skill_b AS dst FROM cooc
+             UNION ALL
+             SELECT skill_b AS src, skill_a AS dst FROM cooc),
+       deg AS (SELECT src AS skill, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM e GROUP BY 1),
+       dn AS (SELECT skill, deg, (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)
+                AS nv FROM deg),
+       r0 AS (SELECT skill, deg, nv, $Scale // nv AS r FROM dn),
+       ${(1 to Iters).map(k => iter(s"r${k - 1}", k)).mkString(",\n       ")}
+       SELECT skill, deg, r AS rank FROM r$Iters
+       ORDER BY rank DESC, skill"""
+  }
+
+  def queries: Seq[Q] = Seq(
+    Q("pagerank_skills", Some(pagerankSkillsSql))(pagerankSkills))
+}

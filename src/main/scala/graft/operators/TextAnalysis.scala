@@ -331,8 +331,55 @@ object TextAnalysis {
               CAST(COUNT(*) AS INT) AS n_shingles
        FROM shr GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Unigram language-model commonness score — the deterministic core
+    * of perplexity-style quality filtering (CCNet-style: score each doc
+    * by how typical its tokens are of the corpus). The corpus IS the
+    * model: freq(tok) = exact BIGINT occurrence count; a doc's score is
+    * mean corpus frequency of its token occurrences. Rare-token-heavy
+    * docs (gibberish, mojibake) score low; pure-boilerplate docs score
+    * high — both tails are filter candidates. No logarithms: libm logs
+    * aren't correctly rounded so a log-space score could not be
+    * oracle-gated; the mean is one IEEE division over exact integers.
+    *
+    * Scale: tokens pre-aggregate to (doc_id, tok, c) BEFORE touching
+    * the frequency table — per-doc repeats collapse map-side and the
+    * hot-token join skew drops by the repeat factor; the weighted sum
+    * c*freq then needs no per-occurrence rows. freq table is
+    * |vocab|-sized (Zipf: ~10^7 rows at 100 TB — a shuffle join on
+    * tok, AQE handles the head-token skew).
+    */
+  def qualityUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val pd = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+    val fr = pd.groupBy("tok").agg(sum(col("c")).as("freq"))
+    pd.join(fr, "tok")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c") * col("freq")).as("freq_sum"))
+      .select(col("doc_id"), col("n_tok"), col("freq_sum"),
+        (col("freq_sum").cast("double") / col("n_tok").cast("double"))
+          .as("commonness"))
+      .orderBy("doc_id")
+  }
+
+  val qualityUnigramLmSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(${sqlToks("text")}) AS tok
+                    FROM documents),
+       pd AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tk GROUP BY 1, 2),
+       fr AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS freq FROM pd GROUP BY 1),
+       ag AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+                CAST(SUM(c * freq) AS BIGINT) AS freq_sum
+              FROM pd JOIN fr USING (tok) GROUP BY 1)
+       SELECT doc_id, n_tok, freq_sum,
+              CAST(freq_sum AS DOUBLE) / CAST(n_tok AS DOUBLE) AS commonness
+       FROM ag ORDER BY doc_id"""
+
   def queries: Seq[Q] = Seq(
     Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),
+    Q("quality_unigram_lm", Some(qualityUnigramLmSql))(qualityUnigramLm),
     Q("top_tokens_sketch", None)(topTokensSketch),
     Q("skill_cooccurrence", Some(skillCooccurrenceSql))(skillCooccurrence),
     Q("top_skills_per_sector", Some(topSkillsPerSectorSql))(topSkillsPerSector),

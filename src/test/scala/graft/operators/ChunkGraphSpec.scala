@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SharedSpark
+import graft.functions.Text.toks
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the chunking layer and the graph/LM operators beyond
+  * the DuckDB hash gate: reconstruction properties, conservation laws,
+  * and the PageRank fixed-point identities that must hold at any scale.
+  */
+class ChunkGraphSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("chunk_documents: coverage, stride starts, and size bounds") {
+    val out = Chunking.chunkDocuments(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nDocs = Tables.documents(spark, sf)
+      .filter(size(toks(col("text"))) >= 1).count()
+    assert(out.map(_.getLong(0)).distinct.length === nDocs)
+    out.foreach { r =>
+      val nTok = r.getLong(3)
+      assert(nTok >= 1 && nTok <= Chunking.ChunkSize)
+      // chunk text really holds n_tok tokens
+      assert(r.getString(2).split(" ").length === nTok)
+    }
+    // chunk_ids per doc are 0..k with no holes (stride grid is dense)
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(rs.indices))
+    }
+  }
+
+  test("non-overlapping chunks reassemble the exact tokenized document") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_join(toks(col("text")), " ").as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rebuilt = Chunking.chunkDedupExact(spark, sf) // just to touch it
+    assert(rebuilt.columns.sameElements(
+      Seq("doc_id", "chunk_id", "h", "n_dups")))
+    val seg = Chunking.stripBoilerplate(spark, sf).collect()
+    // with no verbatim cross-doc chunk repetition the strip is identity;
+    // where boilerplate WAS found, kept_text must be a subsequence
+    seg.foreach { r =>
+      val (id, kept) = (r.getLong(0), r.getString(3))
+      if (r.getLong(1) === r.getLong(2)) assert(kept === docs(id))
+      else {
+        // partial strip: kept tokens are a sub-multiset of the doc's
+        val dc = docs(id).split(" ").groupBy(identity).view.mapValues(_.length)
+        kept.split(" ").filter(_.nonEmpty).groupBy(identity).foreach {
+          case (t, o) => assert(dc.getOrElse(t, 0) >= o.length)
+        }
+      }
+    }
+    // conservation: kept chunks never exceed total chunks
+    seg.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("chunk_dedup_exact: canonical row per hash, dup mass conserved") {
+    val out = Chunking.chunkDedupExact(spark, sf).collect()
+    val totalChunks = Chunking.chunkDocuments(spark, sf).count()
+    assert(out.map(_.getString(2)).distinct.length === out.length)
+    assert(out.map(_.getLong(3)).sum <= totalChunks) // strides differ (24 vs 32)
+    out.foreach(r => assert(r.getLong(3) >= 1))
+  }
+
+  test("quality_unigram_lm: commonness bounded by corpus extremes, exact mean") {
+    val out = TextAnalysis.qualityUnigramLm(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, fs, c) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(c === fs.toDouble / n.toDouble)
+      assert(fs >= n) // every token occurs at least once corpus-wide
+    }
+    // total token mass: sum over docs of n_tok equals corpus token count
+    val corpusToks = Tables.documents(spark, sf)
+      .select(size(toks(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(out.map(_.getLong(1)).sum === corpusToks)
+  }
+
+  test("pagerank_skills: probability mass conserved, hubs outrank leaves") {
+    val out = Graph.pagerankSkills(spark, sf).collect()
+    assert(out.nonEmpty)
+    // fixed-point mass: sum of ranks ~= SCALE (integer floor loses at
+    // most a few units per node per iteration)
+    val mass = out.map(_.getLong(2)).sum
+    val slack = out.length.toLong * (Graph.Iters + 1) * 100
+    assert(mass <= Graph.Scale && mass >= Graph.Scale - slack,
+      s"rank mass $mass vs scale ${Graph.Scale}")
+    // ranks are positive and the ordering is total (sorted desc)
+    assert(out.forall(_.getLong(2) > 0))
+    assert(out.map(_.getLong(2)).sameElements(
+      out.map(_.getLong(2)).sortBy(-_)))
+  }
+
+  test("pagerank is invariant under input repartitioning") {
+    val a = Graph.pagerankSkills(spark, sf).collect().map(_.toSeq)
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = Graph.pagerankSkills(spark, sf).collect().map(_.toSeq)
+      assert(a.toSeq === b.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+  }
+}

@@ -39,8 +39,12 @@ object Graph {
     * integer arithmetic; damping 0.85 as the exact rational 85/100.
     */
   def pagerankSkills(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the pair list is the §7a checkpoint sweet spot —
+    // a compact post-agg frame consumed by Iters+1 divergent joins;
+    // without it every iteration re-runs the corpus extraction chain
     val cooc = TextAnalysis.skillCooccurrence(s, dir)
       .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint()
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
       .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
     val deg = e.groupBy(col("src").as("skill"))

@@ -545,7 +545,39 @@ object Similarity {
                 ORDER BY approx_l2, vec_id) AS INT) AS rank
        FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
 
+  /** Per-label embedding centroid (class prototype / cluster summary):
+    * exact fixed-point component sums, one IEEE division per component
+    * at the end. Output is FLAT (label, pos, csum, n, mean) rows, not
+    * an array column — array cells break downstream row-level
+    * consumers and hash gates. Shape at scale: posexplode is dim-wide
+    * but the shuffle carries only (label, pos) -> (sum, count)
+    * partials thanks to map-side combine; result is |labels| * dim
+    * rows regardless of corpus size.
+    */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(quantize(col("embedding"))))
+      .select(col("label"), (col("pos") + 1).as("pos"), col("col").as("q"))
+      .groupBy("label", "pos")
+      .agg(sum(col("q")).as("csum"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("csum"), col("n"),
+        (col("csum").cast("double") / col("n").cast("double")).as("mean"))
+      .orderBy("label", "pos")
+
+  val embeddingCentroidsSql: String =
+    s"""WITH q AS (SELECT label,
+               unnest(${sqlQuantize("embedding")}) AS qx,
+               CAST(generate_subscripts(embedding, 1) AS INT) AS pos
+             FROM embeddings),
+       g AS (SELECT label, pos, CAST(SUM(qx) AS BIGINT) AS csum,
+               CAST(COUNT(*) AS BIGINT) AS n
+             FROM q GROUP BY 1, 2)
+       SELECT label, pos, csum, n,
+              CAST(csum AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+       FROM g ORDER BY label, pos"""
+
   def queries: Seq[Q] = Seq(
+    Q("embedding_centroids", Some(embeddingCentroidsSql))(embeddingCentroids),
     Q("ann_topk_bruteforce", Some(annTopkBruteforceSql), bench = true)(annTopkBruteforce),
     Q("ann_topk_lsh", Some(annTopkLshSql))(annTopkLsh),
     Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf),

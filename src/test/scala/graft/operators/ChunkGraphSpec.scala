@@ -94,6 +94,20 @@ class ChunkGraphSpec extends AnyFunSuite {
       out.map(_.getLong(2)).sortBy(-_)))
   }
 
+  test("embedding_centroids: one row per (label, dim), exact mean, mass check") {
+    val out = Similarity.embeddingCentroids(spark, sf).collect()
+    assert(out.nonEmpty)
+    val dims = out.map(_.getInt(1)).distinct.sorted
+    assert(dims.head === 1 && dims.last === 64 && dims.length === 64)
+    out.foreach { r =>
+      assert(r.getDouble(4) === r.getLong(2).toDouble / r.getLong(3).toDouble)
+    }
+    // every label contributes its full vector count to every position
+    out.groupBy(_.getInt(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).distinct.length === 1)
+    }
+  }
+
   test("pagerank is invariant under input repartitioning") {
     val a = Graph.pagerankSkills(spark, sf).collect().map(_.toSeq)
     spark.conf.set("spark.sql.shuffle.partitions", "7")

@@ -85,6 +85,38 @@ class GeneratedInputsSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("chunkDocuments equals brute-force chunking on generated documents") {
+    // generated docs stress irregular whitespace, short docs (< one
+    // chunk), exact-boundary lengths, and empty/blank docs
+    val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val sepGen = Gen.oneOf(" ", "  ", "\t", " \t ")
+    val docGen = Gen.frequency(
+      6 -> (for {
+        n <- Gen.choose(1, 90)
+        ws <- Gen.listOfN(n, wordGen)
+        sep <- sepGen
+      } yield ws.mkString(sep)),
+      1 -> Gen.const(""),
+      1 -> Gen.const("   "))
+    val docs = sample(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "gen", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("chunkgen").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Chunking.chunkDocuments(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    val want = docs.flatMap { case (id, text, _, _, _) =>
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      (0 until tk.length by operators.Chunking.Stride).map { start =>
+        val piece = tk.slice(start, start + operators.Chunking.ChunkSize)
+        (id, start / operators.Chunking.Stride) ->
+          (piece.mkString(" "), piece.length.toLong)
+      }
+    }.toMap
+    assert(got === want)
+  }
+
   test("denseIds equals sorted rank per generated case") {
     // many generated cases ride ONE frame: case id is the group column,
     // so each case gets its own independent 1-based numbering

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, StarSchema}
+import graft.operators.{Analytics, Chunking, Similarity, StarSchema}
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -154,5 +154,27 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(bad.isEmpty,
         s"$name plans a global window — every row funnels through one task")
     }
+  }
+
+  test("chunking scans read only doc_id and text, never lang/source") {
+    val p = plan(Chunking.chunkDocuments(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("chunk_dedup_exact: map-side combine (partial min/count before the shuffle)") {
+    val p = plan(Chunking.chunkDedupExact(spark, sf))
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      "argmin agg lost its partial (map-side) phase")
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(Chunking.chunkDedupExact(spark, sf).queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.isEmpty,
+      "dedup should be pure aggregation, not a window")
+  }
+
+  test("embedding_centroids: partial sums before the (label, pos) shuffle") {
+    val p = plan(Similarity.embeddingCentroids(spark, sf))
+    assert(p.contains("partial_sum"), "centroid sums lost map-side combine")
   }
 }

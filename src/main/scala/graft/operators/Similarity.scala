@@ -576,8 +576,74 @@ object Similarity {
               CAST(csum AS DOUBLE) / CAST(n AS DOUBLE) AS mean
        FROM g ORDER BY label, pos"""
 
+  /** kNN label vote — the classifier-evaluation surface over the exact
+    * ANN tier: each query vector takes the majority label of its
+    * [[TopK]] nearest neighbors (exact quantized cosine, deterministic
+    * tie-breaks: neighbor rank by (cos desc, vec_id), vote by (count
+    * desc, label)). `correct` makes the frame aggregate directly into
+    * label-quality / embedding-drift dashboards. Same O(|Q|*N) shape
+    * as the brute-force baseline (query set hard-capped); the vote
+    * itself touches only |Q|*k rows.
+    */
+  def knnLabelVote(s: SparkSession, dir: String): DataFrame = {
+    val q = queriesDf(s, dir)
+    val c = quantized(s, dir)
+    val wNn = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val nn = broadcast(q).join(c, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosineQ(dotQ(col("q_qv"), col("qv")), col("q_nn"), col("nn"))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(wNn))
+      .filter(col("rank") <= TopK)
+    val lab = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("c_id"), col("label").as("c_label"))
+    val votes = nn.join(lab, nn("vec_id") === lab("c_id"))
+      .groupBy(col("q_id"), col("c_label"))
+      .agg(count(lit(1)).as("votes"))
+    val wV = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("c_label"))
+    val truth = Tables.embeddings(s, dir).filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"))
+    votes.withColumn("rk", row_number().over(wV))
+      .filter(col("rk") === 1)
+      .join(truth, "q_id")
+      .select(col("q_id"), col("true_label"),
+        col("c_label").as("pred_label"), col("votes"),
+        when(col("c_label") === col("true_label"), 1).otherwise(0)
+          .cast("int").as("correct"))
+      .orderBy("q_id")
+  }
+
+  val knnLabelVoteSql: String =
+    s"""WITH $sqlQuant,
+       scored AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                    ${sqlCosineQ(sqlDotQ("q.qv", "c.qv", Dim), "q.nn", "c.nn")} AS cos_sim
+                  FROM quant q JOIN quant c ON ${sqlQueryPred("q")}
+                   AND q.vec_id <> c.vec_id),
+       nn AS (SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY cos_sim DESC, vec_id) AS rank
+                FROM scored) WHERE rank <= $TopK),
+       v AS (SELECT nn.q_id, e.label AS c_label,
+               CAST(COUNT(*) AS BIGINT) AS votes
+             FROM nn JOIN embeddings e ON nn.vec_id = e.vec_id
+             GROUP BY 1, 2),
+       top AS (SELECT q_id, c_label, votes,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY votes DESC, c_label) AS rk
+               FROM v)
+       SELECT t.q_id, e.label AS true_label, t.c_label AS pred_label,
+              t.votes,
+              CAST(CASE WHEN t.c_label = e.label THEN 1 ELSE 0 END AS INT)
+                AS correct
+       FROM top t JOIN embeddings e ON t.q_id = e.vec_id
+       WHERE t.rk = 1 ORDER BY t.q_id"""
+
   def queries: Seq[Q] = Seq(
     Q("embedding_centroids", Some(embeddingCentroidsSql))(embeddingCentroids),
+    Q("knn_label_vote", Some(knnLabelVoteSql))(knnLabelVote),
     Q("ann_topk_bruteforce", Some(annTopkBruteforceSql), bench = true)(annTopkBruteforce),
     Q("ann_topk_lsh", Some(annTopkLshSql))(annTopkLsh),
     Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf),

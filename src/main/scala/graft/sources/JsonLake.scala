@@ -47,6 +47,25 @@ object JsonLake {
       .option("multiLine", value = true)
       .json(path)
 
+  /** CSV landing-zone reader with the same contract as [[readJson]]:
+    * explicit schema (no inference pass), PERMISSIVE parse with
+    * malformed lines quarantined into [[CorruptCol]]. CSV is the other
+    * format scraped/exported feeds actually arrive in; uncompressed
+    * CSV splits by line like NDJSON, so reads stay
+    * partition-parallel. Header handling is explicit — a header row
+    * would otherwise arrive as a (quarantined) data row on every one
+    * of a million files.
+    */
+  def readCsv(s: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    s.read
+      .schema(schema.add(StructField(CorruptCol, StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
   /** Split an ingested frame into (clean, quarantined) — the reference
     * drops rows missing required fields (transform_job.py:193-195);
     * quarantining instead keeps the audit trail a production lake needs.

@@ -213,6 +213,30 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_label_vote: one verdict per query, votes bounded by k, correct flag honest") {
+    val out = Similarity.knnLabelVote(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("q_id")).distinct.length === out.length)
+    out.foreach { r =>
+      val votes = r.getAs[Long]("votes")
+      assert(votes >= 1 && votes <= 5)
+      val expect = if (r.getAs[Int]("pred_label") ===
+        r.getAs[Int]("true_label")) 1 else 0
+      assert(r.getAs[Int]("correct") === expect)
+    }
+    // the winning label must actually appear among the query's 5 NN
+    val nnLabels = Similarity.annTopkBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+    val labels = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val neigh = nnLabels(r.getAs[Long]("q_id")).map(
+        x => labels(x.getAs[Long]("vec_id")))
+      assert(neigh.contains(r.getAs[Int]("pred_label")))
+    }
+  }
+
   test("ann_topk_lsh finds only pairs the brute-force path also scores") {
     val brute = Similarity.annTopkBruteforce(spark, sf)
       .select("q_id", "vec_id", "cos_sim").collect()

@@ -35,6 +35,26 @@ class LakeWarehouseSpec extends AnyFunSuite {
       .forall(!_.isNullAt(0)))
   }
 
+  test("readCsv enforces schema, skips the header, quarantines malformed lines") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "export.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("job_url,titre,via,n")
+    w.println("u1,dev,src0,1")
+    w.println("""u2,"ing, data",src1,2""") // quoted delimiter
+    w.println("u3,ops,src0,notanum") // type violation -> quarantine
+    w.close()
+
+    val raw = JsonLake.readCsv(spark, f.getAbsolutePath, schema)
+    val (clean, bad) = JsonLake.quarantine(raw)
+    assert(clean.count() === 2)
+    assert(bad.count() === 1)
+    assert(clean.columns.toSeq === schema.fieldNames.toSeq)
+    assert(clean.filter(col("job_url") === "u2").head.getAs[String]("titre")
+      === "ing, data")
+    assert(bad.select(JsonLake.CorruptCol).collect().forall(!_.isNullAt(0)))
+  }
+
   test("readJsonArray ingests legacy multi-line JSON arrays, quarantines malformed files") {
     val dir = Files.createTempDirectory("graft_lake_ml").toFile
     val good = new java.io.PrintWriter(new java.io.File(dir, "scrape1.json"))

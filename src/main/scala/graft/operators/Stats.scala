@@ -256,6 +256,41 @@ object Stats {
         col("n"))
       .orderBy("prio")
 
+  /** Trailing-7-day distinct active users per day (rolling WAU — the
+    * engagement dashboard's flagship number). COUNT(DISTINCT) OVER a
+    * RANGE frame isn't a thing in either engine, and a per-day
+    * self-join over the event log is O(days * corpus); instead each
+    * distinct (user, day) fans out to the <= 7 window-days it
+    * contributes to — a BOUNDED 7x multiplier on the already-collapsed
+    * distinct pairs, never on raw events — then one distinct-agg per
+    * window day. First 6 days are honest partial windows; fan-out past
+    * the span is clipped against the (1-row, broadcast) max-day frame.
+    */
+  def rollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val mx = Tables.events(s, dir).agg(max(to_date(col("ts"))).as("max_day"))
+    ud.select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(col("user_id"), expr("date_add(day, i)").as("wday"))
+      .crossJoin(broadcast(mx))
+      .filter(col("wday") <= col("max_day"))
+      .groupBy("wday")
+      .agg(countDistinct(col("user_id")).as("active_users_7d"))
+      .orderBy("wday")
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                   FROM events),
+       mx AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+       fan AS (SELECT user_id, day + CAST(i AS INT) AS wday
+               FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) t)
+       SELECT wday, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                AS active_users_7d
+       FROM fan, mx WHERE wday <= max_day
+       GROUP BY 1 ORDER BY 1"""
+
   /** Per-group mode (most frequent value, deterministic tie-break):
     * dominant order priority per market segment. Two single-shuffle
     * aggs + a partitioned top-1 window over group-cardinality rows.
@@ -480,6 +515,7 @@ object Stats {
   def queries: Seq[Q] = Seq(
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
     Q("rolling_window_range", Some(rollingWindowRangeSql))(rollingWindowRange),
+    Q("rolling_active_users", Some(rollingActiveUsersSql))(rollingActiveUsers),
     Q("corr_exact", Some(corrExactSql))(corrExact),
     Q("window_rank_suite", Some(windowRankSuiteSql))(windowRankSuite),
     Q("histogram_equidepth", Some(histogramEquidepthSql))(histogramEquidepth),

@@ -169,6 +169,24 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling_active_users equals brute-force trailing-7d distinct") {
+    val pairs = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val maxDay = pairs.map(_._2).maxBy(_.toEpochDay)
+    val out = Stats.rollingActiveUsers(spark, sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (wday, n) =>
+      val expect = pairs.collect {
+        case (u, d) if !d.isAfter(wday) && !d.isBefore(wday.minusDays(6)) => u
+      }.distinct.length.toLong
+      assert(n === expect, s"window $wday")
+    }
+    assert(!out.keySet.exists(_.isAfter(maxDay)))
+  }
+
   test("tfidf_top_terms: ranks 1..3 per doc, score is exactly tf/df") {
     val out = Stats.tfidfTopTerms(spark, sf).collect()
     assert(out.nonEmpty)

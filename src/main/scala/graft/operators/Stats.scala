@@ -444,6 +444,47 @@ object Stats {
                 ORDER BY bal DESC, c_custkey) AS cume
        FROM t ORDER BY seg, c_custkey"""
 
+  /** Navigation/value window functions over the same deterministic
+    * ordering: lead/lag with defaults, first/last/nth_value with an
+    * explicit full frame (last_value under the default frame is the
+    * classic current-row trap in BOTH engines — the explicit
+    * UNBOUNDED..UNBOUNDED frame is the portable, intended semantics).
+    * Completes the window API surface next to [[windowRankSuite]]'s
+    * rank family; same single partitioned-window shape at scale.
+    */
+  def windowValueSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("bal").desc, col("c_custkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), lower(trim(col("c_mktsegment"))).as("seg"),
+        decp(col("c_acctbal")).cast("double").as("bal"))
+      .select(col("seg"), col("c_custkey"), col("bal"),
+        lag(col("bal"), 1, -1.0).over(w).as("prev_bal"),
+        lead(col("bal"), 1, -1.0).over(w).as("next_bal"),
+        first(col("bal")).over(wf).as("top_bal"),
+        last(col("bal")).over(wf).as("bottom_bal"),
+        nth_value(col("bal"), 3).over(wf).as("third_bal"))
+      .orderBy("seg", "c_custkey")
+  }
+
+  val windowValueSuiteSql: String = {
+    val ord = "PARTITION BY seg ORDER BY bal DESC, c_custkey"
+    val frame =
+      s"$ord ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    s"""WITH t AS (SELECT c_custkey, lower(trim(c_mktsegment)) AS seg,
+                     CAST(${sqlDecp("c_acctbal")} AS DOUBLE) AS bal
+                   FROM customer)
+       SELECT seg, c_custkey, bal,
+              LAG(bal, 1, -1.0) OVER ($ord) AS prev_bal,
+              LEAD(bal, 1, -1.0) OVER ($ord) AS next_bal,
+              FIRST_VALUE(bal) OVER ($frame) AS top_bal,
+              LAST_VALUE(bal) OVER ($frame) AS bottom_bal,
+              NTH_VALUE(bal, 3) OVER ($frame) AS third_bal
+       FROM t ORDER BY seg, c_custkey"""
+  }
+
   /** Equi-depth (quartile) histogram of order totals: ntile assigns
     * each row its depth-balanced bin, then one agg per bin — the
     * data-adaptive complement of [[histogramBins]]' fixed-width bins
@@ -516,6 +557,7 @@ object Stats {
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
     Q("rolling_window_range", Some(rollingWindowRangeSql))(rollingWindowRange),
     Q("rolling_active_users", Some(rollingActiveUsersSql))(rollingActiveUsers),
+    Q("window_value_suite", Some(windowValueSuiteSql))(windowValueSuite),
     Q("corr_exact", Some(corrExactSql))(corrExact),
     Q("window_rank_suite", Some(windowRankSuiteSql))(windowRankSuite),
     Q("histogram_equidepth", Some(histogramEquidepthSql))(histogramEquidepth),

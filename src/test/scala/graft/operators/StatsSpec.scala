@@ -187,6 +187,22 @@ class StatsSpec extends AnyFunSuite {
     assert(!out.keySet.exists(_.isAfter(maxDay)))
   }
 
+  test("window_value_suite: frame edges are the partition extremes") {
+    val out = Stats.windowValueSuite(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).values.foreach { rs =>
+      val bals = rs.map(_.getDouble(2))
+      rs.foreach { r =>
+        assert(r.getDouble(5) === bals.max, "top_bal is the partition max")
+        assert(r.getDouble(6) === bals.min, "bottom_bal is the partition min")
+      }
+      // exactly one row per partition has no predecessor/successor
+      // (lag/lead default -1 marks the partition edges)
+      assert(rs.count(_.getDouble(3) === -1.0) === 1)
+      assert(rs.count(_.getDouble(4) === -1.0) === 1)
+    }
+  }
+
   test("tfidf_top_terms: ranks 1..3 per doc, score is exactly tf/df") {
     val out = Stats.tfidfTopTerms(spark, sf).collect()
     assert(out.nonEmpty)

@@ -487,7 +487,11 @@ object Analytics {
     val first = v.agg(count(lit(1)).as("n1"))
     counts.crossJoin(broadcast(first))
       .select(col("stage_ord"), col("stage"), col("n").as("n_users"),
-        (col("n").cast("double") / col("n1").cast("double")).as("conv_frac"))
+        // COUNT over an empty relation still emits a row, so an empty
+        // corpus reaches this division with n1 = 0: NULL, not 0/0
+        when(col("n1") === 0, lit(null).cast("double"))
+          .otherwise(col("n").cast("double") / col("n1").cast("double"))
+          .as("conv_frac"))
       .orderBy("stage_ord")
   }
 
@@ -505,7 +509,9 @@ object Analytics {
          UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p),
        first AS (SELECT COUNT(*) AS n1 FROM v)
        SELECT stage_ord, stage, n AS n_users,
-              CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_frac
+              CASE WHEN n1 = 0 THEN NULL
+                   ELSE CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE)
+              END AS conv_frac
        FROM counts CROSS JOIN first ORDER BY stage_ord"""
 
   /** Weekly cohort retention: users are cohorted by first-activity

@@ -256,6 +256,66 @@ object Stats {
         col("n"))
       .orderBy("prio")
 
+  /** Median absolute deviation per group — the robust-statistics twin
+    * of [[anomalyZscore]] (MAD shrugs off the outliers that inflate a
+    * z-score's sigma). Same engine-portable discipline as
+    * [[percentileGroup]]: both medians are ACTUAL selected values
+    * (lower median at index (n+1) div 2, unique tie-breaks), the
+    * deviation is a single IEEE subtraction of exact-decimal-derived
+    * doubles. Two partitioned window passes over the group — parallel
+    * across groups, no global window.
+    */
+  def madPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(s, dir)
+      .select(lower(trim(col("o_orderpriority"))).as("prio"),
+        decp(col("o_totalprice")).cast("double").as("price"),
+        col("o_orderkey"))
+    val w = Window.partitionBy(col("prio"))
+      .orderBy(col("price"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("prio"))
+    val med = t
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .groupBy("prio")
+      .agg(max(when(col("rn") === expr("(cnt + 1) div 2"), col("price")))
+        .as("med"), max(col("cnt")).as("n"))
+    val wd = Window.partitionBy(col("prio"))
+      .orderBy(col("dev"), col("o_orderkey"))
+    t.join(broadcast(med), "prio")
+      .withColumn("dev", abs(col("price") - col("med")))
+      .withColumn("rn", row_number().over(wd))
+      .groupBy("prio")
+      .agg(max(col("med")).as("med"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("dev")))
+          .as("mad"),
+        max(col("n")).as("n"))
+      .orderBy("prio")
+  }
+
+  val madPerGroupSql: String =
+    s"""WITH t AS (SELECT lower(trim(o_orderpriority)) AS prio,
+                     CAST(${sqlDecp("o_totalprice")} AS DOUBLE) AS price,
+                     o_orderkey
+                   FROM orders),
+       r AS (SELECT prio, price, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY prio
+                 ORDER BY price, o_orderkey) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY prio) AS BIGINT) AS cnt
+             FROM t),
+       med AS (SELECT prio,
+                 MAX(CASE WHEN rn = (cnt + 1) // 2 THEN price END) AS med,
+                 MAX(cnt) AS n
+               FROM r GROUP BY prio),
+       d AS (SELECT t.prio, abs(t.price - med.med) AS dev, t.o_orderkey,
+               med.med, med.n,
+               ROW_NUMBER() OVER (PARTITION BY t.prio
+                 ORDER BY abs(t.price - med.med), t.o_orderkey) AS rn
+             FROM t JOIN med USING (prio))
+       SELECT prio, MAX(med) AS med,
+              MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad,
+              MAX(n) AS n
+       FROM d GROUP BY prio ORDER BY prio"""
+
   /** Trailing-7-day distinct active users per day (rolling WAU — the
     * engagement dashboard's flagship number). COUNT(DISTINCT) OVER a
     * RANGE frame isn't a thing in either engine, and a per-day
@@ -558,6 +618,7 @@ object Stats {
     Q("rolling_window_range", Some(rollingWindowRangeSql))(rollingWindowRange),
     Q("rolling_active_users", Some(rollingActiveUsersSql))(rollingActiveUsers),
     Q("window_value_suite", Some(windowValueSuiteSql))(windowValueSuite),
+    Q("mad_per_group", Some(madPerGroupSql))(madPerGroup),
     Q("corr_exact", Some(corrExactSql))(corrExact),
     Q("window_rank_suite", Some(windowRankSuiteSql))(windowRankSuite),
     Q("histogram_equidepth", Some(histogramEquidepthSql))(histogramEquidepth),

@@ -45,6 +45,32 @@ object TextAnalysis {
       .select((col("i") + 1).as("rank"), col("e.term").as("term"),
         col("e.cnt").as("cnt"), col("e.err").as("err"))
 
+  /** Corpus bigram frequencies (top-50): the n-gram LM statistics
+    * layer above [[topTokens]] — bigram tables feed next-token LM
+    * quality scoring, contamination heuristics, and collocation
+    * mining. Rides the codegen'd [[graft.functions.Text.wordShingles]]
+    * (per-row array work; the (doc, bigram) blow-up happens only in
+    * the exploded agg input, projected to the bigram string alone).
+    * Docs under 2 tokens are excluded — the shingle helper's clamp
+    * would emit a fake 1-token "bigram" for them.
+    */
+  def topBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(wordShingles(col("tk"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+
+  val topBigramsSql: String =
+    s"""SELECT bigram, COUNT(*) AS n FROM (
+         SELECT array_to_string(list_slice(tk, i, i + 1), ' ') AS bigram
+         FROM (SELECT tk, unnest(generate_series(1, len(tk) - 1)) AS i
+               FROM (SELECT ${sqlToks("text")} AS tk FROM documents)
+               WHERE len(tk) >= 2))
+       GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50"""
+
   /** Skill co-occurrence pairs (the reference's skill-graph dashboard):
     * per-doc skill matches self-joined with id_a < id_b. The join is on
     * doc_id — narrow after the phrase-match dedup.
@@ -380,6 +406,7 @@ object TextAnalysis {
   def queries: Seq[Q] = Seq(
     Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),
     Q("quality_unigram_lm", Some(qualityUnigramLmSql))(qualityUnigramLm),
+    Q("top_bigrams", Some(topBigramsSql))(topBigrams),
     Q("top_tokens_sketch", None)(topTokensSketch),
     Q("skill_cooccurrence", Some(skillCooccurrenceSql))(skillCooccurrence),
     Q("top_skills_per_sector", Some(topSkillsPerSectorSql))(topSkillsPerSector),

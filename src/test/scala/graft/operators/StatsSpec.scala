@@ -187,6 +187,27 @@ class StatsSpec extends AnyFunSuite {
     assert(!out.keySet.exists(_.isAfter(maxDay)))
   }
 
+  test("mad_per_group: med and mad are genuine selected values, robust identity") {
+    val t = Tables.orders(spark, sf)
+      .select(lower(trim(col("o_orderpriority"))).as("prio"),
+        col("o_totalprice").cast("decimal(14,4)").cast("double").as("p"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1))).toMap
+    val out = Stats.madPerGroup(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSet === t.keySet)
+    out.foreach { r =>
+      val (prio, med, mad, n) =
+        (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))
+      val xs = t(prio)
+      assert(n === xs.length)
+      assert(xs.contains(med), "median is a group member")
+      assert(mad >= 0 && xs.map(x => math.abs(x - med)).contains(mad),
+        "mad is an actual deviation value")
+      // lower-median: at least half the group lies within mad of med
+      assert(xs.count(x => math.abs(x - med) <= mad) >= (xs.length + 1) / 2)
+    }
+  }
+
   test("window_value_suite: frame edges are the partition extremes") {
     val out = Stats.windowValueSuite(spark, sf).collect()
     assert(out.nonEmpty)

@@ -397,7 +397,74 @@ object Temporal {
        event_type, COUNT(*) AS n_events, ${sqlDsum(sqlDecp("value"))} AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
 
+  /** SCD2 interval build (gaps-and-islands): collapse each user's
+    * consecutive same-event_type runs into validity intervals with
+    * the warehouse's slowly-changing-dimension-type-2 contract —
+    * `valid_to` = next interval's `valid_from` (half-open, no gaps or
+    * overlaps per key), NULL + `is_current` on the open run. Change
+    * detection is one lag, island ids one running sum, intervals one
+    * group — all inside per-user partitioned windows, the same shape
+    * [[sessionize]] scales by. Keyed to every 20th user so the
+    * registered frame stays report-sized; the operator is
+    * corpus-general.
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val runs = e
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull
+          .or(lag(col("event_type"), 1).over(w) =!= col("event_type")), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("t")).as("valid_from"), count(lit(1)).as("n_events"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(col("user_id"), col("run_id"), col("event_type"),
+        col("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).cast("int")
+          .as("is_current"),
+        col("n_events"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  val scd2IntervalsSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+                  FROM events WHERE user_id % 20 = 0),
+       flagged AS (
+         SELECT user_id, event_id, event_type, t,
+           CASE WHEN LAG(event_type, 1) OVER w IS NULL
+                  OR LAG(event_type, 1) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       runs AS (
+         SELECT user_id, event_type,
+           CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run_id, t
+         FROM flagged),
+       grouped AS (
+         SELECT user_id, run_id, event_type, MIN(t) AS valid_from,
+                CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM runs GROUP BY 1, 2, 3)
+       SELECT user_id, run_id, event_type, valid_from,
+              LEAD(valid_from, 1) OVER (PARTITION BY user_id
+                ORDER BY valid_from) AS valid_to,
+              CAST(CASE WHEN LEAD(valid_from, 1) OVER (PARTITION BY user_id
+                ORDER BY valid_from) IS NULL THEN 1 ELSE 0 END AS INT)
+                AS is_current,
+              n_events
+       FROM grouped ORDER BY user_id, valid_from"""
+
   def queries: Seq[Q] = Seq(
+    Q("scd2_intervals", Some(scd2IntervalsSql))(scd2Intervals),
     Q("asof_join", Some(asofJoinSql), bench = true)(asofJoin),
     Q("asof_join_native", Some(asofJoinSql), bench = true)(asofJoinNative),
     Q("asof_join_tolerance", Some(asofJoinToleranceSql))(asofJoinTolerance),

@@ -295,6 +295,26 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(shared > 0, "paths never overlap — quantizers diverged")
   }
 
+  test("scd2_intervals: contiguous half-open intervals, one open run per key") {
+    val out = Temporal.scd2Intervals(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3))
+      // exactly one current (open) interval, and it is the last one
+      assert(sorted.count(_.getInt(5) === 1) === 1)
+      assert(sorted.last.getInt(5) === 1 && sorted.last.isNullAt(4))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) === b.getLong(3), "no gaps or overlaps")
+          assert(a.getString(2) !== b.getString(2),
+            "adjacent runs differ in type (runs are maximal)")
+        case _ => ()
+      }
+      // run ids are the dense 1..k sequence
+      assert(sorted.map(_.getLong(1)).sameElements(1L to sorted.length))
+    }
+  }
+
   test("asof_join matches are at-or-before the event") {
     val rows = Temporal.asofJoin(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -241,6 +241,37 @@ object Analytics {
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
+  /** Arbitrary GROUPING SETS — the lattice shapes ROLLUP/CUBE can't
+    * express (here: leaf (seg, prio), the prio margin WITHOUT the seg
+    * margin, and the grand total). One aggregation pass expands to the
+    * requested sets only — cheaper than CUBE + filter, which
+    * materializes every margin first.
+    */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables.orders(s, dir).join(Tables.customer(s, dir),
+      col("o_custkey") === col("c_custkey"))
+      .select(lower(trim(col("c_mktsegment"))).as("seg"),
+        lower(trim(col("o_orderpriority"))).as("prio"),
+        decp(col("o_totalprice")).as("price"))
+    j.groupingSets(
+        Seq(Seq(col("seg"), col("prio")), Seq(col("prio")), Seq()),
+        col("seg"), col("prio"))
+      .agg(dsum(col("price")).as("sum_price"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("seg").asc_nulls_first,
+        col("prio").asc_nulls_first)
+  }
+
+  val groupingSetsAggSql: String =
+    s"""WITH j AS (SELECT lower(trim(c.c_mktsegment)) AS seg,
+                     lower(trim(o.o_orderpriority)) AS prio,
+                     ${sqlDecp("o.o_totalprice")} AS price
+                   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+       SELECT seg, prio, ${sqlDsum("price")} AS sum_price, COUNT(*) AS n,
+              GROUPING(seg) * 2 + GROUPING(prio) AS gid
+       FROM j GROUP BY GROUPING SETS ((seg, prio), (prio), ())
+       ORDER BY gid, seg NULLS FIRST, prio NULLS FIRST"""
+
   /** CUBE aggregate with grouping id — all cross-tab margins at once,
     * the full-lattice sibling of [[rollupAgg]].
     */
@@ -569,6 +600,7 @@ object Analytics {
     Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),
     Q("rollup_agg", Some(rollupAggSql))(rollupAgg),
     Q("cube_agg", Some(cubeAggSql))(cubeAgg),
+    Q("grouping_sets_agg", Some(groupingSetsAggSql))(groupingSetsAgg),
     Q("group_median", Some(groupMedianSql))(groupMedian),
     Q("skew_salted_counts", Some(skewSaltedCountsSql))(skewSaltedCounts),
     Q("skew_salted_join", Some(skewSaltedJoinSql))(skewSaltedJoin),

@@ -381,7 +381,52 @@ object Curation {
        SELECT shard, COUNT(*) AS n_docs, CAST(SUM(t) AS BIGINT) AS sum_tokens
        FROM t GROUP BY shard ORDER BY shard"""
 
+  /** Z-order (Morton) clustering key + layout report — the lakehouse
+    * data-layout primitive: interleaving the bits of two dimensions
+    * makes one sort order serve range predicates on EITHER dimension
+    * (each z-bucket covers a small rectangle in (customer, day) space,
+    * so file-level min/max stats prune on both). Emitted as the
+    * per-bucket extent report a compaction/OPTIMIZE job would consume;
+    * the same `zkey` expression is what a writer would `sortWithinPartitions`
+    * by. Pure integer bit arithmetic — map-side, portable, and exactly
+    * what the scan planner's stats see.
+    */
+  private val ZBits = 16
+
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    val a = (col("o_custkey") % 65536L).cast("long")
+    val b = datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+      .cast("long") % 65536L
+    val zkey = (0 until ZBits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    Tables.orders(s, dir)
+      .select(a.as("ca"), b.as("day"), zkey.as("zkey"))
+      .groupBy(shiftright(col("zkey"), 18).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ca")).as("min_cust"), max(col("ca")).as("max_cust"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy("zbucket")
+  }
+
+  val zorderKeySql: String = {
+    val terms = (0 until ZBits).map { i =>
+      s"(((ca >> $i) & 1) << ${2 * i}) + (((day >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT o_custkey % 65536 AS ca,
+             datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               % 65536 AS day
+           FROM orders),
+       z AS (SELECT ca, day, $terms AS zkey FROM t)
+       SELECT zkey >> 18 AS zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+              min(ca) AS min_cust, max(ca) AS max_cust,
+              min(day) AS min_day, max(day) AS max_day
+       FROM z GROUP BY 1 ORDER BY zbucket"""
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("zorder_key", Some(zorderKeySql))(zorderKey),
     Q("sample_stratified", Some(sampleStratifiedSql))(sampleStratified),
     Q("sample_per_source_cap", Some(samplePerSourceCapSql))(samplePerSourceCap),
     Q("quality_filter_reasons", Some(qualityFilterReasonsSql))(qualityFilterReasons),

@@ -584,8 +584,82 @@ object Dedup {
        WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= $tau
        ORDER BY doc_a, doc_b"""
 
+  /** Recall of the banded-MinHash blocking against exact ground truth
+    * — the dedup tier's twin of [[Similarity.annRecallLsh]] (an index
+    * you can't measure, you can't trust). Ground truth is the
+    * all-pairs exact word-shingle Jaccard over a HARD-CAPPED doc
+    * subset (ids < [[RecallCap]] — O(Cap²) pairs via a shingle
+    * equi-join, corpus-size-independent); found = the registered LSH
+    * pipeline's verified pairs inside that subset. Verification is
+    * exact, so precision is 1 by construction and recall isolates
+    * exactly the banding misses. One report row.
+    */
+  val RecallCap = 200L
+
+  def dedupLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val shr = Tables.documents(s, dir)
+      .filter(col("doc_id") < RecallCap)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          wordShingles(toks(col("text")), D.shingleWidth))).as("sh"))
+    val cnt = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shr.as("a")
+      .join(shr.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val truth = inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(col("n_inter").cast("double") /
+        (col("ca.n") + col("cb.n") - col("n_inter")).cast("double")
+        >= D.minhashTau)
+      .select(col("doc_a"), col("doc_b"))
+    val found = dedupMinhashLsh(s, dir)
+      .filter(col("doc_a") < RecallCap && col("doc_b") < RecallCap)
+      .select(col("doc_a"), col("doc_b"))
+    val tn = truth.agg(count(lit(1)).as("n_true"))
+    val hit = truth.join(found, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    tn.crossJoin(hit)
+      .select(col("n_true"), col("n_hit"),
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") /
+            col("n_true").cast("double"))
+          .as("recall"))
+  }
+
+  val dedupLshRecallSql: String =
+    s"""WITH found AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)
+                       WHERE doc_a < $RecallCap AND doc_b < $RecallCap),
+       capshr AS (SELECT * FROM (${graft.functions.Text.sqlShingleRows(
+      SimilarityConfig.Default.shingleWidth)})
+                  WHERE doc_id < $RecallCap),
+       capcnt AS (SELECT doc_id, COUNT(*) AS n FROM capshr GROUP BY 1),
+       capint AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    COUNT(*) AS n_inter
+                  FROM capshr a JOIN capshr b
+                    ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+       truth AS (SELECT doc_a, doc_b
+                 FROM capint JOIN capcnt ca ON doc_a = ca.doc_id
+                             JOIN capcnt cb ON doc_b = cb.doc_id
+                 WHERE CAST(n_inter AS DOUBLE)
+                   / CAST(ca.n + cb.n - n_inter AS DOUBLE)
+                   >= ${SimilarityConfig.Default.minhashTau}),
+       tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+       hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+               FROM truth t JOIN found f
+                 ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b)
+       SELECT n_true, n_hit,
+              CASE WHEN n_true = 0 THEN NULL
+                   ELSE CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE)
+              END AS recall
+       FROM tn, hit"""
+
   def queries: Seq[Q] = Seq(
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
+    Q("dedup_lsh_recall", Some(dedupLshRecallSql))(dedupLshRecall),
     Q("dedup_minhash_lsh", Some(dedupMinhashLshSql), bench = true)(dedupMinhashLsh),
     Q("dedup_simhash", Some(dedupSimhashSql), bench = true)(dedupSimhash),
     Q("dedup_ngram_jaccard", Some(dedupNgramJaccardSql))(dedupNgramJaccard),

@@ -295,6 +295,40 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(shared > 0, "paths never overlap — quantizers diverged")
   }
 
+  test("dedup_lsh_recall: counts consistent, recall in [0,1]") {
+    val r = Dedup.dedupLshRecall(spark, sf).collect()
+    assert(r.length === 1)
+    val (nTrue, nHit) = (r(0).getLong(0), r(0).getLong(1))
+    assert(nHit <= nTrue)
+    if (nTrue > 0) {
+      val rec = r(0).getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0 && rec === nHit.toDouble / nTrue)
+    } else assert(r(0).isNullAt(2))
+  }
+
+  test("grouping_sets_agg: only the requested sets, margins sum consistently") {
+    val out = Analytics.groupingSetsAgg(spark, sf).collect()
+    val gids = out.map(_.getAs[Long]("gid")).toSet
+    // (seg,prio)=0, prio margin=2 (seg grouped away), total=3 — and
+    // NO gid for the seg-only margin (that's what sets buy over CUBE)
+    assert(gids.subsetOf(Set(0L, 2L, 3L)), s"unexpected grouping ids: $gids")
+    val leafN = out.filter(_.getAs[Long]("gid") === 0L).map(_.getAs[Long]("n")).sum
+    val totalN = out.filter(_.getAs[Long]("gid") === 3L).map(_.getAs[Long]("n")).sum
+    assert(leafN === totalN, "leaf cells sum to the grand total")
+  }
+
+  test("zorder_key: buckets are bounded rectangles covering all rows") {
+    val out = Curation.zorderKey(spark, sf).collect()
+    assert(out.nonEmpty)
+    val total = graft.sources.Tables.orders(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === total)
+    out.foreach { r =>
+      // 18 free low bits = 9 interleaved bits per dimension
+      assert(r.getLong(3) - r.getLong(2) < 512, s"cust extent too wide: $r")
+      assert(r.getLong(5) - r.getLong(4) < 512, s"day extent too wide: $r")
+    }
+  }
+
   test("scd2_intervals: contiguous half-open intervals, one open run per key") {
     val out = Temporal.scd2Intervals(spark, sf).collect()
     assert(out.nonEmpty)

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.functions.Nums._
+import graft.functions.Text.{sqlToks, toks}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -240,6 +241,70 @@ object Analytics {
        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
+  /** Wide-to-long melt (UNPIVOT) — the inverse of [[pivotEventTypes]]:
+    * per-doc metric columns unpivoted into (doc_id, metric, value)
+    * rows, the shape metric stores and long-format charting libraries
+    * ingest. Pure per-row restructuring (each input row expands to a
+    * fixed 3 rows map-side, no shuffle before the final sort).
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(toks(col("text")))).cast("long").as("n_uniq"))
+    t.unpivot(Array(col("doc_id")),
+        Array(col("n_chars"), col("n_tokens"), col("n_uniq")),
+        "metric", "value")
+      .orderBy("doc_id", "metric")
+  }
+
+  val unpivotMetricsSql: String =
+    s"""WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(${sqlToks("text")})) AS BIGINT) AS n_uniq
+           FROM documents WHERE doc_id < 100)
+       SELECT doc_id, metric, value
+       FROM t UNPIVOT (value FOR metric IN (n_chars, n_tokens, n_uniq))
+       ORDER BY doc_id, metric"""
+
+  /** Multiset (ALL) set operations — [[setOps]]'s bag-semantics twin:
+    * INTERSECT ALL / EXCEPT ALL preserve duplicate multiplicity
+    * (min/count-difference semantics), which is what reconciliation
+    * between two event feeds actually needs (a feed that dropped one
+    * of three identical rows IS a discrepancy the DISTINCT forms
+    * can't see). Bag inputs: per-customer order-priority rows.
+    */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_custkey").as("k"))
+    val b = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_custkey").as("k"))
+    val u = a.unionAll(b).withColumn("op", lit("union_all"))
+    val i = a.intersectAll(b).withColumn("op", lit("intersect_all"))
+    val e = a.exceptAll(b).withColumn("op", lit("except_all"))
+    u.unionByName(i).unionByName(e)
+      .groupBy("op").agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("op")
+  }
+
+  val setOpsAllSql: String =
+    """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 2 = 0),
+       b AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0),
+       m AS (
+         SELECT 'union_all' AS op, k FROM (SELECT k FROM a UNION ALL
+                                           SELECT k FROM b)
+         UNION ALL
+         SELECT 'intersect_all', k FROM (SELECT k FROM a INTERSECT ALL
+                                         SELECT k FROM b)
+         UNION ALL
+         SELECT 'except_all', k FROM (SELECT k FROM a EXCEPT ALL
+                                      SELECT k FROM b))
+       SELECT op, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+       FROM m GROUP BY op ORDER BY op"""
 
   /** Arbitrary GROUPING SETS — the lattice shapes ROLLUP/CUBE can't
     * express (here: leaf (seg, prio), the prio margin WITHOUT the seg
@@ -601,6 +666,8 @@ object Analytics {
     Q("rollup_agg", Some(rollupAggSql))(rollupAgg),
     Q("cube_agg", Some(cubeAggSql))(cubeAgg),
     Q("grouping_sets_agg", Some(groupingSetsAggSql))(groupingSetsAgg),
+    Q("set_ops_all", Some(setOpsAllSql))(setOpsAll),
+    Q("unpivot_metrics", Some(unpivotMetricsSql))(unpivotMetrics),
     Q("group_median", Some(groupMedianSql))(groupMedian),
     Q("skew_salted_counts", Some(skewSaltedCountsSql))(skewSaltedCounts),
     Q("skew_salted_join", Some(skewSaltedJoinSql))(skewSaltedJoin),

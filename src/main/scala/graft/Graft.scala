@@ -47,6 +47,7 @@ object Graft {
     plans.WordShingles.register(spark)
     plans.CharShingles.register(spark)
     plans.HexParityBits.register(spark)
+    plans.HllSketch.register(spark)
     plans.AsOfJoinPlan.ensureStrategy(spark)
     spark
   }

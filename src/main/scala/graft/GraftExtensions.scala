@@ -51,5 +51,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => plans.SpaceSavingTopK(exprs(0),
         k = exprs(1).eval().asInstanceOf[Int],
         capacity = exprs(2).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(plans.HllSketch.SketchFn),
+      info(plans.HllSketch.SketchFn,
+        "_FUNC_(col, p) - HyperLogLog sketch with 2^p registers"),
+      (exprs: Seq[Expression]) => plans.HllSketchAgg(exprs(0),
+        p = exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(plans.HllSketch.MergeFn),
+      info(plans.HllSketch.MergeFn,
+        "_FUNC_(sketch) - merge HLL sketches (register max)"),
+      (exprs: Seq[Expression]) =>
+        plans.HllMergeAgg(exprs(0)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(plans.HllSketch.EstFn),
+      info(plans.HllSketch.EstFn,
+        "_FUNC_(sketch) - cardinality estimate from an HLL sketch"),
+      (exprs: Seq[Expression]) => plans.HllEstimate(exprs(0))))
   }
 }

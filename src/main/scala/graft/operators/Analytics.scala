@@ -518,6 +518,29 @@ object Analytics {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Sketch-rollup distinct counting — the mergeable-summaries form of
+    * [[approxDistinct]] over the custom [[graft.plans.HllSketch]] tier:
+    * per-DAY user sketches built once, then WEEKLY counts answered by
+    * merging the 4 KiB daily blobs (register max) — never rescanning
+    * events. This is how a 100 TB store answers "distinct over any
+    * window" (persist the finest-grain sketches; every coarser rollup
+    * is a blob merge). Rows-only gate (approximate by design);
+    * HllSketchSpec pins the merge = direct-sketch identity bit-for-bit
+    * and the estimate error vs exact.
+    */
+  def approxDistinctSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("graft_hll_sketch(CAST(user_id AS STRING), 12)").as("sk"))
+    daily
+      .groupBy(expr("datediff(day, DATE '1970-01-01') div 7").as("week"))
+      .agg(expr("graft_hll_merge(sk)").as("wsk"),
+        count(lit(1)).as("n_days"))
+      .select(col("week"), col("n_days"),
+        expr("graft_hll_est(wsk)").as("approx_users"))
+      .orderBy("week")
+  }
+
   /** Large-orders report (TPC-H Q18 shape): orders whose line quantity
     * total crosses a threshold, with customer attribution — aggregate +
     * HAVING + join back for detail. The HAVING is a post-aggregation
@@ -674,5 +697,6 @@ object Analytics {
     Q("pivot_event_types", Some(pivotEventTypesSql))(pivotEventTypes),
     Q("semi_anti_join", Some(semiAntiJoinSql))(semiAntiJoin),
     Q("set_ops", Some(setOpsSql))(setOps),
-    Q("approx_distinct", None)(approxDistinct))
+    Q("approx_distinct", None)(approxDistinct),
+    Q("approx_distinct_sketch_rollup", None)(approxDistinctSketchRollup))
 }

@@ -93,6 +93,50 @@ object Graph {
        ORDER BY rank DESC, skill"""
   }
 
+  /** Per-skill triangle participation — the clustering-structure
+    * metric next to [[pagerankSkills]]' centrality: how many closed
+    * skill triples each skill sits in. Edges come canonically ordered
+    * (lower skill_id first) from the co-occurrence extraction, so every
+    * triangle {x,y,z} materializes exactly once as e1=(x,y) ⋈ e2=(y,z)
+    * ⋈ e3=(x,z) — the standard ordered-wedge-closing join, which does
+    * |wedges| work instead of the naive 3! enumeration. All three join
+    * inputs are the |E|-sized edge list (graph-sized, broadcastable —
+    * the corpus appears only in the extraction chain, checkpointed
+    * once); at web-graph scale the same plan degree-orders edges first
+    * so wedge counts stay near-linear. (round 4)
+    */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint()
+    val tri = cooc.as("e1")
+      .join(cooc.as("e2"), col("e1.skill_b") === col("e2.skill_a"))
+      .join(cooc.as("e3"),
+        col("e3.skill_a") === col("e1.skill_a") &&
+          col("e3.skill_b") === col("e2.skill_b"))
+      .select(col("e1.skill_a").as("a"), col("e1.skill_b").as("b"),
+        col("e2.skill_b").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("skill"))
+      .groupBy("skill")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("skill"))
+  }
+
+  val triangleCountSql: String =
+    s"""WITH e AS (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       tri AS (SELECT e1.skill_a AS a, e1.skill_b AS b, e2.skill_b AS c
+               FROM e e1
+               JOIN e e2 ON e1.skill_b = e2.skill_a
+               JOIN e e3 ON e3.skill_a = e1.skill_a
+                        AND e3.skill_b = e2.skill_b),
+       x AS (SELECT a AS skill FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+       SELECT skill, COUNT(*) AS n_triangles
+       FROM x GROUP BY skill ORDER BY n_triangles DESC, skill"""
+
   def queries: Seq[Q] = Seq(
-    Q("pagerank_skills", Some(pagerankSkillsSql))(pagerankSkills))
+    Q("pagerank_skills", Some(pagerankSkillsSql))(pagerankSkills),
+    Q("triangle_count", Some(triangleCountSql))(triangleCount))
 }

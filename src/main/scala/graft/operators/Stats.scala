@@ -613,8 +613,145 @@ object Stats {
                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
        ORDER BY event_type, day_idx"""
 
+  /** Per-group OLS regression (order total vs. order day) from EXACT
+    * moments — the trend-line twin of [[corrExact]], and for the same
+    * reason: engine `regr_slope()` accumulates doubles in partition
+    * order, which can never hash-match across engines. Here x is an
+    * integer day index and y an exact decimal, so n/Σx/Σx² are exact
+    * BIGINTs and Σy/Σxy/Σy² exact decimal sums; the closing
+    * slope/intercept/r² arithmetic is one fixed sequence of IEEE double
+    * ops on bit-identical operands in both engines. ONE aggregation
+    * pass with map-side partials — at 100 TB the fitted line costs the
+    * same shuffle as a COUNT(*) per group. (round 4)
+    */
+  def regressionSlope(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(s, dir).select(
+      lower(trim(col("o_orderpriority"))).as("prio"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("x"),
+      decp(col("o_totalprice")).as("y"))
+    t.groupBy("prio")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        dsum(col("y")).as("sy"),
+        dsum(decp(col("x")) * col("y")).as("sxy"),
+        dsum(col("y") * col("y")).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("cov", col("nd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("nd") * col("syy") - col("sy") * col("sy"))
+      .select(col("prio"), col("n"),
+        (col("cov") / col("den")).as("slope"),
+        ((col("sy") - (col("cov") / col("den")) * col("sx")) / col("nd"))
+          .as("intercept"),
+        ((col("cov") * col("cov")) / (col("den") * col("vy"))).as("r2"))
+      .orderBy("prio")
+  }
+
+  val regressionSlopeSql: String =
+    // DECIMAL(19,4) operands force DuckDB into int128 multiplication —
+    // (14,4)x(14,4) products overflow its in-width int64 path (the
+    // corrExactSql lesson). Same numeric values, scale 8, exact.
+    s"""WITH t AS (SELECT lower(trim(o_orderpriority)) AS prio,
+                     CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                       AS BIGINT) AS x,
+                     ${sqlDecp("o_totalprice")} AS y,
+                     CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                       AS DECIMAL(19,4)) AS xw,
+                     CAST(o_totalprice AS DECIMAL(19,4)) AS yw
+                   FROM orders),
+       m AS (SELECT prio, COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               ${sqlDsum("y")} AS sy,
+               ${sqlDsum("xw * yw")} AS sxy,
+               ${sqlDsum("yw * yw")} AS syy
+             FROM t GROUP BY prio),
+       f AS (SELECT prio, n, CAST(n AS DOUBLE) AS nd, sx, sy, sxx, sxy, syy
+             FROM m),
+       g AS (SELECT prio, n, nd, sx, sy,
+               nd * sxy - sx * sy AS cov,
+               nd * sxx - sx * sx AS den,
+               nd * syy - sy * sy AS vy
+             FROM f)
+       SELECT prio, n, cov / den AS slope,
+              (sy - (cov / den) * sx) / nd AS intercept,
+              (cov * cov) / (den * vy) AS r2
+       FROM g ORDER BY prio"""
+
+  /** Winsorized aggregates: per-group p05/p95 cutpoints by index
+    * selection (actually-selected rows — bit-portable, like
+    * [[percentileGroup]]), then every value clipped into [p05, p95]
+    * before summing — the robust-mean answer to heavy tails that a
+    * plain AVG can't give. Two passes over the group: one partitioned
+    * rank window for the cutpoints (a group-count frame survives), one
+    * broadcast join-back + aggregate. Never a global window; at 100 TB
+    * the cutpoint frame is |groups| rows and the clip is map-side.
+    * (round 4)
+    */
+  def winsorizeClip(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(s, dir).select(
+      lower(trim(col("o_orderpriority"))).as("prio"),
+      decp(col("o_totalprice")).as("price"), col("o_orderkey"))
+    val w = Window.partitionBy(col("prio"))
+      .orderBy(col("price"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("prio"))
+    val cuts = t.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .groupBy("prio")
+      .agg(
+        max(when(col("rn") === expr("(5 * cnt + 99) div 100"), col("price")))
+          .as("p05"),
+        max(when(col("rn") === expr("(95 * cnt + 99) div 100"), col("price")))
+          .as("p95"))
+    // CASE instead of greatest/least: DuckDB's GREATEST/LEAST degrade
+    // DECIMAL args to DOUBLE (sum would then carry FP accumulation
+    // dust); a CASE keeps the exact decimal type in both engines.
+    t.join(broadcast(cuts), Seq("prio"))
+      .withColumn("clipped",
+        when(col("price") < col("p05"), col("p05"))
+          .when(col("price") > col("p95"), col("p95"))
+          .otherwise(col("price")))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("price") < col("p05"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("price") > col("p95"), 1L).otherwise(0L)).as("n_hi"),
+        dsum(col("clipped")).as("sum_winsorized"),
+        max(col("p05")).cast("double").as("p05"),
+        max(col("p95")).cast("double").as("p95"))
+      .orderBy("prio")
+  }
+
+  val winsorizeClipSql: String =
+    s"""WITH t AS (SELECT lower(trim(o_orderpriority)) AS prio,
+                     ${sqlDecp("o_totalprice")} AS price, o_orderkey
+                   FROM orders),
+       r AS (SELECT prio, price,
+               ROW_NUMBER() OVER (PARTITION BY prio ORDER BY price, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY prio) AS cnt
+             FROM t),
+       cuts AS (SELECT prio,
+                  MAX(CASE WHEN rn = (5 * cnt + 99) // 100 THEN price END) AS p05,
+                  MAX(CASE WHEN rn = (95 * cnt + 99) // 100 THEN price END) AS p95
+                FROM r GROUP BY prio),
+       j AS (SELECT t.prio, t.price, cuts.p05, cuts.p95,
+               CASE WHEN t.price < cuts.p05 THEN cuts.p05
+                    WHEN t.price > cuts.p95 THEN cuts.p95
+                    ELSE t.price END AS clipped
+             FROM t JOIN cuts ON t.prio = cuts.prio)
+       SELECT prio, COUNT(*) AS n,
+              CAST(SUM(CASE WHEN price < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+              CAST(SUM(CASE WHEN price > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+              ${sqlDsum("clipped")} AS sum_winsorized,
+              CAST(CAST(MAX(p05) AS VARCHAR) AS DOUBLE) AS p05,
+              CAST(CAST(MAX(p95) AS VARCHAR) AS DOUBLE) AS p95
+       FROM j GROUP BY prio ORDER BY prio"""
+
   def queries: Seq[Q] = Seq(
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
+    Q("regression_slope", Some(regressionSlopeSql))(regressionSlope),
+    Q("winsorize_clip", Some(winsorizeClipSql))(winsorizeClip),
     Q("rolling_window_range", Some(rollingWindowRangeSql))(rollingWindowRange),
     Q("rolling_active_users", Some(rollingActiveUsersSql))(rollingActiveUsers),
     Q("window_value_suite", Some(windowValueSuiteSql))(windowValueSuite),

@@ -340,6 +340,38 @@ object Temporal {
        SELECT path, COUNT(*) AS n FROM paths
        GROUP BY path ORDER BY n DESC, path LIMIT 20"""
 
+  /** Per-user session rollup — the engagement-profile layer above
+    * [[sessionize]]: session count, bounce (single-event) sessions,
+    * total/max events, and mean session duration in seconds. Durations
+    * sum as exact BIGINT microseconds; the mean is two IEEE divisions
+    * on exact operands (identical sequence in the oracle). Groups the
+    * already-sessionized frame one level higher, so at scale it rides
+    * the same per-user partitioning as sessionize itself — no new
+    * corpus pass, one user-cardinality aggregate. (round 4)
+    */
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    sessionize(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_session_events"),
+        ((sum(col("end_us") - col("start_us")).cast("double") /
+          count(lit(1)).cast("double")) / lit(1000000.0))
+          .as("mean_session_secs"))
+      .orderBy("user_id")
+
+  val sessionStatsSql: String =
+    s"""SELECT user_id, COUNT(*) AS n_sessions,
+              CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_bounce,
+              CAST(SUM(n_events) AS BIGINT) AS total_events,
+              MAX(n_events) AS max_session_events,
+              (CAST(SUM(end_us - start_us) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE)) / 1000000.0 AS mean_session_secs
+       FROM ($sessionizeSql) s
+       GROUP BY user_id ORDER BY user_id"""
+
   /** Event-type transition matrix (first-order Markov view of user
     * behavior): for consecutive events per user, count (from -> to)
     * pairs and each row's probability among transitions leaving `from`.
@@ -473,6 +505,7 @@ object Temporal {
     Q("asof_join_forward_native", Some(asofJoinForwardSql))(asofJoinForwardNative),
     Q("time_weighted_avg", Some(timeWeightedAvgSql))(timeWeightedAvg),
     Q("sessionize", Some(sessionizeSql), bench = true)(sessionize),
+    Q("session_stats", Some(sessionStatsSql))(sessionStats),
     Q("top_event_paths", Some(topEventPathsSql))(topEventPaths),
     Q("event_transitions", Some(eventTransitionsSql))(eventTransitions),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly))

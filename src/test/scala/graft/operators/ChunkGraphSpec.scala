@@ -108,6 +108,21 @@ class ChunkGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle_count equals naive enumeration over the collected edge set") {
+    val out = Graph.triangleCount(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val edges = TextAnalysis.skillCooccurrence(spark, sf)
+      .select("skill_a", "skill_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // naive: for every edge pair sharing the canonical middle vertex,
+    // check the closing edge (tiny graph — this is the definition)
+    val naive = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((a, b) <- edges; (b2, c) <- edges if b2 == b && edges((a, c)))
+      Seq(a, b, c).foreach(v => naive(v) += 1)
+    assert(out === naive.toMap)
+    assert(out.nonEmpty, "synthetic corpus should close at least one skill triangle")
+  }
+
   test("pagerank is invariant under input repartitioning") {
     val a = Graph.pagerankSkills(spark, sf).collect().map(_.toSeq)
     spark.conf.set("spark.sql.shuffle.partitions", "7")

@@ -456,6 +456,21 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("session_stats: per-user rollup conserves sessions and events") {
+    val stats = Temporal.sessionStats(spark, sf).collect()
+    val sess = Temporal.sessionize(spark, sf).collect()
+    assert(stats.map(_.getAs[Long]("n_sessions")).sum === sess.length.toLong)
+    assert(stats.map(_.getAs[Long]("total_events")).sum ===
+      graft.sources.Tables.events(spark, sf).count())
+    val bounces = sess.count(_.getAs[Long]("n_events") === 1L).toLong
+    assert(stats.map(_.getAs[Long]("n_bounce")).sum === bounces)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_bounce") <= r.getAs[Long]("n_sessions"))
+      assert(r.getAs[Long]("max_session_events") <= r.getAs[Long]("total_events"))
+      assert(r.getAs[Double]("mean_session_secs") >= 0.0)
+    }
+  }
+
   test("events_hourly conserves the event count") {
     val n = Temporal.eventsHourly(spark, sf)
       .agg(sum(col("n_events"))).head.getLong(0)

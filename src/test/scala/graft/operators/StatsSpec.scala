@@ -234,4 +234,52 @@ class StatsSpec extends AnyFunSuite {
       assert(r.getDouble(4) === r.getLong(2).toDouble / r.getLong(3).toDouble)
     }
   }
+
+  test("regression_slope matches Spark's built-in OLS within FP tolerance") {
+    val out = Stats.regressionSlope(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0,
+      s"r2 out of [0,1] in $r"))
+    // the engine's regr_slope/regr_intercept accumulate doubles (not
+    // hash-portable, but a fine numerical cross-check of the formula)
+    val ref = Tables.orders(spark, sf)
+      .select(lower(trim(col("o_orderpriority"))).as("prio"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("double").as("x"),
+        col("o_totalprice").cast("decimal(14,4)").cast("double").as("y"))
+      .groupBy("prio")
+      .agg(regr_slope(col("y"), col("x")).as("slope"),
+        regr_intercept(col("y"), col("x")).as("b0"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    out.foreach { r =>
+      val (s0, b0) = ref(r.getString(0))
+      assert(math.abs(r.getDouble(2) - s0) <= 1e-6 * math.max(1.0, math.abs(s0)))
+      assert(math.abs(r.getDouble(3) - b0) <= 1e-6 * math.max(1.0, math.abs(b0)))
+    }
+  }
+
+  test("winsorize_clip equals a plain-Scala winsorization per group") {
+    val out = Stats.winsorizeClip(spark, sf).collect()
+    val groups = Tables.orders(spark, sf)
+      .select(lower(trim(col("o_orderpriority"))).as("prio"),
+        col("o_totalprice").cast("decimal(14,4)").as("p"))
+      .collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDecimal(1)).sortBy(_.doubleValue)).toMap
+    out.foreach { r =>
+      val vs = groups(r.getString(0))
+      val n = vs.length
+      val p05 = vs((5 * n + 99) / 100 - 1)
+      val p95 = vs((95 * n + 99) / 100 - 1)
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getDouble(5) === p05.doubleValue && r.getDouble(6) === p95.doubleValue)
+      assert(r.getLong(2) === vs.count(_.compareTo(p05) < 0).toLong)
+      assert(r.getLong(3) === vs.count(_.compareTo(p95) > 0).toLong)
+      val wsum = vs.map(v => if (v.compareTo(p05) < 0) p05
+        else if (v.compareTo(p95) > 0) p95 else v)
+        .reduce(_.add(_))
+      assert(r.getDouble(4) === wsum.doubleValue)
+    }
+  }
 }

@@ -28,6 +28,7 @@ object Registry {
       operators.Chunking.queries ++
       operators.Graph.queries ++
       operators.DataQuality.queries ++
+      operators.Lakehouse.queries ++
       operators.Multimodal.queries
 
   def byName(name: String): Q = all.find(_.name == name).get

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.Q
+import graft.functions.Nums._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse maintenance primitives — the table-format layer a 100 TB
+  * deployment runs *around* the queries: applying CDC changelogs to a
+  * base snapshot (MERGE INTO semantics) and the min/max file-statistics
+  * index that decides which files a predicate never has to read
+  * (Iceberg/Delta data skipping). The reference loads Postgres with
+  * per-row get-or-create upserts (insert_to_postgres.py:60-84); these
+  * are the set-based equivalents that survive when "the table" is a
+  * million parquet files.
+  */
+object Lakehouse {
+
+  /** Key offset mapping changelog user_ids onto the tail of the base
+    * key space: the lower HALF of the user range lands on existing
+    * keys (updates + deletes), the upper half past the end (inserts) —
+    * all three MERGE cases at every scale factor. Both inputs are
+    * 1-row scalar aggregates resolved driver-side (the
+    * [[graft.sources.Warehouse.upsertDim]] max-id-lookup precedent:
+    * a scalar over a dimension is not a corpus collect).
+    */
+  def keyOffset(s: SparkSession, dir: String): Long = {
+    val maxKey = Tables.customer(s, dir)
+      .agg(max(col("c_custkey"))).head.getLong(0)
+    val maxUser = Tables.events(s, dir)
+      .agg(max(col("user_id"))).head.getLong(0)
+    maxKey + 1L - maxUser / 2L
+  }
+
+  /** CDC MERGE-apply: collapse a keyed changelog (ordered by event
+    * time; 'error' events are tombstones, everything else an upsert
+    * carrying the new value) to its last operation per key, then apply
+    * it to the base snapshot in ONE full-outer join: unchanged rows
+    * pass through, upserts overwrite or insert, tombstoned keys drop.
+    * The window is partitioned per key (never global) and the join
+    * shuffles each side once on the key — the same plan MERGE INTO
+    * compiles to in Delta/Iceberg, and the batch twin of
+    * [[graft.sources.Warehouse.upsertDim]]'s streaming get-or-create.
+    */
+  def cdcMergeApply(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").as("key"),
+      decp(col("c_acctbal")).as("base_val"),
+      lit(1).as("in_base"))
+    val off = keyOffset(s, dir)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t").desc, col("event_id").desc)
+    val lastOp = Tables.events(s, dir)
+      .select((col("user_id") + off).as("key"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        decp(col("value")).as("new_val"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("op"), col("new_val"))
+    base.join(lastOp, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        coalesce(col("new_val"), col("base_val")).cast("double").as("val"),
+        when(col("op").isNull, "unchanged")
+          .when(col("in_base").isNull, "inserted")
+          .otherwise("updated").as("change"))
+      .orderBy("key")
+  }
+
+  val cdcMergeApplySql: String =
+    s"""WITH base AS (SELECT c_custkey AS key,
+                        ${sqlDecp("c_acctbal")} AS base_val, 1 AS in_base
+                      FROM customer),
+       cl AS (SELECT user_id + (SELECT MAX(c_custkey) + 1 FROM customer)
+                      - ((SELECT MAX(user_id) FROM events) // 2) AS key,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                ${sqlDecp("value")} AS new_val,
+                epoch_us(ts) AS t, event_id
+              FROM events),
+       lst AS (SELECT key, op, new_val FROM (
+                 SELECT key, op, new_val,
+                   ROW_NUMBER() OVER (PARTITION BY key
+                     ORDER BY t DESC, event_id DESC) AS rn
+                 FROM cl) r WHERE rn = 1)
+       SELECT COALESCE(b.key, l.key) AS key,
+              CAST(CAST(COALESCE(l.new_val, b.base_val) AS VARCHAR) AS DOUBLE)
+                AS val,
+              CASE WHEN l.op IS NULL THEN 'unchanged'
+                   WHEN b.in_base IS NULL THEN 'inserted'
+                   ELSE 'updated' END AS change
+       FROM base b FULL OUTER JOIN lst l ON b.key = l.key
+       WHERE l.op IS NULL OR l.op <> 'D'
+       ORDER BY key"""
+
+  /** Simulated file count for the skipping index. */
+  val NFiles = 32L
+
+  /** Min/max data-skipping index under two write layouts: the same
+    * rows assigned to [[NFiles]] "files" by key hash (arrival order —
+    * no clustering) vs. by date range (the sorted write path). Per
+    * file: row count, min/max order date, and whether a year-range
+    * predicate could skip the file entirely (max < lo OR min > hi) —
+    * the exact test Iceberg/Delta run against their manifests. The
+    * range layout derives from a 1-row min/max broadcast + pure integer
+    * arithmetic, NOT a global ntile window (which would funnel the
+    * corpus through one task); at 100 TB the assignment is the write
+    * path's range partitioner and the index build is one map-side-
+    * combinable agg over (file, date) pairs. Date-sorted files skip
+    * ~(span-1)/span of the data; hashed files skip nothing — the
+    * measured argument for [[Curation.zorderKey]]-style layouts.
+    */
+  def dataSkippingStats(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+    // corpus date span as a driver-side scalar (1-row agg over a date
+    // column — the manifest's own metadata at a real lakehouse); the
+    // skip probe is the mid-span calendar year so the query is
+    // scale-factor-agnostic
+    val sp = o.agg(min(col("d")), max(col("d"))).head
+    val (dLo, dHi) = (sp.getDate(0).toLocalDate, sp.getDate(1).toLocalDate)
+    val spanDays = java.time.temporal.ChronoUnit.DAYS.between(dLo, dHi) + 1L
+    val probeYear = dLo.getYear + (dHi.getYear - dLo.getYear) / 2
+    val ranged = o.select(col("o_orderkey"), col("d"),
+      expr(s"(datediff(d, DATE '$dLo') * $NFiles) div ${spanDays}L")
+        .as("file_id"),
+      lit("date_ranged").as("layout"))
+    val hashed = o.select(col("o_orderkey"), col("d"),
+      pmod(col("o_orderkey"), lit(NFiles)).as("file_id"),
+      lit("key_hash").as("layout"))
+    ranged.unionByName(hashed)
+      .groupBy("layout", "file_id")
+      .agg(count(lit(1)).as("n"),
+        min(col("d")).as("min_date"), max(col("d")).as("max_date"))
+      .withColumn("can_skip",
+        col("max_date") < lit(s"$probeYear-01-01").cast("date") ||
+          col("min_date") > lit(s"$probeYear-12-31").cast("date"))
+      .orderBy("layout", "file_id")
+  }
+
+  val dataSkippingStatsSql: String =
+    s"""WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+                   FROM orders),
+       sp AS (SELECT MIN(d) AS d_lo, MAX(d) AS d_hi,
+                CAST(MAX(d) - MIN(d) AS BIGINT) + 1 AS span_days,
+                year(MIN(d)) + (year(MAX(d)) - year(MIN(d))) // 2 AS py
+              FROM o),
+       assigned AS (
+         SELECT o_orderkey, d,
+           CAST(d - (SELECT d_lo FROM sp) AS BIGINT) * $NFiles
+             // (SELECT span_days FROM sp) AS file_id,
+           'date_ranged' AS layout
+         FROM o
+         UNION ALL
+         SELECT o_orderkey, d,
+           o_orderkey % $NFiles AS file_id, 'key_hash' AS layout
+         FROM o)
+       SELECT layout, file_id, COUNT(*) AS n,
+              MIN(d) AS min_date, MAX(d) AS max_date,
+              (MAX(d) < make_date(CAST((SELECT py FROM sp) AS INT), 1, 1)
+                OR MIN(d) > make_date(CAST((SELECT py FROM sp) AS INT), 12, 31))
+                AS can_skip
+       FROM assigned GROUP BY layout, file_id
+       ORDER BY layout, file_id"""
+
+  def queries: Seq[Q] = Seq(
+    Q("cdc_merge_apply", Some(cdcMergeApplySql))(cdcMergeApply),
+    Q("data_skipping_stats", Some(dataSkippingStatsSql))(dataSkippingStats))
+}

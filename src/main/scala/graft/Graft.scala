@@ -48,6 +48,7 @@ object Graft {
     plans.CharShingles.register(spark)
     plans.HexParityBits.register(spark)
     plans.HllSketch.register(spark)
+    plans.CmsSketch.register(spark)
     plans.AsOfJoinPlan.ensureStrategy(spark)
     spark
   }

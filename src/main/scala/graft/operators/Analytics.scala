@@ -676,6 +676,32 @@ object Analytics {
        FROM act JOIN sizes ON act.cohort_week = sizes.cohort_week
        ORDER BY act.cohort_week, wk_off"""
 
+  /** Per-key frequency rollup from mergeable Count-Min sketches
+    * ([[graft.plans.CmsSketch]]) — the frequency twin of
+    * [[approxDistinctSketchRollup]]: daily event-type sketches merge
+    * into weekly blobs by counter ADDITION (never rescanning events),
+    * then each week is probed for every event type. Estimates are
+    * one-sided (est >= true; spec pins equality on this low-cardinality
+    * domain and blob-identity of merged-daily vs direct-weekly). The
+    * probe frame is the distinct type set — tiny — joined to the weekly
+    * sketch frame; both sides are aggregate-compacted. Approximate by
+    * design: rows-only gate + spec, like the HLL tier.
+    */
+  def cmsCountRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("graft_cms_sketch(event_type)").as("sk"))
+    val weekly = daily
+      .groupBy(expr("datediff(day, DATE '1970-01-01') div 7").as("week"))
+      .agg(expr("graft_cms_merge(sk)").as("wsk"),
+        count(lit(1)).as("n_days"))
+    val types = ev.select(col("event_type")).distinct()
+    weekly.join(broadcast(types))
+      .select(col("week"), col("n_days"), col("event_type"),
+        expr("graft_cms_est(wsk, event_type)").as("approx_n"))
+      .orderBy("week", "event_type")
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q1_agg", Some(q1Sql), bench = true)(q1),
     Q("big_orders_having", Some(bigOrdersSql))(bigOrders),
@@ -698,5 +724,6 @@ object Analytics {
     Q("semi_anti_join", Some(semiAntiJoinSql))(semiAntiJoin),
     Q("set_ops", Some(setOpsSql))(setOps),
     Q("approx_distinct", None)(approxDistinct),
-    Q("approx_distinct_sketch_rollup", None)(approxDistinctSketchRollup))
+    Q("approx_distinct_sketch_rollup", None)(approxDistinctSketchRollup),
+    Q("cms_count_rollup", None)(cmsCountRollup))
 }

@@ -1,0 +1,94 @@
+package graft.plans
+
+import graft.SharedSpark
+import graft.operators.Analytics
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The guarantees that make the CMS tier trustworthy: counter-addition
+  * mergeability is EXACT (merged partials bit-identical to one direct
+  * sketch), the estimate is one-sided (never undercounts), and on a
+  * low-cardinality key domain (5 event types vs 4x512 counters) it is
+  * exact — so the weekly rollup can be pinned to true counts.
+  */
+class CmsSketchSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("merged daily sketches are bit-identical to the direct weekly sketch") {
+    val e = Tables.events(spark, sf)
+      .select(col("event_type").as("k"), to_date(col("ts")).as("day"),
+        expr("datediff(to_date(ts), DATE '1970-01-01') div 7").as("week"))
+    val viaDaily = e.groupBy("week", "day")
+      .agg(expr("graft_cms_sketch(k)").as("sk"))
+      .groupBy("week").agg(expr("graft_cms_merge(sk)").as("sk"))
+    val direct = e.groupBy("week")
+      .agg(expr("graft_cms_sketch(k)").as("sk"))
+    val joined = viaDaily.as("a")
+      .join(direct.as("b"), col("a.week") === col("b.week"))
+      .select(col("a.sk").as("ska"), col("b.sk").as("skb")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+    }
+  }
+
+  test("weekly rollup estimates equal exact counts on the 5-type domain") {
+    val exact = Tables.events(spark, sf)
+      .groupBy(expr("datediff(to_date(ts), DATE '1970-01-01') div 7")
+        .as("week"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val approx = Analytics.cmsCountRollup(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val truth = exact((r.getLong(0), r.getString(2)))
+      val est = r.getLong(3)
+      assert(est >= truth, s"CMS undercounted: $r vs $truth")
+      // 5 keys in 4x512 counters: a collision in ALL 4 rows is the only
+      // way to overcount — assert exactness on this domain
+      assert(est === truth, s"unexpected collision overcount: $r vs $truth")
+    }
+  }
+
+  test("sketch estimates are invariant under repartitioning") {
+    val a = Analytics.cmsCountRollup(spark, sf).collect().map(_.toSeq)
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try {
+      val b = Analytics.cmsCountRollup(spark, sf).collect().map(_.toSeq)
+      assert(a.toSeq === b.toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+  }
+
+  test("estimate bound holds for a key absent from the stream") {
+    import spark.implicits._
+    val est = Seq("a", "b", "a").toDF("v")
+      .agg(expr("graft_cms_est(graft_cms_sketch(v), 'zzz-not-present')"))
+      .collect()(0).getLong(0)
+    // absent key may only collide upward, and with 3 rows of mass in
+    // 4x512 counters it must read 0 here
+    assert(est === 0L)
+    val present = Seq("a", "b", "a").toDF("v")
+      .agg(expr("graft_cms_est(graft_cms_sketch(v), 'a')"))
+      .collect()(0).getLong(0)
+    assert(present === 2L)
+  }
+
+  test("empty input estimates 0; nulls are ignored; geometry mismatch is a hard error") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("v")
+      .agg(expr("graft_cms_est(graft_cms_sketch(v), 'x')"))
+      .collect()(0).getLong(0)
+    assert(empty === 0L)
+    val withNulls = Seq(Some("x"), None, Some("x"), None).toDF("v")
+      .agg(expr("graft_cms_est(graft_cms_sketch(v), 'x')"))
+      .collect()(0).getLong(0)
+    assert(withNulls === 2L)
+    val cms = Seq("a").toDF("v").agg(expr("graft_cms_sketch(v)").as("sk"))
+    val hll = Seq("a").toDF("v").agg(expr("graft_hll_sketch(v, 8)").as("sk"))
+    assertThrows[Exception](
+      cms.union(hll).agg(expr("graft_cms_merge(sk)")).collect())
+  }
+}

@@ -29,6 +29,7 @@ object Registry {
       operators.Graph.queries ++
       operators.DataQuality.queries ++
       operators.Lakehouse.queries ++
+      operators.EntityRes.queries ++
       operators.Multimodal.queries
 
   def byName(name: String): Q = all.find(_.name == name).get

@@ -676,6 +676,81 @@ object Analytics {
        FROM act JOIN sizes ON act.cohort_week = sizes.cohort_week
        ORDER BY act.cohort_week, wk_off"""
 
+  /** Join-size estimation from CMS sketch inner products — the planner
+    * primitive behind "should this join broadcast, and can we afford
+    * it at all": |orders ⋈ events| on the shared key estimated by
+    * dotting two 16 KiB sketches ([[graft.plans.CmsSketch]] AGMS §4.2
+    * form) instead of running the join. One aggregation pass per side,
+    * one scalar combine; the estimate is a one-sided upper bound
+    * (collision cross-terms are non-negative), spec-bounded against
+    * the exact join count. At 100 TB the sketches come from the
+    * per-partition stats pipeline — the join never runs to be sized.
+    * Approx by design: rows-only + spec. (round 4)
+    */
+  def joinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .agg(expr("graft_cms_sketch(CAST(o_custkey AS STRING))").as("ska"),
+        count(lit(1)).as("n_orders"))
+    val b = Tables.events(s, dir)
+      .agg(expr("graft_cms_sketch(CAST(user_id AS STRING))").as("skb"),
+        count(lit(1)).as("n_events"))
+    a.join(b)
+      .select(expr("graft_cms_dot(ska, skb)").as("est_join_size"),
+        col("n_orders"), col("n_events"))
+  }
+
+  /** High-value coverage threshold for the reconciliation report
+    * (every customer has *some* order in this data; the audit question
+    * with teeth is coverage of a selective slice).
+    */
+  val ReconcileMinPrice = 450000.0
+
+  /** Full-outer reconciliation report — the audit query run after any
+    * load: which keys exist on both sides, which dimension rows have no
+    * facts (here: no HIGH-VALUE orders), which facts dangle without a
+    * dimension. The fact side filters at the scan (pushed predicate)
+    * and pre-aggregates per key BEFORE the join (map-side combinable),
+    * so the full outer joins two key-cardinality frames — at 100 TB
+    * the join never sees raw fact rows. Money stays exact decimal
+    * through BOTH aggregation levels; one final cast. (round 4)
+    */
+  def fullOuterReconcile(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_totalprice") >= ReconcileMinPrice)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(count(lit(1)).as("n_ord"), sum(decp(col("o_totalprice"))).as("sp"))
+    c.join(o, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("segment").isNull, "order_no_customer")
+          .when(col("n_ord").isNull, "customer_no_orders")
+          .otherwise("matched"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(coalesce(col("n_ord"), lit(0L))).as("n_orders"),
+        coalesce(sum(col("sp")), lit(0)).cast("double").as("total_price"))
+      .orderBy("status")
+  }
+
+  val fullOuterReconcileSql: String =
+    s"""WITH c AS (SELECT c_custkey AS key, c_mktsegment AS segment
+                   FROM customer),
+       o AS (SELECT o_custkey AS key, COUNT(*) AS n_ord,
+               SUM(${sqlDecp("o_totalprice")}) AS sp
+             FROM orders WHERE o_totalprice >= $ReconcileMinPrice
+             GROUP BY 1),
+       j AS (SELECT COALESCE(c.key, o.key) AS key, c.segment, o.n_ord, o.sp,
+               CASE WHEN c.segment IS NULL THEN 'order_no_customer'
+                    WHEN o.n_ord IS NULL THEN 'customer_no_orders'
+                    ELSE 'matched' END AS status
+             FROM c FULL OUTER JOIN o ON c.key = o.key)
+       SELECT status, COUNT(*) AS n_keys,
+              CAST(SUM(COALESCE(n_ord, 0)) AS BIGINT) AS n_orders,
+              CAST(CAST(COALESCE(SUM(sp), 0) AS VARCHAR) AS DOUBLE)
+                AS total_price
+       FROM j GROUP BY status ORDER BY status"""
+
   /** Per-key frequency rollup from mergeable Count-Min sketches
     * ([[graft.plans.CmsSketch]]) — the frequency twin of
     * [[approxDistinctSketchRollup]]: daily event-type sketches merge
@@ -725,5 +800,7 @@ object Analytics {
     Q("set_ops", Some(setOpsSql))(setOps),
     Q("approx_distinct", None)(approxDistinct),
     Q("approx_distinct_sketch_rollup", None)(approxDistinctSketchRollup),
-    Q("cms_count_rollup", None)(cmsCountRollup))
+    Q("cms_count_rollup", None)(cmsCountRollup),
+    Q("full_outer_reconcile", Some(fullOuterReconcileSql))(fullOuterReconcile),
+    Q("join_size_estimate", None)(joinSizeEstimate))
 }

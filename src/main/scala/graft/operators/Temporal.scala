@@ -372,6 +372,46 @@ object Temporal {
        FROM ($sessionizeSql) s
        GROUP BY user_id ORDER BY user_id"""
 
+  /** Longest consecutive-day activity streak per user — gaps-and-
+    * islands on the DISTINCT (user, day) frame (never raw events): a
+    * run of consecutive days keeps `day_idx - row_number` constant, so
+    * one partitioned window + two aggregations produce per-streak
+    * lengths and the per-user maximum. Everything after the distinct
+    * is user-cardinality work; windows partition per user. The
+    * retention-analytics twin of [[Analytics.cohortRetention]].
+    * (round 4)
+    */
+  def longestStreak(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
+  val longestStreakSql: String =
+    """WITH days AS (SELECT DISTINCT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+           FROM events),
+       runs AS (SELECT user_id, day,
+                  day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS grp
+                FROM days),
+       streaks AS (SELECT user_id, grp, COUNT(*) AS len
+                   FROM runs GROUP BY user_id, grp)
+       SELECT user_id, MAX(len) AS longest_streak,
+              COUNT(*) AS n_streaks,
+              CAST(SUM(len) AS BIGINT) AS active_days
+       FROM streaks GROUP BY user_id ORDER BY user_id"""
+
   /** Event-type transition matrix (first-order Markov view of user
     * behavior): for consecutive events per user, count (from -> to)
     * pairs and each row's probability among transitions leaving `from`.
@@ -506,6 +546,7 @@ object Temporal {
     Q("time_weighted_avg", Some(timeWeightedAvgSql))(timeWeightedAvg),
     Q("sessionize", Some(sessionizeSql), bench = true)(sessionize),
     Q("session_stats", Some(sessionStatsSql))(sessionStats),
+    Q("longest_streak", Some(longestStreakSql))(longestStreak),
     Q("top_event_paths", Some(topEventPathsSql))(topEventPaths),
     Q("event_transitions", Some(eventTransitionsSql))(eventTransitions),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly))

@@ -36,6 +36,7 @@ object CmsSketch {
   val SketchFn = "graft_cms_sketch"
   val MergeFn = "graft_cms_merge"
   val EstFn = "graft_cms_est"
+  val DotFn = "graft_cms_dot"
 
   /** Hash rows (min over these bounds the overestimate tail). */
   val Depth = 4
@@ -94,6 +95,34 @@ object CmsSketch {
     a
   }
 
+  /** Sketch inner product (AGMS/CMS join-size estimation, Cormode &
+    * Muthukrishnan §4.2): per hash row, sum counter products; take the
+    * min across rows. Every term of the true inner product lands in
+    * matching counters, and collision cross-terms are non-negative —
+    * so the estimate is a one-sided UPPER bound on |A ⋈ B| with error
+    * ~N_a*N_b/Width per row. Two 16 KiB blobs answer the planner
+    * question "how big would this join be" without running the join.
+    */
+  def innerProduct(a: Array[Byte], b: Array[Byte]): Long = {
+    if (a.isEmpty || b.isEmpty) return 0L
+    require(a.length == b.length,
+      s"cannot dot CMS sketches of different geometry " +
+        s"(${a.length} vs ${b.length} bytes)")
+    var best = Long.MaxValue
+    var i = 0
+    while (i < Depth) {
+      var dot = 0L
+      var j = 0
+      while (j < Width) {
+        dot += counter(a, i, j) * counter(b, i, j)
+        j += 1
+      }
+      if (dot < best) best = dot
+      i += 1
+    }
+    best
+  }
+
   def estimate(buf: Array[Byte], key: String): Long = {
     if (buf.isEmpty) return 0L
     var best = Long.MaxValue
@@ -115,6 +144,8 @@ object CmsSketch {
       exprs => CmsMergeAgg(exprs(0)).toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       EstFn, exprs => CmsEstimate(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotFn, exprs => CmsInnerProduct(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -228,5 +259,30 @@ case class CmsEstimate(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Scalar join-size estimate between two sketch blobs (min-over-rows
+  * counter inner product). Runs on sketch-cardinality frames.
+  */
+case class CmsInnerProduct(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${CmsSketch.DotFn} requires two binary sketches, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def prettyName: String = CmsSketch.DotFn
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CmsSketch.innerProduct(
+      a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsInnerProduct =
     copy(left = newLeft, right = newRight)
 }

@@ -471,6 +471,47 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("longest_streak: bounds and a plain-Scala cross-check") {
+    val out = Temporal.longestStreak(spark, sf).collect()
+    val naive = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).distinct
+      .groupBy(_._1).view.mapValues { ds =>
+        val days = ds.map(_._2).sorted
+        val runs = scala.collection.mutable.ListBuffer.empty[Int]
+        var len = 0
+        var prev = Int.MinValue
+        for (d <- days) {
+          if (d == prev + 1) len += 1
+          else { if (len > 0) runs += len; len = 1 }
+          prev = d
+        }
+        if (len > 0) runs += len
+        runs.toList
+      }.toMap
+    out.foreach { r =>
+      val runs = naive(r.getLong(0))
+      assert(r.getLong(1) === runs.max.toLong)
+      assert(r.getLong(2) === runs.length.toLong)
+      assert(r.getLong(3) === runs.sum.toLong)
+      assert(r.getLong(1) <= r.getLong(3))
+    }
+  }
+
+  test("full_outer_reconcile conserves keys, orders, and revenue") {
+    val out = Analytics.fullOuterReconcile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val nCust = graft.sources.Tables.customer(spark, sf).count()
+    val nOrd = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") >= Analytics.ReconcileMinPrice).count()
+    // every customer lands in exactly one class; all high-value orders
+    // accounted for; both audit classes genuinely populated
+    assert(out.view.filterKeys(_ != "order_no_customer").values.map(_._1).sum === nCust)
+    assert(out.values.map(_._2).sum === nOrd)
+    assert(out.contains("matched") && out.contains("customer_no_orders"))
+  }
+
   test("events_hourly conserves the event count") {
     val n = Temporal.eventsHourly(spark, sf)
       .agg(sum(col("n_events"))).head.getLong(0)

@@ -76,6 +76,19 @@ class CmsSketchSpec extends AnyFunSuite {
     assert(present === 2L)
   }
 
+  test("join_size_estimate upper-bounds the exact join cardinality, within CMS error") {
+    val r = Analytics.joinSizeEstimate(spark, sf).collect()(0)
+    val (est, nA, nB) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val exact = Tables.orders(spark, sf).select(col("o_custkey").as("k"))
+      .join(Tables.events(spark, sf).select(col("user_id").as("k")), Seq("k"))
+      .count()
+    assert(est >= exact, s"CMS dot undercounted: $est < $exact")
+    // per-row expected collision mass is nA*nB/Width; min over Depth
+    // rows — allow a loose 4x of the single-row expectation
+    val slack = 4.0 * nA.toDouble * nB.toDouble / CmsSketch.Width
+    assert(est - exact <= slack, s"est $est vs exact $exact (slack $slack)")
+  }
+
   test("empty input estimates 0; nulls are ignored; geometry mismatch is a hard error") {
     import spark.implicits._
     val empty = Seq.empty[String].toDF("v")

@@ -5,6 +5,7 @@ import graft.functions.Text._
 import graft.functions.Vectors._
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for LLM-training-data curation over `documents` /
@@ -584,6 +585,66 @@ object Dedup {
        WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= $tau
        ORDER BY doc_a, doc_b"""
 
+  /** EXACT set-similarity self-join via PREFIX FILTERING (Chaudhuri et
+    * al. 2006 / ppjoin) — the zero-false-negative alternative to LSH
+    * blocking for word-shingle Jaccard >= tau: order each doc's
+    * shingles rarest-first by global document frequency, keep only the
+    * first |S| - ceil(tau*|S|) + 1 as its prefix, and generate
+    * candidates from prefix-shingle equality. THEOREM: two sets with
+    * J >= tau must share a prefix element under any consistent total
+    * order, so unlike banded MinHash nothing true is ever missed —
+    * this query IS the ground truth [[dedupLshRecall]] measures
+    * against, at corpus scale (no hard cap needed). Rare-first
+    * ordering makes prefixes maximally selective: a df=1 shingle
+    * admits no candidate at all. Verification reuses the exact
+    * Jaccard machinery, so precision is 1 by construction.
+    *
+    * Scale: the frequency table is shingle-universe-sized (Zipf: far
+    * smaller than the (doc, shingle) stream); the prefix join's
+    * per-shingle fan-out is bounded by that shingle's df — AQE splits
+    * the few hot ones. Candidates ~= true pairs + rare-shingle
+    * coincidences, vs LSH's band-collision superset.
+    */
+  def dedupPrefixFilter(s: SparkSession, dir: String,
+      cfg: SimilarityConfig = D): DataFrame = {
+    val shr = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          wordShingles(toks(col("text")), cfg.shingleWidth))).as("sh"))
+    val freq = shr.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val wSz = Window.partitionBy(col("doc_id"))
+    val prefix = shr.join(freq, Seq("sh"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("sz", count(lit(1)).over(wSz))
+      // prefix length |S| - ceil(tau*|S|) + 1 with tau = 1/2:
+      // ceil(sz/2) = (sz+1) div 2, all integer arithmetic
+      .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val cnt = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    verifyJaccard(cand, shr, cnt, cfg.minhashTau)
+  }
+
+  val dedupPrefixFilterSql: String =
+    s"""WITH shr AS (${sqlShingleRows(D.shingleWidth)}),
+       freq AS (SELECT sh, COUNT(*) AS df FROM shr GROUP BY sh),
+       ranked AS (SELECT s.doc_id, s.sh,
+                    ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                       ORDER BY f.df, s.sh) AS rn,
+                    COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
+                  FROM shr s JOIN freq f ON s.sh = f.sh),
+       pre AS (SELECT doc_id, sh FROM ranked
+               WHERE rn <= sz - ((sz + 1) // 2) + 1),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM pre a JOIN pre b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       ${sqlVerifyJaccard(D.minhashTau)}"""
+
   /** Recall of the banded-MinHash blocking against exact ground truth
     * — the dedup tier's twin of [[Similarity.annRecallLsh]] (an index
     * you can't measure, you can't trust). Ground truth is the
@@ -660,6 +721,8 @@ object Dedup {
   def queries: Seq[Q] = Seq(
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
     Q("dedup_lsh_recall", Some(dedupLshRecallSql))(dedupLshRecall),
+    Q("dedup_prefix_filter", Some(dedupPrefixFilterSql))(
+      dedupPrefixFilter(_, _, D)),
     Q("dedup_minhash_lsh", Some(dedupMinhashLshSql), bench = true)(dedupMinhashLsh),
     Q("dedup_simhash", Some(dedupSimhashSql), bench = true)(dedupSimhash),
     Q("dedup_ngram_jaccard", Some(dedupNgramJaccardSql))(dedupNgramJaccard),

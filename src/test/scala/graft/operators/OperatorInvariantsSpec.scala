@@ -30,6 +30,27 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_prefix_filter equals naive all-pairs exact Jaccard (zero false negatives)") {
+    import graft.functions.Text.{toks, wordShingles}
+    val out = Dedup.dedupPrefixFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth by definition: collected shingle sets, all pairs
+    val sets = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(wordShingles(toks(col("text")), 3)).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val naive = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= 0.5
+    } yield (a, b)).toSet
+    assert(out === naive)
+    // the LSH pipeline approximates this exact set from below
+    val lsh = Dedup.dedupMinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(out))
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

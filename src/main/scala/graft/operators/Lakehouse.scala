@@ -27,10 +27,14 @@ object Lakehouse {
     * a scalar over a dimension is not a corpus collect).
     */
   def keyOffset(s: SparkSession, dir: String): Long = {
-    val maxKey = Tables.customer(s, dir)
-      .agg(max(col("c_custkey"))).head.getLong(0)
-    val maxUser = Tables.events(s, dir)
-      .agg(max(col("user_id"))).head.getLong(0)
+    // getAs boxes to null on an empty input — default 0 keeps the
+    // (necessarily empty) downstream plan executable
+    val maxKey = Option(Tables.customer(s, dir)
+      .agg(max(col("c_custkey"))).head.getAs[java.lang.Long](0))
+      .map(_.longValue).getOrElse(-1L)
+    val maxUser = Option(Tables.events(s, dir)
+      .agg(max(col("user_id"))).head.getAs[java.lang.Long](0))
+      .map(_.longValue).getOrElse(0L)
     maxKey + 1L - maxUser / 2L
   }
 
@@ -120,7 +124,11 @@ object Lakehouse {
     // skip probe is the mid-span calendar year so the query is
     // scale-factor-agnostic
     val sp = o.agg(min(col("d")), max(col("d"))).head
-    val (dLo, dHi) = (sp.getDate(0).toLocalDate, sp.getDate(1).toLocalDate)
+    // epoch fallbacks keep the (necessarily empty) plan executable on
+    // an empty corpus — the literals only shape expressions
+    val dLo = Option(sp.getDate(0)).map(_.toLocalDate)
+      .getOrElse(java.time.LocalDate.EPOCH)
+    val dHi = Option(sp.getDate(1)).map(_.toLocalDate).getOrElse(dLo)
     val spanDays = java.time.temporal.ChronoUnit.DAYS.between(dLo, dHi) + 1L
     val probeYear = dLo.getYear + (dHi.getYear - dLo.getYear) / 2
     val ranged = o.select(col("o_orderkey"), col("d"),

@@ -613,6 +613,77 @@ object Stats {
                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
        ORDER BY event_type, day_idx"""
 
+  /** Interpolated (percentile_cont) per-group percentiles — completes
+    * the percentile API next to [[percentileGroup]]'s percentile_disc
+    * and the GK sketch: value = v_lo + (v_hi - v_lo) * frac at
+    * fractional rank 1 + (n-1)p. Engines disagree on their built-in
+    * interpolation arithmetic, so the index math here is PURE INTEGERS
+    * (p as the exact rational a/b: lo = 1 + ((n-1)a) div b, frac =
+    * ((n-1)a mod b)/b) and the interpolation is one identical IEEE
+    * multiply-add on doubles — hash-portable where engine
+    * percentile()/quantile_cont() are not. Same single partitioned
+    * window as the disc form. (round 4)
+    */
+  def percentileCont(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("prio"))
+      .orderBy(col("price"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("prio"))
+    Tables.orders(s, dir)
+      .select(lower(trim(col("o_orderpriority"))).as("prio"),
+        decp(col("o_totalprice")).cast("double").as("price"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .withColumn("lo50", expr("1 + (cnt - 1) div 2"))
+      .withColumn("m50", expr("(cnt - 1) % 2"))
+      .withColumn("lo95", expr("1 + ((cnt - 1) * 19) div 20"))
+      .withColumn("m95", expr("((cnt - 1) * 19) % 20"))
+      .groupBy("prio")
+      .agg(
+        max(when(col("rn") === col("lo50"), col("price"))).as("v50lo"),
+        max(when(col("rn") === col("lo50") +
+          when(col("m50") > 0, 1).otherwise(0), col("price"))).as("v50hi"),
+        max(when(col("rn") === col("lo95"), col("price"))).as("v95lo"),
+        max(when(col("rn") === col("lo95") +
+          when(col("m95") > 0, 1).otherwise(0), col("price"))).as("v95hi"),
+        max(col("m50")).as("m50"), max(col("m95")).as("m95"),
+        max(col("cnt")).as("n"))
+      .select(col("prio"), col("n"),
+        (col("v50lo") + (col("v50hi") - col("v50lo")) *
+          (col("m50").cast("double") / lit(2.0))).as("p50"),
+        (col("v95lo") + (col("v95hi") - col("v95lo")) *
+          (col("m95").cast("double") / lit(20.0))).as("p95"))
+      .orderBy("prio")
+  }
+
+  val percentileContSql: String =
+    s"""WITH t AS (SELECT lower(trim(o_orderpriority)) AS prio,
+                     CAST(${sqlDecp("o_totalprice")} AS DOUBLE) AS price,
+                     o_orderkey
+                   FROM orders),
+       r AS (SELECT prio, price,
+               ROW_NUMBER() OVER (PARTITION BY prio ORDER BY price, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY prio) AS cnt
+             FROM t),
+       i AS (SELECT prio, price, rn, cnt,
+               1 + (cnt - 1) // 2 AS lo50, (cnt - 1) % 2 AS m50,
+               1 + ((cnt - 1) * 19) // 20 AS lo95,
+               ((cnt - 1) * 19) % 20 AS m95
+             FROM r),
+       g AS (SELECT prio,
+               MAX(CASE WHEN rn = lo50 THEN price END) AS v50lo,
+               MAX(CASE WHEN rn = lo50 + (CASE WHEN m50 > 0 THEN 1 ELSE 0 END)
+                   THEN price END) AS v50hi,
+               MAX(CASE WHEN rn = lo95 THEN price END) AS v95lo,
+               MAX(CASE WHEN rn = lo95 + (CASE WHEN m95 > 0 THEN 1 ELSE 0 END)
+                   THEN price END) AS v95hi,
+               MAX(m50) AS m50, MAX(m95) AS m95, MAX(cnt) AS n
+             FROM i GROUP BY prio)
+       SELECT prio, n,
+              v50lo + (v50hi - v50lo) * (CAST(m50 AS DOUBLE) / 2.0) AS p50,
+              v95lo + (v95hi - v95lo) * (CAST(m95 AS DOUBLE) / 20.0) AS p95
+       FROM g ORDER BY prio"""
+
   /** Per-group OLS regression (order total vs. order day) from EXACT
     * moments — the trend-line twin of [[corrExact]], and for the same
     * reason: engine `regr_slope()` accumulates doubles in partition
@@ -750,6 +821,7 @@ object Stats {
 
   def queries: Seq[Q] = Seq(
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
+    Q("percentile_cont", Some(percentileContSql))(percentileCont),
     Q("regression_slope", Some(regressionSlopeSql))(regressionSlope),
     Q("winsorize_clip", Some(winsorizeClipSql))(winsorizeClip),
     Q("rolling_window_range", Some(rollingWindowRangeSql))(rollingWindowRange),

@@ -372,6 +372,124 @@ object Temporal {
        FROM ($sessionizeSql) s
        GROUP BY user_id ORDER BY user_id"""
 
+  /** Point-in-time lookup against an SCD2 dimension — the canonical
+    * warehouse join [[scd2Intervals]] exists to serve: each fact row
+    * (here: error events) resolves the dimension version valid AT its
+    * timestamp ("what was the user doing when the error occurred" —
+    * the dimension is built from the NON-error activity runs). The
+    * join is an equi-join on the key with the interval containment
+    * [valid_from, valid_to) as a join filter: per-key version lists
+    * are small by SCD2 construction, so at 100 TB this shuffles on the
+    * key exactly like any fact-dim join — never an interval cross
+    * product. Half-open intervals guarantee at most one match; facts
+    * before the first version keep honest NULLs (left join). (round 4)
+    */
+  def scd2PointLookup(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.events(s, dir).filter(col("user_id") % 20 === 0)
+    val dim = scd2Runs(slice.filter(col("event_type") =!= "error"))
+      .select(col("user_id").as("d_user"), col("event_type").as("phase"),
+        col("valid_from"), col("valid_to"))
+    val facts = slice.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    facts.join(dim,
+        col("user_id") === col("d_user") &&
+          col("valid_from") <= col("t") &&
+          (col("valid_to").isNull || col("t") < col("valid_to")),
+        "left")
+      .select(col("user_id"), col("event_id"), col("t"),
+        col("phase"), col("valid_from").as("phase_from"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val scd2PointLookupSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+                  FROM events WHERE user_id % 20 = 0),
+       ne AS (SELECT * FROM e WHERE event_type <> 'error'),
+       flagged AS (
+         SELECT user_id, event_id, event_type, t,
+           CASE WHEN LAG(event_type, 1) OVER w IS NULL
+                  OR LAG(event_type, 1) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+         FROM ne WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+       runs AS (
+         SELECT user_id, event_type, t,
+           CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS run_id
+         FROM flagged),
+       grouped AS (
+         SELECT user_id, run_id, event_type AS phase,
+                MIN(t) AS valid_from
+         FROM runs GROUP BY user_id, run_id, event_type),
+       dim AS (
+         SELECT user_id AS d_user, phase, valid_from,
+           LEAD(valid_from, 1) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from) AS valid_to
+         FROM grouped),
+       facts AS (SELECT user_id, event_id, t FROM e
+                 WHERE event_type = 'error')
+       SELECT f.user_id, f.event_id, f.t, d.phase,
+              d.valid_from AS phase_from
+       FROM facts f LEFT JOIN dim d
+         ON f.user_id = d.d_user AND d.valid_from <= f.t
+        AND (d.valid_to IS NULL OR f.t < d.valid_to)
+       ORDER BY user_id, event_id"""
+
+  /** Attribution window length for the first-touch view lookback. */
+  val AttributionLookbackUs: Long = 7L * 86400L * 1000000L
+
+  /** First/last-touch attribution per conversion: for every purchase,
+    * the most recent click strictly before it (conditional MAX over a
+    * ROWS frame ending 1 before current) and the earliest view inside
+    * a 7-day lookback (conditional MIN over a RANGE frame on the
+    * microsecond axis — gap-honest, unlike a row count). Both windows
+    * partition per user and run over the already-narrow (user, t,
+    * type) projection; conversions keep honest NULLs when no touch
+    * qualifies. The marketing-funnel twin of [[asofJoin]]: same
+    * most-recent-predecessor semantics, expressed as frames instead of
+    * a join because source and target share one timeline. (round 4)
+    */
+  def attributionFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val wRows = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRange = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-AttributionLookbackUs, Window.currentRow)
+    e.withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("t"))).over(wRows))
+      .withColumn("first_view_7d_us",
+        min(when(col("event_type") === "view", col("t"))).over(wRange))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("t"),
+        col("last_click_us"), col("first_view_7d_us"),
+        (col("last_click_us").isNotNull &&
+          col("first_view_7d_us").isNotNull).as("fully_attributed"))
+      .orderBy("event_id")
+  }
+
+  val attributionFirstLastSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+                   FROM events),
+       att AS (
+         SELECT user_id, event_id, event_type, t,
+           MAX(CASE WHEN event_type = 'click' THEN t END) OVER
+             (PARTITION BY user_id ORDER BY t, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_click_us,
+           MIN(CASE WHEN event_type = 'view' THEN t END) OVER
+             (PARTITION BY user_id ORDER BY t
+              RANGE BETWEEN $AttributionLookbackUs PRECEDING AND CURRENT ROW)
+             AS first_view_7d_us
+         FROM e)
+       SELECT event_id, user_id, t, last_click_us, first_view_7d_us,
+              (last_click_us IS NOT NULL AND first_view_7d_us IS NOT NULL)
+                AS fully_attributed
+       FROM att WHERE event_type = 'purchase'
+       ORDER BY event_id"""
+
   /** Longest consecutive-day activity streak per user — gaps-and-
     * islands on the DISTINCT (user, day) frame (never raw events): a
     * run of consecutive days keeps `day_idx - row_number` constant, so
@@ -480,11 +598,19 @@ object Temporal {
     * registered frame stays report-sized; the operator is
     * corpus-general.
     */
-  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    scd2Runs(Tables.events(s, dir).filter(col("user_id") % 20 === 0))
+      .orderBy("user_id", "valid_from")
+
+  /** Gaps-and-islands run collapse into half-open SCD2 validity
+    * intervals over any events slice — shared by [[scd2Intervals]]
+    * (the registered build) and [[scd2PointLookup]] (which builds its
+    * dimension from the non-error slice).
+    */
+  private def scd2Runs(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("t"), col("event_id"))
-    val e = Tables.events(s, dir)
-      .filter(col("user_id") % 20 === 0)
+    val e = events
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("t"))
     val runs = e
@@ -504,7 +630,6 @@ object Temporal {
         when(col("valid_to").isNull, 1).otherwise(0).cast("int")
           .as("is_current"),
         col("n_events"))
-      .orderBy("user_id", "valid_from")
   }
 
   val scd2IntervalsSql: String =
@@ -537,6 +662,8 @@ object Temporal {
 
   def queries: Seq[Q] = Seq(
     Q("scd2_intervals", Some(scd2IntervalsSql))(scd2Intervals),
+    Q("scd2_point_lookup", Some(scd2PointLookupSql))(scd2PointLookup),
+    Q("attribution_first_last", Some(attributionFirstLastSql))(attributionFirstLast),
     Q("asof_join", Some(asofJoinSql), bench = true)(asofJoin),
     Q("asof_join_native", Some(asofJoinSql), bench = true)(asofJoinNative),
     Q("asof_join_tolerance", Some(asofJoinToleranceSql))(asofJoinTolerance),

@@ -492,6 +492,75 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2_point_lookup resolves each error to the latest preceding non-error run") {
+    val out = Temporal.scd2PointLookup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    out.foreach { r =>
+      val (u, t) = (r.getLong(0), r.getLong(2))
+      // latest non-error event at-or-before t (ties: any event in the
+      // same run shares its type, so the type is unambiguous)
+      val preceding = byUser(u).filter(e => e._3 != "error" &&
+        (e._4 < t || (e._4 == t)))
+        .sortBy(e => (e._4, e._2)).lastOption
+      preceding match {
+        case None => assert(r.isNullAt(3), s"phase for pre-history error $r")
+        case Some(p) =>
+          // run phase at t = type of the latest preceding non-error event
+          val expected = byUser(u).filter(e => e._3 != "error" && e._4 <= p._4)
+            .sortBy(e => (e._4, e._2)).last._3
+          assert(r.getString(3) === expected, s"wrong phase in $r")
+      }
+    }
+  }
+
+  test("attribution_first_last matches a plain-Scala scan per purchase") {
+    val out = Temporal.attributionFirstLast(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    out.foreach { r =>
+      val (eid, u, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val mine = byUser(u).sortBy(e => (e._4, e._2))
+      val before = mine.takeWhile(e => e._4 < t || (e._4 == t && e._2 < eid))
+      val lastClick = before.filter(_._3 == "click").map(_._4).maxOption
+      val firstView = mine.filter(e => e._3 == "view" &&
+        e._4 >= t - Temporal.AttributionLookbackUs && e._4 <= t)
+        .map(_._4).minOption
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) === lastClick)
+      assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) === firstView)
+    }
+  }
+
+  test("percentile_cont equals plain-Scala interpolation and brackets the disc form") {
+    val out = Stats.percentileCont(spark, sf).collect()
+    val groups = graft.sources.Tables.orders(spark, sf)
+      .select(lower(trim(col("o_orderpriority"))).as("prio"),
+        col("o_totalprice").cast("decimal(14,4)").cast("double"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    out.foreach { r =>
+      val vs = groups(r.getString(0))
+      val n = vs.length
+      def interp(a: Long, b: Long): Double = {
+        val lo = (1 + ((n - 1) * a) / b).toInt
+        val m = ((n - 1) * a) % b
+        val hi = lo + (if (m > 0) 1 else 0)
+        vs(lo - 1) + (vs(hi - 1) - vs(lo - 1)) * (m.toDouble / b.toDouble)
+      }
+      assert(r.getDouble(2) === interp(1, 2), s"p50 mismatch in $r")
+      assert(r.getDouble(3) === interp(19, 20), s"p95 mismatch in $r")
+    }
+  }
+
   test("longest_streak: bounds and a plain-Scala cross-check") {
     val out = Temporal.longestStreak(spark, sf).collect()
     val naive = graft.sources.Tables.events(spark, sf)

@@ -620,12 +620,37 @@ object Dedup {
       // prefix length |S| - ceil(tau*|S|) + 1 with tau = 1/2:
       // ceil(sz/2) = (sz+1) div 2, all integer arithmetic
       .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
-      .select(col("doc_id"), col("sh"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("doc_id"), col("sh"), col("rn"), col("sz"))
+      // §7a checkpoint rule: prefix is a compact POST-window frame
+      // (~half the shingle stream) consumed by BOTH sides of the
+      // candidate self-join — without the cut, Spark re-runs the
+      // freq-join + per-doc rank window (the expensive shuffles of
+      // this plan) once per side
+      .localCheckpoint()
+    // ppjoin-style EXACT pruning at candidate generation (measured:
+    // 409k -> 125k pairs at sf0.1, and verify cost is linear in
+    // pairs): the LENGTH filter (J >= 1/2 forces 2*min(|A|,|B|) >=
+    // max), and the POSITIONAL filter (a match at prefix position rn
+    // leaves at most min(szA-rnA, szB-rnB)+1 common elements, which
+    // must reach the required overlap ceil((szA+szB)/3) for tau=1/2).
+    // Both are per-row integer predicates on the equi-join — no false
+    // negatives by the ppjoin bounds.
+    val pb = prefix.select(col("doc_id").as("doc_id_b"),
+      col("sh").as("sh_b"), col("rn").as("rn_b"), col("sz").as("sz_b"))
+    val cand = prefix.join(pb,
+        col("sh") === col("sh_b") && col("doc_id") < col("doc_id_b") &&
+          lit(2) * least(col("sz"), col("sz_b")) >=
+            greatest(col("sz"), col("sz_b")) &&
+          lit(1) + least(col("sz") - col("rn"), col("sz_b") - col("rn_b"))
+            >= expr("(sz + sz_b + 2) div 3"))
+      .select(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
       .distinct()
+    // NOTE (measured twice at sf0.1): verifying on whole shingle
+    // ARRAYS (join doc arrays to pairs + array_intersect) looked like
+    // it should win at this pair cardinality (~125k pairs vs the LSH
+    // tiers' hundreds) but ran 8.9-11.7 s vs 5.6 s for the exploded
+    // verify — the §7a array-verify revert holds in the large-pair
+    // regime too. Exploded verifyJaccard stays.
     val cnt = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
     verifyJaccard(cand, shr, cnt, cfg.minhashTau)
   }
@@ -638,11 +663,14 @@ object Dedup {
                                        ORDER BY f.df, s.sh) AS rn,
                     COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
                   FROM shr s JOIN freq f ON s.sh = f.sh),
-       pre AS (SELECT doc_id, sh FROM ranked
+       pre AS (SELECT doc_id, sh, rn, sz FROM ranked
                WHERE rn <= sz - ((sz + 1) // 2) + 1),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM pre a JOIN pre b
-                  ON a.sh = b.sh AND a.doc_id < b.doc_id),
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 AND 2 * LEAST(a.sz, b.sz) >= GREATEST(a.sz, b.sz)
+                 AND 1 + LEAST(a.sz - a.rn, b.sz - b.rn)
+                     >= (a.sz + b.sz + 2) // 3),
        ${sqlVerifyJaccard(D.minhashTau)}"""
 
   /** Recall of the banded-MinHash blocking against exact ground truth
@@ -721,7 +749,7 @@ object Dedup {
   def queries: Seq[Q] = Seq(
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
     Q("dedup_lsh_recall", Some(dedupLshRecallSql))(dedupLshRecall),
-    Q("dedup_prefix_filter", Some(dedupPrefixFilterSql))(
+    Q("dedup_prefix_filter", Some(dedupPrefixFilterSql), bench = true)(
       dedupPrefixFilter(_, _, D)),
     Q("dedup_minhash_lsh", Some(dedupMinhashLshSql), bench = true)(dedupMinhashLsh),
     Q("dedup_simhash", Some(dedupSimhashSql), bench = true)(dedupSimhash),

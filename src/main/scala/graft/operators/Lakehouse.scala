@@ -174,6 +174,6 @@ object Lakehouse {
        ORDER BY layout, file_id"""
 
   def queries: Seq[Q] = Seq(
-    Q("cdc_merge_apply", Some(cdcMergeApplySql))(cdcMergeApply),
+    Q("cdc_merge_apply", Some(cdcMergeApplySql), bench = true)(cdcMergeApply),
     Q("data_skipping_stats", Some(dataSkippingStatsSql))(dataSkippingStats))
 }

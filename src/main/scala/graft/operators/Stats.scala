@@ -613,6 +613,71 @@ object Stats {
                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
        ORDER BY event_type, day_idx"""
 
+  /** Cumulative distinct users by day (the growth-curve dashboard
+    * metric): COUNT(DISTINCT) over an expanding window is
+    * O(days x users) done naively, but "distinct so far" is just a
+    * running sum of FIRST-SEEN flags — one row_number over the
+    * per-user distinct frame, one daily aggregate, one running sum
+    * over the day-cardinality series. The same first-seen trick is how
+    * a 100 TB growth curve avoids re-scanning history per day.
+    * (round 4)
+    */
+  def cumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val newUsers = firstSeen.groupBy("day")
+      .agg(count(lit(1)).as("nu"))
+    // complete calendar spine (the gapFillFfill pattern): days with no
+    // first-seen users carry an explicit 0 so the curve has no holes
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val daily = broadcast(spine)
+      .join(newUsers, Seq("day"), "left")
+      .select(col("day"), coalesce(col("nu"), lit(0L)).as("new_users"))
+      .withColumn("yr", year(col("day")))
+    // two-phase running sum (the denseIds pattern): a per-year
+    // partitioned window plus year offsets from a years²-sized
+    // self-join — no global single-task window even though the day
+    // series is calendar-bounded
+    val wYr = Window.partitionBy(col("yr")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val yrTotals = daily.groupBy("yr").agg(sum(col("new_users")).as("yt"))
+    val offsets = yrTotals.as("a")
+      .join(yrTotals.as("b"), col("b.yr") < col("a.yr"), "left")
+      .groupBy(col("a.yr").as("yr"))
+      .agg(coalesce(sum(col("b.yt")), lit(0L)).as("off"))
+    daily.withColumn("cum_in_yr", sum(col("new_users")).over(wYr))
+      .join(broadcast(offsets), Seq("yr"))
+      .select(col("day"), col("new_users"),
+        (col("cum_in_yr") + col("off")).as("cumulative_users"))
+      .orderBy("day")
+  }
+
+  val cumulativeUsersSql: String =
+    """WITH fs AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+                   FROM events GROUP BY 1),
+       nu AS (SELECT day, COUNT(*) AS nu FROM fs GROUP BY 1),
+       spine AS (SELECT UNNEST(generate_series(
+                   (SELECT MIN(CAST(ts AS DATE)) FROM events),
+                   (SELECT MAX(CAST(ts AS DATE)) FROM events),
+                   INTERVAL 1 DAY))::DATE AS day),
+       daily AS (SELECT s.day, year(s.day) AS yr,
+                   CAST(COALESCE(nu.nu, 0) AS BIGINT) AS new_users
+                 FROM spine s LEFT JOIN nu ON s.day = nu.day),
+       yt AS (SELECT yr, CAST(SUM(new_users) AS BIGINT) AS yt
+              FROM daily GROUP BY 1),
+       offs AS (SELECT a.yr, CAST(COALESCE(SUM(b.yt), 0) AS BIGINT) AS off
+                FROM yt a LEFT JOIN yt b ON b.yr < a.yr
+                GROUP BY a.yr)
+       SELECT d.day, d.new_users,
+              CAST(SUM(d.new_users) OVER (PARTITION BY d.yr ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                + o.off AS cumulative_users
+       FROM daily d JOIN offs o ON d.yr = o.yr
+       ORDER BY day"""
+
   /** Interpolated (percentile_cont) per-group percentiles — completes
     * the percentile API next to [[percentileGroup]]'s percentile_disc
     * and the GK sketch: value = v_lo + (v_hi - v_lo) * frac at
@@ -822,6 +887,7 @@ object Stats {
   def queries: Seq[Q] = Seq(
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
     Q("percentile_cont", Some(percentileContSql))(percentileCont),
+    Q("cumulative_users", Some(cumulativeUsersSql))(cumulativeUsers),
     Q("regression_slope", Some(regressionSlopeSql))(regressionSlope),
     Q("winsorize_clip", Some(winsorizeClipSql))(winsorizeClip),
     Q("rolling_window_range", Some(rollingWindowRangeSql))(rollingWindowRange),

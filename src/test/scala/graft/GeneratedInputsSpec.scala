@@ -117,6 +117,36 @@ class GeneratedInputsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("CMS sketch: exact bounds and split-merge invariance on generated streams") {
+    // random multisets of short keys; per group: estimate >= exact for
+    // every key, and sketching two halves then merging equals
+    // sketching the whole (associativity/commutativity of counter
+    // addition — checked bit-for-bit)
+    val keyGen = Gen.nonEmptyListOf(
+      Gen.oneOf("a", "b", "c", "dd", "ee", "ff", "gg", "hh", "中", "𝕊"))
+    val cases = sample(keyGen, 40).zipWithIndex
+    val rows = cases.flatMap { case (ks, i) =>
+      ks.zipWithIndex.map { case (k, j) => (s"c$i", k, j % 2) }
+    }
+    val df = rows.toDF("grp", "k", "half")
+    val whole = df.groupBy("grp")
+      .agg(expr("graft_cms_sketch(k)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val merged = df.groupBy("grp", "half")
+      .agg(expr("graft_cms_sketch(k)").as("sk"))
+      .groupBy("grp").agg(expr("graft_cms_merge(sk)").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    cases.foreach { case (ks, i) =>
+      val g = s"c$i"
+      assert(java.util.Arrays.equals(whole(g), merged(g)), s"merge drift in $g")
+      ks.distinct.foreach { k =>
+        val exact = ks.count(_ == k).toLong
+        assert(graft.plans.CmsSketch.estimate(whole(g), k) >= exact,
+          s"undercount for $k in $g")
+      }
+    }
+  }
+
   test("denseIds equals sorted rank per generated case") {
     // many generated cases ride ONE frame: case id is the group column,
     // so each case gets its own independent 1-based numbering

@@ -235,6 +235,22 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("cumulative_users: complete monotone curve saturating at total distinct users") {
+    val out = Stats.cumulativeUsers(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+    val totalUsers = ev.select("user_id").distinct().count()
+    val days = ev.agg(datediff(to_date(max(col("ts"))),
+      to_date(min(col("ts"))))).head.getInt(0) + 1
+    assert(out.length === days, "spine incomplete")
+    assert(out.map(_.getLong(1)).sum === totalUsers)
+    assert(out.last.getLong(2) === totalUsers)
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) === a.getLong(2) + b.getLong(1), "curve not cumulative")
+      case _ => ()
+    }
+  }
+
   test("regression_slope matches Spark's built-in OLS within FP tolerance") {
     val out = Stats.regressionSlope(spark, sf).collect()
     assert(out.nonEmpty)

@@ -105,6 +105,32 @@ object Streaming {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:00").as("hour"),
         col("top_users"))
 
+  /** Streaming mergeable summaries — the [[graft.plans.CmsSketch]]
+    * tier maintained incrementally: per-day Count-Min sketches of the
+    * event-type frequency vector, built inside a windowed streaming
+    * aggregation. The sketch is a TypedImperativeAggregate whose merge
+    * is counter ADDITION, so micro-batch partials fold into the window
+    * state exactly as batch partials do — the emitted blob is
+    * BIT-IDENTICAL to the batch sketch of the same day (spec-pinned).
+    * This is the ingest architecture the sketch tier exists for: the
+    * stream keeps one 16 KiB buffer per open day, the warehouse stores
+    * blobs, and any later rollup ([[graft.operators.Analytics
+    * .cmsCountRollup]]) merges blobs without ever rescanning events.
+    */
+  def cmsDailyStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr(s"${graft.plans.CmsSketch.SketchFn}(event_type)").as("sk"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("sk"))
+
+  /** Batch twin of [[cmsDailyStream]] (same plan over the batch loader). */
+  def cmsDailyBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr(s"${graft.plans.CmsSketch.SketchFn}(event_type)").as("sk"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("sk"))
+
   /** Stream-stream interval join — the streaming twin of
     * `range_join_bucketed`'s blast-radius query: pair every 'error'
     * event with the events in the hour after it, as the pairs arrive.

@@ -124,4 +124,21 @@ class StreamingSpec extends AnyFunSuite {
         s"hour $h: stream=$top batch=${batch.get(h)}")
     }
   }
+
+  test("streaming daily CMS sketches are bit-identical to the batch sketches") {
+    val streamed = Streaming.runToMemory(
+      Streaming.cmsDailyStream(spark, sf), "cms_stream").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(streamed.nonEmpty, "watermark never released any day")
+    val batch = Streaming.cmsDailyBatch(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    streamed.foreach { case (d, sk) =>
+      assert(batch.contains(d), s"day $d missing from batch")
+      assert(java.util.Arrays.equals(sk, batch(d)),
+        s"day $d: streamed sketch differs from batch")
+    }
+    // the streamed blobs answer the rollup question without any rescan
+    streamed.values.foreach(sk =>
+      assert(sk.length === graft.plans.CmsSketch.Bytes))
+  }
 }

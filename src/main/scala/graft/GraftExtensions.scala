@@ -68,5 +68,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(plans.HllSketch.EstFn,
         "_FUNC_(sketch) - cardinality estimate from an HLL sketch"),
       (exprs: Seq[Expression]) => plans.HllEstimate(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier(plans.HllSketch.UnionFn),
+      info(plans.HllSketch.UnionFn,
+        "_FUNC_(a, b) - union (register max) of two HLL sketches"),
+      (exprs: Seq[Expression]) => plans.HllUnion(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(plans.CmsSketch.SketchFn),
+      info(plans.CmsSketch.SketchFn,
+        "_FUNC_(col) - Count-Min frequency sketch (4x512 counters)"),
+      (exprs: Seq[Expression]) =>
+        plans.CmsSketchAgg(exprs(0)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(plans.CmsSketch.MergeFn),
+      info(plans.CmsSketch.MergeFn,
+        "_FUNC_(sketch) - merge CMS sketches (counter addition)"),
+      (exprs: Seq[Expression]) =>
+        plans.CmsMergeAgg(exprs(0)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(plans.CmsSketch.EstFn),
+      info(plans.CmsSketch.EstFn,
+        "_FUNC_(sketch, key) - upper-bound frequency of key"),
+      (exprs: Seq[Expression]) => plans.CmsEstimate(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(plans.CmsSketch.DotFn),
+      info(plans.CmsSketch.DotFn,
+        "_FUNC_(a, b) - join-size estimate (sketch inner product)"),
+      (exprs: Seq[Expression]) => plans.CmsInnerProduct(exprs(0), exprs(1))))
   }
 }

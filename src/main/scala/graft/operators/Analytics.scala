@@ -676,6 +676,34 @@ object Analytics {
        FROM act JOIN sizes ON act.cohort_week = sizes.cohort_week
        ORDER BY act.cohort_week, wk_off"""
 
+  /** Sketch-algebra audience overlap: weekly |viewers ∩ purchasers|
+    * estimated by HLL inclusion-exclusion — est(A) + est(B) -
+    * est(A ∪ B), where the union sketch is a pure register-max of the
+    * two persisted blobs ([[graft.plans.HllUnion]]). HLL can't
+    * intersect directly; this is the standard route, and it runs
+    * entirely on blobs: at 100 TB the weekly audience overlap report
+    * reads two 4 KiB sketches per segment, never events. One
+    * aggregation pass builds all three sketches via conditional
+    * inputs (nulls are ignored by the sketch aggregate). Approx by
+    * design: rows-only + spec vs exact intersections. (round 4)
+    */
+  def hllIntersectUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("datediff(to_date(ts), DATE '1970-01-01') div 7")
+        .as("week"))
+      .agg(
+        expr("""graft_hll_sketch(CASE WHEN event_type = 'view'
+                THEN CAST(user_id AS STRING) END, 12)""").as("skv"),
+        expr("""graft_hll_sketch(CASE WHEN event_type = 'purchase'
+                THEN CAST(user_id AS STRING) END, 12)""").as("skp"))
+      .select(col("week"),
+        expr("graft_hll_est(skv)").as("viewers"),
+        expr("graft_hll_est(skp)").as("purchasers"),
+        (expr("graft_hll_est(skv)") + expr("graft_hll_est(skp)") -
+          expr("graft_hll_est(graft_hll_union(skv, skp))"))
+          .as("overlap_est"))
+      .orderBy("week")
+
   /** Join-size estimation from CMS sketch inner products — the planner
     * primitive behind "should this join broadcast, and can we afford
     * it at all": |orders ⋈ events| on the shared key estimated by
@@ -802,5 +830,6 @@ object Analytics {
     Q("approx_distinct_sketch_rollup", None)(approxDistinctSketchRollup),
     Q("cms_count_rollup", None)(cmsCountRollup),
     Q("full_outer_reconcile", Some(fullOuterReconcileSql))(fullOuterReconcile),
-    Q("join_size_estimate", None)(joinSizeEstimate))
+    Q("join_size_estimate", None)(joinSizeEstimate),
+    Q("hll_intersect_users", None)(hllIntersectUsers))
 }

@@ -34,6 +34,7 @@ object HllSketch {
   val SketchFn = "graft_hll_sketch"
   val MergeFn = "graft_hll_merge"
   val EstFn = "graft_hll_est"
+  val UnionFn = "graft_hll_union"
 
   /** FNV-1a 64 over UTF-8 bytes + splitmix64 finalizer (FNV's low-bit
     * diffusion alone is too weak for register selection).
@@ -93,6 +94,8 @@ object HllSketch {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       EstFn, exprs => HllEstimate(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      UnionFn, exprs => HllUnion(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -213,6 +216,47 @@ case class HllMergeAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): HllMergeAgg =
     copy(child = newChildren.head)
+}
+
+/** Scalar UNION of two sketch blobs (elementwise register max) — the
+  * sketch-algebra piece that unlocks set arithmetic on persisted
+  * sketches: |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B) by
+  * inclusion-exclusion, all from blobs, no rescan. Register max is
+  * idempotent, so union of a sketch with itself is itself.
+  */
+case class HllUnion(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${HllSketch.UnionFn} requires two binary sketches, got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+
+  override def prettyName: String = HllSketch.UnionFn
+  override def dataType: DataType = BinaryType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (ra, rb) = (a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    if (ra.isEmpty) return rb.clone()
+    if (rb.isEmpty) return ra.clone()
+    require(ra.length == rb.length,
+      s"cannot union HLL sketches of different precision " +
+        s"(${ra.length} vs ${rb.length} registers)")
+    val out = ra.clone()
+    var i = 0
+    while (i < out.length) {
+      if ((rb(i) & 0xff) > (out(i) & 0xff)) out(i) = rb(i)
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HllUnion =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Scalar estimate over a sketch blob. Runs on sketch-cardinality

@@ -26,6 +26,16 @@ class ExtensionsSpec extends AnyFunSuite {
       val top = s2.range(10).selectExpr("CAST(id % 3 AS STRING) AS t")
         .selectExpr("graft_topk_sketch(t, 2, 8) AS top").head
       assert(top.getSeq[org.apache.spark.sql.Row](0).nonEmpty)
+      // sketch tier: HLL (+ union algebra) and CMS (+ inner product)
+      val sk = s2.range(100).selectExpr("CAST(id AS STRING) AS v")
+        .selectExpr("graft_hll_sketch(v, 10) AS h", "graft_cms_sketch(v) AS c")
+        .selectExpr(
+          "graft_hll_est(graft_hll_union(h, h)) AS est",
+          "graft_cms_est(c, '42') AS f42",
+          "graft_cms_dot(c, c) AS dot").head
+      assert(math.abs(sk.getAs[Long]("est") - 100L) <= 10L)
+      assert(sk.getAs[Long]("f42") === 1L)
+      assert(sk.getAs[Long]("dot") >= 100L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -51,6 +51,44 @@ class HllSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("hll_intersect_users: inclusion-exclusion overlap tracks exact intersections") {
+    val out = Analytics.hllIntersectUsers(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(expr("datediff(to_date(ts), DATE '1970-01-01') div 7").as("week"),
+        col("event_type"), col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out.foreach { r =>
+      val w = r.getLong(0)
+      val viewers = ev.filter(e => e._1 == w && e._2 == "view").map(_._3).toSet
+      val buyers = ev.filter(e => e._1 == w && e._2 == "purchase").map(_._3).toSet
+      val exact = (viewers & buyers).size
+      // p=12 inclusion-exclusion compounds three estimates' error;
+      // generous 5x-sigma style bound against the union size
+      val union = (viewers | buyers).size.toDouble
+      assert(math.abs(r.getLong(3) - exact) <= math.max(3.0, 0.10 * union),
+        s"week $w: overlap_est ${r.getLong(3)} vs exact $exact")
+    }
+  }
+
+  test("hll_union is idempotent, commutative, and equals the direct union sketch") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (s"u$i", i % 2)).toDF("v", "half")
+    val halves = df.groupBy("half")
+      .agg(expr("graft_hll_sketch(v, 10)").as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1)).toMap
+    val direct = df.agg(expr("graft_hll_sketch(v, 10)").as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val unioned = Seq((halves(0), halves(1))).toDF("a", "b")
+      .select(expr("graft_hll_union(a, b)").as("u"),
+        expr("graft_hll_union(b, a)").as("u2"),
+        expr("graft_hll_union(a, a)").as("self"))
+      .collect()(0)
+    assert(java.util.Arrays.equals(unioned.getAs[Array[Byte]](0), direct))
+    assert(java.util.Arrays.equals(unioned.getAs[Array[Byte]](1), direct))
+    assert(java.util.Arrays.equals(unioned.getAs[Array[Byte]](2), halves(0)))
+  }
+
   test("sketch estimates are invariant under repartitioning") {
     val a = Analytics.approxDistinctSketchRollup(spark, sf)
       .collect().map(_.toSeq)

@@ -99,6 +99,47 @@ object Lakehouse {
        WHERE l.op IS NULL OR l.op <> 'D'
        ORDER BY key"""
 
+  /** Change-data-feed extraction — the INVERSE of [[cdcMergeApply]]:
+    * given two snapshots (the base and the merged result), emit the
+    * minimal changelog that turns one into the other (Delta CDF
+    * semantics): keys only in the new snapshot are I, only in the old
+    * are D, value changes are U; untouched keys emit nothing. One
+    * full-outer join of two key-cardinality frames. Values compare as
+    * doubles exactly because DECIMAL(14,4) embeds injectively in
+    * binary64 (scaled value < 2^53). The spec pins the algebra:
+    * applying this feed back to the base reproduces the new snapshot
+    * row-for-row. (round 4)
+    */
+  def snapshotDiffCdf(s: SparkSession, dir: String): DataFrame = {
+    val oldS = Tables.customer(s, dir).select(
+      col("c_custkey").as("key"),
+      decp(col("c_acctbal")).cast("double").as("old_val"))
+    val newS = cdcMergeApply(s, dir)
+      .select(col("key"), col("val").as("new_val"))
+    oldS.join(newS, Seq("key"), "full_outer")
+      .withColumn("op",
+        when(col("old_val").isNull, "I")
+          .when(col("new_val").isNull, "D")
+          .when(col("old_val") =!= col("new_val"), "U"))
+      .filter(col("op").isNotNull)
+      .select(col("key"), col("op"), col("old_val"), col("new_val"))
+      .orderBy("key")
+  }
+
+  val snapshotDiffCdfSql: String =
+    s"""WITH olds AS (SELECT c_custkey AS key,
+                        CAST(CAST(${sqlDecp("c_acctbal")} AS VARCHAR) AS DOUBLE)
+                          AS old_val
+                      FROM customer),
+       news AS (SELECT key, val AS new_val FROM ($cdcMergeApplySql)),
+       d AS (SELECT COALESCE(o.key, n.key) AS key, o.old_val, n.new_val,
+               CASE WHEN o.old_val IS NULL THEN 'I'
+                    WHEN n.new_val IS NULL THEN 'D'
+                    WHEN o.old_val <> n.new_val THEN 'U' END AS op
+             FROM olds o FULL OUTER JOIN news n ON o.key = n.key)
+       SELECT key, op, old_val, new_val FROM d
+       WHERE op IS NOT NULL ORDER BY key"""
+
   /** Simulated file count for the skipping index. */
   val NFiles = 32L
 
@@ -175,5 +216,6 @@ object Lakehouse {
 
   def queries: Seq[Q] = Seq(
     Q("cdc_merge_apply", Some(cdcMergeApplySql), bench = true)(cdcMergeApply),
+    Q("snapshot_diff_cdf", Some(snapshotDiffCdfSql))(snapshotDiffCdf),
     Q("data_skipping_stats", Some(dataSkippingStatsSql))(dataSkippingStats))
 }

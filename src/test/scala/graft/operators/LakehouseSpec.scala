@@ -46,6 +46,30 @@ class LakehouseSpec extends AnyFunSuite {
     assert(kinds === Set("unchanged", "updated", "inserted"))
   }
 
+  test("snapshot_diff_cdf: applying the feed to the base reproduces the new snapshot") {
+    val base = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal").cast("decimal(14,4)").cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val target = Lakehouse.cdcMergeApply(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cdf = Lakehouse.snapshotDiffCdf(spark, sf).collect()
+
+    val replayed = scala.collection.mutable.Map(base.toSeq: _*)
+    cdf.foreach { r =>
+      r.getString(1) match {
+        case "I" | "U" => replayed(r.getLong(0)) = r.getDouble(3)
+        case "D" => replayed.remove(r.getLong(0))
+      }
+    }
+    assert(replayed.toMap === target)
+    // the feed is minimal: no op row for an unchanged key
+    cdf.foreach { r =>
+      val k = r.getLong(0)
+      assert(base.get(k) != target.get(k), s"non-minimal CDF row $r")
+    }
+    assert(cdf.map(_.getString(1)).toSet === Set("I", "U", "D"))
+  }
+
   test("data_skipping_stats: ranged layout skips, hashed layout cannot") {
     val rows = Lakehouse.dataSkippingStats(spark, sf).collect()
     val total = Tables.orders(spark, sf).count()

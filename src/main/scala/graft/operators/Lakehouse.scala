@@ -214,8 +214,51 @@ object Lakehouse {
        FROM assigned GROUP BY layout, file_id
        ORDER BY layout, file_id"""
 
+  /** Rows per compacted output bin. */
+  val CompactTargetRows = 2000L
+
+  /** Small-file compaction plan — the maintenance job that follows the
+    * skipping index: pack adjacent small "files" (the per-file stats
+    * frame of [[dataSkippingStats]]) into target-sized rewrite bins by
+    * a deterministic running-sum assignment (bin = floor(preceding
+    * mass / target)), preserving file order so the date-ranged
+    * layout's clustering survives compaction. The plan runs on the
+    * MANIFEST frame (file-cardinality, not row-cardinality) — at
+    * 100 TB that is millions of stat rows, not the data itself; the
+    * running sum partitions per layout (per table/partition in a real
+    * lakehouse). Emits per-bin file counts, row mass, and the file
+    * span to rewrite. (round 4)
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = dataSkippingStats(s, dir)
+      .select(col("layout"), col("file_id"), col("n"))
+    val w = Window.partitionBy(col("layout")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("bin", expr(s"(cum - n) div $CompactTargetRows"))
+      .groupBy("layout", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("n")).as("total_rows"),
+        min(col("file_id")).as("first_file"), max(col("file_id")).as("last_file"))
+      .orderBy("layout", "bin")
+  }
+
+  val compactionPlanSql: String =
+    s"""WITH files AS (SELECT layout, file_id, n
+                       FROM ($dataSkippingStatsSql)),
+       assigned AS (SELECT layout, file_id, n,
+               CAST((SUM(n) OVER (PARTITION BY layout ORDER BY file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+                 // $CompactTargetRows AS BIGINT) AS bin
+             FROM files)
+       SELECT layout, bin, COUNT(*) AS n_files,
+              CAST(SUM(n) AS BIGINT) AS total_rows,
+              MIN(file_id) AS first_file, MAX(file_id) AS last_file
+       FROM assigned GROUP BY layout, bin ORDER BY layout, bin"""
+
   def queries: Seq[Q] = Seq(
     Q("cdc_merge_apply", Some(cdcMergeApplySql), bench = true)(cdcMergeApply),
     Q("snapshot_diff_cdf", Some(snapshotDiffCdfSql))(snapshotDiffCdf),
+    Q("compaction_plan", Some(compactionPlanSql))(compactionPlan),
     Q("data_skipping_stats", Some(dataSkippingStatsSql))(dataSkippingStats))
 }

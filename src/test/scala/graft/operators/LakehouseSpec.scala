@@ -70,6 +70,31 @@ class LakehouseSpec extends AnyFunSuite {
     assert(cdf.map(_.getString(1)).toSet === Set("I", "U", "D"))
   }
 
+  test("compaction_plan: bins partition the file list in order, mass conserved") {
+    val plan = Lakehouse.compactionPlan(spark, sf).collect()
+    val stats = Lakehouse.dataSkippingStats(spark, sf).collect()
+    val totalByLayout = stats.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    plan.groupBy(_.getString(0)).foreach { case (layout, bins) =>
+      assert(bins.map(_.getLong(3)).sum === totalByLayout(layout))
+      assert(bins.map(_.getLong(2)).sum === 32L, "every file assigned once")
+      // bins cover contiguous, non-overlapping file ranges in order
+      val sorted = bins.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(5) < b.getLong(4), "bin file ranges overlap")
+        case _ => ()
+      }
+      // a non-final bin closes when its cumulative mass crosses the
+      // target, so it can fall short only by less than one file
+      val maxFile = stats.filter(_.getString(0) == layout)
+        .map(_.getLong(2)).max
+      sorted.dropRight(1).foreach(b =>
+        assert(b.getLong(3) > Lakehouse.CompactTargetRows - maxFile,
+          s"undersized non-final bin in $layout: $b"))
+    }
+  }
+
   test("data_skipping_stats: ranged layout skips, hashed layout cannot") {
     val rows = Lakehouse.dataSkippingStats(spark, sf).collect()
     val total = Tables.orders(spark, sf).count()

@@ -93,6 +93,67 @@ object Graph {
        ORDER BY rank DESC, skill"""
   }
 
+  /** Edge-WEIGHTED PageRank — rank flows proportionally to
+    * co-occurrence strength (contribution = r * w_uv div W_u, where
+    * W_u is u's total incident weight) instead of splitting evenly
+    * across neighbors. Same fixed-point BIGINT discipline as
+    * [[pagerankSkills]] so it stays oracle-gateable: r <= SCALE
+    * (10^12) and per-edge weights bounded by corpus pair counts keep
+    * r*w far under 2^63 for any realistic corpus (w < 10^6
+    * documented headroom). Per iteration: one shuffle of (dst,
+    * contribution) pairs — the Pregel super-step — over graph-sized
+    * frames. (round 4)
+    */
+  def pagerankWeighted(s: SparkSession, dir: String): DataFrame = {
+    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"), col("n"))
+      .localCheckpoint()
+    val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"), col("n"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst"), col("n")))
+    val wsum = e.groupBy(col("src").as("skill"))
+      .agg(sum(col("n")).as("w"))
+    val nV = wsum.agg(count(lit(1)).as("nv"))
+    var r = wsum.crossJoin(broadcast(nV))
+      .select(col("skill"), col("w"), col("nv"),
+        expr(s"${Scale}L div nv").as("r"))
+    for (_ <- 1 to Iters) {
+      val contrib = r.join(e, r("skill") === e("src"))
+        .select(col("dst"), expr("(r * n) div w").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("cs"))
+      r = wsum.crossJoin(broadcast(nV))
+        .join(contrib, col("skill") === col("dst"))
+        .select(col("skill"), col("w"), col("nv"),
+          expr(s"((15 * (${Scale}L div nv)) div 100) + ((85 * cs) div 100)")
+            .as("r"))
+    }
+    r.select(col("skill"), col("w").as("weight"), col("r").as("rank"))
+      .orderBy(col("rank").desc, col("skill"))
+  }
+
+  val pagerankWeightedSql: String = {
+    def iter(prev: String, k: Int): String =
+      s"""r$k AS (SELECT d.skill, d.w, d.nv,
+               ((15 * ($Scale // d.nv)) // 100)
+                 + ((85 * CAST(SUM((p.r * e.n) // p.w) AS BIGINT)) // 100) AS r
+             FROM e JOIN $prev p ON e.src = p.skill
+                    JOIN dn d ON e.dst = d.skill
+             GROUP BY d.skill, d.w, d.nv)"""
+    s"""WITH cooc AS (SELECT skill_a, skill_b, n
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e AS (SELECT skill_a AS src, skill_b AS dst, n FROM cooc
+             UNION ALL
+             SELECT skill_b AS src, skill_a AS dst, n FROM cooc),
+       ws AS (SELECT src AS skill, CAST(SUM(n) AS BIGINT) AS w
+              FROM e GROUP BY 1),
+       dn AS (SELECT skill, w, (SELECT CAST(COUNT(*) AS BIGINT) FROM ws)
+                AS nv FROM ws),
+       r0 AS (SELECT skill, w, nv, $Scale // nv AS r FROM dn),
+       ${(1 to Iters).map(k => iter(s"r${k - 1}", k)).mkString(",\n       ")}
+       SELECT skill, w AS weight, r AS rank FROM r$Iters
+       ORDER BY rank DESC, skill"""
+  }
+
   /** Per-skill triangle participation — the clustering-structure
     * metric next to [[pagerankSkills]]' centrality: how many closed
     * skill triples each skill sits in. Edges come canonically ordered
@@ -138,5 +199,6 @@ object Graph {
 
   def queries: Seq[Q] = Seq(
     Q("pagerank_skills", Some(pagerankSkillsSql))(pagerankSkills),
+    Q("pagerank_weighted", Some(pagerankWeightedSql))(pagerankWeighted),
     Q("triangle_count", Some(triangleCountSql))(triangleCount))
 }

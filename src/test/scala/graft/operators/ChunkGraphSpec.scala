@@ -108,6 +108,22 @@ class ChunkGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank_weighted: mass conserved, ranks positive, weights are incident sums") {
+    val out = Graph.pagerankWeighted(spark, sf).collect()
+    assert(out.nonEmpty)
+    val mass = out.map(_.getLong(2)).sum
+    val slack = out.length.toLong * (Graph.Iters + 1) * 100
+    assert(mass <= Graph.Scale && mass >= Graph.Scale - slack,
+      s"rank mass $mass vs scale ${Graph.Scale}")
+    assert(out.forall(_.getLong(2) > 0))
+    // weight column = total incident co-occurrence mass per skill
+    val pairs = TextAnalysis.skillCooccurrence(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val incident = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    pairs.foreach { case (a, b, n) => incident(a) += n; incident(b) += n }
+    out.foreach(r => assert(r.getLong(1) === incident(r.getString(0))))
+  }
+
   test("triangle_count equals naive enumeration over the collected edge set") {
     val out = Graph.triangleCount(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

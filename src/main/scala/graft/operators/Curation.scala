@@ -425,7 +425,50 @@ object Curation {
        FROM z GROUP BY 1 ORDER BY zbucket"""
   }
 
+  /** Negatives per anchor document. */
+  val NNeg = 4
+
+  /** Deterministic negative sampling for contrastive training pairs:
+    * each anchor doc gets [[NNeg]] pseudo-random partner ids from a
+    * multiplicative-hash ring over the dense id space (Knuth constant;
+    * +1 wrap if the hash lands on the anchor itself). Pure map-side
+    * projection — no join, no RNG: re-runs, retries, and partitionings
+    * all draw the same negatives, and the oracle replays them
+    * (hash-determinism is this suite's contract). The corpus count is
+    * a driver scalar (1-row agg); at 100 TB negatives for a
+    * non-dense/keyed corpus come from the same ring over
+    * [[dataset_split_hash]]-style salted md5 order instead. (round 4)
+    */
+  def negativeSamples(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(s, dir).count()
+    val nn = math.max(n, 1L)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .select(col("doc_id"),
+        explode(array((0 until NNeg).map(j => lit(j.toLong)): _*)).as("j"))
+      .withColumn("raw",
+        expr(s"(doc_id * 2654435761L + j * 40503L) % ${nn}L"))
+      .withColumn("neg_id",
+        when(col("raw") === col("doc_id"),
+          (col("raw") + 1) % lit(nn)).otherwise(col("raw")))
+      .select(col("doc_id"), col("j"), col("neg_id"))
+      .orderBy("doc_id", "j")
+  }
+
+  val negativeSamplesSql: String =
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+       n AS (SELECT COUNT(*) AS n FROM documents),
+       fan AS (SELECT doc_id, j,
+                 (doc_id * 2654435761 + j * 40503)
+                   % (SELECT n FROM n) AS raw
+               FROM ids CROSS JOIN
+                 (SELECT unnest(range(0, $NNeg)) AS j) js)
+       SELECT doc_id, j,
+              CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT n FROM n)
+                   ELSE raw END AS neg_id
+       FROM fan ORDER BY doc_id, j"""
+
   def queries: Seq[Q] = Seq(
+    Q("negative_samples", Some(negativeSamplesSql))(negativeSamples),
     Q("zorder_key", Some(zorderKeySql))(zorderKey),
     Q("sample_stratified", Some(sampleStratifiedSql))(sampleStratified),
     Q("sample_per_source_cap", Some(samplePerSourceCapSql))(samplePerSourceCap),

@@ -585,6 +585,40 @@ object Dedup {
        WHERE CAST(n_inter AS DOUBLE) / CAST(ca.n + cb.n - n_inter AS DOUBLE) >= $tau
        ORDER BY doc_a, doc_b"""
 
+  /** Near-duplication provenance matrix — which SOURCES duplicate each
+    * other: the verified near-dup pairs joined to each side's source
+    * (scan pruned to (doc_id, source)), counted per unordered source
+    * pair. The ops report behind every dedup run: a hot (src_i, src_j)
+    * cell means two scrapes cover the same underlying content, a hot
+    * diagonal means a source re-publishes itself. Pair-cardinality
+    * work on top of the existing pipeline. (round 4)
+    */
+  def dedupSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val srcs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("source_lo"), col("source_hi"))
+  }
+
+  val dedupSourceMatrixSql: String =
+    s"""WITH prs AS (SELECT doc_a, doc_b FROM ($dedupMinhashLshSql)),
+       j AS (SELECT LEAST(da.source, db.source) AS source_lo,
+               GREATEST(da.source, db.source) AS source_hi
+             FROM prs
+             JOIN documents da ON prs.doc_a = da.doc_id
+             JOIN documents db ON prs.doc_b = db.doc_id)
+       SELECT source_lo, source_hi, COUNT(*) AS n_pairs
+       FROM j GROUP BY source_lo, source_hi
+       ORDER BY n_pairs DESC, source_lo, source_hi"""
+
   /** EXACT set-similarity self-join via PREFIX FILTERING (Chaudhuri et
     * al. 2006 / ppjoin) — the zero-false-negative alternative to LSH
     * blocking for word-shingle Jaccard >= tau: order each doc's
@@ -749,6 +783,7 @@ object Dedup {
   def queries: Seq[Q] = Seq(
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
     Q("dedup_lsh_recall", Some(dedupLshRecallSql))(dedupLshRecall),
+    Q("dedup_source_matrix", Some(dedupSourceMatrixSql))(dedupSourceMatrix),
     Q("dedup_prefix_filter", Some(dedupPrefixFilterSql), bench = true)(
       dedupPrefixFilter(_, _, D)),
     Q("dedup_minhash_lsh", Some(dedupMinhashLshSql), bench = true)(dedupMinhashLsh),

@@ -51,6 +51,27 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(lsh.subsetOf(out))
   }
 
+  test("dedup_source_matrix: canonical cells whose counts sum to the pair total") {
+    val cells = Dedup.dedupSourceMatrix(spark, sf).collect()
+    val totalPairs = Dedup.dedupMinhashLsh(spark, sf).count()
+    assert(cells.map(_.getLong(2)).sum === totalPairs)
+    cells.foreach(r => assert(r.getString(0) <= r.getString(1)))
+    assert(cells.map(r => (r.getString(0), r.getString(1))).distinct.length
+      === cells.length)
+  }
+
+  test("negative_samples: k per anchor, never self, in range, deterministic") {
+    val out = Curation.negativeSamples(spark, sf).collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length === n * Curation.NNeg)
+    out.foreach { r =>
+      assert(r.getLong(2) !== r.getLong(0), s"self-negative in $r")
+      assert(r.getLong(2) >= 0L && r.getLong(2) < n)
+    }
+    val again = Curation.negativeSamples(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

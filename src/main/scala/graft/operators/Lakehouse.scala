@@ -247,9 +247,10 @@ object Lakehouse {
     s"""WITH files AS (SELECT layout, file_id, n
                        FROM ($dataSkippingStatsSql)),
        assigned AS (SELECT layout, file_id, n,
-               CAST((SUM(n) OVER (PARTITION BY layout ORDER BY file_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
-                 // $CompactTargetRows AS BIGINT) AS bin
+               (CAST(SUM(n) OVER (PARTITION BY layout ORDER BY file_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - n)
+                 // $CompactTargetRows AS bin
              FROM files)
        SELECT layout, bin, COUNT(*) AS n_files,
               CAST(SUM(n) AS BIGINT) AS total_rows,

@@ -640,8 +640,17 @@ object Dedup {
     * coincidences, vs LSH's band-collision superset.
     */
   def dedupPrefixFilter(s: SparkSession, dir: String,
-      cfg: SimilarityConfig = D): DataFrame = {
-    val shr = Tables.documents(s, dir)
+      cfg: SimilarityConfig = D): DataFrame =
+    dedupPrefixFilterOn(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), cfg)
+
+  /** [[dedupPrefixFilter]] over any (doc_id, text) frame — split out so
+    * the zero-false-negative guarantee is property-testable on
+    * generated corpora, not just the oracle corpus.
+    */
+  def dedupPrefixFilterOn(docs: DataFrame,
+      cfg: SimilarityConfig): DataFrame = {
+    val shr = docs
       .select(col("doc_id"),
         explode(array_distinct(
           wordShingles(toks(col("text")), cfg.shingleWidth))).as("sh"))
@@ -685,7 +694,10 @@ object Dedup {
     // tiers' hundreds) but ran 8.9-11.7 s vs 5.6 s for the exploded
     // verify — the §7a array-verify revert holds in the large-pair
     // regime too. Exploded verifyJaccard stays.
-    val cnt = shr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Set sizes ride the checkpointed prefix frame (every doc has >= 1
+    // prefix row and sz is constant per doc) — one less corpus
+    // shingling+agg pass than deriving counts from shr.
+    val cnt = prefix.select(col("doc_id"), col("sz").as("n")).distinct()
     verifyJaccard(cand, shr, cnt, cfg.minhashTau)
   }
 

@@ -147,6 +147,41 @@ class GeneratedInputsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filter dedup equals naive all-pairs Jaccard on generated corpora") {
+    // small shared vocabulary forces real overlaps; lengths span the
+    // shingle clamp (short docs collapse to one whole-doc shingle)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val cases = sample(docGen, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = cases.toDF("doc_id", "text")
+    val cfg = operators.SimilarityConfig.Default
+    val out = operators.Dedup.dedupPrefixFilterOn(df, cfg).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive ground truth over the same shingle definition, INCLUDING
+    // the clamp edge the engine has: a doc with fewer tokens than the
+    // shingle width collapses to one whole-doc shingle, and an EMPTY
+    // doc to the single empty shingle — so empty docs are mutual exact
+    // duplicates (J = 1), which is the semantics we want (the real
+    // pipeline drops empties upstream in clean_required_filter)
+    def shingles(t: String): Set[String] = {
+      val tk = t.split("\\s+").filter(_.nonEmpty).toVector
+      if (tk.length < cfg.shingleWidth) Set(tk.mkString(" "))
+      else tk.sliding(cfg.shingleWidth).map(_.mkString(" ")).toSet
+    }
+    val sets = cases.map { case (id, t) => id -> shingles(t) }
+    val naive = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a < b
+      inter = (sa & sb).size
+      if inter.toDouble / (sa.size + sb.size - inter) >= cfg.minhashTau
+    } yield (a, b)).toSet
+    assert(out === naive)
+    assert(naive.nonEmpty, "generated corpus should contain near-dup pairs")
+  }
+
   test("denseIds equals sorted rank per generated case") {
     // many generated cases ride ONE frame: case id is the group column,
     // so each case gets its own independent 1-based numbering

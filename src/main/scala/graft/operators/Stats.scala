@@ -613,6 +613,41 @@ object Stats {
                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
        ORDER BY event_type, day_idx"""
 
+  /** DAU/WAU stickiness ratio per day — the engagement-health metric
+    * over [[rollingActiveUsers]]: daily distinct actives divided by
+    * the trailing-7-day distinct actives (a user active every day
+    * scores 1.0; a once-a-week user 1/7). Both counts come from the
+    * same DISTINCT (user, day) frame — the bounded 7x fan-out serves
+    * WAU, a plain daily distinct serves DAU — joined on the day; the
+    * ratio is one IEEE division on exact BIGINTs. DAU <= WAU by
+    * construction (spec-pinned). (round 4)
+    */
+  def dauWauStickiness(s: SparkSession, dir: String): DataFrame = {
+    val wau = rollingActiveUsers(s, dir)
+    val dau = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("wday")).distinct()
+      .groupBy("wday")
+      .agg(countDistinct(col("user_id")).as("dau"))
+    wau.join(dau, Seq("wday"))
+      .select(col("wday"), col("dau"),
+        col("active_users_7d").as("wau"),
+        (col("dau").cast("double") / col("active_users_7d").cast("double"))
+          .as("stickiness"))
+      .orderBy("wday")
+  }
+
+  val dauWauStickinessSql: String =
+    s"""WITH wau AS (SELECT * FROM ($rollingActiveUsersSql)),
+       dau AS (SELECT day AS wday,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+               FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                     FROM events) GROUP BY 1)
+       SELECT w.wday, d.dau, w.active_users_7d AS wau,
+              CAST(d.dau AS DOUBLE) / CAST(w.active_users_7d AS DOUBLE)
+                AS stickiness
+       FROM wau w JOIN dau d ON w.wday = d.wday
+       ORDER BY w.wday"""
+
   /** Cumulative distinct users by day (the growth-curve dashboard
     * metric): COUNT(DISTINCT) over an expanding window is
     * O(days x users) done naively, but "distinct so far" is just a
@@ -888,6 +923,7 @@ object Stats {
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
     Q("percentile_cont", Some(percentileContSql))(percentileCont),
     Q("cumulative_users", Some(cumulativeUsersSql))(cumulativeUsers),
+    Q("dau_wau_stickiness", Some(dauWauStickinessSql))(dauWauStickiness),
     Q("regression_slope", Some(regressionSlopeSql))(regressionSlope),
     Q("winsorize_clip", Some(winsorizeClipSql))(winsorizeClip),
     Q("rolling_window_range", Some(rollingWindowRangeSql))(rollingWindowRange),

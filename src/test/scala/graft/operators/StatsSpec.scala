@@ -251,6 +251,21 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("dau_wau_stickiness: dau <= wau, ratio in (0, 1], wau matches rolling actives") {
+    val out = Stats.dauWauStickiness(spark, sf).collect()
+    assert(out.nonEmpty)
+    val wau = Stats.rollingActiveUsers(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (d, dau, w, st) = (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3))
+      assert(dau <= w, s"DAU exceeds WAU in $r")
+      assert(st > 0.0 && st <= 1.0)
+      assert(st === dau.toDouble / w.toDouble)
+      assert(wau(d) === w)
+    }
+  }
+
   test("regression_slope matches Spark's built-in OLS within FP tolerance") {
     val out = Stats.regressionSlope(spark, sf).collect()
     assert(out.nonEmpty)

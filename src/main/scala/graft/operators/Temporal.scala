@@ -490,6 +490,104 @@ object Temporal {
        FROM att WHERE event_type = 'purchase'
        ORDER BY event_id"""
 
+  /** Inter-arrival latency distribution per event type: gaps between a
+    * user's consecutive events of the same type (per-(user, type)
+    * windows — never a global sort), then exact index-selected p50/p90
+    * and an exact-sum mean per type. The ops question behind alert
+    * thresholds ("how often does a user normally purchase?"); every
+    * window is partitioned, percentile selection is the
+    * [[Stats.percentileGroup]] integer discipline. (round 4)
+    */
+  def interarrivalStats(s: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("t"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(wSeq))
+      .filter(col("gap").isNotNull)
+    val wRank = Window.partitionBy(col("event_type"))
+      .orderBy(col("gap"), col("user_id"), col("event_id"))
+    val wCnt = Window.partitionBy(col("event_type"))
+    gaps
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .groupBy("event_type")
+      .agg(max(col("cnt")).as("n_gaps"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("gap")))
+          .as("p50_gap_us"),
+        max(when(col("rn") === expr("(9 * cnt + 9) div 10"), col("gap")))
+          .as("p90_gap_us"),
+        (sum(col("gap")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_gap_us"))
+      .orderBy("event_type")
+  }
+
+  val interarrivalStatsSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+                  FROM events),
+       g AS (SELECT user_id, event_type, event_id,
+               t - LAG(t, 1) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY t, event_id) AS gap
+             FROM e),
+       gaps AS (SELECT * FROM g WHERE gap IS NOT NULL),
+       r AS (SELECT event_type, gap,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY gap, user_id, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+             FROM gaps)
+       SELECT event_type, MAX(cnt) AS n_gaps,
+              MAX(CASE WHEN rn = (cnt + 1) // 2 THEN gap END) AS p50_gap_us,
+              MAX(CASE WHEN rn = (9 * cnt + 9) // 10 THEN gap END) AS p90_gap_us,
+              CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS mean_gap_us
+       FROM r GROUP BY event_type ORDER BY event_type"""
+
+  /** First-view-to-first-purchase conversion latency per user — the
+    * time dimension [[Analytics.funnelConversion]]'s stage counts
+    * lack: one conditional agg finds each user's first view, a
+    * join-back + filtered agg finds the first purchase AT-OR-AFTER it
+    * (a purchase before ever viewing doesn't count as converting), and
+    * the delay is exact integer microseconds surfaced as seconds.
+    * No windows at all — two user-cardinality aggregations and one
+    * key join; honest NULLs for non-converts. (round 4)
+    */
+  def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val fv = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("t"))).as("first_view_us"))
+      .filter(col("first_view_us").isNotNull)
+    val fp = e.filter(col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .filter(col("t") >= col("first_view_us"))
+      .groupBy("user_id")
+      .agg(min(col("t")).as("first_purchase_us"))
+    fv.join(fp, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
+        (((col("first_purchase_us") - col("first_view_us")).cast("double")) /
+          lit(1000000.0)).as("delay_s"),
+        col("first_purchase_us").isNotNull.as("converted"))
+      .orderBy("user_id")
+  }
+
+  val timeToConvertSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+       fv AS (SELECT user_id,
+                MIN(CASE WHEN event_type = 'view' THEN t END) AS first_view_us
+              FROM e GROUP BY user_id),
+       fvn AS (SELECT * FROM fv WHERE first_view_us IS NOT NULL),
+       fp AS (SELECT e.user_id, MIN(e.t) AS first_purchase_us
+              FROM e JOIN fvn ON e.user_id = fvn.user_id
+              WHERE e.event_type = 'purchase' AND e.t >= fvn.first_view_us
+              GROUP BY e.user_id)
+       SELECT fvn.user_id, fvn.first_view_us, fp.first_purchase_us,
+              CAST(fp.first_purchase_us - fvn.first_view_us AS DOUBLE)
+                / 1000000.0 AS delay_s,
+              (fp.first_purchase_us IS NOT NULL) AS converted
+       FROM fvn LEFT JOIN fp ON fvn.user_id = fp.user_id
+       ORDER BY fvn.user_id"""
+
   /** Longest consecutive-day activity streak per user — gaps-and-
     * islands on the DISTINCT (user, day) frame (never raw events): a
     * run of consecutive days keeps `day_idx - row_number` constant, so
@@ -674,6 +772,8 @@ object Temporal {
     Q("sessionize", Some(sessionizeSql), bench = true)(sessionize),
     Q("session_stats", Some(sessionStatsSql))(sessionStats),
     Q("longest_streak", Some(longestStreakSql))(longestStreak),
+    Q("interarrival_stats", Some(interarrivalStatsSql))(interarrivalStats),
+    Q("time_to_convert", Some(timeToConvertSql))(timeToConvert),
     Q("top_event_paths", Some(topEventPathsSql))(topEventPaths),
     Q("event_transitions", Some(eventTransitionsSql))(eventTransitions),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly))

@@ -582,6 +582,43 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("interarrival_stats: percentiles are actual gaps, ordered, counts conserve") {
+    val out = Temporal.interarrivalStats(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val gapsByType = ev.groupBy(e => (e._1, e._2)).toSeq
+      .flatMap { case ((_, t), es) =>
+        es.sortBy(e => (e._3, e._4)).map(_._3).toSeq.sliding(2).toSeq
+          .collect { case Seq(a, b) => t -> (b - a) }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      val gaps = gapsByType(r.getString(0))
+      assert(r.getLong(1) === gaps.length.toLong)
+      val p50 = gaps((gaps.length + 1) / 2 - 1)
+      val p90 = gaps((9 * gaps.length + 9) / 10 - 1)
+      assert(r.getLong(2) === p50 && r.getLong(3) === p90)
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getDouble(4) === gaps.map(BigInt(_)).sum.toDouble / gaps.length)
+    }
+  }
+
+  test("time_to_convert: delays non-negative, conversion implies purchase after view") {
+    val out = Temporal.timeToConvert(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.exists(_.getBoolean(4)) , "nobody converted")
+    out.foreach { r =>
+      if (r.getBoolean(4)) {
+        assert(r.getLong(2) >= r.getLong(1))
+        assert(r.getDouble(3) === (r.getLong(2) - r.getLong(1)).toDouble / 1000000.0)
+      } else {
+        assert(r.isNullAt(2) && r.isNullAt(3))
+      }
+    }
+  }
+
   test("longest_streak: bounds and a plain-Scala cross-check") {
     val out = Temporal.longestStreak(spark, sf).collect()
     val naive = graft.sources.Tables.events(spark, sf)

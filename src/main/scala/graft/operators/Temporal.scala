@@ -490,6 +490,73 @@ object Temporal {
        FROM att WHERE event_type = 'purchase'
        ORDER BY event_id"""
 
+  /** Activity-window length for the interval union. */
+  val ActivityWindowUs: Long = 5L * 60L * 1000000L
+
+  /** Interval-union coverage ("active time"): each event opens a 5-min
+    * activity window [t, t+5min); overlapping/touching windows per
+    * user merge, and the user's active time is the total length of the
+    * merged union — the classic interval-union problem, solved with
+    * the running-max island technique: a window starts a new island
+    * iff it begins strictly after the max end seen so far (conditional
+    * running max over a ROWS-to-1-preceding frame), islands get
+    * running-sum ids, and each island contributes max(end)-min(start).
+    * Every window partitions per user; arithmetic is exact integer
+    * microseconds until one final division. Naive alternatives are
+    * O(n²) self-joins or double-counting sums — this is the shape that
+    * scales. (round 4)
+    */
+  def intervalUnionLength(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s_us"), col("event_id"))
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + ActivityWindowUs).as("e_us"))
+    iv
+      .withColumn("prev_max",
+        max(col("e_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_max").isNull || col("s_us") > col("prev_max"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_isl"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s_us")).as("isl_s"), max(col("e_us")).as("isl_e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("isl_e") - col("isl_s")).as("active_us"))
+      .select(col("user_id"), col("n_islands"),
+        (col("active_us").cast("double") / lit(1000000.0)).as("active_s"))
+      .orderBy("user_id")
+  }
+
+  val intervalUnionLengthSql: String =
+    s"""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s_us,
+                      epoch_us(ts) + $ActivityWindowUs AS e_us
+                    FROM events),
+       m AS (SELECT user_id, event_id, s_us, e_us,
+               MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+             FROM iv),
+       f AS (SELECT user_id, event_id, s_us, e_us,
+               CASE WHEN prev_max IS NULL OR s_us > prev_max
+                    THEN 1 ELSE 0 END AS new_isl
+             FROM m),
+       isl AS (SELECT user_id, s_us, e_us,
+                 CAST(SUM(new_isl) OVER (PARTITION BY user_id
+                   ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS island
+               FROM f),
+       spans AS (SELECT user_id, island,
+                   MIN(s_us) AS isl_s, MAX(e_us) AS isl_e
+                 FROM isl GROUP BY user_id, island)
+       SELECT user_id, COUNT(*) AS n_islands,
+              CAST(SUM(isl_e - isl_s) AS DOUBLE) / 1000000.0 AS active_s
+       FROM spans GROUP BY user_id ORDER BY user_id"""
+
   /** Inter-arrival latency distribution per event type: gaps between a
     * user's consecutive events of the same type (per-(user, type)
     * windows — never a global sort), then exact index-selected p50/p90
@@ -773,6 +840,7 @@ object Temporal {
     Q("session_stats", Some(sessionStatsSql))(sessionStats),
     Q("longest_streak", Some(longestStreakSql))(longestStreak),
     Q("interarrival_stats", Some(interarrivalStatsSql))(interarrivalStats),
+    Q("interval_union_length", Some(intervalUnionLengthSql))(intervalUnionLength),
     Q("time_to_convert", Some(timeToConvertSql))(timeToConvert),
     Q("top_event_paths", Some(topEventPathsSql))(topEventPaths),
     Q("event_transitions", Some(eventTransitionsSql))(eventTransitions),

@@ -605,6 +605,30 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval_union_length equals plain-Scala interval merging") {
+    val out = Temporal.intervalUnionLength(spark, sf).collect()
+    val ts = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val W = Temporal.ActivityWindowUs
+    out.foreach { r =>
+      val starts = ts(r.getLong(0))
+      var islands = 0L
+      var active = 0L
+      var curS, curE = Long.MinValue
+      starts.foreach { t =>
+        if (t > curE) {
+          if (islands > 0) active += curE - curS
+          islands += 1; curS = t; curE = t + W
+        } else curE = math.max(curE, t + W)
+      }
+      active += curE - curS
+      assert(r.getLong(1) === islands, s"islands mismatch for ${r.getLong(0)}")
+      assert(r.getDouble(2) === active.toDouble / 1000000.0)
+    }
+  }
+
   test("time_to_convert: delays non-negative, conversion implies purchase after view") {
     val out = Temporal.timeToConvert(spark, sf).collect()
     assert(out.nonEmpty)

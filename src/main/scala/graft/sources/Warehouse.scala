@@ -116,4 +116,23 @@ object Warehouse {
   def readJdbc(s: SparkSession, url: String, table: String,
       props: Properties = new Properties()): DataFrame =
     s.read.jdbc(url, table, props)
+
+  /** ORC twin of [[writeFactPartitioned]] — same partition-aligned
+    * single-writer-per-partition shaping, different columnar wire
+    * format (some warehouses standardize on ORC; the scale mechanics
+    * are format-independent, which is the point of keeping them in
+    * one place). Zstd keeps parity with the parquet default.
+    */
+  def writeFactPartitionedOrc(fact: DataFrame, path: String,
+      partitionCol: String, clusterCol: String): Unit =
+    fact
+      .repartition(col(partitionCol))
+      .sortWithinPartitions(clusterCol)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy(partitionCol)
+      .orc(path)
+
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 }

@@ -104,6 +104,30 @@ class LakeWarehouseSpec extends AnyFunSuite {
       s"no partition pruning in plan:\n$plan")
   }
 
+  test("ORC fact write round-trips with identical rows and pruned partitioned reads") {
+    val dir = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
+    val fact = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("ym"))
+    Warehouse.writeFactPartitionedOrc(fact, s"$dir/fact", "ym", "o_orderkey")
+    val back = Warehouse.readOrc(spark, s"$dir/fact")
+    assert(back.count() === fact.count())
+    // row-for-row identical to the source frame
+    assert(back.select("o_orderkey", "o_custkey", "ym")
+      .exceptAll(fact.select("o_orderkey", "o_custkey", "ym")).count() === 0L)
+    // same one-writer-per-partition layout as the parquet path
+    val files = new java.io.File(s"$dir/fact").listFiles()
+      .filter(_.getName.startsWith("ym="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".orc")))
+    assert(files.nonEmpty)
+    files.foreach { case (p, n) => assert(n === 1, s"partition $p has $n files") }
+    val plan = back.filter(col("ym") === 199706).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(ym"),
+      s"no partition pruning in ORC plan:\n$plan")
+  }
+
   test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
     val dir = Files.createTempDirectory("graft_dpp").toFile.getAbsolutePath
     val fact = Tables.orders(spark, sf)

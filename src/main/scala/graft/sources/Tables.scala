@@ -66,4 +66,21 @@ object Tables {
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
+
+  /** Register every testdata table as a temp view so `spark.sql(...)`
+    * works directly — the ad-hoc/SQL-gateway entry point next to the
+    * typed loaders. Views go through the SAME loaders (events gets its
+    * nanosecond repair, corpus tables their fan-out), so SQL users and
+    * DataFrame users see identical tables.
+    */
+  def createViews(s: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = n match {
+        case "events" => events(s, dir)
+        case "documents" => documents(s, dir)
+        case "embeddings" => embeddings(s, dir)
+        case other => table(s, dir, other)
+      }
+      df.createOrReplaceTempView(n)
+    }
 }

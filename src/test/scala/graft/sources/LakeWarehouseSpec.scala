@@ -104,6 +104,28 @@ class LakeWarehouseSpec extends AnyFunSuite {
       s"no partition pruning in plan:\n$plan")
   }
 
+  test("createViews: spark.sql runs over the same repaired tables as the loaders") {
+    Tables.createViews(spark, sf)
+    // SQL and DataFrame routes agree, including the events ts repair
+    val viaSql = spark.sql(
+      """SELECT e.event_type, COUNT(*) AS n, MIN(e.ts) AS first_ts
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY e.event_type ORDER BY e.event_type""").collect()
+    val viaDf = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("first_ts"))
+      .orderBy("event_type").collect()
+    assert(viaSql.map(_.toSeq).toSeq === viaDf.map(_.toSeq).toSeq)
+    assert(viaSql.nonEmpty)
+    // native functions work through pure SQL too
+    val sk = spark.sql(
+      "SELECT graft_hll_est(graft_hll_sketch(CAST(user_id AS STRING), 10)) FROM events")
+      .head.getLong(0)
+    assert(sk > 0L)
+  }
+
   test("ORC fact write round-trips with identical rows and pruned partitioned reads") {
     val dir = Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
     val fact = Tables.orders(spark, sf)

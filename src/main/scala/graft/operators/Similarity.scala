@@ -615,6 +615,38 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Confusion matrix over the kNN evaluation — the (true, predicted)
+    * cell counts behind [[knnLabelVote]]'s per-query verdicts, plus
+    * each cell's share of its true-label row (recall decomposition).
+    * One label²-bounded aggregation on top of the existing vote
+    * pipeline. (round 4)
+    */
+  def knnConfusionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val votes = knnLabelVote(s, dir)
+    val rowTotals = votes.groupBy(col("true_label").as("tl"))
+      .agg(count(lit(1)).as("row_n"))
+    votes.groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(rowTotals), col("true_label") === col("tl"))
+      .select(col("true_label"), col("pred_label"), col("n"),
+        (col("n").cast("double") / col("row_n").cast("double"))
+          .as("row_frac"))
+      .orderBy("true_label", "pred_label")
+  }
+
+  // lazy: interpolates knnLabelVoteSql, which initializes later in
+  // this object (a plain val here would capture null)
+  lazy val knnConfusionMatrixSql: String =
+    s"""WITH votes AS (SELECT * FROM ($knnLabelVoteSql)),
+       cells AS (SELECT true_label, pred_label, COUNT(*) AS n
+                 FROM votes GROUP BY 1, 2),
+       rt AS (SELECT true_label AS tl, COUNT(*) AS row_n
+              FROM votes GROUP BY 1)
+       SELECT c.true_label, c.pred_label, c.n,
+              CAST(c.n AS DOUBLE) / CAST(rt.row_n AS DOUBLE) AS row_frac
+       FROM cells c JOIN rt ON c.true_label = rt.tl
+       ORDER BY c.true_label, c.pred_label"""
+
   val knnLabelVoteSql: String =
     s"""WITH $sqlQuant,
        scored AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
@@ -644,6 +676,7 @@ object Similarity {
   def queries: Seq[Q] = Seq(
     Q("embedding_centroids", Some(embeddingCentroidsSql))(embeddingCentroids),
     Q("knn_label_vote", Some(knnLabelVoteSql))(knnLabelVote),
+    Q("knn_confusion_matrix", Some(knnConfusionMatrixSql))(knnConfusionMatrix),
     Q("ann_topk_bruteforce", Some(annTopkBruteforceSql), bench = true)(annTopkBruteforce),
     Q("ann_topk_lsh", Some(annTopkLshSql))(annTopkLsh),
     Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf),

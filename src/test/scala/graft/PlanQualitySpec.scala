@@ -92,7 +92,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "token_budget_mix",
     // same hard-capped query broadcast as ann_topk_bruteforce (|Q| <=
     // MaxQueries regardless of corpus size), O(|Q| * N) by design
-    "knn_label_vote")
+    "knn_label_vote",
+    // aggregation over knn_label_vote's output — inherits its product
+    "knn_confusion_matrix")
 
   test("no unbounded cartesian/nested-loop join in any registered query") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -255,6 +255,18 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_confusion_matrix: cells conserve verdicts, row fractions sum to 1") {
+    val cells = Similarity.knnConfusionMatrix(spark, sf).collect()
+    val votes = Similarity.knnLabelVote(spark, sf).collect()
+    assert(cells.map(_.getLong(2)).sum === votes.length.toLong)
+    cells.groupBy(_.getInt(0)).values.foreach { rs =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    }
+    // diagonal mass equals the vote pipeline's correct count
+    val diag = cells.filter(r => r.getInt(0) == r.getInt(1)).map(_.getLong(2)).sum
+    assert(diag === votes.count(_.getAs[Int]("correct") == 1).toLong)
+  }
+
   test("knn_label_vote: one verdict per query, votes bounded by k, correct flag honest") {
     val out = Similarity.knnLabelVote(spark, sf).collect()
     assert(out.nonEmpty)

@@ -53,6 +53,39 @@ class CmsSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch store: blobs round-trip through parquet and roll up from disk") {
+    // the architecture the mergeable tiers exist for: persist per-day
+    // blobs ONCE, answer any later rollup from the store — proven
+    // end-to-end through a real parquet write/read
+    val dir = java.nio.file.Files.createTempDirectory("sketch_store").toString
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("graft_cms_sketch(event_type)").as("cms"),
+        expr("graft_hll_sketch(CAST(user_id AS STRING), 12)").as("hll"))
+    daily.write.mode("overwrite").parquet(s"$dir/daily_sketches")
+
+    val store = spark.read.parquet(s"$dir/daily_sketches")
+    val fromStore = store
+      .groupBy(expr("datediff(day, DATE '1970-01-01') div 7").as("week"))
+      .agg(expr("graft_cms_merge(cms)").as("cms"),
+        expr("graft_hll_merge(hll)").as("hll"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2))).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy(expr("datediff(to_date(ts), DATE '1970-01-01') div 7").as("week"))
+      .agg(expr("graft_cms_sketch(event_type)").as("cms"),
+        expr("graft_hll_sketch(CAST(user_id AS STRING), 12)").as("hll"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2))).toMap
+    assert(fromStore.keySet === direct.keySet && fromStore.nonEmpty)
+    fromStore.foreach { case (w, (cms, hll)) =>
+      assert(java.util.Arrays.equals(cms, direct(w)._1),
+        s"CMS blob drift through the store for week $w")
+      assert(java.util.Arrays.equals(hll, direct(w)._2),
+        s"HLL blob drift through the store for week $w")
+    }
+  }
+
   test("sketch estimates are invariant under repartitioning") {
     val a = Analytics.cmsCountRollup(spark, sf).collect().map(_.toSeq)
     spark.conf.set("spark.sql.shuffle.partitions", "5")

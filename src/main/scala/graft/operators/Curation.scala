@@ -454,6 +454,62 @@ object Curation {
       .orderBy("doc_id", "j")
   }
 
+  /** Negative sampling for a KEYED corpus — the route
+    * [[negativeSamples]]'s Scaladoc promises for ids that are not dense
+    * (string urls, uuid keys, gappy serials). Each document's ring
+    * position is its dense rank in salted-md5 order, computed by
+    * [[graft.functions.Keys.denseIds]]'s two-phase rank (range-bucket
+    * row_number + bucket-count offsets — NOT a single-partition global
+    * window), then the same multiplicative-hash ring walk as the dense
+    * variant, and one equi-join position -> key to resolve each negative
+    * back to its document. Cost at any scale: one range shuffle for the
+    * rank, one hash join on a long — the fan-out itself stays map-side
+    * and RNG-free, so retries and re-partitionings replay identically.
+    * (round 4)
+    */
+  def negativeSamplesKeyed(s: SparkSession, dir: String): DataFrame = {
+    val n = math.max(Tables.documents(s, dir).count(), 1L)
+    val keyed = Tables.documents(s, dir).select(col("doc_id"),
+      md5(concat(lit("ring:"), col("doc_id").cast("string"))).as("h"))
+    val ranked = graft.functions.Keys
+      .denseIds(keyed, Nil, Seq("h", "doc_id"), "rk")
+      .select(col("doc_id"), (col("rk").cast("long") - 1L).as("pos"))
+    val fan = ranked
+      .select(col("doc_id"), col("pos"),
+        explode(array((0 until NNeg).map(j => lit(j.toLong)): _*)).as("j"))
+      .withColumn("raw",
+        expr(s"(pos * 2654435761L + j * 40503L) % ${n}L"))
+      .withColumn("neg_pos",
+        when(col("raw") === col("pos"),
+          (col("raw") + 1) % lit(n)).otherwise(col("raw")))
+    val lookup = ranked.select(col("pos").as("neg_pos"),
+      col("doc_id").as("neg_doc_id"))
+    fan.join(lookup, "neg_pos")
+      .select(col("doc_id"), col("j"), col("neg_doc_id"))
+      .orderBy("doc_id", "j")
+  }
+
+  val negativeSamplesKeyedSql: String =
+    s"""WITH ranked AS (
+         SELECT doc_id,
+                ROW_NUMBER() OVER (
+                  ORDER BY md5('ring:' || CAST(doc_id AS VARCHAR)),
+                           doc_id) - 1 AS pos
+         FROM documents),
+       n AS (SELECT COUNT(*) AS n FROM documents),
+       fan AS (SELECT doc_id, pos, j,
+                 (pos * 2654435761 + j * 40503)
+                   % (SELECT n FROM n) AS raw
+               FROM ranked CROSS JOIN
+                 (SELECT unnest(range(0, $NNeg)) AS j) js),
+       fixed AS (SELECT doc_id, j,
+                   CASE WHEN raw = pos THEN (raw + 1) % (SELECT n FROM n)
+                        ELSE raw END AS neg_pos
+                 FROM fan)
+       SELECT f.doc_id, f.j, r.doc_id AS neg_doc_id
+       FROM fixed f JOIN ranked r ON r.pos = f.neg_pos
+       ORDER BY 1, 2"""
+
   val negativeSamplesSql: String =
     s"""WITH ids AS (SELECT doc_id FROM documents),
        n AS (SELECT COUNT(*) AS n FROM documents),
@@ -469,6 +525,8 @@ object Curation {
 
   def queries: Seq[Q] = Seq(
     Q("negative_samples", Some(negativeSamplesSql))(negativeSamples),
+    Q("negative_samples_keyed",
+      Some(negativeSamplesKeyedSql))(negativeSamplesKeyed),
     Q("zorder_key", Some(zorderKeySql))(zorderKey),
     Q("sample_stratified", Some(sampleStratifiedSql))(sampleStratified),
     Q("sample_per_source_cap", Some(samplePerSourceCapSql))(samplePerSourceCap),

@@ -72,6 +72,24 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("negative_samples_keyed: k valid corpus members per anchor, no dense-id assumption") {
+    val out = Curation.negativeSamplesKeyed(spark, sf).collect()
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.length === ids.size * Curation.NNeg)
+    out.foreach { r =>
+      assert(r.getLong(2) !== r.getLong(0), s"self-negative in $r")
+      // negatives are real corpus KEYS (ring positions resolved back),
+      // not raw ring arithmetic — the property the keyed route adds
+      assert(ids.contains(r.getLong(2)), s"negative not in corpus: $r")
+    }
+    // each anchor draws NNeg distinct js in order
+    out.grouped(Curation.NNeg).foreach { g =>
+      assert(g.map(_.getLong(1)).toSeq === (0L until Curation.NNeg.toLong))
+      assert(g.map(_.getLong(0)).distinct.length === 1)
+    }
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

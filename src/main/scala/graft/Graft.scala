@@ -49,6 +49,7 @@ object Graft {
     plans.HexParityBits.register(spark)
     plans.HllSketch.register(spark)
     plans.CmsSketch.register(spark)
+    plans.DdSketch.register(spark)
     plans.AsOfJoinPlan.ensureStrategy(spark)
     spark
   }

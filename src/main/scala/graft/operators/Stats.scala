@@ -939,5 +939,32 @@ object Stats {
     Q("tfidf_top_terms", Some(tfidfTopTermsSql), bench = true)(tfidfTopTerms),
     Q("mode_per_group", Some(modePerGroupSql))(modePerGroup),
     Q("anomaly_zscore", Some(anomalyZscoreSql))(anomalyZscore),
-    Q("approx_quantile", None)(approxQuantile))
+    Q("approx_quantile", None)(approxQuantile),
+    Q("quantile_sketch_rollup", None)(quantileSketchRollup))
+
+  /** Weekly price quantiles from MERGED daily DDSketches
+    * ([[graft.plans.DdSketch]]) — the quantile member of the sketch-
+    * store architecture: per-day blobs persist once, any coarser
+    * rollup (week here; month, tenant, all-time the same way) is
+    * bucket-wise blob addition + an O(buckets) walk, never a rescan
+    * and never a per-key sort. The estimates carry DDSketch's 1%
+    * RELATIVE-error guarantee on the value, which is the right error
+    * model for price/latency tails. Rows-only key (approximate by
+    * construction); the error bound, merge determinism, and parquet
+    * round-trip are spec-pinned like the HLL/CMS tiers.
+    */
+  def quantileSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(expr("graft_dds_sketch(o_totalprice)").as("sk"))
+    daily
+      .groupBy(expr("datediff(day, DATE '1970-01-01') div 7").as("week"))
+      .agg(expr("graft_dds_merge(sk)").as("wsk"),
+        count(lit(1)).as("n_days"))
+      .select(col("week"), col("n_days"),
+        expr("graft_dds_quantile(wsk, 0.5D)").as("p50"),
+        expr("graft_dds_quantile(wsk, 0.95D)").as("p95"),
+        expr("graft_dds_quantile(wsk, 0.99D)").as("p99"))
+      .orderBy("week")
+  }
 }

@@ -131,6 +131,31 @@ object Streaming {
       .agg(expr(s"${graft.plans.CmsSketch.SketchFn}(event_type)").as("sk"))
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("sk"))
 
+  /** Streaming DDSketch quantiles — [[graft.plans.DdSketch]]'s tier
+    * maintained incrementally: per-day value sketches built inside a
+    * windowed streaming aggregation. Bucket-addition merge makes
+    * micro-batch partials fold into the window state exactly as batch
+    * partials do, and the canonical blob serialization makes the
+    * emitted sketch BIT-IDENTICAL to the batch sketch of the same day
+    * (spec-pinned) — so a stream can feed the same parquet sketch
+    * store the batch rollup reads, and p95-over-any-window stays a
+    * blob-merge question. State per open day is bounded by the value
+    * distribution's dynamic range, not by row count.
+    */
+  def ddsDailyStream(s: SparkSession, dir: String): DataFrame =
+    eventsStream(s, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr(s"${graft.plans.DdSketch.SketchFn}(value)").as("sk"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("sk"))
+
+  /** Batch twin of [[ddsDailyStream]] (same plan over the batch loader). */
+  def ddsDailyBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(expr(s"${graft.plans.DdSketch.SketchFn}(value)").as("sk"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("sk"))
+
   /** Stream-stream interval join — the streaming twin of
     * `range_join_bucketed`'s blast-radius query: pair every 'error'
     * event with the events in the hour after it, as the pairs arrive.

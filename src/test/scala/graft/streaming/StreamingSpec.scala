@@ -141,4 +141,29 @@ class StreamingSpec extends AnyFunSuite {
     streamed.values.foreach(sk =>
       assert(sk.length === graft.plans.CmsSketch.Bytes))
   }
+
+  test("streaming daily DDSketches are bit-identical to the batch sketches") {
+    val streamed = Streaming.runToMemory(
+      Streaming.ddsDailyStream(spark, sf), "dds_stream").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(streamed.nonEmpty, "watermark never released any day")
+    val batch = Streaming.ddsDailyBatch(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    streamed.foreach { case (d, sk) =>
+      assert(batch.contains(d), s"day $d missing from batch")
+      assert(java.util.Arrays.equals(sk, batch(d)),
+        s"day $d: streamed sketch differs from batch")
+    }
+    // and a quantile read off a streamed blob obeys the alpha bound
+    val someDay = streamed.keys.min
+    import spark.implicits._
+    val est = Seq(streamed(someDay)).toDF("sk")
+      .select(expr("graft_dds_quantile(sk, 0.5D)")).collect()(0).getDouble(0)
+    val exact = graft.sources.Tables.events(spark, sf)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === someDay)
+      .select("value").collect().map(_.getDouble(0)).sorted
+    val truth = exact(math.max(1, math.ceil(0.5 * exact.length).toInt) - 1)
+    assert(math.abs(est - truth) <=
+      graft.plans.DdSketch.Alpha * math.abs(truth) + 1e-12)
+  }
 }

@@ -50,6 +50,7 @@ object Graft {
     plans.HllSketch.register(spark)
     plans.CmsSketch.register(spark)
     plans.DdSketch.register(spark)
+    plans.BloomFilter.register(spark)
     plans.AsOfJoinPlan.ensureStrategy(spark)
     spark
   }

@@ -727,6 +727,46 @@ object Analytics {
         col("n_orders"), col("n_events"))
   }
 
+  /** Bloom-pruned fact-dim join ([[graft.plans.BloomFilter]]) — the
+    * explicit form of runtime row-level join filtering, for the 100 TB
+    * case where the FILTERED dimension is too big to broadcast (the
+    * join must shuffle) but its key set summarizes into a broadcastable
+    * blob: build a bloom over the filtered dim keys (one agg pass),
+    * broadcast the single-row blob (zero added shuffles — spec-pinned),
+    * and filter the fact BEFORE its Exchange so the shuffle carries
+    * only possible matches. False positives are discarded by the join
+    * itself and false negatives are structurally impossible, so the
+    * result is EXACTLY the plain join's — which is what the oracle
+    * checks (the SQL has no bloom; equality IS the no-false-negatives
+    * proof). The final join is hinted merge to model the real scenario
+    * (at sf the dim would auto-broadcast and mask the point). (round 4)
+    */
+  def bloomJoinPrune(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val bloom = dim.agg(
+      expr("graft_bloom_agg(CAST(c_custkey AS STRING), 17)").as("bf"))
+    val pruned = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"))
+      .join(broadcast(bloom))
+      .filter(expr("graft_bloom_contains(bf, CAST(o_custkey AS STRING))"))
+      .drop("bf")
+    pruned.join(dim.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("first_order"),
+        max(col("o_orderkey")).as("last_order"))
+      .orderBy("c_custkey")
+  }
+
+  val bloomJoinPruneSql: String =
+    """SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+              MIN(o_orderkey) AS first_order, MAX(o_orderkey) AS last_order
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE c_mktsegment = 'BUILDING'
+       GROUP BY 1, 2 ORDER BY 1"""
+
   /** High-value coverage threshold for the reconciliation report
     * (every customer has *some* order in this data; the audit question
     * with teeth is coverage of a selective slice).
@@ -829,6 +869,7 @@ object Analytics {
     Q("approx_distinct", None)(approxDistinct),
     Q("approx_distinct_sketch_rollup", None)(approxDistinctSketchRollup),
     Q("cms_count_rollup", None)(cmsCountRollup),
+    Q("bloom_join_prune", Some(bloomJoinPruneSql))(bloomJoinPrune),
     Q("full_outer_reconcile", Some(fullOuterReconcileSql))(fullOuterReconcile),
     Q("join_size_estimate", None)(joinSizeEstimate),
     Q("hll_intersect_users", None)(hllIntersectUsers))

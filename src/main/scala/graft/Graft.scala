@@ -51,6 +51,7 @@ object Graft {
     plans.CmsSketch.register(spark)
     plans.DdSketch.register(spark)
     plans.BloomFilter.register(spark)
+    plans.DeflateLen.register(spark)
     plans.AsOfJoinPlan.ensureStrategy(spark)
     spark
   }

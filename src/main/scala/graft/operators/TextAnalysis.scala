@@ -403,8 +403,39 @@ object TextAnalysis {
               CAST(freq_sum AS DOUBLE) / CAST(n_tok AS DOUBLE) AS commonness
        FROM ag ORDER BY doc_id"""
 
+  /** A doc compressing below this fraction of its raw size is flagged
+    * as heavy redundancy (boilerplate/repetition); prose sits well
+    * above it.
+    */
+  private val CompressLowTau = 0.35
+  /** Minimum size before the ratio is meaningful (zlib's fixed header
+    * + block overhead dominates tiny inputs).
+    */
+  private val CompressMinBytes = 64
+
+  /** Compression-ratio quality signal ([[graft.plans.DeflateLen]]) —
+    * the corpus-curation filter that catches what n-gram repetition
+    * scores miss: DEFLATE's LZ77 window sees long-range and
+    * approximate redundancy (templated pages, keyword stuffing, list
+    * spam), and a ratio near 1 marks binary junk that only LOOKS like
+    * text. Pure projection — one linear pass per doc, no shuffle, no
+    * joins; at 100 TB this runs at scan speed next to the other
+    * map-side quality columns. No DuckDB zlib exists, so the key is
+    * rows-only; ordering/determinism are spec-pinned. (round 4)
+    */
+  def qualityCompressionRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), octet_length(col("text")).as("raw_len"),
+        expr(s"${graft.plans.DeflateLen.FnName}(text)").as("z_len"))
+      .withColumn("ratio",
+        col("z_len").cast("double") / col("raw_len").cast("double"))
+      .withColumn("flag_repetitive",
+        col("raw_len") >= CompressMinBytes && col("ratio") < CompressLowTau)
+      .orderBy("doc_id")
+
   def queries: Seq[Q] = Seq(
     Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),
+    Q("quality_compression_ratio", None)(qualityCompressionRatio),
     Q("quality_unigram_lm", Some(qualityUnigramLmSql))(qualityUnigramLm),
     Q("top_bigrams", Some(topBigramsSql))(topBigrams),
     Q("top_tokens_sketch", None)(topTokensSketch),

@@ -90,6 +90,29 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_compression_ratio: repetition compresses, prose doesn't, determinism holds") {
+    import spark.implicits._
+    val probe = Seq(
+      1L -> ("lorem " * 400),
+      2L -> (1 to 400).map(i => s"w${i * 2654435761L % 9973}").mkString(" "))
+      .toDF("doc_id", "text")
+    val r = probe.select(col("doc_id"),
+      expr("graft_deflate_len(text)").cast("double")
+        ./(octet_length(col("text")).cast("double")).as("ratio"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < 0.05, s"pure repetition should crush: ${r(1L)}")
+    assert(r(2L) > r(1L) * 5, s"varied text should compress far less: $r")
+
+    val out = TextAnalysis.qualityCompressionRatio(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { row =>
+      assert(row.getInt(2) > 0 && row.getInt(1) > 0)
+      assert(row.getDouble(3) > 0.0 && row.getDouble(3) < 2.0)
+    }
+    val again = TextAnalysis.qualityCompressionRatio(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

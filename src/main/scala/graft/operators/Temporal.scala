@@ -825,7 +825,58 @@ object Temporal {
               n_events
        FROM grouped ORDER BY user_id, valid_from"""
 
+  /** EWMA taps: weights 2^-1 .. 2^-EwmaTaps (sum = 1 - 2^-EwmaTaps;
+    * the truncation bias is under 0.002% of the signal).
+    */
+  private val EwmaTaps = 16
+
+  /** Exponentially-weighted moving average of purchase values per user
+    * — the smoothing primitive time-series dashboards layer on raw
+    * event streams. The textbook recursive EWMA is order-SEQUENTIAL
+    * (each row depends on the previous result), which neither
+    * distributes nor replays portably in floating point; this is the
+    * [[EwmaTaps]]-tap TRUNCATED form: ewm_t = sum_k x_{t-k} / 2^(k+1),
+    * a fixed linear combination of lags. Two deliberate choices make
+    * it BIT-portable (SURVEY §5) where a general EWMA cannot be:
+    * alpha = 1/2, so every weight is a power of two (x/2^k only
+    * decrements the exponent — exact), and values quantized to integer
+    * cents via FLOOR (floor-after-multiply is the same double op in
+    * both engines) — so every term and every partial sum is an exact
+    * dyadic rational below 2^53, and addition order cannot matter.
+    * One per-user window, EwmaTaps lags sharing it: a single
+    * WindowExec, partition-parallel, no state carried across rows
+    * beyond the frame. (round 4)
+    */
+  def ewmaSmooth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val base = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"),
+        floor(col("value") * 100).cast("long").as("x"))
+    val ewm = (0 until EwmaTaps).map { k =>
+      coalesce(lag(col("x"), k).over(w), lit(0L)).cast("double") /
+        lit(math.pow(2.0, k + 1))
+    }.reduce(_ + _)
+    base.select(col("event_id"), col("user_id"), col("x"), ewm.as("ewm"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val ewmaSmoothSql: String = {
+    val terms = (0 until EwmaTaps).map { k =>
+      s"COALESCE(LAG(x, $k) OVER w, 0) / ${math.pow(2.0, k + 1).toLong}.0"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                     CAST(FLOOR(value * 100) AS BIGINT) AS x
+                   FROM events WHERE event_type = 'purchase')
+       SELECT event_id, user_id, x, $terms AS ewm
+       FROM e
+       WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+       ORDER BY user_id, event_id"""
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("ewma_smooth", Some(ewmaSmoothSql))(ewmaSmooth),
     Q("scd2_intervals", Some(scd2IntervalsSql))(scd2Intervals),
     Q("scd2_point_lookup", Some(scd2PointLookupSql))(scd2PointLookup),
     Q("attribution_first_last", Some(attributionFirstLastSql))(attributionFirstLast),

@@ -93,6 +93,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // same hard-capped query broadcast as ann_topk_bruteforce (|Q| <=
     // MaxQueries regardless of corpus size), O(|Q| * N) by design
     "knn_label_vote",
+    // fact x broadcast 1-ROW bloom blob (an aggregate) — N x 1 by
+    // construction; the product exists precisely to avoid a shuffle
+    "bloom_join_prune",
     // aggregation over knn_label_vote's output — inherits its product
     "knn_confusion_matrix")
 

@@ -113,6 +113,26 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("ewma_smooth: matches the 16-tap reference recursion exactly, one window pass") {
+    val out = Temporal.ewmaSmooth(spark, sf).collect()
+    assert(out.nonEmpty)
+    // reference: truncated EWMA recomputed per row from raw history
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val xs = rows.map(_.getLong(2))
+      rows.zipWithIndex.foreach { case (r, t) =>
+        val expect = (0 until 16).map { k =>
+          (if (t - k >= 0) xs(t - k).toDouble else 0.0) / math.pow(2.0, k + 1)
+        }.sum
+        // exact dyadic arithmetic: equality, not tolerance
+        assert(r.getDouble(3) === expect, s"row $t of user ${r.getLong(1)}")
+      }
+    }
+    val plan = Temporal.ewmaSmooth(spark, sf)
+      .queryExecution.executedPlan.toString
+    // 16 lags share one window spec -> a single WindowExec
+    assert(plan.split("\\bWindow\\b").length - 1 <= 2, plan.take(1500))
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

@@ -95,5 +95,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(plans.CmsSketch.DotFn,
         "_FUNC_(a, b) - join-size estimate (sketch inner product)"),
       (exprs: Seq[Expression]) => plans.CmsInnerProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(plans.DdSketch.SketchFn),
+      info(plans.DdSketch.SketchFn,
+        "_FUNC_(x) - DDSketch quantile histogram (1% relative error)"),
+      (exprs: Seq[Expression]) =>
+        plans.DdSketchAgg(exprs(0)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(plans.DdSketch.MergeFn),
+      info(plans.DdSketch.MergeFn,
+        "_FUNC_(sketch) - merge DDSketches (bucket addition)"),
+      (exprs: Seq[Expression]) =>
+        plans.DdMergeAgg(exprs(0)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(plans.DdSketch.QuantileFn),
+      info(plans.DdSketch.QuantileFn,
+        "_FUNC_(sketch, q) - quantile estimate from a DDSketch"),
+      (exprs: Seq[Expression]) => plans.DdQuantile(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(plans.BloomFilter.AggFn),
+      info(plans.BloomFilter.AggFn,
+        "_FUNC_(key, log2bits) - bloom filter over a key set"),
+      (exprs: Seq[Expression]) => plans.BloomAgg(exprs(0),
+        if (exprs.length > 1) exprs(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(20))
+        .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(plans.BloomFilter.MergeFn),
+      info(plans.BloomFilter.MergeFn,
+        "_FUNC_(bf) - union bloom filters (bitwise OR)"),
+      (exprs: Seq[Expression]) =>
+        plans.BloomMergeAgg(exprs(0)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier(plans.BloomFilter.ContainsFn),
+      info(plans.BloomFilter.ContainsFn,
+        "_FUNC_(bf, key) - membership probe (no false negatives)"),
+      (exprs: Seq[Expression]) => plans.BloomContains(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(plans.DeflateLen.FnName),
+      info(plans.DeflateLen.FnName,
+        "_FUNC_(text) - DEFLATE-compressed byte length (quality signal)"),
+      (exprs: Seq[Expression]) => plans.DeflateLenExpr(exprs(0))))
   }
 }

@@ -36,6 +36,19 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(math.abs(sk.getAs[Long]("est") - 100L) <= 10L)
       assert(sk.getAs[Long]("f42") === 1L)
       assert(sk.getAs[Long]("dot") >= 100L)
+      // round-4 tier: DDSketch quantiles, bloom pruning, deflate signal
+      val r4 = s2.range(1, 1001)
+        .selectExpr("CAST(id AS DOUBLE) AS x", "CAST(id AS STRING) AS k")
+        .selectExpr("graft_dds_sketch(x) AS q", "graft_bloom_agg(k, 16) AS bf")
+        .selectExpr(
+          "graft_dds_quantile(q, 0.5D) AS p50",
+          "graft_bloom_contains(bf, '500') AS hit",
+          "graft_bloom_contains(bf, 'absent_key') AS miss",
+          "graft_deflate_len(repeat('ab', 500)) AS zlen").head
+      assert(math.abs(r4.getAs[Double]("p50") - 500.0) <= 6.0)
+      assert(r4.getAs[Boolean]("hit"))
+      assert(!r4.getAs[Boolean]("miss"))
+      assert(r4.getAs[Int]("zlen") > 0 && r4.getAs[Int]("zlen") < 100)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -197,8 +197,90 @@ object Graph {
        SELECT skill, COUNT(*) AS n_triangles
        FROM x GROUP BY skill ORDER BY n_triangles DESC, skill"""
 
+  /** Synchronous label-propagation sweeps (Raghavan et al. 2007's LPA
+    * made deterministic): see [[labelPropagation]].
+    */
+  val LpaIters = 3
+
+  /** Community detection by synchronous label propagation — the
+    * clustering layer next to PageRank's centrality: every node starts
+    * labeled by itself; each sweep relabels every node with its
+    * neighbors' MOST FREQUENT label, ties broken by lexicographic
+    * minimum. The tie rule is what makes the classic
+    * randomized-asynchronous LPA deterministic and therefore
+    * oracle-gateable — same unrolled-iteration discipline as
+    * [[pagerankSkills]]. Per sweep: one (edge x label) equi-join, one
+    * (node, label) count agg, one per-node rank window — all
+    * graph-sized frames (the corpus appears only in the extraction
+    * chain, checkpointed once). Sweeps are a fixed [[LpaIters]], not
+    * run-to-convergence: a data-dependent iteration count would make
+    * the oracle's shape depend on the data (and synchronous LPA can
+    * 2-cycle on bipartite structures, so fixed sweeps is also the
+    * standard stabilization). (round 4)
+    */
+  /** The LPA core over a directed edge frame (src, dst) — both
+    * directions must be present for an undirected graph. Returns one
+    * (skill, lbl) row per node. Shared by the registered query and the
+    * constructed-graph specs (the testdata vocab is a 19-node
+    * near-clique, so the oracle exercises the mechanics while the
+    * specs prove the semantics: LPA separates dense blobs that
+    * connected components would merge across a bridge edge).
+    */
+  private[operators] def lpaSweeps(e: DataFrame): DataFrame = {
+    var lbl = e.select(col("src").as("skill")).distinct()
+      .select(col("skill"), col("skill").as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      val counts = e.join(lbl, e("dst") === lbl("skill"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("c").desc, col("lbl"))
+      lbl = counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("skill"), col("lbl"))
+    }
+    lbl
+  }
+
+  def labelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint()
+    val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    lpaSweeps(e)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("skill"))).as("members"))
+      .orderBy(col("n_members").desc, col("community"))
+  }
+
+  val labelPropagationSql: String = {
+    def sweep(prev: String, k: Int): String =
+      s"""l$k AS (SELECT src AS skill, lbl FROM (
+               SELECT e.src, l.lbl,
+                      ROW_NUMBER() OVER (PARTITION BY e.src
+                        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+               FROM e JOIN $prev l ON e.dst = l.skill
+               GROUP BY e.src, l.lbl)
+             WHERE rn = 1)"""
+    s"""WITH cooc AS (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e AS (SELECT skill_a AS src, skill_b AS dst FROM cooc
+             UNION ALL
+             SELECT skill_b AS src, skill_a AS dst FROM cooc),
+       l0 AS (SELECT DISTINCT src AS skill, src AS lbl FROM e),
+       ${(1 to LpaIters).map(k => sweep(s"l${k - 1}", k)).mkString(",\n       ")}
+       SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+              list_sort(list(skill)) AS members
+       FROM l$LpaIters GROUP BY lbl
+       ORDER BY n_members DESC, community"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("pagerank_skills", Some(pagerankSkillsSql))(pagerankSkills),
     Q("pagerank_weighted", Some(pagerankWeightedSql))(pagerankWeighted),
+    Q("label_propagation", Some(labelPropagationSql))(labelPropagation),
     Q("triangle_count", Some(triangleCountSql))(triangleCount))
 }

@@ -139,6 +139,37 @@ class ChunkGraphSpec extends AnyFunSuite {
     assert(out.nonEmpty, "synthetic corpus should close at least one skill triangle")
   }
 
+  test("label_propagation separates dense blobs a bridge edge would merge in CC") {
+    import spark.implicits._
+    // two 5-cliques joined by one bridge (a1-b1): connected components
+    // would report ONE component; LPA must find the two communities
+    def clique(p: String) = for {
+      i <- 1 to 5; j <- 1 to 5 if i != j
+    } yield (s"$p$i", s"$p$j")
+    val bridge = Seq(("a1", "b1"), ("b1", "a1"))
+    val e = (clique("a") ++ clique("b") ++ bridge).toDF("src", "dst")
+    val out = Graph.lpaSweeps(e).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.size === 10)
+    val aLbls = (1 to 5).map(i => out(s"a$i")).toSet
+    val bLbls = (1 to 5).map(i => out(s"b$i")).toSet
+    assert(aLbls.size === 1, s"blob A not converged: $out")
+    assert(bLbls.size === 1, s"blob B not converged: $out")
+    assert(aLbls != bLbls, s"bridge edge merged the communities: $out")
+  }
+
+  test("label_propagation: every node labeled, labels are node names, deterministic") {
+    val out = Graph.labelPropagation(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nodes = TextAnalysis.skillCooccurrence(spark, sf)
+      .select(explode(array(col("skill_a"), col("skill_b"))).as("s"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_.getLong(1)).sum === nodes.size)
+    out.foreach(r => assert(nodes.contains(r.getString(0))))
+    val again = Graph.labelPropagation(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("pagerank is invariant under input repartitioning") {
     val a = Graph.pagerankSkills(spark, sf).collect().map(_.toSeq)
     spark.conf.set("spark.sql.shuffle.partitions", "7")

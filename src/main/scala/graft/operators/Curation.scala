@@ -510,6 +510,50 @@ object Curation {
        FROM fixed f JOIN ranked r ON r.pos = f.neg_pos
        ORDER BY 1, 2"""
 
+  /** The contrastive TRAINING-PAIRS table itself — what
+    * [[negativeSamples]] exists to feed: verified near-duplicates from
+    * the shared LSH pipeline as positives (label 1, with their exact
+    * Jaccard as a soft target), the hash-ring draws as negatives
+    * (label 0). Pure composition of two already-scale-shaped stages —
+    * the pair list is pair-cardinality, the ring is map-side — plus
+    * one union; no new shuffle beyond what the parts already do. A
+    * ring draw that collides with a true near-dup pair would be a
+    * mislabeled negative: dropped by an anti-join against the
+    * positives (canonical a<b orientation), bounded by the pair list.
+    * (round 4)
+    */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val pos = Dedup.dedupMinhashLsh(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("label"),
+        col("jac").as("weight"))
+    val rawNeg = negativeSamples(s, dir)
+      .select(least(col("doc_id"), col("neg_id")).as("doc_a"),
+        greatest(col("doc_id"), col("neg_id")).as("doc_b"))
+      .distinct()
+    val neg = rawNeg.join(pos.select("doc_a", "doc_b"),
+        Seq("doc_a", "doc_b"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), lit(0).as("label"),
+        lit(0.0).as("weight"))
+    pos.unionByName(neg).orderBy("label", "doc_a", "doc_b")
+  }
+
+  // lazy: interpolates negativeSamplesSql, which initializes later in
+  // this object
+  lazy val contrastivePairsSql: String =
+    s"""WITH pos AS (SELECT doc_a, doc_b, 1 AS label, jac AS weight
+             FROM (${Dedup.dedupMinhashLshSql})),
+       raw_neg AS (SELECT DISTINCT
+               LEAST(doc_id, neg_id) AS doc_a,
+               GREATEST(doc_id, neg_id) AS doc_b
+             FROM ($negativeSamplesSql)),
+       neg AS (SELECT r.doc_a, r.doc_b, 0 AS label, 0.0 AS weight
+             FROM raw_neg r ANTI JOIN pos p
+               ON r.doc_a = p.doc_a AND r.doc_b = p.doc_b)
+       SELECT doc_a, doc_b, label, weight FROM pos
+       UNION ALL
+       SELECT doc_a, doc_b, label, weight FROM neg
+       ORDER BY label, doc_a, doc_b"""
+
   val negativeSamplesSql: String =
     s"""WITH ids AS (SELECT doc_id FROM documents),
        n AS (SELECT COUNT(*) AS n FROM documents),
@@ -527,6 +571,7 @@ object Curation {
     Q("negative_samples", Some(negativeSamplesSql))(negativeSamples),
     Q("negative_samples_keyed",
       Some(negativeSamplesKeyedSql))(negativeSamplesKeyed),
+    Q("contrastive_pairs", Some(contrastivePairsSql))(contrastivePairs),
     Q("zorder_key", Some(zorderKeySql))(zorderKey),
     Q("sample_stratified", Some(sampleStratifiedSql))(sampleStratified),
     Q("sample_per_source_cap", Some(samplePerSourceCapSql))(samplePerSourceCap),

@@ -133,6 +133,24 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(plan.split("\\bWindow\\b").length - 1 <= 2, plan.take(1500))
   }
 
+  test("contrastive_pairs: labels partition cleanly, no pair is both pos and neg") {
+    val out = Curation.contrastivePairs(spark, sf).collect()
+    val pos = out.filter(_.getInt(2) === 1)
+    val neg = out.filter(_.getInt(2) === 0)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    assert(pos.length + neg.length === out.length)
+    // positives carry their Jaccard as a soft target; negatives are 0
+    pos.foreach(r => assert(r.getDouble(3) > 0.0))
+    neg.foreach(r => assert(r.getDouble(3) === 0.0))
+    // canonical orientation and disjointness of the two label sets
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    out.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    assert(pos.map(key).toSet.intersect(neg.map(key).toSet).isEmpty)
+    // the anti-join actually bounds mislabels: every positive pair of
+    // the LSH list survives into the table
+    assert(pos.length === Dedup.dedupMinhashLsh(spark, sf).count())
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

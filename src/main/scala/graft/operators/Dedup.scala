@@ -368,6 +368,55 @@ object Dedup {
               (v = min(l)) AS is_survivor
        FROM reach GROUP BY v ORDER BY doc_id"""
 
+  /** Survivor selection — the DECISION step that detection exists for:
+    * within each near-dup cluster keep the HIGHEST-QUALITY member
+    * ([[TextAnalysis.textQualityScore]]'s oracled score; ties to the
+    * smaller id), emit every member with its verdict and the kept
+    * representative it maps to. This is the dedup policy a training
+    * pipeline actually executes (drop list + remap table in one
+    * frame), replacing [[dedupClusters]]' structural min-id survivor
+    * with a content-aware one. Cost on top of the cluster build: one
+    * doc-cardinality join and two cluster-partitioned windows —
+    * nothing corpus-shaped is new, and the windows partition per
+    * cluster (bounded groups, never global). (round 4)
+    */
+  def dedupKeepPolicy(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir).select("doc_id", "cluster_id")
+    val q = TextAnalysis.textQualityScore(s, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        // the tier is categorical — rank it explicitly (never sort the
+        // label strings: 'ok' > 'good' lexicographically)
+        when(col("quality") === "good", 2)
+          .when(col("quality") === "ok", 1).otherwise(0).as("q_rank"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("q_rank").desc, col("n_tokens").desc, col("doc_id"))
+    clusters.join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("keep", col("rn") === 1)
+      .withColumn("kept_doc",
+        max(when(col("keep"), col("doc_id")))
+          .over(Window.partitionBy("cluster_id")))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("keep"), col("kept_doc"))
+      .orderBy("doc_id")
+  }
+
+  lazy val dedupKeepPolicySql: String =
+    s"""WITH clusters AS (SELECT doc_id, cluster_id
+             FROM ($dedupClustersSql)),
+       q AS (SELECT doc_id, quality, n_tokens,
+               CASE quality WHEN 'good' THEN 2 WHEN 'ok' THEN 1
+                    ELSE 0 END AS q_rank
+             FROM (${TextAnalysis.textQualityScoreSql})),
+       ranked AS (SELECT c.doc_id, c.cluster_id, q.quality,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                 ORDER BY q.q_rank DESC, q.n_tokens DESC, c.doc_id) AS rn
+             FROM clusters c JOIN q USING (doc_id))
+       SELECT doc_id, cluster_id, quality, (rn = 1) AS keep,
+              MAX(CASE WHEN rn = 1 THEN doc_id END)
+                OVER (PARTITION BY cluster_id) AS kept_doc
+       FROM ranked ORDER BY doc_id"""
+
   /** Containment near-dup: |A∩B| / min(|A|,|B|) over word-shingle sets
     * on the LSH-blocked candidates. Containment is the asymmetric twin
     * of Jaccard — it fires when a short document is embedded in a longer
@@ -802,6 +851,7 @@ object Dedup {
     Q("dedup_simhash", Some(dedupSimhashSql), bench = true)(dedupSimhash),
     Q("dedup_ngram_jaccard", Some(dedupNgramJaccardSql))(dedupNgramJaccard),
     Q("dedup_clusters", Some(dedupClustersSql))(dedupClusters),
+    Q("dedup_keep_policy", Some(dedupKeepPolicySql))(dedupKeepPolicy),
     Q("dedup_containment", Some(dedupContainmentSql))(dedupContainment),
     Q("dedup_editdist", Some(dedupEditDistanceSql))(dedupEditDistance),
     Q("dedup_embedding_cosine", Some(dedupEmbeddingCosineSql), bench = true)(dedupEmbeddingCosine))

@@ -151,6 +151,32 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(pos.length === Dedup.dedupMinhashLsh(spark, sf).count())
   }
 
+  test("dedup_keep_policy: exactly one survivor per cluster, and it is the best one") {
+    val out = Dedup.dedupKeepPolicy(spark, sf).collect()
+    assert(out.nonEmpty)
+    val stats = TextAnalysis.textQualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (Map("good" -> 2, "ok" -> 1).getOrElse(r.getString(6), 0),
+          r.getInt(2))).toMap
+    out.groupBy(_.getLong(1)).foreach { case (_, members) =>
+      val kept = members.filter(_.getBoolean(3))
+      assert(kept.length === 1, s"cluster without exactly one survivor")
+      val k = kept.head
+      // survivor maximizes (quality tier, n_tokens), ties to smaller id
+      def key(r: org.apache.spark.sql.Row) = {
+        val (t, n) = stats(r.getLong(0)); (t, n, -r.getLong(0))
+      }
+      members.foreach { m =>
+        assert(Ordering[(Int, Int, Long)].lteq(key(m), key(k)),
+          s"member $m outranks survivor $k")
+        // every member maps to the cluster's kept representative
+        assert(m.getLong(4) === k.getLong(0))
+      }
+    }
+    // scope: exactly the clustered docs (the drop/remap list for them)
+    assert(out.length === Dedup.dedupClusters(spark, sf).count())
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

@@ -99,6 +99,84 @@ object Lakehouse {
        WHERE l.op IS NULL OR l.op <> 'D'
        ORDER BY key"""
 
+  /** Time-travel read — reconstruct the table AS OF a cut time from
+    * the base snapshot plus the changelog PREFIX at or before the cut
+    * (Delta/Iceberg `VERSION AS OF` semantics when versions are
+    * timestamps): same last-writer-wins collapse and single full-outer
+    * apply as [[cdcMergeApply]], with one extra pushed-down predicate
+    * `t <= cut` on the changelog scan — at 100 TB that predicate
+    * prunes log partitions before anything shuffles. Registered at the
+    * midpoint of the event-time range (a deterministic, data-derived
+    * cut both engines compute identically in integer microseconds);
+    * the spec pins the algebra: cut >= max(ts) reproduces
+    * [[cdcMergeApply]] exactly, cut < min(ts) reproduces the base.
+    * (round 4)
+    */
+  def cdcTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val mm = Tables.events(s, dir)
+      .agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head
+    val cut =
+      if (mm.isNullAt(0)) 0L else (mm.getLong(0) + mm.getLong(1)) / 2L
+    cdcTimeTravelAt(s, dir, cut)
+  }
+
+  private[operators] def cdcTimeTravelAt(s: SparkSession, dir: String,
+      cutUs: Long): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").as("key"),
+      decp(col("c_acctbal")).as("base_val"),
+      lit(1).as("in_base"))
+    val off = keyOffset(s, dir)
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t").desc, col("event_id").desc)
+    val lastOp = Tables.events(s, dir)
+      .select((col("user_id") + off).as("key"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"),
+        decp(col("value")).as("new_val"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .filter(col("t") <= cutUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("op"), col("new_val"))
+    base.join(lastOp, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("key"),
+        coalesce(col("new_val"), col("base_val")).cast("double").as("val"),
+        when(col("op").isNull, "unchanged")
+          .when(col("in_base").isNull, "inserted")
+          .otherwise("updated").as("change"))
+      .orderBy("key")
+  }
+
+  val cdcTimeTravelSql: String =
+    s"""WITH cut AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+                       AS c FROM events),
+       base AS (SELECT c_custkey AS key,
+                  ${sqlDecp("c_acctbal")} AS base_val, 1 AS in_base
+                FROM customer),
+       cl AS (SELECT user_id + (SELECT MAX(c_custkey) + 1 FROM customer)
+                      - ((SELECT MAX(user_id) FROM events) // 2) AS key,
+                CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                ${sqlDecp("value")} AS new_val,
+                epoch_us(ts) AS t, event_id
+              FROM events
+              WHERE epoch_us(ts) <= (SELECT c FROM cut)),
+       lst AS (SELECT key, op, new_val FROM (
+                 SELECT key, op, new_val,
+                   ROW_NUMBER() OVER (PARTITION BY key
+                     ORDER BY t DESC, event_id DESC) AS rn
+                 FROM cl) r WHERE rn = 1)
+       SELECT COALESCE(b.key, l.key) AS key,
+              CAST(CAST(COALESCE(l.new_val, b.base_val) AS VARCHAR) AS DOUBLE)
+                AS val,
+              CASE WHEN l.op IS NULL THEN 'unchanged'
+                   WHEN b.in_base IS NULL THEN 'inserted'
+                   ELSE 'updated' END AS change
+       FROM base b FULL OUTER JOIN lst l ON b.key = l.key
+       WHERE l.op IS NULL OR l.op <> 'D'
+       ORDER BY key"""
+
   /** Change-data-feed extraction — the INVERSE of [[cdcMergeApply]]:
     * given two snapshots (the base and the merged result), emit the
     * minimal changelog that turns one into the other (Delta CDF
@@ -259,6 +337,7 @@ object Lakehouse {
 
   def queries: Seq[Q] = Seq(
     Q("cdc_merge_apply", Some(cdcMergeApplySql), bench = true)(cdcMergeApply),
+    Q("cdc_time_travel", Some(cdcTimeTravelSql))(cdcTimeTravel),
     Q("snapshot_diff_cdf", Some(snapshotDiffCdfSql))(snapshotDiffCdf),
     Q("compaction_plan", Some(compactionPlanSql))(compactionPlan),
     Q("data_skipping_stats", Some(dataSkippingStatsSql))(dataSkippingStats))

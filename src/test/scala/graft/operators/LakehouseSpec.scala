@@ -121,4 +121,26 @@ class LakehouseSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("cdc_time_travel algebra: cut >= max replays the full merge, cut < min is the base") {
+    import org.apache.spark.sql.functions._
+    val full = Lakehouse.cdcTimeTravelAt(spark, sf, Long.MaxValue)
+      .collect().map(_.toSeq)
+    val merged = Lakehouse.cdcMergeApply(spark, sf).collect().map(_.toSeq)
+    assert(full.toSeq === merged.toSeq, "cut at +inf must equal the merge")
+    val atBase = Lakehouse.cdcTimeTravelAt(spark, sf, Long.MinValue).collect()
+    val base = graft.sources.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_acctbal").cast("double"))
+      .orderBy("c_custkey").collect()
+    assert(atBase.length === base.length)
+    atBase.zip(base).foreach { case (a, b) =>
+      assert(a.getLong(0) === b.getLong(0) &&
+        a.getDouble(1) === b.getDouble(1) && a.getString(2) === "unchanged")
+    }
+    // the registered midpoint cut sits strictly between the extremes
+    val mid = Lakehouse.cdcTimeTravel(spark, sf).collect()
+    val changedMid = mid.count(_.getString(2) != "unchanged")
+    val changedFull = merged.count(_(2) != "unchanged")
+    assert(changedMid > 0 && changedMid <= changedFull)
+  }
 }

@@ -567,8 +567,49 @@ object Curation {
                    ELSE raw END AS neg_id
        FROM fan ORDER BY doc_id, j"""
 
+  /** Cross-validation folds. */
+  val KFolds = 5
+  /** Fold boundaries as 16-bit hex thresholds (i * 2^16 / K): fold
+    * assignment stays a pure hex-STRING range comparison — the same
+    * engine-portable discipline as [[datasetSplitHash]] (no hex->int
+    * conversion exists portably in both engines; range compare does).
+    */
+  private val FoldThr: Seq[String] =
+    (1 until KFolds).map(i => f"${i * 0x10000 / KFolds}%04x")
+
+  /** Deterministic k-fold assignment for cross-validation — the CV
+    * sibling of [[datasetSplitHash]]: a doc's fold is a pure function
+    * of its id (salted md5, distinct salt from the split's so folds
+    * don't correlate with the train/test split), map-side only, no
+    * shuffle, replayable anywhere. Near-uniform by hash uniformity;
+    * the spec bounds the imbalance. (round 4)
+    */
+  def datasetKfold(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(
+      md5(concat(lit("fold:"), col("doc_id").cast("string"))), 1, 4)
+    // first-match CASE over the ordered thresholds
+    val foldCase = FoldThr.zipWithIndex.reverse
+      .foldLeft(lit(KFolds - 1): org.apache.spark.sql.Column) {
+        case (els, (thr, i)) => when(h < thr, lit(i)).otherwise(els)
+      }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), foldCase.as("fold"))
+      .orderBy("doc_id")
+  }
+
+  val datasetKfoldSql: String = {
+    val h = "substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 4)"
+    val cases = FoldThr.zipWithIndex
+      .map { case (thr, i) => s"WHEN $h < '$thr' THEN $i" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang,
+              CASE $cases ELSE ${KFolds - 1} END AS fold
+       FROM documents ORDER BY doc_id"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("negative_samples", Some(negativeSamplesSql))(negativeSamples),
+    Q("dataset_kfold", Some(datasetKfoldSql))(datasetKfold),
     Q("negative_samples_keyed",
       Some(negativeSamplesKeyedSql))(negativeSamplesKeyed),
     Q("contrastive_pairs", Some(contrastivePairsSql))(contrastivePairs),

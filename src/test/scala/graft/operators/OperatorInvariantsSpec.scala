@@ -177,6 +177,23 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(out.length === Dedup.dedupClusters(spark, sf).count())
   }
 
+  test("dataset_kfold: every doc in exactly one fold, folds near-uniform, independent of split") {
+    val out = Curation.datasetKfold(spark, sf).collect()
+    val n = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length === n)
+    val sizes = out.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(sizes.keySet === (0 until Curation.KFolds).toSet)
+    val ideal = n.toDouble / Curation.KFolds
+    sizes.values.foreach(c =>
+      assert(math.abs(c - ideal) < ideal * 0.3, s"imbalanced folds: $sizes"))
+    // distinct salt: fold must not be a function of the train/test split
+    val split = Curation.datasetSplitHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val crossed = out.groupBy(_.getInt(2)).values.map(g =>
+      g.map(r => split(r.getLong(0))).toSet.size)
+    assert(crossed.forall(_ > 1), "folds aligned with the split salt")
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

@@ -433,8 +433,62 @@ object TextAnalysis {
         col("raw_len") >= CompressMinBytes && col("ratio") < CompressLowTau)
       .orderBy("doc_id")
 
+  /** Association scores over skill co-occurrence — the
+    * recommendation-engine layer above raw pair counts: per pair,
+    * cosine similarity n_ab / sqrt(n_a * n_b) and lift
+    * (n_ab * N) / (n_a * n_b), where n_x is the count of documents
+    * mentioning skill x and N the corpus size. Both scores are
+    * BIT-portable where PMI would not be: sqrt and division are
+    * correctly-rounded IEEE operations in every engine, while PMI's
+    * log is libm-dependent (SURVEY §5) — so the standard association
+    * suite is oracled and the log-scaled variant is a display
+    * transform the caller applies. Frames: the doc-skill incidence
+    * (corpus-selective), its per-skill counts (vocab-sized), the pair
+    * list (vocab²-bounded); the per-skill count join broadcasts.
+    * (round 4)
+    */
+  def skillAssociation(s: SparkSession, dir: String): DataFrame = {
+    val m = SkillExtract.skillExtractPhrase(s, dir)
+      .select(col("doc_id"), col("skill"), col("skill_id"))
+    val perSkill = m.groupBy(col("skill")).agg(count(lit(1)).as("n_doc"))
+    val nDocs = Tables.documents(s, dir).count()
+    skillCooccurrence(s, dir)
+      .join(broadcast(perSkill.withColumnRenamed("skill", "skill_a")
+        .withColumnRenamed("n_doc", "n_a")), "skill_a")
+      .join(broadcast(perSkill.withColumnRenamed("skill", "skill_b")
+        .withColumnRenamed("n_doc", "n_b")), "skill_b")
+      .select(col("skill_a"), col("skill_b"), col("n"),
+        col("n_a"), col("n_b"),
+        (col("n").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("cosine"),
+        ((col("n").cast("double") * lit(nDocs.toDouble)) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("cosine").desc, col("skill_a"), col("skill_b"))
+  }
+
+  lazy val skillAssociationSql: String =
+    s"""WITH m AS (SELECT doc_id, skill, skill_id
+             FROM (${SkillExtract.skillExtractPhraseSql})),
+       per_skill AS (SELECT skill, CAST(COUNT(*) AS BIGINT) AS n_doc
+             FROM m GROUP BY skill),
+       cooc AS (SELECT skill_a, skill_b, n FROM ($skillCooccurrenceSql)),
+       nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+       SELECT c.skill_a, c.skill_b, c.n, a.n_doc AS n_a, b.n_doc AS n_b,
+              CAST(c.n AS DOUBLE)
+                / sqrt(CAST(a.n_doc AS DOUBLE) * CAST(b.n_doc AS DOUBLE))
+                AS cosine,
+              (CAST(c.n AS DOUBLE) * (SELECT n_docs FROM nd))
+                / (CAST(a.n_doc AS DOUBLE) * CAST(b.n_doc AS DOUBLE))
+                AS lift
+       FROM cooc c JOIN per_skill a ON c.skill_a = a.skill
+                   JOIN per_skill b ON c.skill_b = b.skill
+       ORDER BY cosine DESC, c.skill_a, c.skill_b"""
+
   def queries: Seq[Q] = Seq(
     Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),
+    Q("skill_association", Some(skillAssociationSql))(skillAssociation),
     Q("quality_compression_ratio", None)(qualityCompressionRatio),
     Q("quality_unigram_lm", Some(qualityUnigramLmSql))(qualityUnigramLm),
     Q("top_bigrams", Some(topBigramsSql))(topBigrams),

@@ -194,6 +194,23 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(crossed.forall(_ > 1), "folds aligned with the split salt")
   }
 
+  test("skill_association: scores bounded and consistent with raw counts") {
+    val out = TextAnalysis.skillAssociation(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n <= math.min(na, nb), s"pair count exceeds a member count: $r")
+      val cos = r.getDouble(5)
+      assert(cos > 0.0 && cos <= 1.0, s"cosine out of range: $r")
+      assert(cos === n.toDouble / math.sqrt(na.toDouble * nb.toDouble))
+      // lift > 1 means the pair co-occurs MORE than independence predicts
+      assert(r.getDouble(6) > 0.0)
+    }
+    // ordering: cosine descending
+    val cosines = out.map(_.getDouble(5)).toSeq
+    assert(cosines === cosines.sorted(Ordering[Double].reverse))
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

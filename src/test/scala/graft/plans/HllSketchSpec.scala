@@ -126,4 +126,19 @@ class HllSketchSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(withNulls === 2L)
   }
+
+  test("rolling_actives_sketch tracks the exact 7-day rolling distinct within HLL error") {
+    import graft.operators.Stats
+    val approx = Stats.rollingActivesSketch(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    val exact = Stats.rollingActiveUsers(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    assert(approx.nonEmpty)
+    approx.foreach { case (d, est) =>
+      val t = exact(d)
+      assert(math.abs(est - t) <= math.max(3.0, 0.05 * t),
+        s"day $d: est=$est exact=$t drifts past the HLL bound")
+    }
+  }
 }

@@ -417,6 +417,50 @@ object Dedup {
                 OVER (PARTITION BY cluster_id) AS kept_doc
        FROM ranked ORDER BY doc_id"""
 
+  /** Incremental dedup against a fingerprint STORE — the arrival-time
+    * form of the batch suite, and the operation
+    * [[TextAnalysis.docFingerprint]]'s compact (fp_a, fp_b) rows exist
+    * to serve: a new batch is checked by joining its fingerprints
+    * against the accumulated store (here: the corpus split at the
+    * id-range midpoint into store/batch halves — a deterministic cut
+    * both engines compute), never by re-shingling history. Matches
+    * resolve to the SMALLEST store id (stable attribution). At 100 TB
+    * the store is a parquet table of ~70-byte rows regardless of
+    * document sizes, the join is fingerprint-vs-fingerprint, and
+    * text is read only for the incoming batch. (round 4)
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir)
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head
+    val cut =
+      if (ids.isNullAt(0)) 0L else (ids.getLong(0) + ids.getLong(1)) / 2L
+    val fp = TextAnalysis.docFingerprint(s, dir)
+      .select("doc_id", "fp_a", "fp_b")
+    val store = fp.filter(col("doc_id") < cut)
+      .withColumnRenamed("doc_id", "store_doc")
+    val batch = fp.filter(col("doc_id") >= cut)
+    batch.join(store, Seq("fp_a", "fp_b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(col("store_doc")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  lazy val dedupIncrementalSql: String =
+    s"""WITH fp AS (SELECT doc_id, fp_a, fp_b
+             FROM (${TextAnalysis.docFingerprintSql})),
+       cut AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS c
+               FROM documents),
+       store AS (SELECT doc_id AS store_doc, fp_a, fp_b FROM fp
+                 WHERE doc_id < (SELECT c FROM cut)),
+       batch AS (SELECT * FROM fp WHERE doc_id >= (SELECT c FROM cut))
+       SELECT b.doc_id, (MIN(s.store_doc) IS NOT NULL) AS is_dup,
+              MIN(s.store_doc) AS dup_of
+       FROM batch b LEFT JOIN store s
+         ON b.fp_a = s.fp_a AND b.fp_b = s.fp_b
+       GROUP BY b.doc_id ORDER BY b.doc_id"""
+
   /** Containment near-dup: |A∩B| / min(|A|,|B|) over word-shingle sets
     * on the LSH-blocked candidates. Containment is the asymmetric twin
     * of Jaccard — it fires when a short document is embedded in a longer
@@ -852,6 +896,7 @@ object Dedup {
     Q("dedup_ngram_jaccard", Some(dedupNgramJaccardSql))(dedupNgramJaccard),
     Q("dedup_clusters", Some(dedupClustersSql))(dedupClusters),
     Q("dedup_keep_policy", Some(dedupKeepPolicySql))(dedupKeepPolicy),
+    Q("dedup_incremental", Some(dedupIncrementalSql))(dedupIncremental),
     Q("dedup_containment", Some(dedupContainmentSql))(dedupContainment),
     Q("dedup_editdist", Some(dedupEditDistanceSql))(dedupEditDistance),
     Q("dedup_embedding_cosine", Some(dedupEmbeddingCosineSql), bench = true)(dedupEmbeddingCosine))

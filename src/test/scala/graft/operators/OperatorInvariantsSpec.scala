@@ -211,6 +211,28 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(cosines === cosines.sorted(Ordering[Double].reverse))
   }
 
+  test("dedup_incremental: batch scope exact, matches point into the store, fp semantics hold") {
+    val out = Dedup.dedupIncremental(spark, sf).collect()
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val cut = (ids.min + ids.max) / 2
+    assert(out.map(_.getLong(0)).toSet === ids.filter(_ >= cut).toSet)
+    val fps = TextAnalysis.docFingerprint(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    out.foreach { r =>
+      if (r.getBoolean(1)) {
+        val dupOf = r.getLong(2)
+        assert(dupOf < cut, s"match outside the store: $r")
+        assert(fps(dupOf) === fps(r.getLong(0)),
+          s"flagged dup without equal fingerprints: $r")
+      } else assert(r.isNullAt(2))
+    }
+    // ground truth: a batch doc is flagged iff some store doc shares its fp
+    val storeFps = fps.filter(_._1 < cut).values.toSet
+    out.foreach(r =>
+      assert(r.getBoolean(1) === storeFps.contains(fps(r.getLong(0)))))
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

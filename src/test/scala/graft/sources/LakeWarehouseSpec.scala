@@ -236,4 +236,27 @@ class LakeWarehouseSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_b_items")
     }
   }
+
+  test("schema evolution: widened writers and mergeSchema readers coexist in one table") {
+    import spark.implicits._
+    // generation 1 writes (key, val); generation 2 adds a column — the
+    // lakehouse reality where old files never get rewritten
+    val dir = Files.createTempDirectory("evolve").toString + "/t"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("key", "val")
+      .write.mode("append").parquet(dir)
+    Seq((3L, 30.0, "eu"), (4L, 40.0, "us")).toDF("key", "val", "region")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("key", "region", "val"))
+    val rows = merged.orderBy("key").collect()
+    assert(rows.length === 4)
+    // gen-1 rows surface NULL for the evolved column, not an error
+    assert(rows.take(2).forall(_.isNullAt(rows.head.fieldIndex("region"))))
+    assert(rows.drop(2).map(_.getAs[String]("region")).toSeq === Seq("eu", "us"))
+    // without mergeSchema the footer-sampled schema may drop the new
+    // column silently — the option is the contract, pinned here
+    val aggregated = merged.groupBy("region").agg(sum(col("val")).as("s"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(aggregated(Some("eu")) === 30.0 && aggregated(None) === 30.0)
+  }
 }

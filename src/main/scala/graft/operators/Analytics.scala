@@ -144,6 +144,51 @@ object Analytics {
        GROUP BY n_name
        ORDER BY revenue DESC, n_name"""
 
+  /** Percent-of-total (ratio_to_report): each nation's share of its
+    * region's order revenue. Sums stay exact DECIMAL through BOTH
+    * levels (the per-nation agg and the region total, the latter a
+    * region-partitioned window over the nation-cardinality frame —
+    * 25 rows, never raw facts); the share is one double division of
+    * two correctly-rounded casts, so it is bit-portable (SURVEY §5 —
+    * the same reason the EWMA avoids a recursive form). Dims
+    * broadcast; the one real shuffle is the orders agg. (round 4)
+    */
+  def revenueShare(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val byNation = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(decp(col("o_totalprice"))).as("rev_dec"))
+    val w = Window.partitionBy(col("r_name"))
+    byNation
+      .withColumn("region_dec", sum(col("rev_dec")).over(w))
+      .select(col("r_name"), col("n_name"),
+        col("rev_dec").cast("double").as("revenue"),
+        (col("rev_dec").cast("double") / col("region_dec").cast("double"))
+          .as("share"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val revenueShareSql: String =
+    s"""WITH bn AS (SELECT r_name, n_name,
+               SUM(${sqlDecp("o_totalprice")}) AS rev_dec
+             FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+             GROUP BY 1, 2)
+       SELECT r_name, n_name,
+              CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+              CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(SUM(rev_dec) OVER (PARTITION BY r_name)
+                       AS VARCHAR) AS DOUBLE) AS share
+       FROM bn ORDER BY r_name, n_name"""
+
   /** Reference dashboard: offres par source par mois (trend line). Events
     * play the offer stream; one shuffle on (type, month).
     */
@@ -852,6 +897,7 @@ object Analytics {
     Q("cohort_retention", Some(cohortRetentionSql))(cohortRetention),
     Q("q3_top_revenue", Some(q3Sql), bench = true)(q3),
     Q("q5_region_revenue", Some(q5Sql), bench = true)(q5),
+    Q("revenue_share", Some(revenueShareSql))(revenueShare),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),
     Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),

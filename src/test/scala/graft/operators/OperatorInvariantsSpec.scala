@@ -233,6 +233,19 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       assert(r.getBoolean(1) === storeFps.contains(fps(r.getLong(0)))))
   }
 
+  test("revenue_share: shares in (0,1], sum to 1 per region, proportional to revenue") {
+    val out = Analytics.revenueShare(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (region, rows) =>
+      val shares = rows.map(_.getDouble(3))
+      shares.foreach(x => assert(x > 0.0 && x <= 1.0))
+      assert(math.abs(shares.sum - 1.0) < 1e-9, s"$region shares: ${shares.sum}")
+      val total = rows.map(_.getDouble(2)).sum
+      rows.foreach(r =>
+        assert(math.abs(r.getDouble(3) - r.getDouble(2) / total) < 1e-9))
+    }
+  }
+
   test("dedup_containment dominates Jaccard on the same candidates") {
     val jac = Dedup.dedupMinhashLsh(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

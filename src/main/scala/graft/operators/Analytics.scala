@@ -144,6 +144,104 @@ object Analytics {
        GROUP BY n_name
        ORDER BY revenue DESC, n_name"""
 
+  /** TPC-H Q7-shaped volume shipping: bilateral trade between two
+    * nations by ship year. Supplier/customer sides resolve through TWO
+    * broadcast copies of the nation dim; the pair filter rides the
+    * broadcast joins, so the only shuffle is lineitem x orders on the
+    * order key. The ship-year column is integer both sides (DuckDB
+    * year() widens to BIGINT — cast pinned in the oracle). (round 4)
+    */
+  def q7(s: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    val hi = lit("1997-12-31 00:00:00").cast("timestamp_ntz")
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(na, nb))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(na, nb))
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").between(lo, hi))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (decp(col("l_extendedprice")) * decf(lit(1.0) - col("l_discount")))
+          .as("vol"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(dsum(col("vol")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS INT) AS l_year,
+              ${sqlDsum(s"${sqlDecp("l_extendedprice")} * ${sqlDecf("1.0 - l_discount")}")} AS revenue
+       FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         AND c_custkey = o_custkey
+         AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
+  /** TPC-H Q10-shaped returned-item reporting: top-20 customers by
+    * revenue lost to returns in a quarter. The returnflag + date
+    * filters push to the scans; customer/nation broadcast; revenue
+    * ordering is portable because the decimal sum casts
+    * correctly-rounded (ties broken by key). (round 4)
+    */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    val hi = lit("1996-04-01 00:00:00").cast("timestamp_ntz")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (decp(col("l_extendedprice")) * decf(lit(1.0) - col("l_discount")))
+          .as("part_rev"))
+    val c = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        decp(col("c_acctbal")).cast("double").as("c_acctbal"),
+        col("n_name"))
+      .agg(dsum(col("part_rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name,
+              CAST(CAST(${sqlDecp("c_acctbal")} AS VARCHAR) AS DOUBLE)
+                AS c_acctbal,
+              n_name,
+              ${sqlDsum(s"${sqlDecp("l_extendedprice")} * ${sqlDecf("1.0 - l_discount")}")} AS revenue
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY 1, 2, 3, 4
+       ORDER BY revenue DESC, c_custkey
+       LIMIT 20"""
+
   /** Percent-of-total (ratio_to_report): each nation's share of its
     * region's order revenue. Sums stay exact DECIMAL through BOTH
     * levels (the per-nation agg and the region total, the latter a
@@ -898,6 +996,8 @@ object Analytics {
     Q("q3_top_revenue", Some(q3Sql), bench = true)(q3),
     Q("q5_region_revenue", Some(q5Sql), bench = true)(q5),
     Q("revenue_share", Some(revenueShareSql))(revenueShare),
+    Q("q7_volume_shipping", Some(q7Sql))(q7),
+    Q("q10_returned_items", Some(q10Sql))(q10),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),
     Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),

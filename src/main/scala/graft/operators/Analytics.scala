@@ -242,6 +242,84 @@ object Analytics {
        ORDER BY revenue DESC, c_custkey
        LIMIT 20"""
 
+  /** TPC-H Q14-shaped promo-revenue trend: per ship month, the share
+    * of revenue from PROMO-type parts. Part dim broadcasts on the
+    * part-key join; both sums stay exact DECIMAL (the conditional one
+    * null-skips identically in both engines), and the share is one
+    * double division — bit-portable end to end. (round 4)
+    */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"),
+        (decp(col("l_extendedprice")) * decf(lit(1.0) - col("l_discount")))
+          .as("vol"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("month"))
+      .agg(
+        coalesce(sum(when(col("p_type") === "PROMO", col("vol"))),
+          lit(0)).cast("double").as("promo_rev"),
+        dsum(col("vol")).as("total_rev"))
+      .withColumn("promo_share",
+        col("promo_rev") / col("total_rev"))
+      .orderBy("month")
+  }
+
+  val q14Sql: String =
+    s"""WITH j AS (SELECT date_trunc('month', l_shipdate)::DATE AS month,
+               p_type,
+               ${sqlDecp("l_extendedprice")} * ${sqlDecf("1.0 - l_discount")}
+                 AS vol
+             FROM lineitem JOIN part ON l_partkey = p_partkey)
+       SELECT month,
+              CAST(CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN vol END),
+                0) AS VARCHAR) AS DOUBLE) AS promo_rev,
+              ${sqlDsum("vol")} AS total_rev,
+              CAST(CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN vol END),
+                  0) AS VARCHAR) AS DOUBLE)
+                / ${sqlDsum("vol")} AS promo_share
+       FROM j GROUP BY month ORDER BY month"""
+
+  /** TPC-H Q19-shaped bracketed discount revenue: an OR-of-ANDs
+    * predicate spanning both join sides (brand x size x quantity
+    * brackets). The part dim broadcasts; the composite predicate
+    * evaluates inside the join's codegen stage — the shape that
+    * exercises complex-predicate planning rather than a new shuffle.
+    * (round 4)
+    */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (decp(col("l_extendedprice")) * decf(lit(1.0) - col("l_discount")))
+          .as("vol"))
+    val brackets =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 50))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(brackets)
+      .agg(dsum(col("vol")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT
+       ${sqlDsum(s"${sqlDecp("l_extendedprice")} * ${sqlDecf("1.0 - l_discount")}")} AS revenue,
+              CAST(COUNT(*) AS BIGINT) AS n_items
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 15)
+          OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 30)
+          OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 30
+               AND l_quantity BETWEEN 20 AND 50)"""
+
   /** Percent-of-total (ratio_to_report): each nation's share of its
     * region's order revenue. Sums stay exact DECIMAL through BOTH
     * levels (the per-nation agg and the region total, the latter a
@@ -998,6 +1076,8 @@ object Analytics {
     Q("revenue_share", Some(revenueShareSql))(revenueShare),
     Q("q7_volume_shipping", Some(q7Sql))(q7),
     Q("q10_returned_items", Some(q10Sql))(q10),
+    Q("q14_promo_share", Some(q14Sql))(q14),
+    Q("q19_bracket_revenue", Some(q19Sql))(q19),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),
     Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),

@@ -31,7 +31,10 @@ class RegistrySpec extends AnyFunSuite {
   // Pair-producing ops may legitimately be sparse at sf0.001; everything
   // else must produce rows.
   private val maySparse = Set("dedup_simhash", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "ann_topk_lsh")
+    "dedup_embedding_cosine", "ann_topk_lsh",
+    // a two-nation bilateral-trade slice of a 6k-row lineitem sample
+    // can be legitimately empty (sf0.01 yields 4 rows, oracle-matched)
+    "q7_volume_shipping")
 
   Registry.all.foreach { q =>
     test(s"${q.name} executes at sf0.001") {

@@ -94,6 +94,60 @@ object Warehouse {
     s.read.parquet(path)
   }
 
+  /** Bloom-accelerated DEDUP-APPEND sink: append only rows whose key
+    * has never been stored, maintaining a [[graft.plans.BloomFilter]]
+    * blob next to the data so the history check starts map-side.
+    *
+    * The naive incremental dedup anti-joins every batch against the
+    * FULL accumulated key set — a shuffle that grows with history. The
+    * store's bloom blob (one row, OR-merged across appends) probes the
+    * batch first: rows whose key misses the bloom are DEFINITELY new
+    * (no false negatives) and skip the join entirely; only the maybe-
+    * seen candidates — true repeats plus the fp tail sized by
+    * log2bits — anti-join against the exact key store. At 100 TB the
+    * exact join's probe side shrinks from |batch| to |repeats| + fp,
+    * while correctness stays exact because the bloom only ROUTES rows,
+    * never decides membership. Returns the appended (novel) frame.
+    */
+  def dedupAppend(batch: DataFrame, path: String, keyCol: String): DataFrame = {
+    val s = batch.sparkSession
+    val incoming = batch.dropDuplicates(keyCol)
+    val dataPath = s"$path/data"
+    val bloomPath = s"$path/bloom"
+    val bloomOf = (df: DataFrame) => df.agg(
+      expr(s"graft_bloom_agg(CAST($keyCol AS STRING), 20)").as("bf"))
+    scala.util.Try(s.read.parquet(dataPath)).toOption match {
+      case None =>
+        incoming.write.mode(SaveMode.Overwrite).parquet(dataPath)
+        bloomOf(incoming).write.mode(SaveMode.Overwrite).parquet(bloomPath)
+        s.read.parquet(dataPath)
+      case Some(existing) =>
+        val bloom = s.read.parquet(bloomPath)
+        val routed = incoming.join(broadcast(bloom))
+          .withColumn("__maybe",
+            expr(s"graft_bloom_contains(bf, CAST($keyCol AS STRING))"))
+        // definitely-new rows skip the history join entirely
+        val fresh = routed.filter(!col("__maybe")).drop("bf", "__maybe")
+        val candidates = routed.filter(col("__maybe")).drop("bf", "__maybe")
+        // materialize before mutating the store: the lazy plan reads
+        // the bloom and data files the writes below replace
+        val novel = fresh.unionByName(
+          candidates.join(existing.select(keyCol), Seq(keyCol), "left_anti"))
+          .localCheckpoint(true)
+        novel.write.mode(SaveMode.Append).parquet(dataPath)
+        // fold the batch's keys into the stored blob (OR-merge). The
+        // merged blob is a scalar-sized artifact (128 KiB) — collect
+        // it rather than self-overwriting the path it is read from
+        val blob = bloom.unionByName(bloomOf(incoming))
+          .agg(expr("graft_bloom_merge(bf)").as("bf"))
+          .head.getAs[Array[Byte]](0)
+        import s.implicits._
+        Seq(blob).toDF("bf")
+          .write.mode(SaveMode.Overwrite).parquet(bloomPath)
+        novel
+    }
+  }
+
   /** Load a frame into a JDBC warehouse — the reference's
     * insert_to_postgres.py role, but set-based: each partition streams
     * its rows over one connection in `batchsize` batches instead of a

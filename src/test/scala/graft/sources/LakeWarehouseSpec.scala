@@ -237,6 +237,29 @@ class LakeWarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupAppend: bloom-routed exactly-once keys across three batches") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("dedup_store").toString + "/docs"
+    val b1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("key", "payload")
+    val first = Warehouse.dedupAppend(b1, store, "key")
+    assert(first.count() === 3)
+    // batch 2: two repeats, two new — only the new rows append
+    val b2 = Seq((2L, "b2"), (3L, "c2"), (4L, "d"), (5L, "e"))
+      .toDF("key", "payload")
+    val second = Warehouse.dedupAppend(b2, store, "key")
+    assert(second.select("key").collect().map(_.getLong(0)).sorted
+      === Array(4L, 5L))
+    // batch 3: all repeats (spanning both earlier batches) — nothing lands
+    val b3 = Seq((1L, "x"), (4L, "y")).toDF("key", "payload")
+    assert(Warehouse.dedupAppend(b3, store, "key").count() === 0)
+    val all = spark.read.parquet(s"$store/data").collect()
+    assert(all.length === 5)
+    assert(all.map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L, 5L))
+    // first-writer-wins: repeats never overwrote stored payloads
+    val byKey = all.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey(2L) === "b" && byKey(4L) === "d")
+  }
+
   test("schema evolution: widened writers and mergeSchema readers coexist in one table") {
     import spark.implicits._
     // generation 1 writes (key, val); generation 2 adds a column — the

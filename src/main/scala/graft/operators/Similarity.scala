@@ -682,5 +682,38 @@ object Similarity {
     Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf),
     Q("ann_topk_pq", Some(annTopkPqSql))(annTopkPq),
     Q("ann_topk_ivfpq", Some(annTopkIvfPqSql))(annTopkIvfPq),
-    Q("ann_recall_lsh", Some(annRecallLshSql))(annRecallLsh))
+    Q("ann_recall_lsh", Some(annRecallLshSql))(annRecallLsh),
+    Q("ann_recall_ivf", Some(annRecallIvfSql))(annRecallIvf))
+
+  /** Recall@k monitor for the IVF tier — completes the eval story
+    * ([[annRecallLsh]] covers the LSH tier): per query, how many of the
+    * exact brute-force top-k the probed-IVF candidate route recovers.
+    * Recall lost here is exactly the mass assigned to unprobed cells,
+    * so this is THE metric that tunes ivfProbe per deployment. Same
+    * composition shape as the LSH monitor: both rankings are
+    * pair-selective frames; the semi-join and per-query counts are
+    * query-cardinality. (round 4)
+    */
+  def annRecallIvf(s: SparkSession, dir: String): DataFrame = {
+    val bf = annTopkBruteforce(s, dir).select(col("q_id"), col("vec_id"))
+    val iv = annTopkIvf(s, dir).select(col("q_id"), col("vec_id"))
+    val inter = bf.join(iv, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    bf.select("q_id").distinct()
+      .join(inter, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / TopK).as("recall"))
+      .orderBy("q_id")
+  }
+
+  lazy val annRecallIvfSql: String =
+    s"""WITH bf AS (SELECT q_id, vec_id FROM ($annTopkBruteforceSql)),
+       ivfk AS (SELECT q_id, vec_id FROM ($annTopkIvfSql)),
+       inter AS (SELECT q_id, COUNT(*) AS n_hit
+                 FROM bf JOIN ivfk USING (q_id, vec_id) GROUP BY q_id),
+       qs AS (SELECT DISTINCT q_id FROM bf)
+       SELECT qs.q_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+              CAST(COALESCE(n_hit, 0) AS DOUBLE) / $TopK AS recall
+       FROM qs LEFT JOIN inter USING (q_id) ORDER BY q_id"""
 }

@@ -88,7 +88,8 @@ class PlanQualitySpec extends AnyFunSuite {
   //  - token_budget_mix: corpus agg x broadcast 1-row total
   private val BoundedProductQueries = Set(
     "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_topk_lsh",
-    "ann_topk_ivf", "ann_topk_ivfpq", "ann_recall_lsh", "gap_fill_ffill",
+    "ann_topk_ivf", "ann_topk_ivfpq", "ann_recall_lsh", "ann_recall_ivf",
+    "gap_fill_ffill",
     "token_budget_mix",
     // same hard-capped query broadcast as ann_topk_bruteforce (|Q| <=
     // MaxQueries regardless of corpus size), O(|Q| * N) by design

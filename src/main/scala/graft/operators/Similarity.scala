@@ -683,7 +683,37 @@ object Similarity {
     Q("ann_topk_pq", Some(annTopkPqSql))(annTopkPq),
     Q("ann_topk_ivfpq", Some(annTopkIvfPqSql))(annTopkIvfPq),
     Q("ann_recall_lsh", Some(annRecallLshSql))(annRecallLsh),
-    Q("ann_recall_ivf", Some(annRecallIvfSql))(annRecallIvf))
+    Q("ann_recall_ivf", Some(annRecallIvfSql))(annRecallIvf),
+    Q("ann_recall_pq", Some(annRecallPqSql))(annRecallPq))
+
+  /** Recall@k for the PQ tier — with [[annRecallLsh]] and
+    * [[annRecallIvf]] every approximate index ships with its drift
+    * monitor. PQ's recall losses come from quantization error in the
+    * 8-byte codes (not candidate pruning), so this is the metric that
+    * sizes the codebook geometry. (round 4)
+    */
+  def annRecallPq(s: SparkSession, dir: String): DataFrame = {
+    val bf = annTopkBruteforce(s, dir).select(col("q_id"), col("vec_id"))
+    val pq = annTopkPq(s, dir).select(col("q_id"), col("vec_id"))
+    val inter = bf.join(pq, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    bf.select("q_id").distinct()
+      .join(inter, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / TopK).as("recall"))
+      .orderBy("q_id")
+  }
+
+  lazy val annRecallPqSql: String =
+    s"""WITH bf AS (SELECT q_id, vec_id FROM ($annTopkBruteforceSql)),
+       pqk AS (SELECT q_id, vec_id FROM ($annTopkPqSql)),
+       inter AS (SELECT q_id, COUNT(*) AS n_hit
+                 FROM bf JOIN pqk USING (q_id, vec_id) GROUP BY q_id),
+       qs AS (SELECT DISTINCT q_id FROM bf)
+       SELECT qs.q_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+              CAST(COALESCE(n_hit, 0) AS DOUBLE) / $TopK AS recall
+       FROM qs LEFT JOIN inter USING (q_id) ORDER BY q_id"""
 
   /** Recall@k monitor for the IVF tier — completes the eval story
     * ([[annRecallLsh]] covers the LSH tier): per query, how many of the

@@ -89,7 +89,7 @@ class PlanQualitySpec extends AnyFunSuite {
   private val BoundedProductQueries = Set(
     "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_topk_lsh",
     "ann_topk_ivf", "ann_topk_ivfpq", "ann_recall_lsh", "ann_recall_ivf",
-    "gap_fill_ffill",
+    "ann_recall_pq", "gap_fill_ffill",
     "token_budget_mix",
     // same hard-capped query broadcast as ann_topk_bruteforce (|Q| <=
     // MaxQueries regardless of corpus size), O(|Q| * N) by design

@@ -21,7 +21,12 @@ class DeterminismSpec extends AnyFunSuite {
   private val names = Seq(
     "corr_exact", "anomaly_zscore", "tfidf_top_terms",
     "quality_repetition", "token_budget_mix", "dedup_minhash_lsh",
-    "q1_agg", "window_rank_suite")
+    "q1_agg", "window_rank_suite",
+    // round-4 continuation: double-producing additions — the EWMA's
+    // dyadic sums, the association sqrt/lift, the share division, the
+    // two-level decimal window, and the conditional promo sum
+    "ewma_smooth", "skill_association", "revenue_share",
+    "q14_promo_share", "negative_samples_keyed")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

@@ -249,10 +249,14 @@ object Graph {
       .localCheckpoint()
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
       .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    // members is a comma-joined STRING, not array<string>: the oracle
+    // harness sorts result frames through pandas, which cannot hash
+    // array cells — no registered query may emit ArrayType/MapType
+    // (RegistrySpec locks this).
     lpaSweeps(e)
       .groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"),
-        sort_array(collect_list(col("skill"))).as("members"))
+        array_join(sort_array(collect_list(col("skill"))), ",").as("members"))
       .orderBy(col("n_members").desc, col("community"))
   }
 
@@ -273,7 +277,7 @@ object Graph {
        l0 AS (SELECT DISTINCT src AS skill, src AS lbl FROM e),
        ${(1 to LpaIters).map(k => sweep(s"l${k - 1}", k)).mkString(",\n       ")}
        SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
-              list_sort(list(skill)) AS members
+              array_to_string(list_sort(list(skill)), ',') AS members
        FROM l$LpaIters GROUP BY lbl
        ORDER BY n_members DESC, community"""
   }

@@ -87,7 +87,7 @@ object Similarity {
     * uses (`ascii(first hex char of md5("j:d")) % 2`), so both engines
     * see identical planes without materializing a planes relation.
     */
-  private def planeVec(j: Int): Array[Long] = {
+  private[operators] def planeVec(j: Int): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(Dim) { d =>
       val hex = md.digest(s"$j:$d".getBytes("UTF-8"))

@@ -81,13 +81,16 @@ class PlanQualitySpec extends AnyFunSuite {
 
   // Queries whose plan legitimately contains a nested-loop/cartesian
   // node, each BOUNDED by construction (never corpus x corpus):
-  //  - dedup_embedding_cosine: the declared exact all-pairs baseline
   //  - ann_*: query set hard-capped at 100 / centroids capped at IvfK,
   //    both broadcast
+  //  - dedup_embedding_recall: all-pairs ground truth over a subset
+  //    hard-capped at EmbRecallCap ids on BOTH sides (Cap² pairs,
+  //    corpus-size-independent) — the registered dedup_embedding_cosine
+  //    itself is a band equi-join, product-free
   //  - gap_fill_ffill: event-type set x calendar days spine
   //  - token_budget_mix: corpus agg x broadcast 1-row total
   private val BoundedProductQueries = Set(
-    "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_topk_lsh",
+    "dedup_embedding_recall", "ann_topk_bruteforce", "ann_topk_lsh",
     "ann_topk_ivf", "ann_topk_ivfpq", "ann_recall_lsh", "ann_recall_ivf",
     "ann_recall_pq", "gap_fill_ffill",
     "token_budget_mix",

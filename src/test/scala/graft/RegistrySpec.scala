@@ -28,6 +28,22 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  // Round-4's only red row: the driver harness sorts result frames
+  // through pandas, which raises on any array cell
+  // (`TypeError: unhashable type: 'numpy.ndarray'`). Guard the class:
+  // no registered query's FINAL schema may contain an array or map —
+  // emit a joined string (array_join(sort_array(...), ',')) instead.
+  test("no registered query emits ArrayType/MapType in its final schema") {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    Registry.all.foreach { q =>
+      val bad = q.fn(spark, sf).schema.fields.filter(f =>
+        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType])
+      assert(bad.isEmpty,
+        s"${q.name} emits non-scalar columns ${bad.map(_.name).mkString(",")} " +
+          "— the driver oracle harness cannot sort/hash them")
+    }
+  }
+
   // Pair-producing ops may legitimately be sparse at sf0.001; everything
   // else must produce rows.
   private val maySparse = Set("dedup_simhash", "dedup_ngram_jaccard",

@@ -417,6 +417,18 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_embedding_recall: one row, precision-1 accounting well-formed") {
+    val rows = Dedup.dedupEmbeddingRecall(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    val nTrue = r.getLong(0)
+    val nHit = r.getLong(1)
+    assert(nHit >= 0 && nHit <= nTrue,
+      "found pairs are exact-verified, so hits can never exceed truth")
+    if (nTrue == 0) assert(r.isNullAt(2))
+    else assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
   test("ann_topk_bruteforce: dense ranks, non-increasing similarity") {
     val rows = Similarity.annTopkBruteforce(spark, sf).collect()
       .groupBy(_.getAs[Long]("q_id"))

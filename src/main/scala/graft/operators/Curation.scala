@@ -445,8 +445,13 @@ object Curation {
     Tables.documents(s, dir).select(col("doc_id"))
       .select(col("doc_id"),
         explode(array((0 until NNeg).map(j => lit(j.toLong)): _*)).as("j"))
+      // the multiply runs in DECIMAL(38,0) (the oracle's HUGEINT): a
+      // BIGINT form would silently wrap in Spark for doc_id > ~3.4e9
+      // while DuckDB errors/promotes — the engines would diverge on
+      // exactly the id magnitudes a 100 TB corpus has
       .withColumn("raw",
-        expr(s"(doc_id * 2654435761L + j * 40503L) % ${nn}L"))
+        expr(s"CAST((CAST(doc_id AS DECIMAL(20,0)) * 2654435761" +
+          s" + j * 40503) % ${nn}L AS BIGINT)"))
       .withColumn("neg_id",
         when(col("raw") === col("doc_id"),
           (col("raw") + 1) % lit(nn)).otherwise(col("raw")))
@@ -477,8 +482,12 @@ object Curation {
     val fan = ranked
       .select(col("doc_id"), col("pos"),
         explode(array((0 until NNeg).map(j => lit(j.toLong)): _*)).as("j"))
+      // DECIMAL(38,0) multiply for the same overflow-portability reason
+      // as [[negativeSamples]] (pos is dense but n itself can exceed
+      // the BIGINT-safe multiplicand range at corpus scale)
       .withColumn("raw",
-        expr(s"(pos * 2654435761L + j * 40503L) % ${n}L"))
+        expr(s"CAST((CAST(pos AS DECIMAL(20,0)) * 2654435761" +
+          s" + j * 40503) % ${n}L AS BIGINT)"))
       .withColumn("neg_pos",
         when(col("raw") === col("pos"),
           (col("raw") + 1) % lit(n)).otherwise(col("raw")))
@@ -498,8 +507,8 @@ object Curation {
          FROM documents),
        n AS (SELECT COUNT(*) AS n FROM documents),
        fan AS (SELECT doc_id, pos, j,
-                 (pos * 2654435761 + j * 40503)
-                   % (SELECT n FROM n) AS raw
+                 CAST((CAST(pos AS HUGEINT) * 2654435761 + j * 40503)
+                   % (SELECT n FROM n) AS BIGINT) AS raw
                FROM ranked CROSS JOIN
                  (SELECT unnest(range(0, $NNeg)) AS j) js),
        fixed AS (SELECT doc_id, j,
@@ -558,8 +567,8 @@ object Curation {
     s"""WITH ids AS (SELECT doc_id FROM documents),
        n AS (SELECT COUNT(*) AS n FROM documents),
        fan AS (SELECT doc_id, j,
-                 (doc_id * 2654435761 + j * 40503)
-                   % (SELECT n FROM n) AS raw
+                 CAST((CAST(doc_id AS HUGEINT) * 2654435761 + j * 40503)
+                   % (SELECT n FROM n) AS BIGINT) AS raw
                FROM ids CROSS JOIN
                  (SELECT unnest(range(0, $NNeg)) AS j) js)
        SELECT doc_id, j,

@@ -857,12 +857,29 @@ object Dedup {
     dedupPrefixFilterOn(
       Tables.documents(s, dir).select(col("doc_id"), col("text")), cfg)
 
+  /** Plan-time rational LOWER bound p/q <= tau for the ppjoin integer
+    * predicates: all bounds derived from p/q are then valid (possibly
+    * looser) for the actual verification threshold tau, so the
+    * zero-false-negative contract holds for ANY configured tau — not
+    * just the 1/2 the round-4 form hardcoded. Denominator 720720
+    * (lcm 1..16) makes every simple fraction exact; floor keeps the
+    * bound one-sided when tau's double isn't exactly rational.
+    */
+  private[operators] def tauRational(tau: Double): (Long, Long) = {
+    require(tau > 0.0 && tau <= 1.0, s"ppjoin needs tau in (0,1], got $tau")
+    val Q = 720720L
+    val p = math.floor(tau * Q).toLong max 1L
+    val g = BigInt(p).gcd(BigInt(Q)).toLong
+    (p / g, Q / g)
+  }
+
   /** [[dedupPrefixFilter]] over any (doc_id, text) frame — split out so
     * the zero-false-negative guarantee is property-testable on
     * generated corpora, not just the oracle corpus.
     */
   def dedupPrefixFilterOn(docs: DataFrame,
       cfg: SimilarityConfig): DataFrame = {
+    val (p, q) = tauRational(cfg.minhashTau)
     val shr = docs
       .select(col("doc_id"),
         explode(array_distinct(
@@ -873,9 +890,11 @@ object Dedup {
     val prefix = shr.join(freq, Seq("sh"))
       .withColumn("rn", row_number().over(wRank))
       .withColumn("sz", count(lit(1)).over(wSz))
-      // prefix length |S| - ceil(tau*|S|) + 1 with tau = 1/2:
-      // ceil(sz/2) = (sz+1) div 2, all integer arithmetic
-      .filter(col("rn") <= col("sz") - expr("(sz + 1) div 2") + 1)
+      // prefix length |S| - ceil(tau'*|S|) + 1 with tau' = p/q:
+      // ceil(p*sz/q) = (p*sz + q - 1) div q, all integer arithmetic
+      // (for the default tau = 1/2 this is exactly (sz+1) div 2)
+      .filter(col("rn") <=
+        col("sz") - expr(s"(sz * $p + ${q - 1}) div $q") + 1)
       .select(col("doc_id"), col("sh"), col("rn"), col("sz"))
       // §7a checkpoint rule: prefix is a compact POST-window frame
       // (~half the shingle stream) consumed by BOTH sides of the
@@ -885,20 +904,21 @@ object Dedup {
       .localCheckpoint()
     // ppjoin-style EXACT pruning at candidate generation (measured:
     // 409k -> 125k pairs at sf0.1, and verify cost is linear in
-    // pairs): the LENGTH filter (J >= 1/2 forces 2*min(|A|,|B|) >=
-    // max), and the POSITIONAL filter (a match at prefix position rn
+    // pairs), both bounds derived from the SAME p/q rational as the
+    // prefix: the LENGTH filter (J >= p/q forces q*min(|A|,|B|) >=
+    // p*max), and the POSITIONAL filter (a match at prefix position rn
     // leaves at most min(szA-rnA, szB-rnB)+1 common elements, which
-    // must reach the required overlap ceil((szA+szB)/3) for tau=1/2).
-    // Both are per-row integer predicates on the equi-join — no false
+    // must reach the required overlap ceil(p*(szA+szB)/(p+q))). Both
+    // are per-row integer predicates on the equi-join — no false
     // negatives by the ppjoin bounds.
     val pb = prefix.select(col("doc_id").as("doc_id_b"),
       col("sh").as("sh_b"), col("rn").as("rn_b"), col("sz").as("sz_b"))
     val cand = prefix.join(pb,
         col("sh") === col("sh_b") && col("doc_id") < col("doc_id_b") &&
-          lit(2) * least(col("sz"), col("sz_b")) >=
-            greatest(col("sz"), col("sz_b")) &&
+          lit(q) * least(col("sz"), col("sz_b")) >=
+            lit(p) * greatest(col("sz"), col("sz_b")) &&
           lit(1) + least(col("sz") - col("rn"), col("sz_b") - col("rn_b"))
-            >= expr("(sz + sz_b + 2) div 3"))
+            >= expr(s"((sz + sz_b) * $p + ${p + q - 1}) div ${p + q}"))
       .select(col("doc_id").as("doc_a"), col("doc_id_b").as("doc_b"))
       .distinct()
     // NOTE (measured twice at sf0.1): verifying on whole shingle
@@ -914,7 +934,10 @@ object Dedup {
     verifyJaccard(cand, shr, cnt, cfg.minhashTau)
   }
 
-  val dedupPrefixFilterSql: String =
+  val dedupPrefixFilterSql: String = {
+    // same plan-time p/q rational as the engine side — the two stay in
+    // lockstep for any configured default tau
+    val (p, q) = tauRational(D.minhashTau)
     s"""WITH shr AS (${sqlShingleRows(D.shingleWidth)}),
        freq AS (SELECT sh, COUNT(*) AS df FROM shr GROUP BY sh),
        ranked AS (SELECT s.doc_id, s.sh,
@@ -923,14 +946,15 @@ object Dedup {
                     COUNT(*) OVER (PARTITION BY s.doc_id) AS sz
                   FROM shr s JOIN freq f ON s.sh = f.sh),
        pre AS (SELECT doc_id, sh, rn, sz FROM ranked
-               WHERE rn <= sz - ((sz + 1) // 2) + 1),
+               WHERE rn <= sz - ((sz * $p + ${q - 1}) // $q) + 1),
        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM pre a JOIN pre b
                   ON a.sh = b.sh AND a.doc_id < b.doc_id
-                 AND 2 * LEAST(a.sz, b.sz) >= GREATEST(a.sz, b.sz)
+                 AND $q * LEAST(a.sz, b.sz) >= $p * GREATEST(a.sz, b.sz)
                  AND 1 + LEAST(a.sz - a.rn, b.sz - b.rn)
-                     >= (a.sz + b.sz + 2) // 3),
+                     >= ((a.sz + b.sz) * $p + ${p + q - 1}) // ${p + q}),
        ${sqlVerifyJaccard(D.minhashTau)}"""
+  }
 
   /** Recall of the banded-MinHash blocking against exact ground truth
     * — the dedup tier's twin of [[Similarity.annRecallLsh]] (an index

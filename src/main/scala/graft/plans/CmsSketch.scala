@@ -111,13 +111,23 @@ object CmsSketch {
     var best = Long.MaxValue
     var i = 0
     while (i < Depth) {
+      // counters are bounded only by stream mass, so a row sum can
+      // exceed Long range at scale; an overflowed (wrapped) row would
+      // win the min and destroy the one-sided upper-bound guarantee.
+      // Saturate the row to Long.MaxValue instead — a saturated row can
+      // never win the min unless every row saturated, in which case
+      // MaxValue is still an honest upper bound.
       var dot = 0L
+      var overflow = false
       var j = 0
-      while (j < Width) {
-        dot += counter(a, i, j) * counter(b, i, j)
+      while (j < Width && !overflow) {
+        try dot = Math.addExact(dot,
+          Math.multiplyExact(counter(a, i, j), counter(b, i, j)))
+        catch { case _: ArithmeticException => overflow = true }
         j += 1
       }
-      if (dot < best) best = dot
+      val row = if (overflow) Long.MaxValue else dot
+      if (row < best) best = row
       i += 1
     }
     best

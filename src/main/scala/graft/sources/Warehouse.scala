@@ -111,15 +111,35 @@ object Warehouse {
     */
   def dedupAppend(batch: DataFrame, path: String, keyCol: String): DataFrame = {
     val s = batch.sparkSession
-    val incoming = batch.dropDuplicates(keyCol)
+    // Deterministic within-batch survivor: first-writer-wins must not
+    // depend on partition order (a retry of the same batch has to keep
+    // the same payload), so the survivor is the row_number-1 row under
+    // a total order of the non-key columns — never dropDuplicates'
+    // arbitrary pick.
+    val tiebreak = batch.columns.filterNot(_ == keyCol).map(col).toSeq
+    val ord = if (tiebreak.nonEmpty) tiebreak else Seq(col(keyCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(ord: _*)
+    val incoming = batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     val dataPath = s"$path/data"
     val bloomPath = s"$path/bloom"
     val bloomOf = (df: DataFrame) => df.agg(
       expr(s"graft_bloom_agg(CAST($keyCol AS STRING), 20)").as("bf"))
+    // Write ORDER is the crash-safety contract: the bloom blob commits
+    // BEFORE its rows. A crash between the writes then leaves the bloom
+    // a SUPERSET of stored keys — safe, because the bloom only ROUTES
+    // (false positives just send rows through the exact anti-join). The
+    // opposite order would leave stored keys missing from the bloom; on
+    // retry those keys probe definitely-new, skip the exact join, and
+    // append duplicates — silently breaking exactly-once.
     scala.util.Try(s.read.parquet(dataPath)).toOption match {
       case None =>
-        incoming.write.mode(SaveMode.Overwrite).parquet(dataPath)
-        bloomOf(incoming).write.mode(SaveMode.Overwrite).parquet(bloomPath)
+        val mat = incoming.localCheckpoint(true)
+        bloomOf(mat).write.mode(SaveMode.Overwrite).parquet(bloomPath)
+        mat.write.mode(SaveMode.Overwrite).parquet(dataPath)
         s.read.parquet(dataPath)
       case Some(existing) =>
         val bloom = s.read.parquet(bloomPath)
@@ -134,7 +154,6 @@ object Warehouse {
         val novel = fresh.unionByName(
           candidates.join(existing.select(keyCol), Seq(keyCol), "left_anti"))
           .localCheckpoint(true)
-        novel.write.mode(SaveMode.Append).parquet(dataPath)
         // fold the batch's keys into the stored blob (OR-merge). The
         // merged blob is a scalar-sized artifact (128 KiB) — collect
         // it rather than self-overwriting the path it is read from
@@ -144,6 +163,7 @@ object Warehouse {
         import s.implicits._
         Seq(blob).toDF("bf")
           .write.mode(SaveMode.Overwrite).parquet(bloomPath)
+        novel.write.mode(SaveMode.Append).parquet(dataPath)
         novel
     }
   }

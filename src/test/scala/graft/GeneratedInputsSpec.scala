@@ -182,6 +182,40 @@ class GeneratedInputsSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "generated corpus should contain near-dup pairs")
   }
 
+  test("prefix-filter dedup stays exact for non-default taus (derived ppjoin bounds)") {
+    // the round-4 form hardcoded tau = 1/2 in the prefix length and
+    // both ppjoin pruning predicates; the bounds are now derived from a
+    // plan-time rational, so the zero-false-negative equality must hold
+    // at ANY configured threshold — including doubles that are not
+    // exactly representable (0.6), where the rational is a strict lower
+    // bound and the predicates are conservatively looser
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val cases = sample(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = cases.toDF("doc_id", "text")
+    def shingles(t: String, w: Int): Set[String] = {
+      val tk = t.split("\\s+").filter(_.nonEmpty).toVector
+      if (tk.length < w) Set(tk.mkString(" "))
+      else tk.sliding(w).map(_.mkString(" ")).toSet
+    }
+    for (tau <- Seq(0.34, 0.6, 0.75)) {
+      val cfg = operators.SimilarityConfig(minhashTau = tau)
+      val out = operators.Dedup.dedupPrefixFilterOn(df, cfg).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = cases.map { case (id, t) => id -> shingles(t, cfg.shingleWidth) }
+      val naive = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a < b
+        inter = (sa & sb).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= tau
+      } yield (a, b)).toSet
+      assert(out === naive, s"prefix filter diverged from naive at tau=$tau")
+    }
+  }
+
   test("denseIds equals sorted rank per generated case") {
     // many generated cases ride ONE frame: case id is the group column,
     // so each case gets its own independent 1-based numbering

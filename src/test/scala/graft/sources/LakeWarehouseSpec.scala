@@ -260,6 +260,26 @@ class LakeWarehouseSpec extends AnyFunSuite {
     assert(byKey(2L) === "b" && byKey(4L) === "d")
   }
 
+  test("dedupAppend: within-batch duplicate keys keep a deterministic survivor") {
+    import spark.implicits._
+    // the same batch carries one key three times with different
+    // payloads, spread across partitions — first-writer-wins must pick
+    // the same payload on every run/retry (min under the payload
+    // order), never a partition-order-dependent row
+    def batch() = Seq((7L, "zeta"), (7L, "alpha"), (7L, "mid"), (8L, "solo"))
+      .toDF("key", "payload").repartition(4)
+    val s1 = Files.createTempDirectory("dedup_det1").toString + "/d"
+    val s2 = Files.createTempDirectory("dedup_det2").toString + "/d"
+    Warehouse.dedupAppend(batch(), s1, "key")
+    Warehouse.dedupAppend(batch(), s2, "key")
+    def stored(p: String) = spark.read.parquet(s"$p/data").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stored(s1) === stored(s2))
+    assert(stored(s1)(7L) === "alpha", "survivor must be the payload-order minimum")
+    // and a replay of the same batch against the store appends nothing
+    assert(Warehouse.dedupAppend(batch(), s1, "key").count() === 0)
+  }
+
   test("schema evolution: widened writers and mergeSchema readers coexist in one table") {
     import spark.implicits._
     // generation 1 writes (key, val); generation 2 adds a column — the

@@ -320,6 +320,60 @@ object Analytics {
           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 30
                AND l_quantity BETWEEN 20 AND 50)"""
 
+  /** TPC-H Q17 shape — the correlated-SCALAR-SUBQUERY class (§2E's one
+    * missing classic): revenue from lineitems whose quantity is below
+    * 20% of their part's average quantity, per brand. Written as
+    * literal subquery SQL so CATALYST'S DECORRELATION does the
+    * planning: RewriteCorrelatedScalarSubquery turns the per-row
+    * subplan into ONE per-part aggregate joined back to the probe —
+    * the plan a hand-written groupBy+join would give, but derived from
+    * the declarative form (PlanQualitySpec pins that no subquery
+    * survives into the physical plan and that lineitem is aggregated
+    * for the threshold exactly once). At 100 TB that is the only
+    * viable shape: a surviving per-row subplan would rescan lineitem
+    * per probe row.
+    *
+    * Parity: the subquery returns the per-part mean as
+    * exact-BIGINT-sum cast to double over a double count — two
+    * correctly-rounded casts and ONE IEEE division, so the scalar is
+    * bit-identical across engines (engine AVG() would accumulate
+    * doubles order-dependently). The 20% threshold multiplies the
+    * OUTER side by 5.0 — exact for the integral quantities — instead
+    * of comparing against the inexact literal 0.2. (round 5)
+    */
+  def q17Correlated(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q17_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("graft_q17_part")
+    s.sql("""
+      SELECT p.p_brand,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,4))) AS DOUBLE)
+               / 7.0 AS avg_yearly,
+             CAST(COUNT(*) AS BIGINT) AS n_items
+      FROM graft_q17_lineitem l
+      JOIN graft_q17_part p ON p.p_partkey = l.l_partkey
+      WHERE CAST(l.l_quantity AS DOUBLE) * 5.0 <
+            (SELECT CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)
+             FROM graft_q17_lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+      GROUP BY p.p_brand
+      ORDER BY p.p_brand""")
+  }
+
+  val q17CorrelatedSql: String =
+    s"""SELECT p.p_brand,
+              CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE)
+                / 7.0 AS avg_yearly,
+              CAST(COUNT(*) AS BIGINT) AS n_items
+       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE CAST(l.l_quantity AS DOUBLE) * 5.0 <
+             (SELECT CAST(CAST(SUM(CAST(l2.l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)
+              FROM lineitem l2
+              WHERE l2.l_partkey = l.l_partkey)
+       GROUP BY p.p_brand
+       ORDER BY p.p_brand"""
+
   /** Percent-of-total (ratio_to_report): each nation's share of its
     * region's order revenue. Sums stay exact DECIMAL through BOTH
     * levels (the per-nation agg and the region total, the latter a
@@ -1078,6 +1132,7 @@ object Analytics {
     Q("q10_returned_items", Some(q10Sql))(q10),
     Q("q14_promo_share", Some(q14Sql))(q14),
     Q("q19_bracket_revenue", Some(q19Sql))(q19),
+    Q("q17_small_quantity_revenue", Some(q17CorrelatedSql))(q17Correlated),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),
     Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),

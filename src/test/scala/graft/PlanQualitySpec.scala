@@ -126,6 +126,25 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q17: correlated scalar subqueries decorrelate into one aggregate-join") {
+    val df = Analytics.q17Correlated(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // no scalar subquery survives optimization — Catalyst rewrote the
+    // per-row subplans into aggregate joins (the only shape that scales:
+    // a surviving subquery would rescan lineitem per probe row)
+    assert(!opt.contains("scalar-subquery"), opt.take(2000))
+    // and the two subqueries (count + sum over the same correlation key)
+    // merged into ONE per-part aggregate, so lineitem is aggregated once
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val aggsOnPartkey = df.queryExecution.sparkPlan.collect {
+      case a: BaseAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("l_partkey")) => a
+    }
+    // partial + final of the same merged aggregate = 2 exec nodes
+    assert(aggsOnPartkey.size <= 2,
+      s"per-part subquery aggregates did not merge: ${aggsOnPartkey.size}")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // at 100 TB a selectively-filtered dim joined to a fact over a
     // shuffle should ship only fact rows that can match: Spark's

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * per-row get-or-create upserts (insert_to_postgres.py:60-84); these
   * are the set-based equivalents that survive when "the table" is a
   * million parquet files.
+  *
+  * The queries here are the ROW-level algebra (oracle-gated against
+  * DuckDB over plain frames); the FILE-level mechanism they assume — a
+  * real append-only snapshot log whose manifest bounds prune actual
+  * scans — is [[graft.sources.ManifestLog]] (time travel opens only a
+  * version's files; key-range probes drop non-intersecting files before
+  * the scan; ManifestLogSpec asserts the input-file counts).
   */
 object Lakehouse {
 

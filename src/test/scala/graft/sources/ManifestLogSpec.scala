@@ -1,0 +1,91 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native snapshot/manifest log: two commits, time travel by
+  * version, and manifest-pruned scans whose input-file lists provably
+  * shrink — the file-level mechanism under the Lakehouse tier's
+  * row-level algebra.
+  */
+class ManifestLogSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("manifest_log").toString + "/t"
+
+  test("two commits: snapshot reads the log, time travel resolves versions") {
+    import spark.implicits._
+    val path = freshTable()
+    // commit 1: keys 0..99 across 4 files; commit 2: keys 100..149
+    val v1 = ManifestLog.commit(
+      (0L until 100L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartition(4), path, "key")
+    assert(v1 === 1L)
+    val v2 = ManifestLog.commit(
+      (100L until 150L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartition(2), path, "key")
+    assert(v2 === 2L)
+
+    val latest = ManifestLog.snapshot(spark, path)
+    assert(latest.count() === 150)
+    val asOf1 = ManifestLog.snapshot(spark, path, Some(1L))
+    assert(asOf1.count() === 100)
+    assert(asOf1.agg(max(col("key"))).head.getLong(0) === 99L)
+
+    // time travel is FILE pruning, not row filtering: the as-of scan's
+    // input files are exactly commit 1's files, a strict subset
+    assert(asOf1.inputFiles.length === 4)
+    assert(latest.inputFiles.length === 6)
+    assert(asOf1.inputFiles.toSet.subsetOf(latest.inputFiles.toSet))
+
+    // the log is append-only and file-cardinality
+    val log = ManifestLog.log(spark, path).collect()
+    assert(log.map(_.getAs[Long]("version")).toSet === Set(1L, 2L))
+    assert(log.length === 6)
+    log.foreach(r => assert(r.getAs[Long]("n_rows") > 0))
+  }
+
+  test("manifest key-range pruning shrinks the scan and preserves the answer") {
+    import spark.implicits._
+    val path = freshTable()
+    // range-partitioned write: each file holds a disjoint key range, so
+    // the manifest bounds are selective (the layout half of the
+    // data_skipping_stats argument: layout, not the reader, decides)
+    ManifestLog.commit(
+      (0L until 400L).map(k => (k, k * 10)).toDF("key", "val")
+        .repartitionByRange(8, col("key")), path, "key")
+
+    val pruned = ManifestLog.scanKeyRange(spark, path, "key", 100L, 149L)
+    val full = ManifestLog.snapshot(spark, path)
+      .filter(col("key").between(100L, 149L))
+    // identical answer...
+    assert(pruned.orderBy("key").collect().map(_.toSeq).toSeq ===
+      full.orderBy("key").collect().map(_.toSeq).toSeq)
+    assert(pruned.count() === 50)
+    // ...from a provably smaller scan: 50 contiguous keys of 400 across
+    // 8 range files live in at most 2 files
+    assert(full.inputFiles.length === 8)
+    assert(pruned.inputFiles.length <= 2,
+      s"manifest pruning kept ${pruned.inputFiles.length} of 8 files")
+  }
+
+  test("uncommitted data files are invisible to readers") {
+    import spark.implicits._
+    val path = freshTable()
+    ManifestLog.commit(Seq((1L, "a"), (2L, "b")).toDF("key", "payload"),
+      path, "key")
+    // simulate a crash AFTER the data write but BEFORE the log append:
+    // orphan files under data/ that no log row names
+    Seq((99L, "orphan")).toDF("key", "payload")
+      .write.parquet(path + "/data/v2")
+    val seen = ManifestLog.snapshot(spark, path)
+    assert(seen.count() === 2)
+    assert(!seen.collect().map(_.getLong(0)).contains(99L))
+    // and the next commit claims the next version without seeing them
+    assert(ManifestLog.currentVersion(spark, path) === 1L)
+  }
+}

@@ -184,6 +184,58 @@ object Warehouse {
       .option("batchsize", batchSize.toLong)
       .jdbc(url, table, props)
 
+  /** Exactly-once STREAMING publish to a JDBC warehouse — the
+    * reference's Postgres load (insert_to_postgres.py) as a
+    * foreachBatch sink. Structured Streaming replays a micro-batch
+    * after a crash with the SAME batchId, so idempotence is keyed on
+    * it: retract any rows of this batch (a partial previous attempt),
+    * then append the batch stamped with its id. Whatever point the
+    * previous attempt died at, the converged state is exactly one copy
+    * of every batch — the DELETE+append pair is the set-based twin of
+    * the reference's PK-conflict INSERT, but batch-granular and
+    * replay-driven rather than row-by-row. (round 5)
+    *
+    * The retract is one key-indexed DELETE on the warehouse (cheap —
+    * batch_id is the natural load-partition key there); the append
+    * streams partition-parallel like [[writeJdbc]].
+    */
+  def publishJdbcIdempotent(df: DataFrame, url: String, table: String,
+      batchId: Long, props: Properties = new Properties(),
+      numPartitions: Int = 8, batchSize: Int = 10000): Unit = {
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      // Identifier-case trap: Spark's JDBC writer passes the TABLE name
+      // unquoted (the warehouse case-folds it — Derby/Postgres store
+      // FACT_X / fact_x) but creates COLUMNS quoted (case-exact
+      // "batch_id"). The retract resolves the stored table name from
+      // the catalog case-insensitively and quotes both identifiers
+      // exactly. Probing the catalog instead of swallowing exceptions
+      // matters: the first publish ever has no table (the append below
+      // creates it), but once it exists a failed DELETE must fail the
+      // batch, not leak duplicates.
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var stored: Option[String] = None
+      while (rs.next() && stored.isEmpty) {
+        val n = rs.getString(3)
+        if (n != null && n.equalsIgnoreCase(table)) stored = Some(n)
+      }
+      rs.close()
+      stored.foreach { t =>
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"""DELETE FROM "$t" WHERE "batch_id" = $batchId""")
+        finally st.close()
+      }
+    } finally conn.close()
+    df.withColumn("batch_id", lit(batchId))
+      .coalesce(numPartitions)
+      .write
+      .mode(SaveMode.Append)
+      .option("batchsize", batchSize.toLong)
+      .jdbc(url, table, props)
+  }
+
   /** Read a warehouse table back (round-trip verification and
     * dimension lookups).
     */

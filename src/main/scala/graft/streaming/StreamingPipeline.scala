@@ -131,4 +131,50 @@ object StreamingPipeline {
     val q = start(s, lakeDir, outDir, checkpoint)
     q.awaitTermination()
   }
+
+  /** The scalar projection of a cleaned offer batch that a JDBC
+    * warehouse can hold (arrays stay in the lake; the bridge table is
+    * the relational form of competences).
+    */
+  private[streaming] def jdbcOfferCols(offers: DataFrame): DataFrame =
+    offers.select(col("job_url"), col("via"), col("titre_homogene"),
+      col("pub_date"), col("secteur"), col("niveau_qualification"))
+
+  /** The reference's Postgres load as a STREAMING sink: each
+    * micro-batch cleans + enriches and publishes to the JDBC warehouse
+    * through [[Warehouse.publishJdbcIdempotent]] — batch-id-keyed, so
+    * the checkpointed replay of a crashed batch retracts its partial
+    * rows before re-appending and the warehouse never holds duplicates
+    * (spec drives two batches plus a replay). (round 5)
+    */
+  def startJdbcPublish(s: SparkSession, lakeDir: String, url: String,
+      table: String, checkpoint: String,
+      props: java.util.Properties): StreamingQuery = {
+    val schema = Pipeline.offerSchema
+      .add(StructField(JsonLake.CorruptCol, StringType, nullable = true))
+    s.readStream.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", JsonLake.CorruptCol)
+      .json(lakeDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (ok, _) = JsonLake.quarantine(batch)
+        val offers = Pipeline.enrich(Pipeline.clean(ok))
+        Warehouse.publishJdbcIdempotent(
+          jdbcOfferCols(offers), url, table, batchId, props)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Drain all currently-available lake files into the JDBC warehouse
+    * and stop (rerun with the same checkpoint to publish only NEW
+    * files).
+    */
+  def runOnceJdbc(s: SparkSession, lakeDir: String, url: String,
+      table: String, checkpoint: String,
+      props: java.util.Properties): Unit =
+    startJdbcPublish(s, lakeDir, url, table, checkpoint, props)
+      .awaitTermination()
 }

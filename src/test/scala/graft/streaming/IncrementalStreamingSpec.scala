@@ -146,6 +146,67 @@ class IncrementalStreamingSpec extends AnyFunSuite {
     assert(resolved(out) === resolved(outB))
   }
 
+  test("exactly-once JDBC publish: two micro-batches, a replay, and a partial-failure retry") {
+    import graft.operators.Pipeline
+    import graft.sources.{JsonLake, Warehouse}
+    import org.apache.spark.sql.types.{StringType, StructField}
+    def offer(url: String, via: String): String =
+      s"""{"job_url":"$url","titre":"t","via":"$via","publication_date":"2024-03-05","description":"hash join data","contrat":"CDI","companie":"Acme","niveau_etudes":"Master","niveau_experience":"junior"}"""
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftpub;create=true"
+    val table = "fact_offres_pub"
+    val lake = Files.createTempDirectory("graft_jp_lake").toString
+    val ckpt = Files.createTempDirectory("graft_jp_ckpt").toString
+
+    // micro-batch 0: two offers land
+    val w1 = new java.io.PrintWriter(s"$lake/b1.jsonl")
+    w1.println(offer("u1", "alpha")); w1.println(offer("u2", "beta"))
+    w1.close()
+    StreamingPipeline.runOnceJdbc(spark, lake, url, table, ckpt, props)
+    def published() = Warehouse.readJdbc(spark, url, table, props)
+    assert(published().count() === 2)
+
+    // micro-batch 1: two more — the checkpoint makes only NEW files a
+    // batch, and the warehouse accumulates without touching batch 0
+    val w2 = new java.io.PrintWriter(s"$lake/b2.jsonl")
+    w2.println(offer("u3", "beta")); w2.println(offer("u4", "gamma"))
+    w2.close()
+    StreamingPipeline.runOnceJdbc(spark, lake, url, table, ckpt, props)
+    assert(published().count() === 4)
+    assert(published().select("job_url").distinct().count() === 4)
+
+    // draining with no new files publishes nothing new
+    StreamingPipeline.runOnceJdbc(spark, lake, url, table, ckpt, props)
+    assert(published().count() === 4)
+
+    // CRASH REPLAY: foreachBatch re-delivers batch 1 with the same id
+    // after a failure — publish the same frame under the same batchId
+    // again and the warehouse must not grow
+    val schema = Pipeline.offerSchema
+      .add(StructField(JsonLake.CorruptCol, StringType, nullable = true))
+    val b2 = spark.read.schema(schema).json(s"$lake/b2.jsonl")
+    val offers2 = Pipeline.enrich(Pipeline.clean(JsonLake.quarantine(b2)._1))
+    Warehouse.publishJdbcIdempotent(
+      StreamingPipeline.jdbcOfferCols(offers2), url, table, 1L, props)
+    assert(published().count() === 4)
+    assert(published().select("job_url").distinct().count() === 4)
+
+    // PARTIAL-FAILURE retry: a previous attempt of batch 2 died mid-
+    // append (one row landed); the replay must retract it and converge
+    // to exactly the full batch
+    val partial = StreamingPipeline.jdbcOfferCols(offers2).limit(1)
+    partial.withColumn("batch_id", lit(2L)).write.mode("append")
+      .jdbc(url, table, props)
+    assert(published().count() === 5)
+    Warehouse.publishJdbcIdempotent(
+      StreamingPipeline.jdbcOfferCols(offers2), url, table, 2L, props)
+    val b2rows = published().filter(col("batch_id") === 2L)
+    assert(b2rows.count() === 2)
+    assert(published().count() === 6)
+    assert(b2rows.select("job_url").distinct().count() === 2)
+  }
+
   test("constraint gate audits every batch and refuses to publish on failure") {
     import graft.operators.{DataQuality, Pipeline}
     import graft.sources.JsonLake

@@ -216,6 +216,92 @@ class GeneratedInputsSpec extends AnyFunSuite {
     }
   }
 
+  test("salting spreads a generated hot key across reducers; AQE splits the skewed join") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // generated skewed corpus: one hot key owns 50k of 60k rows — the
+    // double-digit-share pathology Skew.saltedJoin documents
+    val big = spark.range(60000L).select(
+      when(col("id") < 50000L, 0L).otherwise(pmod(col("id"), lit(100)) + 1L)
+        .as("key"),
+      col("id").as("row_id"))
+    val small = spark.range(101L).select(col("id").as("key"),
+      concat(lit("dim_"), col("id")).as("label"))
+
+    // per-task shuffle-read records via a listener (max = the fullest
+    // reducer — the task a 1000-executor cluster waits on)
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          maxRead.getAndUpdate(cur => math.max(cur, r))
+        }
+      }
+    }
+    def measuredMax(action: => Long): Long = {
+      maxRead.set(0L)
+      action
+      org.apache.spark.GraftTestHooks.flushListeners(spark.sparkContext)
+      maxRead.get()
+    }
+
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevShuf = conf.get("spark.sql.shuffle.partitions")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // force the shuffle join and freeze AQE so the measurement sees
+      // the raw routing, not an adaptive rescue; 32 reducers (the
+      // shared test session runs fewer, which caps how far ANY spread
+      // can beat the hot task)
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.shuffle.partitions", "32")
+      val plainCount = big.join(small, "key").count()
+      val maxPlain = measuredMax(big.join(small, "key").count())
+      val maxSalted = measuredMax(
+        graft.functions.Skew.saltedJoin(big, small, "key", "row_id", 32).count())
+      // same answer...
+      assert(graft.functions.Skew.saltedJoin(big, small, "key", "row_id", 32)
+        .count() === plainCount)
+      // ...but the hot key's 50k rows fan over 32 salt groups instead
+      // of one reducer: the fullest salted task reads < 1/4 of the
+      // plain hot task (expected ~1/32; 1/4 leaves headroom for several
+      // salt groups hash-colliding onto one of the 32 reducers)
+      assert(maxPlain >= 50000L,
+        s"plain join should funnel the hot key through one task, max=$maxPlain")
+      assert(maxSalted * 4 < maxPlain,
+        s"salting did not spread the hot key: salted max=$maxSalted plain max=$maxPlain")
+
+      // and AQE's reactive skew split fires on the same plain join when
+      // enabled with thresholds scaled to the local corpus
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      try {
+        // execute THIS QueryExecution (count() would plan a separate
+        // one and leave this adaptive plan un-finalized)
+        val qe = big.join(small, "key").queryExecution
+        qe.executedPlan.execute().count()
+        val p = qe.executedPlan.toString
+        assert(p.contains("skew=true"),
+          s"AQE skew split did not fire:\n${p.take(2000)}")
+      } finally {
+        conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        conf.unset("spark.sql.adaptive.skewJoin.enabled")
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      conf.set("spark.sql.shuffle.partitions", prevShuf)
+    }
+  }
+
   test("denseIds equals sorted rank per generated case") {
     // many generated cases ride ONE frame: case id is the group column,
     // so each case gets its own independent 1-based numbering

@@ -26,7 +26,12 @@ class DeterminismSpec extends AnyFunSuite {
     // dyadic sums, the association sqrt/lift, the share division, the
     // two-level decimal window, and the conditional promo sum
     "ewma_smooth", "skill_association", "revenue_share",
-    "q14_promo_share", "negative_samples_keyed")
+    "q14_promo_share", "negative_samples_keyed",
+    // round 5: the decorrelated-subquery double division and the
+    // banded-LSH cosine chain (via its recall gate, which always emits
+    // a row — the registered pair query is legitimately sparse at
+    // sf0.001)
+    "q17_small_quantity_revenue", "dedup_embedding_recall")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

@@ -374,6 +374,51 @@ object Analytics {
        GROUP BY p.p_brand
        ORDER BY p.p_brand"""
 
+  /** TPC-H Q21 shape — the correlated-EXISTS class, the other classic
+    * subquery family next to [[q17Correlated]]'s scalar: suppliers
+    * whose returned item sits in a multi-supplier order where no OTHER
+    * supplier returned anything (the at-fault-supplier analytic,
+    * re-keyed to this schema's returnflag). Written as literal
+    * EXISTS / NOT EXISTS SQL so Catalyst's RewritePredicateSubquery
+    * plans the semi/anti joins — at 100 TB a surviving per-row
+    * existence probe would rescan lineitem per row; the decorrelated
+    * form is two equi-joins on l_orderkey that AQE can split.
+    * All-integer output (counts + keys), so parity is arithmetic-free.
+    * (round 5)
+    */
+  def q21WaitingSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q21_lineitem")
+    s.sql("""
+      SELECT l1.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM graft_q21_lineitem l1
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY l1.l_suppkey
+      ORDER BY numwait DESC, l1.l_suppkey
+      LIMIT 20""")
+  }
+
+  val q21WaitingSupplierSql: String =
+    s"""SELECT l1.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+       FROM lineitem l1
+       WHERE l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+       GROUP BY l1.l_suppkey
+       ORDER BY numwait DESC, l1.l_suppkey
+       LIMIT 20"""
+
   /** Percent-of-total (ratio_to_report): each nation's share of its
     * region's order revenue. Sums stay exact DECIMAL through BOTH
     * levels (the per-nation agg and the region total, the latter a
@@ -1133,6 +1178,7 @@ object Analytics {
     Q("q14_promo_share", Some(q14Sql))(q14),
     Q("q19_bracket_revenue", Some(q19Sql))(q19),
     Q("q17_small_quantity_revenue", Some(q17CorrelatedSql))(q17Correlated),
+    Q("q21_waiting_supplier", Some(q21WaitingSupplierSql))(q21WaitingSupplier),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),
     Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),

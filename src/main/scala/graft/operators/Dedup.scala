@@ -331,6 +331,11 @@ object Dedup {
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
+    // NOTE (measured at sf0.1): localCheckpoint() on this frame REGRESSED
+    // 1.75 -> 1.9-2.0 s — the 64 plane projections are cheap codegen'd
+    // map work, so recomputing both self-join sides beats materializing
+    // 8 rows/vector (the §7a rule: checkpoints pay for expensive-to-
+    // recompute compact frames, and the plane dots are not expensive).
     val bands = qn
       .select(col("vec_id"), posexplode(array(bandCols: _*)))
       .toDF("vec_id", "band_id", "band_key")

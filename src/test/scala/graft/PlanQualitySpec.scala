@@ -145,6 +145,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"per-part subquery aggregates did not merge: ${aggsOnPartkey.size}")
   }
 
+  test("q21: EXISTS/NOT EXISTS decorrelate into semi/anti joins") {
+    val df = Analytics.q21WaitingSupplier(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("exists-subquery") && !opt.contains("Exists("),
+      opt.take(2000))
+    assert(opt.contains("LeftSemi") && opt.contains("LeftAnti"),
+      s"predicate subqueries did not decorrelate:\n${opt.take(2000)}")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // at 100 TB a selectively-filtered dim joined to a fact over a
     // shuffle should ship only fact rows that can match: Spark's

@@ -419,6 +419,169 @@ object Analytics {
        ORDER BY numwait DESC, l1.l_suppkey
        LIMIT 20"""
 
+  /** TPC-H Q4 shape — the uncorrelated-output EXISTS class in its
+    * simplest form: order counts per priority, restricted to orders
+    * with at least one returned lineitem in a one-year window (the
+    * reference's returnflag standing in for Q4's commit/receipt lag,
+    * which this schema lacks). RewritePredicateSubquery turns the
+    * probe into ONE LeftSemi equi-join on l_orderkey — the lineitem
+    * side pre-filters to 'R' rows before the join, so at 100 TB the
+    * semi join ships only the (orderkey) keys of returned items, never
+    * bodies, and the date filter pushes to the orders scan.
+    * All-integer output. (round 5)
+    */
+  def q4PriorityReturns(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q4_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q4_lineitem")
+    s.sql("""
+      SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM graft_q4_orders o
+      WHERE o.o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM graft_q4_lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_returnflag = 'R')
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority""")
+  }
+
+  val q4PriorityReturnsSql: String =
+    s"""SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_returnflag = 'R')
+       GROUP BY o.o_orderpriority
+       ORDER BY o.o_orderpriority"""
+
+  /** TPC-H Q13 shape — the FILTERED-OUTER-JOIN + distribution class:
+    * how many customers placed exactly k open orders (join predicate
+    * `o_orderstatus <> 'F'` lives IN the outer join's ON clause, not a
+    * WHERE — pushing it to WHERE would silently turn the outer join
+    * inner and drop the zero-order customers the histogram exists to
+    * count). Two-level aggregation: per-customer COUNT(o_orderkey)
+    * (null-skipping, so unmatched customers count 0), then the
+    * count-of-counts. At 100 TB the first agg shuffles on c_custkey
+    * (orders co-partition with it after the join shuffle) and the
+    * second runs over a |distinct-k|-sized frame — trivially small.
+    * All-integer output. (round 5)
+    */
+  def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q13_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q13_orders")
+    s.sql("""
+      SELECT order_cnt, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_cnt
+            FROM graft_q13_customer c
+            LEFT OUTER JOIN graft_q13_orders o
+              ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+            GROUP BY c.c_custkey) t
+      GROUP BY order_cnt
+      ORDER BY custdist DESC, order_cnt DESC""")
+  }
+
+  val q13OrderDistributionSql: String =
+    s"""SELECT order_cnt, CAST(COUNT(*) AS BIGINT) AS custdist
+       FROM (SELECT c.c_custkey,
+                    CAST(COUNT(o.o_orderkey) AS BIGINT) AS order_cnt
+             FROM customer c
+             LEFT OUTER JOIN orders o
+               ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+             GROUP BY c.c_custkey) t
+       GROUP BY order_cnt
+       ORDER BY custdist DESC, order_cnt DESC"""
+
+  /** TPC-H Q18 shape — the IN-over-grouped-HAVING class: large-volume
+    * orders (total quantity > 250) with their customer. The IN
+    * subquery aggregates lineitem per order FIRST, keeps the few keys
+    * over threshold, and RewritePredicateSubquery joins that key set
+    * back LeftSemi — at 100 TB the semi probe side is the
+    * HAVING-filtered key list (tiny, broadcastable by AQE), so the
+    * big three-way join only ever sees qualifying orders. Quantities
+    * are integral doubles (TESTDATA.md), so the sums are exact BIGINTs
+    * and parity is arithmetic-free. (round 5)
+    */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q18_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q18_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q18_lineitem")
+    s.sql("""
+      SELECT c.c_name, o.o_orderkey,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM graft_q18_customer c
+      JOIN graft_q18_orders o ON c.c_custkey = o.o_custkey
+      JOIN graft_q18_lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderkey IN (SELECT l_orderkey FROM graft_q18_lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+      GROUP BY c.c_name, o.o_orderkey
+      ORDER BY total_qty DESC, o.o_orderkey
+      LIMIT 100""")
+  }
+
+  val q18LargeOrdersSql: String =
+    s"""SELECT c.c_name, o.o_orderkey,
+              CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey
+                              HAVING SUM(CAST(l_quantity AS BIGINT)) > 250)
+       GROUP BY c.c_name, o.o_orderkey
+       ORDER BY total_qty DESC, o.o_orderkey
+       LIMIT 100"""
+
+  /** TPC-H Q22 shape — uncorrelated SCALAR subquery + correlated
+    * NOT EXISTS in one query: dormant high-balance customers (balance
+    * above the positive-balance average, no order since 2000) per
+    * market segment. The classic form's "customers with no orders at
+    * all" is empty in this data (every customer ordered — checked at
+    * both sf), so the anti-join carries a date predicate instead; the
+    * plan classes are identical. Catalyst evaluates the average ONCE
+    * as a scalar subquery (never per row) and turns the NOT EXISTS
+    * into a LeftAnti equi-join on custkey whose right side pre-filters
+    * to recent orders. Scalar parity per §5: exact DECIMAL(14,4) sum
+    * -> correctly-rounded double, one IEEE division by the double
+    * count — bit-identical across engines; totacctbal the same dsum
+    * discipline. (round 5)
+    */
+  def q22DormantBalance(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q22_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q22_orders")
+    s.sql("""
+      SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(14,4))) AS DOUBLE)
+               AS totacctbal
+      FROM graft_q22_customer c
+      WHERE c.c_acctbal >
+            (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(14,4))) AS DOUBLE)
+                    / CAST(COUNT(*) AS DOUBLE)
+             FROM graft_q22_customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM graft_q22_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP_NTZ '2000-01-01 00:00:00')
+      GROUP BY c.c_mktsegment
+      ORDER BY c.c_mktsegment""")
+  }
+
+  val q22DormantBalanceSql: String =
+    s"""SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+              ${sqlDsum(sqlDecp("c.c_acctbal"))} AS totacctbal
+       FROM customer c
+       WHERE c.c_acctbal >
+             (SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(14,4))) AS VARCHAR) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)
+              FROM customer c2 WHERE c2.c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       GROUP BY c.c_mktsegment
+       ORDER BY c.c_mktsegment"""
+
   /** Percent-of-total (ratio_to_report): each nation's share of its
     * region's order revenue. Sums stay exact DECIMAL through BOTH
     * levels (the per-nation agg and the region total, the latter a
@@ -1179,6 +1342,10 @@ object Analytics {
     Q("q19_bracket_revenue", Some(q19Sql))(q19),
     Q("q17_small_quantity_revenue", Some(q17CorrelatedSql))(q17Correlated),
     Q("q21_waiting_supplier", Some(q21WaitingSupplierSql))(q21WaitingSupplier),
+    Q("q4_priority_returns", Some(q4PriorityReturnsSql))(q4PriorityReturns),
+    Q("q13_order_distribution", Some(q13OrderDistributionSql))(q13OrderDistribution),
+    Q("q18_large_orders", Some(q18LargeOrdersSql))(q18LargeOrders),
+    Q("q22_dormant_balance", Some(q22DormantBalanceSql))(q22DormantBalance),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),
     Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),

@@ -154,6 +154,44 @@ class PlanQualitySpec extends AnyFunSuite {
       s"predicate subqueries did not decorrelate:\n${opt.take(2000)}")
   }
 
+  test("q4/q18: EXISTS and IN-over-HAVING decorrelate into semi joins") {
+    for (df <- Seq(Analytics.q4PriorityReturns(spark, sf),
+        Analytics.q18LargeOrders(spark, sf))) {
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("exists-subquery") && !opt.contains("list-subquery"),
+        opt.take(2000))
+      assert(opt.contains("LeftSemi"),
+        s"predicate subquery did not decorrelate:\n${opt.take(2000)}")
+    }
+  }
+
+  test("q13: the status filter stays in the outer join's ON clause") {
+    val df = Analytics.q13OrderDistribution(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    // the join must remain LeftOuter (a filter pushed to WHERE would
+    // flip it inner and silently drop zero-order customers), and the
+    // status predicate must sit on the orders side BELOW the join so
+    // the scan prefilters, not a post-join Filter faking outer semantics
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val outer = opt.collect { case j: Join if j.joinType == LeftOuter => j }
+    assert(outer.size == 1, s"expected one LeftOuter join:\n${opt.toString.take(2000)}")
+    assert(outer.head.right.toString.contains("o_orderstatus"),
+      s"status filter did not stay on the orders build side:\n${opt.toString.take(2000)}")
+  }
+
+  test("q22: scalar average evaluates once; NOT EXISTS becomes an anti join") {
+    val df = Analytics.q22DormantBalance(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftAnti"),
+      s"NOT EXISTS did not decorrelate:\n${opt.take(2000)}")
+    // the average is uncorrelated: it must survive as a SINGLE scalar
+    // subquery (computed once, broadcast into the filter), never a
+    // per-row correlated probe
+    assert("scalar-subquery".r.findAllIn(opt).size <= 1, opt.take(2000))
+    assert(!opt.contains("exists-subquery"), opt.take(2000))
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     // at 100 TB a selectively-filtered dim joined to a fact over a
     // shuffle should ship only fact rows that can match: Spark's

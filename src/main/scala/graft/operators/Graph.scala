@@ -282,9 +282,80 @@ object Graph {
        ORDER BY n_members DESC, community"""
   }
 
+  /** Bounded BFS depth — covers any diameter the near-clique testdata
+    * vocab can produce; a larger graph raises it (each extra hop is one
+    * more super-step, cost linear in |frontier edges|).
+    */
+  val BfsIters = 4
+
+  /** The BFS core over a directed edge frame: min-hop distance from
+    * `seed` (a 1-row (skill, dist=0) frame), unrolled [[BfsIters]]
+    * sweeps. Each sweep: relax one hop (reached ⋈ edges), union with
+    * the current distances, keep the per-node MIN — the synchronous
+    * Bellman-Ford step specialized to unit weights. d appears twice
+    * per sweep (union of itself and its relaxation), so WITHOUT a
+    * checkpoint the lineage doubles each iteration — localCheckpoint
+    * per super-step keeps the plan linear, the Pregel discipline
+    * ([[pagerankSkills]] needs none because r enters its sweep once).
+    * Unreached nodes are absent (no sentinel distances). Shared by the
+    * registered query and the constructed-path spec that proves
+    * multi-hop semantics beyond the near-clique testdata.
+    */
+  private[operators] def bfsCore(e: DataFrame, seed: DataFrame): DataFrame = {
+    var d = seed.localCheckpoint()
+    for (_ <- 1 to BfsIters) {
+      val relaxed = d.join(e, d("skill") === e("src"))
+        .select(col("dst").as("skill"), (col("dist") + lit(1L)).as("dist"))
+      d = d.union(relaxed)
+        .groupBy("skill")
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    d
+  }
+
+  /** Single-source shortest hops over the skill graph — the
+    * reachability layer next to PageRank's centrality and LPA's
+    * communities ("how far is every skill from X in co-occurrence
+    * space"). Seed = the lexicographically first skill (deterministic,
+    * data-independent choice). All-integer output, same unrolled-sweep
+    * oracle discipline as [[pagerankSkills]]: the DuckDB twin unrolls
+    * the identical [[BfsIters]] min-distance relaxations, so parity is
+    * exact with no convergence ambiguity. (round 5)
+    */
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint()
+    val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    val seed = e.agg(min(col("src")).as("skill"))
+      .select(col("skill"), lit(0L).as("dist"))
+    bfsCore(e, seed).orderBy(col("dist"), col("skill"))
+  }
+
+  val bfsHopsSql: String = {
+    def sweep(prev: String, k: Int): String =
+      s"""d$k AS (SELECT skill, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+               SELECT skill, dist FROM $prev
+               UNION ALL
+               SELECT e.dst AS skill, p.dist + 1 AS dist
+               FROM $prev p JOIN e ON e.src = p.skill)
+             GROUP BY skill)"""
+    s"""WITH cooc AS (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e AS (SELECT skill_a AS src, skill_b AS dst FROM cooc
+             UNION ALL
+             SELECT skill_b AS src, skill_a AS dst FROM cooc),
+       d0 AS (SELECT MIN(src) AS skill, CAST(0 AS BIGINT) AS dist FROM e),
+       ${(1 to BfsIters).map(k => sweep(s"d${k - 1}", k)).mkString(",\n       ")}
+       SELECT skill, dist FROM d$BfsIters ORDER BY dist, skill"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("pagerank_skills", Some(pagerankSkillsSql))(pagerankSkills),
     Q("pagerank_weighted", Some(pagerankWeightedSql))(pagerankWeighted),
     Q("label_propagation", Some(labelPropagationSql))(labelPropagation),
+    Q("graph_bfs_hops", Some(bfsHopsSql))(bfsHops),
     Q("triangle_count", Some(triangleCountSql))(triangleCount))
 }

@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   data/v<version>/part-*.parquet   -- immutable data files per commit
   *   _log/                            -- append-only action rows:
-  *     (version, file, n_rows, min_key, max_key)
+  *     (version, action add|remove, file, n_rows, min_key, max_key)
   * }}}
   *
   * The log IS the table: readers never list `data/` (object-store
@@ -61,19 +61,84 @@ object ManifestLog {
     * from the plan), and only then does the log append publish them —
     * crash before the log append and the commit never happened.
     */
-  def commit(df: DataFrame, path: String, keyCol: String): Long = {
-    val s = df.sparkSession
-    val v = currentVersion(s, path) + 1L
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
-    val manifest = s.read.parquet(dataDir(path, v))
+  /** Honest per-file stats for a just-written commit directory: counts
+    * and key bounds from the bytes actually on disk, not from the plan.
+    */
+  private def addActions(s: SparkSession, path: String, v: Long,
+      keyCol: String): DataFrame =
+    s.read.parquet(dataDir(path, v))
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(keyCol)).cast("long").as("min_key"),
         max(col(keyCol)).cast("long").as("max_key"))
-      .select(lit(v).as("version"), col("file"), col("n_rows"),
-        col("min_key"), col("max_key"))
-    manifest.write.mode(SaveMode.Append).parquet(logDir(path))
+      .select(lit(v).as("version"), lit("add").as("action"), col("file"),
+        col("n_rows"), col("min_key"), col("max_key"))
+
+  def commit(df: DataFrame, path: String, keyCol: String): Long = {
+    val s = df.sparkSession
+    val v = currentVersion(s, path) + 1L
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
+    addActions(s, path, v, keyCol)
+      .write.mode(SaveMode.Append).parquet(logDir(path))
     v
+  }
+
+  /** Compact the LIVE file set into one clustered file as a new
+    * version — OPTIMIZE's file-level mechanics: read the current
+    * snapshot through the log, rewrite it sorted by the clustering key
+    * (bounds tighten back to disjoint ranges, restoring the skipping
+    * power interleaved appends erode), and publish ONE log append
+    * holding the new file's `add` plus a `remove` for every file it
+    * replaces. The removes do not delete bytes — old snapshots still
+    * time-travel — they only drop the files from version >= this one,
+    * exactly Delta's OPTIMIZE add/remove transaction. Crash before the
+    * log append: the rewritten data is an invisible orphan, the table
+    * is untouched (the same write-order rule as [[commit]]).
+    */
+  def compact(s: SparkSession, path: String, keyCol: String): Long = {
+    val v0 = currentVersion(s, path)
+    if (v0 == 0L) return 0L // no log yet — nothing to rewrite
+    val replaced = fileList(s, path, v0)
+    if (replaced.isEmpty) return v0 // nothing live to rewrite
+    val v = v0 + 1L
+    s.read.parquet(replaced: _*)
+      .sortWithinPartitions(col(keyCol))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
+    val removes = log(s, path)
+      .filter(col("action") === "add" && col("file").isin(replaced: _*))
+      .select(lit(v).as("version"), lit("remove").as("action"), col("file"),
+        col("n_rows"), col("min_key"), col("max_key"))
+    addActions(s, path, v, keyCol).unionByName(removes)
+      .write.mode(SaveMode.Append).parquet(logDir(path))
+    v
+  }
+
+  /** Files a vacuum at `horizon` may physically delete: those with a
+    * `remove` action at version <= horizon. They are referenced only by
+    * snapshots OLDER than their removal, so every `asOf >= horizon`
+    * read survives; time travel BEFORE the horizon is forfeit — the
+    * retention trade every real format documents (VACUUM vs
+    * RETAIN). Planning is file-cardinality log work, driver-side like
+    * [[fileList]].
+    */
+  def vacuumList(s: SparkSession, path: String, horizon: Long): Seq[String] =
+    log(s, path)
+      .filter(col("action") === "remove" && col("version") <= horizon)
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  /** Physically delete the [[vacuumList]] files; returns how many went.
+    * Deletion is idempotent (a re-run after a partial crash re-deletes
+    * nothing and errors nothing) because the log, not the directory
+    * listing, defines the table.
+    */
+  def vacuum(s: SparkSession, path: String, horizon: Long): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    vacuumList(s, path, horizon).count { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).delete(p, false)
+    }
   }
 
   /** The file list a reader at `asOf` opens, optionally pruned by a
@@ -85,10 +150,15 @@ object ManifestLog {
   def fileList(s: SparkSession, path: String, asOf: Long,
       keyRange: Option[(Long, Long)] = None): Seq[String] = {
     val actions = log(s, path).filter(col("version") <= asOf)
+    // live at asOf = added and not since removed (a file is immutable,
+    // so one add and at most one remove ever exist for it)
+    val live = actions.filter(col("action") === "add")
+      .join(actions.filter(col("action") === "remove").select(col("file")),
+        Seq("file"), "left_anti")
     val kept = keyRange match {
       case Some((lo, hi)) =>
-        actions.filter(!(col("max_key") < lo || col("min_key") > hi))
-      case None => actions
+        live.filter(!(col("max_key") < lo || col("min_key") > hi))
+      case None => live
     }
     kept.select("file").collect().map(_.getString(0)).toSeq
   }

@@ -158,6 +158,37 @@ class ChunkGraphSpec extends AnyFunSuite {
     assert(aLbls != bLbls, s"bridge edge merged the communities: $out")
   }
 
+  test("graph_bfs_hops: exact hop counts on a constructed path + branch") {
+    import spark.implicits._
+    // path n0-n1-n2-n3-n4-n5 with a shortcut n0-n3 and a branch n2-m:
+    // proves multi-hop relaxation AND that the min wins over the longer
+    // route (n3 is 1 hop via the shortcut, not 3), beyond what the
+    // near-clique testdata vocab (diameter ~2) can exercise; n5 sits at
+    // depth 3 via the shortcut, inside the BfsIters=4 horizon
+    val undirected = Seq(
+      "n0" -> "n1", "n1" -> "n2", "n2" -> "n3", "n3" -> "n4",
+      "n4" -> "n5", "n0" -> "n3", "n2" -> "m")
+    val e = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val seed = Seq(("n0", 0L)).toDF("skill", "dist")
+    val out = Graph.bfsCore(e, seed).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "n0" -> 0L, "n1" -> 1L, "n2" -> 2L, "n3" -> 1L,
+      "n4" -> 2L, "n5" -> 3L, "m" -> 3L))
+  }
+
+  test("graph_bfs_hops: nodes beyond the horizon are absent, not sentinel") {
+    import spark.implicits._
+    // a 6-long chain: n5 and n6 are 5 and 6 hops out — past BfsIters=4
+    val chain = (0 until 6).map(i => s"n$i" -> s"n${i + 1}")
+    val e = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val seed = Seq(("n0", 0L)).toDF("skill", "dist")
+    val out = Graph.bfsCore(e, seed).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set("n0", "n1", "n2", "n3", "n4"))
+    assert(out("n4") === 4L)
+  }
+
   test("label_propagation: every node labeled, labels are node names, deterministic") {
     val out = Graph.labelPropagation(spark, sf).collect()
     assert(out.nonEmpty)

@@ -73,6 +73,69 @@ class ManifestLogSpec extends AnyFunSuite {
       s"manifest pruning kept ${pruned.inputFiles.length} of 8 files")
   }
 
+  test("compaction: one clustered file replaces the live set, history intact") {
+    import spark.implicits._
+    val path = freshTable()
+    ManifestLog.commit(
+      (0L until 100L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartition(4), path, "key")
+    ManifestLog.commit(
+      (100L until 150L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartition(2), path, "key")
+
+    val v3 = ManifestLog.compact(spark, path, "key")
+    assert(v3 === 3L)
+
+    // same rows, one file — and the rewrite is clustered, so the single
+    // file's manifest bounds span exactly the data
+    val after = ManifestLog.snapshot(spark, path)
+    assert(after.count() === 150)
+    assert(after.inputFiles.length === 1)
+    val addV3 = ManifestLog.log(spark, path)
+      .filter(col("version") === 3L && col("action") === "add").collect()
+    assert(addV3.length === 1)
+    assert(addV3.head.getAs[Long]("min_key") === 0L)
+    assert(addV3.head.getAs[Long]("max_key") === 149L)
+
+    // time travel to both pre-compaction versions still works: removes
+    // only affect versions >= the compaction
+    assert(ManifestLog.snapshot(spark, path, Some(1L)).count() === 100)
+    assert(ManifestLog.snapshot(spark, path, Some(2L)).count() === 150)
+    assert(ManifestLog.snapshot(spark, path, Some(2L)).inputFiles.length === 6)
+
+    // empty-table compact is a no-op that claims no version
+    val empty = freshTable()
+    assert(ManifestLog.compact(spark, empty, "key") === 0L)
+  }
+
+  test("vacuum deletes only pre-horizon removed files; later reads survive") {
+    import spark.implicits._
+    val path = freshTable()
+    ManifestLog.commit(
+      (0L until 100L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartition(4), path, "key")
+    val vC = ManifestLog.compact(spark, path, "key")
+
+    // nothing is removed AFTER the horizon-1 cut, so vacuum below the
+    // compaction version deletes nothing
+    assert(ManifestLog.vacuumList(spark, path, vC - 1L).isEmpty)
+    // at the compaction horizon: exactly the 4 replaced files go
+    val victims = ManifestLog.vacuumList(spark, path, vC)
+    assert(victims.length === 4)
+    assert(ManifestLog.vacuum(spark, path, vC) === 4)
+    // idempotent: a retry re-deletes nothing and errors nothing
+    assert(ManifestLog.vacuum(spark, path, vC) === 0)
+
+    // the latest snapshot is untouched (its file was never removed)...
+    val after = ManifestLog.snapshot(spark, path)
+    assert(after.count() === 100)
+    assert(after.inputFiles.length === 1)
+    // ...and pre-horizon time travel is forfeit by declared trade:
+    // the v1 file list still names the deleted files
+    val v1Files = ManifestLog.fileList(spark, path, 1L)
+    assert(v1Files.toSet === victims.toSet)
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val path = freshTable()

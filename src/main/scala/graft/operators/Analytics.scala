@@ -1341,10 +1341,10 @@ object Analytics {
     Q("q14_promo_share", Some(q14Sql))(q14),
     Q("q19_bracket_revenue", Some(q19Sql))(q19),
     Q("q17_small_quantity_revenue", Some(q17CorrelatedSql))(q17Correlated),
-    Q("q21_waiting_supplier", Some(q21WaitingSupplierSql))(q21WaitingSupplier),
+    Q("q21_waiting_supplier", Some(q21WaitingSupplierSql), bench = true)(q21WaitingSupplier),
     Q("q4_priority_returns", Some(q4PriorityReturnsSql))(q4PriorityReturns),
     Q("q13_order_distribution", Some(q13OrderDistributionSql))(q13OrderDistribution),
-    Q("q18_large_orders", Some(q18LargeOrdersSql))(q18LargeOrders),
+    Q("q18_large_orders", Some(q18LargeOrdersSql), bench = true)(q18LargeOrders),
     Q("q22_dormant_balance", Some(q22DormantBalanceSql))(q22DormantBalance),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),

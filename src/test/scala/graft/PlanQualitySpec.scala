@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Chunking, Similarity, StarSchema}
+import graft.operators.{Analytics, Chunking, Similarity, StarSchema, TextAnalysis}
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -190,6 +190,22 @@ class PlanQualitySpec extends AnyFunSuite {
     // per-row correlated probe
     assert("scalar-subquery".r.findAllIn(opt).size <= 1, opt.take(2000))
     assert(!opt.contains("exists-subquery"), opt.take(2000))
+  }
+
+  test("doc_signals_fused: five signal families in one scan, no joins or aggs") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = TextAnalysis.docSignalsFused(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    // the fused pass must stay a pure projection pipeline: separate
+    // signal queries each rescan the corpus; any Join/Aggregate here
+    // means the fusion silently decomposed
+    assert(opt.collect { case j: Join => j }.isEmpty,
+      s"fused signals plan contains a join:\n${opt.toString.take(2000)}")
+    assert(opt.collect { case a: Aggregate => a }.isEmpty,
+      s"fused signals plan contains an aggregate:\n${opt.toString.take(2000)}")
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${plan.take(2000)}")
   }
 
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {

@@ -217,6 +217,62 @@ object Curation {
               CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_frac
        FROM per CROSS JOIN tot ORDER BY lang"""
 
+  /** Temperature-mixed source weights — the multinomial sampling recipe
+    * the GPT-3/LLaMA data mixes use: admission weight per source
+    * proportional to (token mass)^alpha with alpha = 1/2, which
+    * up-weights small sources (boost > 1) and down-weights the head
+    * without hard caps. Parity discipline: a literal pow() would sum
+    * per-source DOUBLES in engine order for the normalizer — instead
+    * the weight is the INTEGER isqrt of micro-scaled token mass
+    * (floor(sqrt(tokens * 10^6)): the product is < 2^53 for any corpus
+    * under ~9e9 tokens per source so the double conversion is exact,
+    * and sqrt is IEEE-correctly-rounded in both engines), making the
+    * normalizer an exact BIGINT sum; each output ratio is then one
+    * IEEE division. Plan: one narrow (source, tokens) agg + a 1-row
+    * broadcast — identical shape to [[tokenBudgetMix]]. (round 5)
+    */
+  def sourceMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(toks(col("text"))).cast("long").as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("tokens"))
+      .withColumn("temp_w",
+        floor(sqrt((col("tokens") * lit(1000000L)).cast("double")))
+          .cast("long"))
+    val tot = per.agg(sum(col("tokens")).as("total_tokens"),
+      sum(col("temp_w")).as("total_w"))
+    val tokenFrac =
+      col("tokens").cast("double") / col("total_tokens").cast("double")
+    val mixFrac =
+      col("temp_w").cast("double") / col("total_w").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"), col("temp_w"),
+        tokenFrac.as("token_frac"), mixFrac.as("mix_frac"),
+        (mixFrac / tokenFrac).as("boost"))
+      .orderBy("source")
+  }
+
+  val sourceMixTemperatureSql: String =
+    s"""WITH t AS (SELECT source, CAST(len(${sqlToks("text")}) AS BIGINT) AS t
+                   FROM documents),
+       per AS (SELECT source, COUNT(*) AS n_docs,
+                      CAST(SUM(t) AS BIGINT) AS tokens
+               FROM t GROUP BY source),
+       w AS (SELECT source, n_docs, tokens,
+                    CAST(FLOOR(SQRT(CAST(tokens * 1000000 AS DOUBLE)))
+                      AS BIGINT) AS temp_w
+             FROM per),
+       tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                      CAST(SUM(temp_w) AS BIGINT) AS total_w FROM w)
+       SELECT source, n_docs, tokens, temp_w,
+              CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+                AS token_frac,
+              CAST(temp_w AS DOUBLE) / CAST(total_w AS DOUBLE) AS mix_frac,
+              (CAST(temp_w AS DOUBLE) / CAST(total_w AS DOUBLE))
+                / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+                AS boost
+       FROM w CROSS JOIN tot ORDER BY source"""
+
   /** Decontamination shingle width and eval-set selector (5% by id
     * hash-free modulus so the oracle replays it; a real deployment
     * passes an explicit benchmark/eval table instead).
@@ -629,6 +685,7 @@ object Curation {
     Q("redact_digits", Some(redactDigitsSql))(redactDigits),
     Q("pack_sequences", Some(packSequencesSql))(packSequences),
     Q("token_budget_mix", Some(tokenBudgetMixSql))(tokenBudgetMix),
+    Q("source_mix_temperature", Some(sourceMixTemperatureSql))(sourceMixTemperature),
     Q("decontaminate_overlap", Some(decontaminateOverlapSql))(decontaminateOverlap),
     Q("dataset_split_hash", Some(datasetSplitHashSql))(datasetSplitHash),
     Q("sample_quality_weighted", Some(sampleQualityWeightedSql))(sampleQualityWeighted),

@@ -65,20 +65,44 @@ object ManifestLog {
     * and key bounds from the bytes actually on disk, not from the plan.
     */
   private def addActions(s: SparkSession, path: String, v: Long,
-      keyCol: String): DataFrame =
+      keyCol: String, batchId: Long = NoBatch): DataFrame =
     s.read.parquet(dataDir(path, v))
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(keyCol)).cast("long").as("min_key"),
         max(col(keyCol)).cast("long").as("max_key"))
       .select(lit(v).as("version"), lit("add").as("action"), col("file"),
-        col("n_rows"), col("min_key"), col("max_key"))
+        col("n_rows"), col("min_key"), col("max_key"),
+        lit(batchId).as("batch_id"))
 
-  def commit(df: DataFrame, path: String, keyCol: String): Long = {
+  /** batch_id marker for non-transactional (plain) commits. */
+  val NoBatch: Long = -1L
+
+  def commit(df: DataFrame, path: String, keyCol: String): Long =
+    commitIdempotent(df, path, keyCol, NoBatch)
+
+  /** IDEMPOTENT commit keyed by a writer batch id — Delta's
+    * txn(appId, version) mechanics for a Structured Streaming
+    * foreachBatch sink: a checkpointed replay re-offers the SAME
+    * batchId, the log already names it, and the commit is a no-op —
+    * the table never holds a batch twice. The crash windows compose
+    * with the write-order rule: data written but log append lost means
+    * the batch was never committed (orphan bytes, invisible), so the
+    * retry re-writes the same version dir (Overwrite) and publishes
+    * once. `NoBatch` skips the check (plain commits are not
+    * transactions).
+    */
+  def commitIdempotent(df: DataFrame, path: String, keyCol: String,
+      batchId: Long): Long = {
     val s = df.sparkSession
+    if (batchId != NoBatch) {
+      val seen = scala.util.Try(log(s, path)).toOption
+        .exists(l => !l.filter(col("batch_id") === batchId).isEmpty)
+      if (seen) return currentVersion(s, path)
+    }
     val v = currentVersion(s, path) + 1L
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
-    addActions(s, path, v, keyCol)
+    addActions(s, path, v, keyCol, batchId)
       .write.mode(SaveMode.Append).parquet(logDir(path))
     v
   }
@@ -108,7 +132,8 @@ object ManifestLog {
     val removes = log(s, path)
       .filter(col("action") === "add" && col("file").isin(replaced: _*))
       .select(lit(v).as("version"), lit("remove").as("action"), col("file"),
-        col("n_rows"), col("min_key"), col("max_key"))
+        col("n_rows"), col("min_key"), col("max_key"),
+        lit(NoBatch).as("batch_id"))
     addActions(s, path, v, keyCol).unionByName(removes)
       .write.mode(SaveMode.Append).parquet(logDir(path))
     v

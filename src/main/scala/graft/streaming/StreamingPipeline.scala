@@ -177,4 +177,45 @@ object StreamingPipeline {
       props: java.util.Properties): Unit =
     startJdbcPublish(s, lakeDir, url, table, checkpoint, props)
       .awaitTermination()
+
+  /** Streaming publish into the NATIVE table format — the Delta/Iceberg
+    * streaming-sink shape over [[graft.sources.ManifestLog]]: each
+    * micro-batch cleans + enriches and lands as one manifest commit via
+    * [[graft.sources.ManifestLog.commitIdempotent]], keyed by the
+    * checkpoint's batchId — a replayed batch finds itself in the log
+    * and commits nothing, so the table holds each batch exactly once
+    * and every committed version is a consistent snapshot readers can
+    * time-travel to. The clustering key is xxhash64(job_url) (the
+    * natural key is a string; the manifest tracks BIGINT bounds), so
+    * file skipping works for key-probe reads. (round 5)
+    */
+  def startManifestPublish(s: SparkSession, lakeDir: String,
+      tablePath: String, checkpoint: String): StreamingQuery = {
+    val schema = Pipeline.offerSchema
+      .add(StructField(JsonLake.CorruptCol, StringType, nullable = true))
+    s.readStream.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", JsonLake.CorruptCol)
+      .json(lakeDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (ok, _) = JsonLake.quarantine(batch)
+        val offers = jdbcOfferCols(Pipeline.enrich(Pipeline.clean(ok)))
+          .withColumn("offer_key", xxhash64(col("job_url")))
+        graft.sources.ManifestLog.commitIdempotent(
+          offers, tablePath, "offer_key", batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Drain all currently-available lake files into the manifest table
+    * and stop.
+    */
+  def runOnceManifest(s: SparkSession, lakeDir: String, tablePath: String,
+      checkpoint: String): Unit =
+    startManifestPublish(s, lakeDir, tablePath, checkpoint)
+      .awaitTermination()
 }

@@ -207,6 +207,46 @@ class IncrementalStreamingSpec extends AnyFunSuite {
     assert(b2rows.select("job_url").distinct().count() === 2)
   }
 
+  test("exactly-once manifest publish: each batch is one commit, replay is a no-op") {
+    import graft.sources.ManifestLog
+    import spark.implicits._
+    def offer(url: String, via: String): String =
+      s"""{"job_url":"$url","titre":"t","via":"$via","publication_date":"2024-03-05","description":"hash join data","contrat":"CDI","companie":"Acme","niveau_etudes":"Master","niveau_experience":"junior"}"""
+    val lake = Files.createTempDirectory("graft_mp_lake").toString
+    val ckpt = Files.createTempDirectory("graft_mp_ckpt").toString
+    val table = Files.createTempDirectory("graft_mp_tbl").toString + "/t"
+
+    // micro-batch 0 commits version 1
+    val w1 = new java.io.PrintWriter(s"$lake/b1.jsonl")
+    w1.println(offer("u1", "alpha")); w1.println(offer("u2", "beta"))
+    w1.close()
+    StreamingPipeline.runOnceManifest(spark, lake, table, ckpt)
+    assert(ManifestLog.currentVersion(spark, table) === 1L)
+    assert(ManifestLog.snapshot(spark, table).count() === 2)
+
+    // micro-batch 1 commits version 2; version 1 stays time-travelable
+    val w2 = new java.io.PrintWriter(s"$lake/b2.jsonl")
+    w2.println(offer("u3", "beta")); w2.println(offer("u4", "gamma"))
+    w2.close()
+    StreamingPipeline.runOnceManifest(spark, lake, table, ckpt)
+    assert(ManifestLog.currentVersion(spark, table) === 2L)
+    assert(ManifestLog.snapshot(spark, table).count() === 4)
+    assert(ManifestLog.snapshot(spark, table, Some(1L)).count() === 2)
+
+    // a checkpointed REPLAY re-offers an already-committed batchId:
+    // the log names it, so the commit is a no-op regardless of payload
+    val replay = Seq((99L, "phantom")).toDF("offer_key", "job_url")
+    assert(ManifestLog.commitIdempotent(replay, table, "offer_key", 0L) === 2L)
+    assert(ManifestLog.currentVersion(spark, table) === 2L)
+    assert(ManifestLog.snapshot(spark, table).count() === 4)
+
+    // each committed version carries its writer batch id in the log
+    val ids = ManifestLog.log(spark, table)
+      .select("version", "batch_id").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids === Map(1L -> 0L, 2L -> 1L))
+  }
+
   test("constraint gate audits every batch and refuses to publish on failure") {
     import graft.operators.{DataQuality, Pipeline}
     import graft.sources.JsonLake

@@ -453,10 +453,7 @@ object Curation {
     val a = (col("o_custkey") % 65536L).cast("long")
     val b = datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
       .cast("long") % 65536L
-    val zkey = (0 until ZBits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+    val zkey = graft.functions.Zorder.interleave(a, b, ZBits)
     Tables.orders(s, dir)
       .select(a.as("ca"), b.as("day"), zkey.as("zkey"))
       .groupBy(shiftright(col("zkey"), 18).as("zbucket"))

@@ -31,7 +31,10 @@ class DeterminismSpec extends AnyFunSuite {
     // banded-LSH cosine chain (via its recall gate, which always emits
     // a row — the registered pair query is legitimately sparse at
     // sf0.001)
-    "q17_small_quantity_revenue", "dedup_embedding_recall")
+    "q17_small_quantity_revenue", "dedup_embedding_recall",
+    // round-5 continuation: the dormant-balance scalar average + decimal
+    // sum, the sqrt-temperature mix ratios, and the fused signal ratios
+    "q22_dormant_balance", "source_mix_temperature", "doc_signals_fused")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

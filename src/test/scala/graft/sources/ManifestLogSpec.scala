@@ -136,6 +136,42 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(v1Files.toSet === victims.toSet)
   }
 
+  test("z-ordered layout: one single-key manifest skips files for BOTH dimensions") {
+    import graft.functions.Zorder
+    import spark.implicits._
+    val path = freshTable()
+    // a 64x64 grid of (a, b) points z-order-clustered into 16 range
+    // files: each file's z-bounds describe a 2-D locality box, which a
+    // linear sort by `a` could never give `b`
+    val zc = Zorder.interleave(col("a"), col("b"), 6)
+    ManifestLog.commit(
+      (for { a <- 0L until 64L; b <- 0L until 64L } yield (a, b))
+        .toDF("a", "b")
+        .withColumn("z", zc)
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions(col("z")),
+      path, "z")
+
+    // box probe [8..15] x [8..15]: monotonicity puts every box point in
+    // [z(8,8), z(15,15)], so the manifest prunes on z alone; the
+    // residual filter restores box exactness over the admitted z-runs
+    def z(a: Long, b: Long): Long =
+      (0 until 6).map(i => (((a >> i) & 1L) << (2 * i)) |
+        (((b >> i) & 1L) << (2 * i + 1))).sum
+    val pruned = ManifestLog
+      .scanKeyRange(spark, path, "z", z(8, 8), z(15, 15))
+      .filter(col("a").between(8, 15) && col("b").between(8, 15))
+    val full = ManifestLog.snapshot(spark, path)
+      .filter(col("a").between(8, 15) && col("b").between(8, 15))
+    assert(pruned.count() === 64)
+    assert(pruned.orderBy("a", "b").collect().map(_.toSeq).toSeq ===
+      full.orderBy("a", "b").collect().map(_.toSeq).toSeq)
+    // an aligned 8x8 box is one 64-z-value run — a single file of 16
+    assert(full.inputFiles.length === 16)
+    assert(pruned.inputFiles.length <= 2,
+      s"z-order skipping kept ${pruned.inputFiles.length} of 16 files")
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val path = freshTable()

@@ -582,6 +582,80 @@ object Analytics {
        GROUP BY c.c_mktsegment
        ORDER BY c.c_mktsegment"""
 
+  /** RFM segmentation — the classic customer-value cube: quartile-bucket
+    * every customer by Recency (days since last order, bucket 1 = most
+    * recent), Frequency (order count) and Monetary (exact DECIMAL
+    * revenue), then report the 4x4x4 segment cells. Buckets are
+    * RANK-based (`1 + 4*(rank-1) div n`), not interpolated quantiles —
+    * all-integer, so parity needs no float discipline anywhere except
+    * the final monetary sum (dsum). The global per-metric rank is
+    * [[graft.functions.Keys.denseIds]]' two-phase bucket-rank +
+    * broadcast-offset form — `row_number() OVER (ORDER BY metric)`
+    * semantics without the single-partition global window that dies on
+    * a 10^9-customer dimension (the oracle uses the naive window: it is
+    * the SPEC, not the plan). Customer metrics are one orders
+    * aggregation; everything after runs on the dimension-sized frame,
+    * localCheckpointed once for the three rank passes. (round 5)
+    */
+  def rfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Keys
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(decp(col("o_totalprice"))).as("monetary"))
+    val ref = Tables.orders(s, dir)
+      .agg(max(col("o_orderdate")).as("ref_date"))
+    val m = per.crossJoin(broadcast(ref))
+      .select(col("o_custkey"),
+        datediff(col("ref_date").cast("date"), col("last_order").cast("date"))
+          .cast("long").as("recency_days"),
+        col("freq"), col("monetary"))
+      .localCheckpoint()
+    val nDf = m.agg(count(lit(1)).as("n"))
+    def rankBy(metric: String, idCol: String) =
+      Keys.denseIds(m.select(col("o_custkey"), col(metric)), Nil,
+        Seq(metric, "o_custkey"), idCol)
+        .select(col("o_custkey"), col(idCol))
+    def bucket(rank: String): org.apache.spark.sql.Column =
+      expr(s"CAST(1 + (4 * (CAST($rank AS BIGINT) - 1)) div n AS BIGINT)")
+    m.join(rankBy("recency_days", "r_rank"), "o_custkey")
+      .join(rankBy("freq", "f_rank"), "o_custkey")
+      .join(rankBy("monetary", "m_rank"), "o_custkey")
+      .crossJoin(broadcast(nDf))
+      .select(bucket("r_rank").as("r_bucket"), bucket("f_rank").as("f_bucket"),
+        bucket("m_rank").as("m_bucket"), col("monetary"))
+      .groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("double").as("total_monetary"))
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
+  val rfmSegmentsSql: String =
+    s"""WITH per AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                CAST(COUNT(*) AS BIGINT) AS freq,
+                SUM(${sqlDecp("o_totalprice")}) AS monetary
+              FROM orders GROUP BY 1),
+       ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+       m AS (SELECT o_custkey,
+               CAST(datediff('day', CAST(last_order AS DATE),
+                 CAST(ref_date AS DATE)) AS BIGINT) AS recency_days,
+               freq, monetary
+             FROM per CROSS JOIN ref),
+       rk AS (SELECT o_custkey, monetary,
+                ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) AS rr,
+                ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS fr,
+                ROW_NUMBER() OVER (ORDER BY monetary, o_custkey) AS mr,
+                (SELECT COUNT(*) FROM m) AS n
+              FROM m)
+       SELECT CAST(1 + (4 * (rr - 1)) // n AS BIGINT) AS r_bucket,
+              CAST(1 + (4 * (fr - 1)) // n AS BIGINT) AS f_bucket,
+              CAST(1 + (4 * (mr - 1)) // n AS BIGINT) AS m_bucket,
+              CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(CAST(SUM(monetary) AS VARCHAR) AS DOUBLE)
+                AS total_monetary
+       FROM rk GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   /** Percent-of-total (ratio_to_report): each nation's share of its
     * region's order revenue. Sums stay exact DECIMAL through BOTH
     * levels (the per-nation agg and the region total, the latter a
@@ -1346,6 +1420,7 @@ object Analytics {
     Q("q13_order_distribution", Some(q13OrderDistributionSql))(q13OrderDistribution),
     Q("q18_large_orders", Some(q18LargeOrdersSql), bench = true)(q18LargeOrders),
     Q("q22_dormant_balance", Some(q22DormantBalanceSql))(q22DormantBalance),
+    Q("rfm_segments", Some(rfmSegmentsSql))(rfmSegments),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),
     Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),

@@ -139,6 +139,41 @@ object ManifestLog {
     v
   }
 
+  /** Manifest-pruned key DELETE — the right-to-be-forgotten path: drop
+    * `keys` rows by rewriting ONLY the files whose [min_key, max_key]
+    * can contain one (everything else keeps its bytes AND its file
+    * identity — at 100 TB a delete of a handful of keys touches a
+    * handful of files, never the table). Publishes one commit holding
+    * the rewritten files' adds plus removes for the affected ones;
+    * pre-delete snapshots still time-travel until a vacuum claims
+    * them. Returns the new version, or the current one if no file can
+    * hold any key (a no-op delete commits nothing).
+    */
+  def deleteKeys(s: SparkSession, path: String, keyCol: String,
+      keys: Seq[Long]): Long = {
+    val v0 = currentVersion(s, path)
+    if (v0 == 0L || keys.isEmpty) return v0
+    val affected = log(s, path).filter(col("version") <= v0)
+      .filter(col("action") === "add")
+      .join(log(s, path).filter(col("version") <= v0)
+        .filter(col("action") === "remove").select(col("file")),
+        Seq("file"), "left_anti")
+      .filter(keys.map(k => col("min_key") <= k && col("max_key") >= k)
+        .reduce(_ || _))
+    val files = affected.select("file").collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) return v0
+    val v = v0 + 1L
+    s.read.parquet(files: _*)
+      .filter(!col(keyCol).isin(keys: _*))
+      .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
+    val removes = affected.select(lit(v).as("version"),
+      lit("remove").as("action"), col("file"), col("n_rows"),
+      col("min_key"), col("max_key"), lit(NoBatch).as("batch_id"))
+    addActions(s, path, v, keyCol).unionByName(removes)
+      .write.mode(SaveMode.Append).parquet(logDir(path))
+    v
+  }
+
   /** Files a vacuum at `horizon` may physically delete: those with a
     * `remove` action at version <= horizon. They are referenced only by
     * snapshots OLDER than their removal, so every `asOf >= horizon`

@@ -172,6 +172,36 @@ class ManifestLogSpec extends AnyFunSuite {
       s"z-order skipping kept ${pruned.inputFiles.length} of 16 files")
   }
 
+  test("deleteKeys rewrites only the files that can hold a key") {
+    import spark.implicits._
+    val path = freshTable()
+    // 8 disjoint-range files of 50 keys each
+    ManifestLog.commit(
+      (0L until 400L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartitionByRange(8, col("key")), path, "key")
+    val before = ManifestLog.fileList(spark, path, 1L)
+    assert(before.size === 8)
+
+    // two keys landing in (at most) two range files
+    val v = ManifestLog.deleteKeys(spark, path, "key", Seq(7L, 205L))
+    assert(v === 2L)
+    val after = ManifestLog.fileList(spark, path, 2L)
+    val untouched = after.toSet.intersect(before.toSet)
+    // the unaffected files keep their IDENTITY (same paths, no rewrite),
+    // only the key-bearing ones were replaced
+    assert(untouched.size >= 6,
+      s"delete rewrote ${8 - untouched.size} files for 2 keys")
+    val snap = ManifestLog.snapshot(spark, path)
+    assert(snap.count() === 398)
+    assert(snap.filter(col("key").isin(7L, 205L)).count() === 0)
+    // pre-delete time travel still shows the full table
+    assert(ManifestLog.snapshot(spark, path, Some(1L)).count() === 400)
+
+    // deleting keys no live file can hold commits nothing
+    assert(ManifestLog.deleteKeys(spark, path, "key", Seq(9999L)) === 2L)
+    assert(ManifestLog.currentVersion(spark, path) === 2L)
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val path = freshTable()

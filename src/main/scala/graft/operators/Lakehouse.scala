@@ -342,7 +342,58 @@ object Lakehouse {
               MIN(file_id) AS first_file, MAX(file_id) AS last_file
        FROM assigned GROUP BY layout, bin ORDER BY layout, bin"""
 
+  /** Incremental view maintenance (the DBSP/Materialize Z-set shape):
+    * a per-user (count, revenue) view maintained by MERGING a base
+    * aggregate with a signed delta aggregate instead of recomputing —
+    * 'error' events carry sign -1 (retractions), everything else +1, so
+    * the same algebra handles inserts AND deletes. The registered plan
+    * IS the incremental pipeline: two signed partial aggregates (base
+    * window / delta window) merged by one full-outer coalesce-add, keys
+    * whose support reaches zero dropped (Z-set normalization); the
+    * oracle computes the view DIRECTLY over all events — hash equality
+    * is exactly the self-maintainability theorem (sum/count are
+    * abelian-group aggregates, so view(base ∪ delta) = view(base) ⊕
+    * view(delta)). At 100 TB the base agg is a STORED view-sized frame
+    * — only the delta window's rows are ever scanned; here both sides
+    * derive from the same table because the oracle needs replayable
+    * inputs. All arithmetic exact: BIGINT signs, DECIMAL(14,4) value
+    * mass, one final double cast. (round 5)
+    */
+  def ivmMergeDelta(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-24 00:00:00").cast("timestamp")
+    val ev = Tables.events(s, dir).select(col("ts"), col("user_id"),
+      when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L))
+        .as("sign"),
+      decp(col("value")).as("v"))
+    def view(df: DataFrame) = df.groupBy("user_id")
+      .agg(sum(col("sign")).as("n"), sum(col("sign") * col("v")).as("t"))
+    val base = view(ev.filter(col("ts") < cut))
+      .select(col("user_id"), col("n").as("bn"), col("t").as("bt"))
+    val delta = view(ev.filter(col("ts") >= cut))
+      .select(col("user_id"), col("n").as("dn"), col("t").as("dt"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n"),
+        expr("CAST(coalesce(bt, 0) + coalesce(dt, 0) AS DOUBLE)")
+          .as("total"))
+      .filter(col("n") =!= 0L)
+      .orderBy("user_id")
+  }
+
+  val ivmMergeDeltaSql: String =
+    s"""SELECT user_id,
+              CAST(SUM(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+                AS BIGINT) AS n,
+              CAST(CAST(SUM((CASE WHEN event_type = 'error' THEN -1 ELSE 1 END)
+                    * ${sqlDecp("value")}) AS VARCHAR) AS DOUBLE) AS total
+       FROM events
+       GROUP BY user_id
+       HAVING SUM(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) <> 0
+       ORDER BY user_id"""
+
   def queries: Seq[Q] = Seq(
+    Q("ivm_merge_delta", Some(ivmMergeDeltaSql))(ivmMergeDelta),
     Q("cdc_merge_apply", Some(cdcMergeApplySql), bench = true)(cdcMergeApply),
     Q("cdc_time_travel", Some(cdcTimeTravelSql))(cdcTimeTravel),
     Q("snapshot_diff_cdf", Some(snapshotDiffCdfSql))(snapshotDiffCdf),

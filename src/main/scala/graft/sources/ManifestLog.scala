@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * {{{
   *   data/v<version>/part-*.parquet   -- immutable data files per commit
   *   _log/                            -- append-only action rows:
-  *     (version, action add|remove, file, n_rows, min_key, max_key)
+  *     (version, action add|remove, file, n_rows, min_key, max_key,
+  *      bloom, batch_id)
   * }}}
   *
   * The log IS the table: readers never list `data/` (object-store
@@ -55,14 +56,18 @@ object ManifestLog {
       .flatMap(l => Option(l.agg(max(col("version"))).head.getAs[java.lang.Long](0)))
       .map(_.longValue).getOrElse(0L)
 
-  /** Append `df` as a new commit; returns the new version. The data
-    * files are written first, then read BACK to compute honest per-file
-    * stats (count + key bounds from the bytes actually on disk, not
-    * from the plan), and only then does the log append publish them —
-    * crash before the log append and the commit never happened.
+  /** Per-file bloom size: 2^17 bits = 16 KiB per file — the secondary
+    * index next to the min/max primary: POINT probes skip files whose
+    * bloom says definitely-absent even when every file's key RANGE
+    * covers the probe (hash-scattered layouts, where bounds prune
+    * nothing). Delta's bloom filter index / Iceberg's bloom_filter
+    * column stats, over [[graft.plans.BloomFilter]]'s aggregate.
     */
-  /** Honest per-file stats for a just-written commit directory: counts
-    * and key bounds from the bytes actually on disk, not from the plan.
+  val BloomLog2Bits = 17
+
+  /** Honest per-file stats for a just-written commit directory: counts,
+    * key bounds and the bloom blob from the bytes actually on disk, not
+    * from the plan.
     */
   private def addActions(s: SparkSession, path: String, v: Long,
       keyCol: String, batchId: Long = NoBatch): DataFrame =
@@ -70,14 +75,21 @@ object ManifestLog {
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
         min(col(keyCol)).cast("long").as("min_key"),
-        max(col(keyCol)).cast("long").as("max_key"))
+        max(col(keyCol)).cast("long").as("max_key"),
+        expr(s"graft_bloom_agg(CAST($keyCol AS STRING), $BloomLog2Bits)")
+          .as("bloom"))
       .select(lit(v).as("version"), lit("add").as("action"), col("file"),
-        col("n_rows"), col("min_key"), col("max_key"),
+        col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
         lit(batchId).as("batch_id"))
 
   /** batch_id marker for non-transactional (plain) commits. */
   val NoBatch: Long = -1L
 
+  /** Append `df` as a new commit; returns the new version. The data
+    * files are written first, then read BACK for honest per-file stats,
+    * and only then does the log append publish them — crash before the
+    * log append and the commit never happened.
+    */
   def commit(df: DataFrame, path: String, keyCol: String): Long =
     commitIdempotent(df, path, keyCol, NoBatch)
 
@@ -132,7 +144,7 @@ object ManifestLog {
     val removes = log(s, path)
       .filter(col("action") === "add" && col("file").isin(replaced: _*))
       .select(lit(v).as("version"), lit("remove").as("action"), col("file"),
-        col("n_rows"), col("min_key"), col("max_key"),
+        col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
         lit(NoBatch).as("batch_id"))
     addActions(s, path, v, keyCol).unionByName(removes)
       .write.mode(SaveMode.Append).parquet(logDir(path))
@@ -168,7 +180,8 @@ object ManifestLog {
       .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
     val removes = affected.select(lit(v).as("version"),
       lit("remove").as("action"), col("file"), col("n_rows"),
-      col("min_key"), col("max_key"), lit(NoBatch).as("batch_id"))
+      col("min_key"), col("max_key"), col("bloom"),
+      lit(NoBatch).as("batch_id"))
     addActions(s, path, v, keyCol).unionByName(removes)
       .write.mode(SaveMode.Append).parquet(logDir(path))
     v
@@ -248,5 +261,29 @@ object ManifestLog {
     if (files.isEmpty) s.emptyDataFrame
     else s.read.parquet(files: _*)
       .filter(col(keyCol).cast("long").between(lo, hi))
+  }
+
+  /** POINT lookup with BLOOM pruning on top of the bounds: a file is
+    * opened only if its range covers `key` AND its bloom admits it —
+    * on hash-scattered layouts (every file's [min,max] spans the whole
+    * key space, range pruning keeps everything) the bloom is what
+    * makes a needle lookup open O(1) files instead of all of them.
+    * False positives only admit extra files (the residual filter keeps
+    * exactness); definitely-absent is exact, so no match is ever
+    * missed.
+    */
+  def scanKeyPoint(s: SparkSession, path: String, keyCol: String,
+      key: Long, asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(s, path))
+    val actions = log(s, path).filter(col("version") <= v)
+    val files = actions.filter(col("action") === "add")
+      .join(actions.filter(col("action") === "remove").select(col("file")),
+        Seq("file"), "left_anti")
+      .filter(col("min_key") <= key && col("max_key") >= key &&
+        expr(s"graft_bloom_contains(bloom, CAST(${key}L AS STRING))"))
+      .select("file").collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) s.emptyDataFrame
+    else s.read.parquet(files: _*)
+      .filter(col(keyCol).cast("long") === key)
   }
 }

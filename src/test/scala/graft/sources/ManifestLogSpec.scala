@@ -202,6 +202,35 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.currentVersion(spark, path) === 2L)
   }
 
+  test("bloom index: point lookups skip files whose RANGES cannot prune") {
+    import spark.implicits._
+    val path = freshTable()
+    // scattered layout: files are ranges of a SCRAMBLED order, so each
+    // holds keys sprayed across the whole space, every file's
+    // [min_key, max_key] covers any probe, and range pruning keeps all
+    // 8 — the layout bloom indexes exist for
+    ManifestLog.commit(
+      (0L until 400L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .withColumn("scatter", pmod(col("key") * 2654435761L, lit(4096L)))
+        .repartitionByRange(8, col("scatter"))
+        .drop("scatter"), path, "key")
+    val log = ManifestLog.log(spark, path)
+    val rangeCover = log.filter(col("min_key") <= 42L && col("max_key") >= 42L)
+    assert(rangeCover.count() >= 6,
+      s"layout not scattered enough for the test: ${rangeCover.count()}")
+
+    val hit = ManifestLog.scanKeyPoint(spark, path, "key", 42L)
+    assert(hit.count() === 1)
+    assert(hit.head.getLong(0) === 42L)
+    // the bloom opened a fraction of what the ranges admit
+    assert(hit.inputFiles.length <= 2,
+      s"bloom kept ${hit.inputFiles.length} of ${rangeCover.count()} range-admitted files")
+
+    // absent key: definitely-absent blooms or the residual filter give
+    // zero rows either way (false positives only admit extra files)
+    assert(ManifestLog.scanKeyPoint(spark, path, "key", 4242L).count() === 0)
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val path = freshTable()

@@ -582,6 +582,443 @@ object Analytics {
        GROUP BY c.c_mktsegment
        ORDER BY c.c_mktsegment"""
 
+  /** TPC-H Q6 shape — the forecasting-revenue-change scan: ONE filtered
+    * aggregation with zero joins, the canonical pushdown/codegen
+    * showcase (a year of shipments, a discount band, a quantity cap;
+    * revenue that WOULD have been earned had the discounts been
+    * dropped). All three predicates push to the parquet scan
+    * (PushedFilters carries the date + quantity bounds), the agg reads
+    * 4 columns of the wide row, and the whole plan is one
+    * WholeStageCodegen span over the scan. Discount literals compare
+    * double-to-double (both engines read identical parquet bits);
+    * revenue is the exact DECIMAL product-sum cast once (§5). (round 5)
+    */
+  def q6(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(decp(col("l_extendedprice")) * decf(col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6Sql: String =
+    s"""SELECT ${sqlDsum(s"${sqlDecp("l_extendedprice")} * ${sqlDecf("l_discount")}")} AS revenue,
+              CAST(COUNT(*) AS BIGINT) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24"""
+
+  /** TPC-H Q8 shape — national market share: of the revenue a region's
+    * customers spent on one part type over two years, the fraction
+    * supplied by one nation, per order year. The all-sides snowflake:
+    * customer resolves through nation x region (the market filter),
+    * supplier through its own nation copy (the share numerator), part
+    * by type — every dim broadcasts, so the only shuffle is
+    * lineitem x orders; numerator and denominator are ONE pass over
+    * the joined frame (conditional decimal sum, q14's discipline), and
+    * the share is a single IEEE division of two correctly-rounded
+    * decimal casts — bit-portable. (round 5)
+    */
+  def q8(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+    val cn = Tables.nation(s, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val sn = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate").between(
+        lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+        lit("1997-12-31 00:00:00").cast("timestamp_ntz")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (decp(col("l_extendedprice")) * decf(lit(1.0) - col("l_discount")))
+          .as("vol"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(
+        coalesce(sum(when(col("supp_nation") === "NATION_7", col("vol"))),
+          lit(0)).cast("double").as("nation_rev"),
+        dsum(col("vol")).as("total_rev"))
+      .withColumn("mkt_share", col("nation_rev") / col("total_rev"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    s"""WITH j AS (
+         SELECT CAST(year(o_orderdate) AS INT) AS o_year, n2.n_name AS supp_nation,
+                ${sqlDecp("l_extendedprice")} * ${sqlDecf("1.0 - l_discount")} AS vol
+         FROM part, lineitem, orders, customer, supplier,
+              nation n1, region, nation n2
+         WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+           AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+           AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+           AND s_nationkey = n2.n_nationkey
+           AND r_name = 'EUROPE' AND p_type = 'ECONOMY'
+           AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                               AND TIMESTAMP '1997-12-31 00:00:00')
+       SELECT o_year,
+              CAST(CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol END),
+                0) AS VARCHAR) AS DOUBLE) AS nation_rev,
+              ${sqlDsum("vol")} AS total_rev,
+              CAST(CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol END),
+                  0) AS VARCHAR) AS DOUBLE)
+                / ${sqlDsum("vol")} AS mkt_share
+       FROM j GROUP BY o_year ORDER BY o_year"""
+
+  /** TPC-H Q9 shape — product-type profit by nation and year. The
+    * classic uses partsupp's supply cost; this schema has no partsupp,
+    * so cost is re-keyed to the part dim (10% of retail per unit) —
+    * the PLAN is identical: lineitem x orders shuffle, part/supplier/
+    * nation broadcast, profit = revenue minus cost per item summed per
+    * (nation, year). Cost arithmetic stays exact: the double product
+    * retail x quantity is IEEE-identical in both engines, cast once to
+    * DECIMAL(14,4), scaled by an exact DECIMAL(8,6) 0.1 — every
+    * operand exact, so the profit sum is one correctly-rounded cast.
+    * (round 5)
+    */
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val p = Tables.part(s, dir).filter(col("p_type").isin("PROMO", "ECONOMY"))
+      .select("p_partkey", "p_retailprice")
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name"), col("o_year"),
+        (decp(col("l_extendedprice")) * decf(lit(1.0) - col("l_discount")) -
+          decp(col("p_retailprice") * col("l_quantity")) * decf(lit(0.1)))
+          .as("amount"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(dsum(col("amount")).as("profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    s"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+              ${sqlDsum(s"${sqlDecp("l_extendedprice")} * ${sqlDecf("1.0 - l_discount")}" +
+      s" - ${sqlDecp("p_retailprice * l_quantity")} * ${sqlDecf("0.1")}")} AS profit
+       FROM lineitem, part, orders, supplier, nation
+       WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey
+         AND s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+         AND p_type IN ('PROMO', 'ECONOMY')
+       GROUP BY 1, 2
+       ORDER BY n_name, o_year DESC"""
+
+  /** TPC-H Q15 shape — top supplier by a REVENUE VIEW: a quarter's
+    * per-supplier revenue aggregated once (the CTE is the view), then
+    * the suppliers hitting its maximum, found by an UNCORRELATED scalar
+    * subquery over the same view. Catalyst plans the max as a one-row
+    * subquery result reused in the filter (never per-row; Spark's CTE
+    * dedup means the view aggregates once for both uses at this size —
+    * at 100 TB the view would be a stored frame, q15's actual point).
+    * The max-equality compares DECIMALS — exact, so the argmax row set
+    * is identical in both engines; the revenue casts to double only in
+    * the final projection. (round 5)
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q15_lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_q15_supplier")
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                   * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS total_rev
+        FROM graft_q15_lineitem
+        WHERE l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s.s_suppkey, s.s_name,
+             CAST(r.total_rev AS DOUBLE) AS total_revenue
+      FROM graft_q15_supplier s
+      JOIN revenue r ON s.s_suppkey = r.supplier_no
+      WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+      ORDER BY s.s_suppkey""")
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                SUM(${sqlDecp("l_extendedprice")} * ${sqlDecf("1.0 - l_discount")})
+                  AS total_rev
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name,
+              CAST(CAST(r.total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+       FROM supplier s
+       JOIN revenue r ON s.s_suppkey = r.supplier_no
+       WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+       ORDER BY s.s_suppkey"""
+
+  /** TPC-H Q2 shape — minimum-cost supplier: for each small part, the
+    * EUROPE-region supplier with the lowest account balance among those
+    * who actually shipped it (acctbal standing in for partsupp's
+    * supply cost, the part-supplier relation derived as the DISTINCT
+    * (partkey, suppkey) pairs of lineitem). The defining feature is a
+    * correlated scalar subquery CONTAINING ITS OWN JOINS — Catalyst
+    * decorrelates the 4-way min-subplan into one per-part aggregate
+    * joined back on p_partkey (PlanQualitySpec pins no surviving
+    * subquery), where a naive plan would re-run the join chain per
+    * probe row. MIN over doubles is comparison-only — no arithmetic
+    * anywhere, so parity is exact by construction. (round 5)
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_q2_part")
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_q2_supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_q2_nation")
+    Tables.region(s, dir).createOrReplaceTempView("graft_q2_region")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q2_lineitem")
+    s.sql("""
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM graft_q2_lineitem)
+      SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_acctbal, n.n_name
+      FROM graft_q2_part p, graft_q2_supplier s, graft_q2_nation n,
+           graft_q2_region r, ps
+      WHERE p.p_partkey = ps.l_partkey AND s.s_suppkey = ps.l_suppkey
+        AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        AND r.r_name = 'EUROPE' AND p.p_size BETWEEN 1 AND 15
+        AND s.s_acctbal = (SELECT MIN(s2.s_acctbal)
+                           FROM ps ps2, graft_q2_supplier s2,
+                                graft_q2_nation n2, graft_q2_region r2
+                           WHERE ps2.l_partkey = p.p_partkey
+                             AND s2.s_suppkey = ps2.l_suppkey
+                             AND s2.s_nationkey = n2.n_nationkey
+                             AND n2.n_regionkey = r2.r_regionkey
+                             AND r2.r_name = 'EUROPE')
+      ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
+      LIMIT 100""")
+  }
+
+  val q2MinCostSupplierSql: String =
+    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+       SELECT p.p_partkey, p.p_type, s.s_suppkey, s.s_acctbal, n.n_name
+       FROM part p, supplier s, nation n, region r, ps
+       WHERE p.p_partkey = ps.l_partkey AND s.s_suppkey = ps.l_suppkey
+         AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+         AND r.r_name = 'EUROPE' AND p.p_size BETWEEN 1 AND 15
+         AND s.s_acctbal = (SELECT MIN(s2.s_acctbal)
+                            FROM ps ps2, supplier s2, nation n2, region r2
+                            WHERE ps2.l_partkey = p.p_partkey
+                              AND s2.s_suppkey = ps2.l_suppkey
+                              AND s2.s_nationkey = n2.n_nationkey
+                              AND n2.n_regionkey = r2.r_regionkey
+                              AND r2.r_name = 'EUROPE')
+       ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
+       LIMIT 100"""
+
+  /** TPC-H Q12 shape — shipping-class priority distribution: one
+    * lineitem x orders equi-join with BOTH priority counts folded into
+    * a single conditional aggregation pass (no second scan, no pivot
+    * shuffle). l_linestatus stands in for the schema's missing
+    * l_shipmode and the returnflag filter for the commit/receipt-lag
+    * predicate — the PLAN is Q12's exactly: heavy filter on the fact
+    * side BEFORE the join (ships only qualifying (orderkey, status)
+    * pairs), orders projected to (key, priority), one shuffle, a
+    * tiny grouped output. All-integer counts: parity is
+    * arithmetic-free. (round 5)
+    */
+  def q12ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_linestatus")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus").as("ship_class"))
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin(hi: _*), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
+  val q12ShipPrioritySql: String =
+    s"""SELECT l_linestatus AS ship_class,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM orders, lineitem
+       WHERE o_orderkey = l_orderkey
+         AND l_returnflag = 'R'
+         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY l_linestatus
+       ORDER BY ship_class"""
+
+  /** TPC-H Q11 shape — important-stock identification: per-part value
+    * from one nation's suppliers, kept when it exceeds a fraction of
+    * the TOTAL — the classic uncorrelated-scalar-in-HAVING family. The
+    * value frame is a WITH view aggregated ONCE; both the group rows
+    * and the threshold read it (at 100 TB the view is the stored
+    * frame, and the scalar is a 1-row broadcast into the filter —
+    * never a per-row rescan; PlanQualitySpec pins that no correlated
+    * subquery survives). The classic's fixed fraction is
+    * scale-dependent (ties the threshold to the part count), so the
+    * re-keyed threshold is the MEAN share — v * N > total — which is
+    * scale-free; the comparison multiplies exact DECIMALs by an
+    * integer count, so the kept-row set is bit-identical in both
+    * engines; value casts to double only in the projection. (round 5)
+    */
+  def q11ImportantValue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q11_lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_q11_supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_q11_nation")
+    s.sql("""
+      WITH val AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(14,4))) AS v
+        FROM graft_q11_lineitem l
+        JOIN graft_q11_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN graft_q11_nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey)
+      SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+      FROM val
+      WHERE v * CAST((SELECT COUNT(*) FROM val) AS DECIMAL(10,0)) >
+            (SELECT SUM(v) FROM val)
+      ORDER BY part_value DESC, l_partkey""")
+  }
+
+  val q11ImportantValueSql: String =
+    s"""WITH val AS (
+         SELECT l.l_partkey,
+                SUM(CAST(l.l_extendedprice AS DECIMAL(14,4))) AS v
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_3'
+         GROUP BY l.l_partkey)
+       SELECT l_partkey, CAST(CAST(v AS VARCHAR) AS DOUBLE) AS part_value
+       FROM val
+       WHERE v * CAST((SELECT COUNT(*) FROM val) AS DECIMAL(10,0)) >
+             (SELECT SUM(v) FROM val)
+       ORDER BY part_value DESC, l_partkey"""
+
+  /** TPC-H Q16 shape — supplier-part relationship count with a NOT IN
+    * exclusion: distinct suppliers per (brand, type, size) bucket for
+    * selected sizes, excluding "complaint" suppliers (negative account
+    * balance standing in for the classic's complaint-comment scan; the
+    * part-supplier relation is the DISTINCT lineitem pair frame, as in
+    * q2). RewritePredicateSubquery turns the NOT IN into a LeftAnti
+    * join against the tiny complaint list (PlanQualitySpec pins it);
+    * COUNT(DISTINCT suppkey) partial-aggregates per bucket after the
+    * part join — the only shuffles are the pair-distinct and the
+    * bucket agg, both on narrow integer keys. All-integer counts:
+    * arithmetic-free parity. (round 5)
+    */
+  def q16SupplierPartCount(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q16_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("graft_q16_part")
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_q16_supplier")
+    s.sql("""
+      WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM graft_q16_lineitem)
+      SELECT p.p_brand, p.p_type, p.p_size,
+             CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM ps
+      JOIN graft_q16_part p ON p.p_partkey = ps.l_partkey
+      WHERE p.p_brand <> 'Brand#17'
+        AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_supplier
+                                 WHERE s_acctbal < 0)
+      GROUP BY p.p_brand, p.p_type, p.p_size
+      ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""")
+  }
+
+  val q16SupplierPartCountSql: String =
+    s"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+       SELECT p.p_brand, p.p_type, p.p_size,
+              CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM ps
+       JOIN part p ON p.p_partkey = ps.l_partkey
+       WHERE p.p_brand <> 'Brand#17'
+         AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+         AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                  WHERE s_acctbal < 0)
+       GROUP BY p.p_brand, p.p_type, p.p_size
+       ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size"""
+
+  /** TPC-H Q20 shape — the NESTED subquery tower: an IN-subquery whose
+    * body is a grouped frame filtered by a CORRELATED scalar subquery
+    * (the deepest classic decorrelation: Catalyst must rewrite the
+    * inner scalar into a per-part aggregate join, then the IN into a
+    * LeftSemi — two rewrites stacked; PlanQualitySpec pins both). The
+    * classic asks for suppliers whose available stock of a promoted
+    * part exceeds half a period's demand; without partsupp the
+    * re-keying is dominance — suppliers who shipped MORE THAN 20% of a
+    * 'small%' part's total shipped quantity (share x5 as an integer
+    * multiply, never a fraction compare). The semi join probes
+    * supplier with a key list whose size is bounded by the dominant
+    * pair count — tiny, AQE-broadcastable; integral quantity sums make
+    * parity arithmetic-free. (round 5)
+    */
+  def q20DominantSupplier(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q20_lineitem")
+    Tables.part(s, dir).createOrReplaceTempView("graft_q20_part")
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_q20_supplier")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_q20_nation")
+    s.sql("""
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM graft_q20_supplier s
+      JOIN graft_q20_nation n ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_suppkey IN (
+        SELECT g.l_suppkey FROM (
+          SELECT l.l_suppkey, l.l_partkey,
+                 SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+          FROM graft_q20_lineitem l
+          JOIN graft_q20_part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_name LIKE 'small%'
+          GROUP BY l.l_suppkey, l.l_partkey) g
+        WHERE g.qty * 5 > (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+                           FROM graft_q20_lineitem l2
+                           WHERE l2.l_partkey = g.l_partkey))
+      ORDER BY s.s_suppkey""")
+  }
+
+  val q20DominantSupplierSql: String =
+    s"""SELECT s.s_suppkey, s.s_name, n.n_name
+       FROM supplier s
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE s.s_suppkey IN (
+         SELECT g.l_suppkey FROM (
+           SELECT l.l_suppkey, l.l_partkey,
+                  SUM(CAST(l.l_quantity AS BIGINT)) AS qty
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_name LIKE 'small%'
+           GROUP BY l.l_suppkey, l.l_partkey) g
+         WHERE g.qty * 5 > (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = g.l_partkey))
+       ORDER BY s.s_suppkey"""
+
   /** RFM segmentation — the classic customer-value cube: quartile-bucket
     * every customer by Recency (days since last order, bucket 1 = most
     * recent), Frequency (order count) and Monetary (exact DECIMAL
@@ -1420,6 +1857,15 @@ object Analytics {
     Q("q13_order_distribution", Some(q13OrderDistributionSql))(q13OrderDistribution),
     Q("q18_large_orders", Some(q18LargeOrdersSql), bench = true)(q18LargeOrders),
     Q("q22_dormant_balance", Some(q22DormantBalanceSql))(q22DormantBalance),
+    Q("q6_forecast_revenue", Some(q6Sql))(q6),
+    Q("q8_market_share", Some(q8Sql), bench = true)(q8),
+    Q("q9_profit_by_nation", Some(q9Sql))(q9),
+    Q("q15_top_supplier", Some(q15TopSupplierSql))(q15TopSupplier),
+    Q("q2_min_cost_supplier", Some(q2MinCostSupplierSql))(q2MinCostSupplier),
+    Q("q12_ship_priority", Some(q12ShipPrioritySql))(q12ShipPriority),
+    Q("q11_important_value", Some(q11ImportantValueSql))(q11ImportantValue),
+    Q("q16_supplier_part_count", Some(q16SupplierPartCountSql))(q16SupplierPartCount),
+    Q("q20_dominant_supplier", Some(q20DominantSupplierSql))(q20DominantSupplier),
     Q("rfm_segments", Some(rfmSegmentsSql))(rfmSegments),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),

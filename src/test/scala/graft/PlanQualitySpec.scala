@@ -192,6 +192,72 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!opt.contains("exists-subquery"), opt.take(2000))
   }
 
+  test("q2: the join-bearing correlated scalar subquery decorrelates") {
+    val df = Analytics.q2MinCostSupplier(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // the min-subplan CONTAINS its own 4-way join chain — Catalyst must
+    // still rewrite it into one per-part aggregate joined back, never a
+    // per-probe-row re-run of the join chain
+    assert(!opt.contains("scalar-subquery"), opt.take(2000))
+  }
+
+  test("q15: the view max evaluates as one uncorrelated scalar") {
+    val df = Analytics.q15TopSupplier(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // uncorrelated: exactly one scalar subquery node (computed once,
+    // broadcast into the filter), never a correlated per-row probe
+    assert("scalar-subquery".r.findAllIn(opt).size <= 1, opt.take(2000))
+  }
+
+  test("q6: all three predicates push to the lineitem scan") {
+    val df = Analytics.q6(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters"), phys.take(2000))
+    // date + quantity + discount bounds all reach the parquet reader
+    for (c <- Seq("l_shipdate", "l_quantity", "l_discount"))
+      assert(phys.replaceAll("ReadSchema.*", "").contains(c),
+        s"$c missing from pushed filters:\n${phys.take(2000)}")
+  }
+
+  test("q20: both stacked rewrites fire — scalar decorrelates, IN becomes LeftSemi") {
+    val df = Analytics.q20DominantSupplier(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // inner correlated scalar → per-part aggregate join (no surviving
+    // scalar-subquery), outer IN → LeftSemi (no surviving list-subquery)
+    assert(!opt.contains("scalar-subquery"), opt.take(2000))
+    assert(!opt.contains("list#"), opt.take(2000))
+    assert(opt.contains("LeftSemi"), opt.take(2000))
+  }
+
+  test("q16: the NOT IN exclusion plans as an anti join") {
+    val df = Analytics.q16SupplierPartCount(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LeftAnti"), opt.take(2000))
+  }
+
+  test("q11: the view threshold evaluates as uncorrelated scalars, no correlation") {
+    val df = Analytics.q11ImportantValue(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    // COUNT and SUM over the view are broadcast scalars computed once —
+    // a correlated rewrite would show a per-row aggregate join instead
+    assert("scalar-subquery".r.findAllIn(opt).size <= 2, opt.take(2000))
+    assert(!opt.contains("Exists"), opt.take(2000))
+  }
+
+  test("q12: fact filter sits below the join; one join, one aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = Analytics.q12ShipPriority(spark, sf)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case j: Join => j }.size == 1)
+    assert(opt.collect { case a: Aggregate => a }.size == 1)
+    // the returnflag + date predicates must reach the lineitem scan
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters"), phys.take(2000))
+    for (c <- Seq("l_returnflag", "l_shipdate"))
+      assert(phys.replaceAll("ReadSchema.*", "").contains(c),
+        s"$c missing from pushed filters:\n${phys.take(2000)}")
+  }
+
   test("doc_signals_fused: five signal families in one scan, no joins or aggs") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val df = TextAnalysis.docSignalsFused(spark, sf)

@@ -273,6 +273,86 @@ object Curation {
                 AS boost
        FROM w CROSS JOIN tot ORDER BY source"""
 
+  /** Epoch materialization — turn [[sourceMixTemperature]]'s mix
+    * weights into ACTUAL training copies, the step between "the mix
+    * designer chose boosts" and "the loader reads rows": every doc
+    * gets floor(boost) copies plus one more iff a salted id hash lands
+    * under the fractional part, so head sources (boost < 1) subsample
+    * to 0-or-1 copies and tail sources replicate — deterministic,
+    * shuffle-free, replayable on any cluster (the property RNG
+    * sampling loses on retry).
+    *
+    * Parity discipline: boost is carried as an exact integer in
+    * 2^16-units — boost16 = (temp_w * total * 65536) div (total_w *
+    * tokens) computed in DECIMAL(38,0) (oracle: HUGEINT), so div and
+    * mod are exact in both engines; the fractional admission compares
+    * the first 4 md5 hex chars AS AN INTEGER (Spark conv(h,16,10);
+    * DuckDB CAST('0x' || h AS BIGINT)) against frac16 — integer-exact,
+    * no float anywhere. Plan: one narrow (source, tokens) agg + a
+    * source-sized broadcast join + a per-row bounded explode — the
+    * blow-up is the OUTPUT (copy rows), never an intermediate.
+    * (round 5)
+    */
+  def epochUpsample(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("t"))
+    val per = t.groupBy("source")
+      .agg(sum(col("t")).as("tokens"))
+      .withColumn("temp_w",
+        floor(sqrt((col("tokens") * lit(1000000L)).cast("double")))
+          .cast("long"))
+    val tot = per.agg(sum(col("tokens")).as("total_tokens"),
+      sum(col("temp_w")).as("total_w"))
+    val boost = per.crossJoin(broadcast(tot))
+      .withColumn("boost16",
+        expr("""CAST(CAST(temp_w AS DECIMAL(38,0)) * total_tokens * 65536
+                div (CAST(total_w AS DECIMAL(38,0)) * tokens) AS BIGINT)"""))
+      .select(col("source").as("b_source"),
+        expr("boost16 div 65536").as("n_full"),
+        (col("boost16") % 65536).as("frac16"))
+    t.join(broadcast(boost), col("source") === col("b_source"))
+      .withColumn("h16",
+        conv(substring(md5(concat(lit("epoch:"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long"))
+      .withColumn("n_copies",
+        (col("n_full") + when(col("h16") < col("frac16"), 1L).otherwise(0L))
+          .cast("long"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  val epochUpsampleSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+                     CAST(len(${sqlToks("text")}) AS BIGINT) AS t
+                   FROM documents),
+       per AS (SELECT source, CAST(SUM(t) AS BIGINT) AS tokens
+               FROM t GROUP BY source),
+       w AS (SELECT source, tokens,
+                    CAST(FLOOR(SQRT(CAST(tokens * 1000000 AS DOUBLE)))
+                      AS BIGINT) AS temp_w
+             FROM per),
+       tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                      CAST(SUM(temp_w) AS BIGINT) AS total_w FROM w),
+       b AS (SELECT source,
+                    CAST(CAST(temp_w AS HUGEINT) * total_tokens * 65536
+                         // (CAST(total_w AS HUGEINT) * tokens) AS BIGINT)
+                      AS boost16
+             FROM w CROSS JOIN tot),
+       n AS (SELECT t.doc_id, t.source,
+                    CAST(b.boost16 // 65536 +
+                      CASE WHEN CAST(('0x' || substr(md5('epoch:' ||
+                             CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                           < b.boost16 % 65536 THEN 1 ELSE 0 END AS BIGINT)
+                      AS n_copies
+             FROM t JOIN b ON t.source = b.source)
+       SELECT doc_id, source, n_copies, CAST(u.g AS BIGINT) AS copy_idx
+       FROM n, UNNEST(generate_series(1, n_copies)) AS u(g)
+       WHERE n_copies >= 1
+       ORDER BY doc_id, copy_idx"""
+
   /** Decontamination shingle width and eval-set selector (5% by id
     * hash-free modulus so the oracle replays it; a real deployment
     * passes an explicit benchmark/eval table instead).
@@ -683,6 +763,7 @@ object Curation {
     Q("pack_sequences", Some(packSequencesSql))(packSequences),
     Q("token_budget_mix", Some(tokenBudgetMixSql))(tokenBudgetMix),
     Q("source_mix_temperature", Some(sourceMixTemperatureSql))(sourceMixTemperature),
+    Q("epoch_upsample", Some(epochUpsampleSql))(epochUpsample),
     Q("decontaminate_overlap", Some(decontaminateOverlapSql))(decontaminateOverlap),
     Q("dataset_split_hash", Some(datasetSplitHashSql))(datasetSplitHash),
     Q("sample_quality_weighted", Some(sampleQualityWeightedSql))(sampleQualityWeighted),

@@ -34,7 +34,11 @@ class DeterminismSpec extends AnyFunSuite {
     "q17_small_quantity_revenue", "dedup_embedding_recall",
     // round-5 continuation: the dormant-balance scalar average + decimal
     // sum, the sqrt-temperature mix ratios, and the fused signal ratios
-    "q22_dormant_balance", "source_mix_temperature", "doc_signals_fused")
+    "q22_dormant_balance", "source_mix_temperature", "doc_signals_fused",
+    // round-5 continuation: the TPC-H completion's double producers —
+    // the market-share conditional sum + division, the profit
+    // decimal-difference sum, and the mean-share threshold view
+    "q8_market_share", "q9_profit_by_nation", "q11_important_value")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

@@ -673,8 +673,109 @@ object Similarity {
        FROM top t JOIN embeddings e ON t.q_id = e.vec_id
        WHERE t.rk = 1 ORDER BY t.q_id"""
 
+  /** Semantic dedup — the SemDeDup curation step (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus embeddings, then inside
+    * each cluster drop all but one of every near-duplicate group,
+    * keeping the member CLOSEST to its centroid (the most
+    * prototypical). Two-level blocking makes the pair search
+    * corpus-scale: the IVF k-means cluster (semantic blocking, the
+    * paper's move — reuses [[annTopkIvf]]'s exact-integer centroids)
+    * AND the 8-bit sign-LSH bucket (fine blocking), so candidate
+    * pairs ride an equi-join on (cluster, bucket) — never an
+    * in-cluster all-pairs product, which at 100 TB would be N²/K.
+    * Survivor policy is per verified pair: the lower-centroid-sim
+    * member drops (tie: higher vec_id) — deterministic, so a re-run
+    * or a retried partition makes identical keep decisions.
+    *
+    * Output is a per-vector verdict frame (vec_id, cluster, cent_sim,
+    * kept) — the join-ready shape a curation pipeline filters the
+    * corpus with. All similarity arithmetic is the exact quantized
+    * integer dot/cosine used by the ANN tier, so verdicts are
+    * bit-identical across engines and partitionings. (round 5)
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    dedupSemantic(s, dir, D)
+
+  def dedupSemantic(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame = {
+    val c = quantized(s, dir)
+    val seed = c.filter(col("vec_id") < cfg.ivfK)
+      .select(col("vec_id").cast("int").as("c_id"), col("qv").as("c_qv"),
+        col("nn").as("c_nn"))
+    val cent = (1 to cfg.ivfIters).foldLeft(seed)((ct, _) => lloyd(c, ct))
+    // assignment WITH the centroid similarity (the keep-policy score)
+    val wA = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val asg = c.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        cosineQ(dotQ(col("qv"), col("c_qv")), col("nn"), col("c_nn"))
+          .as("c_cos"))
+      .withColumn("c_rank", row_number().over(wA))
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("c_id"), col("c_cos"))
+    val m = asg.join(buckets(s, dir).select(col("vec_id"), col("bucket")),
+      "vec_id")
+    val cand = m.as("a").join(m.as("b"),
+        col("a.c_id") === col("b.c_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.c_cos").as("cos_a"), col("b.c_cos").as("cos_b"))
+    val pairs = cand
+      .join(c.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+        col("nn").as("na")), "vec_a")
+      .join(c.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+        col("nn").as("nb")), "vec_b")
+      .filter(cosineQ(dotQ(col("qa"), col("qb")), col("na"), col("nb"))
+        >= cfg.embeddingTau)
+    // per verified pair the less-prototypical member drops; vec_a <
+    // vec_b, so an exact tie drops the higher id (vec_b)
+    val drops = pairs
+      .select(when(col("cos_a") < col("cos_b"), col("vec_a"))
+        .otherwise(col("vec_b")).as("vec_id"))
+      .distinct()
+    m.join(drops.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"), col("c_cos").as("cent_sim"),
+        col("dropped").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH $sqlQuant,
+       cent0 AS (SELECT CAST(vec_id AS INT) AS c_id, qv AS c_qv, nn AS c_nn
+                 FROM quant WHERE vec_id < $IvfK),
+       ${(0 until IvfIters).map(sqlLloydIter).mkString(",\n")},
+       $sqlPlanes,
+       $sqlBuckets,
+       asgc AS (SELECT vec_id, c_id, c_cos FROM (
+                  SELECT q.vec_id, c.c_id,
+                         ${sqlCosineQ(sqlDotQ("q.qv", "c.c_qv", Dim), "q.nn", "c.c_nn")} AS c_cos,
+                         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                           ${sqlCosineQ(sqlDotQ("q.qv", "c.c_qv", Dim), "q.nn", "c.c_nn")} DESC,
+                           c.c_id) AS r
+                  FROM quant q CROSS JOIN cent$IvfIters c) WHERE r = 1),
+       m AS (SELECT a.vec_id, a.c_id, a.c_cos, buck.bucket
+             FROM asgc a JOIN buck ON a.vec_id = buck.vec_id),
+       cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       a.c_cos AS cos_a, b.c_cos AS cos_b
+                FROM m a JOIN m b ON a.c_id = b.c_id
+                 AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       pairs AS (SELECT vec_a, vec_b, cos_a, cos_b
+                 FROM cand JOIN quant qa ON vec_a = qa.vec_id
+                           JOIN quant qb ON vec_b = qb.vec_id
+                 WHERE ${sqlCosineQ(sqlDotQ("qa.qv", "qb.qv", Dim), "qa.nn", "qb.nn")}
+                       >= ${D.embeddingTau}),
+       drops AS (SELECT DISTINCT CASE WHEN cos_a < cos_b THEN vec_a
+                                      ELSE vec_b END AS vec_id
+                 FROM pairs)
+       SELECT m.vec_id, m.c_id, m.c_cos AS cent_sim,
+              d.vec_id IS NULL AS kept
+       FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
+       ORDER BY m.vec_id"""
+
   def queries: Seq[Q] = Seq(
     Q("embedding_centroids", Some(embeddingCentroidsSql))(embeddingCentroids),
+    Q("dedup_semantic", Some(dedupSemanticSql))(dedupSemantic),
     Q("knn_label_vote", Some(knnLabelVoteSql))(knnLabelVote),
     Q("knn_confusion_matrix", Some(knnConfusionMatrixSql))(knnConfusionMatrix),
     Q("ann_topk_bruteforce", Some(annTopkBruteforceSql), bench = true)(annTopkBruteforce),

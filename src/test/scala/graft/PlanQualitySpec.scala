@@ -93,6 +93,10 @@ class PlanQualitySpec extends AnyFunSuite {
     "dedup_embedding_recall", "ann_topk_bruteforce", "ann_topk_lsh",
     "ann_topk_ivf", "ann_topk_ivfpq", "ann_recall_lsh", "ann_recall_ivf",
     "ann_recall_pq", "gap_fill_ffill",
+    // corpus x broadcast K=16 centroid argmax (the IVF assignment
+    // shape, N x K by construction); the PAIR search itself is the
+    // (cluster, bucket) equi-join, never a product
+    "dedup_semantic",
     "token_budget_mix",
     // same hard-capped query broadcast as ann_topk_bruteforce (|Q| <=
     // MaxQueries regardless of corpus size), O(|Q| * N) by design

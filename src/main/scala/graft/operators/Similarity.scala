@@ -109,12 +109,15 @@ object Similarity {
     * posexploded each vector 64x and aggregated twice: two exchanges of
     * a Dim-times-blown-up relation for what is per-row arithmetic.)
     */
-  private def buckets(s: SparkSession, dir: String): DataFrame = {
+  private def buckets(s: SparkSession, dir: String): DataFrame =
+    bucketsOf(quantized(s, dir))
+
+  private def bucketsOf(q: DataFrame): DataFrame = {
     val bucket = (0 until NPlanes).map { j =>
       when(dotQ(col("qv"), lit(planeVec(j))) > 0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    quantized(s, dir).withColumn("bucket", bucket)
+    q.withColumn("bucket", bucket)
   }
 
   private val sqlBuckets =
@@ -697,8 +700,18 @@ object Similarity {
     dedupSemantic(s, dir, D)
 
   def dedupSemantic(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame =
+    dedupSemanticOn(Tables.embeddings(s, dir), cfg)
+
+  /** [[dedupSemantic]] over an arbitrary (vec_id, embedding) frame —
+    * the library entry point, and the hook constructed-corpus specs
+    * verify the keep policy through.
+    */
+  def dedupSemanticOn(emb: DataFrame,
       cfg: SimilarityConfig): DataFrame = {
-    val c = quantized(s, dir)
+    val c = emb
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"), dotQ(col("qv"), col("qv")).as("nn"))
     val seed = c.filter(col("vec_id") < cfg.ivfK)
       .select(col("vec_id").cast("int").as("c_id"), col("qv").as("c_qv"),
         col("nn").as("c_nn"))
@@ -713,7 +726,7 @@ object Similarity {
       .withColumn("c_rank", row_number().over(wA))
       .filter(col("c_rank") === 1)
       .select(col("vec_id"), col("c_id"), col("c_cos"))
-    val m = asg.join(buckets(s, dir).select(col("vec_id"), col("bucket")),
+    val m = asg.join(bucketsOf(c).select(col("vec_id"), col("bucket")),
       "vec_id")
     val cand = m.as("a").join(m.as("b"),
         col("a.c_id") === col("b.c_id") &&

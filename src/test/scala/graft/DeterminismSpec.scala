@@ -38,7 +38,9 @@ class DeterminismSpec extends AnyFunSuite {
     // round-5 continuation: the TPC-H completion's double producers —
     // the market-share conditional sum + division, the profit
     // decimal-difference sum, and the mean-share threshold view
-    "q8_market_share", "q9_profit_by_nation", "q11_important_value")
+    "q8_market_share", "q9_profit_by_nation", "q11_important_value",
+    // the semantic-dedup verdict frame's cent_sim doubles + keep flags
+    "dedup_semantic")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

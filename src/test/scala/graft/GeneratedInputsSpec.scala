@@ -216,6 +216,44 @@ class GeneratedInputsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_semantic collapses planted near-dup groups to their prototype") {
+    // constructed corpus: 4 well-separated random base directions
+    // (ids 0-3, the k-means seeds), two planted twins of base 0
+    // (ids 4, 5), one twin of base 1 (id 6), one independent vector
+    // (id 7). Twin noise is 1e-3 per component — cosine to the base
+    // ~0.9999 (far above tau) and small enough that every sign-LSH
+    // plane dot keeps its sign, so twins share their base's bucket.
+    val rnd = new scala.util.Random(7L)
+    def base(): Array[Float] =
+      Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    def twin(b: Array[Float]): Array[Float] =
+      b.map(x => x + ((rnd.nextDouble() * 2 - 1) * 0.001).toFloat)
+    val b0 = base(); val b1 = base(); val b2 = base(); val b3 = base()
+    val rows = Seq(
+      0L -> b0, 1L -> b1, 2L -> b2, 3L -> b3,
+      4L -> twin(b0), 5L -> twin(b0), 6L -> twin(b1), 7L -> base())
+    val df = rows.toDF("vec_id", "embedding")
+    val cfg = operators.SimilarityConfig(ivfK = 4, ivfIters = 1,
+      ivfProbe = 1)
+    val out = operators.Similarity.dedupSemanticOn(df, cfg).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2),
+        r.getBoolean(3))).toMap
+    assert(out.size === 8, "one verdict row per vector")
+    // each planted dup group collapses to exactly one survivor — the
+    // member closest to its centroid (ties cannot occur here)
+    for (group <- Seq(Seq(0L, 4L, 5L), Seq(1L, 6L))) {
+      val kept = group.filter(out(_)._3)
+      assert(kept.size === 1, s"group $group kept $kept")
+      val best = group.maxBy(id => out(id)._2)
+      assert(kept.head === best,
+        s"group $group kept ${kept.head}, expected prototype $best")
+      // the group really did land in one cluster (the blocking worked)
+      assert(group.map(out(_)._1).distinct.size === 1)
+    }
+    // vectors with no near-dup above tau are untouched
+    for (id <- Seq(2L, 3L, 7L)) assert(out(id)._3, s"$id wrongly dropped")
+  }
+
   test("salting spreads a generated hot key across reducers; AQE splits the skewed join") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // generated skewed corpus: one hot key owns 50k of 60k rows — the

@@ -1034,8 +1034,60 @@ object Dedup {
               END AS recall
        FROM tn, hit"""
 
+  /** Repeated-span width for [[dedupSubstringSpans]] (tokens). */
+  private val SpanTokens = 8
+
+  /** Exact repeated-substring detection — the substring-level dedup of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499), which removes verbatim spans
+    * (boilerplate, licenses, templated text) that document-level
+    * near-dup misses. The paper builds a suffix array; the
+    * Spark-idiomatic equivalent for a fixed span width is a
+    * shingle-hash GROUP: every L-token span, grouped, kept when it
+    * recurs in >= 2 distinct docs. Output is span-level evidence
+    * (span, n_docs, n_occ, first_doc) — the frame a removal pass
+    * anti-joins against — NOT the occurrence pair list, whose size is
+    * quadratic in a span's document frequency (a license block in 1M
+    * docs would explode pairwise; the group row is one line).
+    *
+    * Scale shape: the (doc, span) explode is token-proportional
+    * (linear, the same blow-up every shingle operator here pays); the
+    * group shuffles narrow (span-key, partial-count) rows with
+    * map-side combine; docs shorter than L are excluded rather than
+    * clamped — a whole short doc is document-level dedup's job
+    * ([[dedupExactHash]]), not a span. (round 5)
+    */
+  def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= SpanTokens)
+      .select(col("doc_id"),
+        explode(wordShingles(col("tk"), SpanTokens)).as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+
+  val dedupSubstringSpansSql: String =
+    s"""WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS tk FROM documents),
+       sp AS (SELECT doc_id,
+                     array_to_string(tk[i:i+${SpanTokens - 1}], ' ') AS span
+              FROM (SELECT doc_id, tk,
+                      unnest(generate_series(1, len(tk) - ${SpanTokens - 1}))
+                        AS i
+                    FROM tk WHERE len(tk) >= $SpanTokens))
+       SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(COUNT(*) AS BIGINT) AS n_occ,
+              CAST(MIN(doc_id) AS BIGINT) AS first_doc
+       FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+       ORDER BY n_docs DESC, n_occ DESC, span"""
+
   def queries: Seq[Q] = Seq(
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
+    Q("dedup_substring_spans", Some(dedupSubstringSpansSql))(
+      dedupSubstringSpans),
     Q("dedup_lsh_recall", Some(dedupLshRecallSql))(dedupLshRecall),
     Q("dedup_source_matrix", Some(dedupSourceMatrixSql))(dedupSourceMatrix),
     Q("dedup_prefix_filter", Some(dedupPrefixFilterSql), bench = true)(

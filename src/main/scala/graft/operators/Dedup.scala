@@ -1084,10 +1084,86 @@ object Dedup {
        FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
        ORDER BY n_docs DESC, n_occ DESC, span"""
 
+  /** The REMOVAL pass over [[dedupSubstringSpans]]'s evidence — Lee et
+    * al.'s actual edit: excise every occurrence of every cross-doc
+    * repeated span from every document, keeping the surrounding text.
+    * Occurrences land as (doc, start, end) token intervals; each doc
+    * then drops exactly the tokens covered by at least one interval —
+    * coverage is a per-row array `exists` over the doc's own interval
+    * list (overlapping spans compose correctly without an interval
+    * merge: coverage is a union either way). Output keeps every doc
+    * (n_removed = 0 when untouched) with the rebuilt text joined by
+    * single spaces (tokenizer-normalized, like [[Chunking]]'s rebuilt
+    * docs).
+    *
+    * Scale shape: span grouping and the occurrence join are the same
+    * narrow token-linear streams as the evidence query; the interval
+    * list aggregates per doc (bounded by the doc's own occurrence
+    * count, never corpus-sized), and the excision is pure per-row
+    * codegen'd array work — no window, no range join. (round 5)
+    */
+  def stripRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+    val sp = docs.filter(size(col("tk")) >= SpanTokens)
+      .select(col("doc_id"),
+        posexplode(wordShingles(col("tk"), SpanTokens))
+          .as(Seq("p0", "span")))
+    val bad = sp.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("span")
+    val ivs = sp.join(bad, "span")
+      .select(col("doc_id"), (col("p0") + 1).as("s"),
+        (col("p0") + lit(SpanTokens)).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    docs.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        when(col("ivs").isNull, col("tk"))
+          .otherwise(filter(col("tk"), (_, i) =>
+            !exists(col("ivs"), v =>
+              v.getField("s") <= i + 1 && i + 1 <= v.getField("e"))))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  val stripRepeatedSpansSql: String =
+    s"""WITH tk AS (SELECT doc_id, ${sqlToks("text")} AS tk FROM documents),
+       sp AS (SELECT doc_id, i AS s, i + ${SpanTokens - 1} AS e,
+                     array_to_string(tk[i:i+${SpanTokens - 1}], ' ') AS span
+              FROM (SELECT doc_id, tk,
+                      unnest(generate_series(1, len(tk) - ${SpanTokens - 1}))
+                        AS i
+                    FROM tk WHERE len(tk) >= $SpanTokens)),
+       bad AS (SELECT span FROM sp GROUP BY span
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+       occ AS (SELECT doc_id, s, e FROM sp JOIN bad USING (span)),
+       iv AS (SELECT doc_id, list({'s': s, 'e': e}) AS ivs
+              FROM occ GROUP BY doc_id),
+       k AS (SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+               CASE WHEN i.ivs IS NULL THEN t.tk
+                    ELSE list_filter(list_transform(
+                           generate_series(1, len(t.tk)),
+                           p -> CASE WHEN len(list_filter(i.ivs,
+                                    v -> v.s <= p AND p <= v.e)) > 0
+                                THEN NULL ELSE t.tk[p] END),
+                           x -> x IS NOT NULL) END AS kept
+             FROM tk t LEFT JOIN iv i USING (doc_id))
+       SELECT doc_id, n_tokens,
+              CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+              COALESCE(array_to_string(kept, ' '), '') AS kept_text
+       FROM k ORDER BY doc_id"""
+
   def queries: Seq[Q] = Seq(
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
     Q("dedup_substring_spans", Some(dedupSubstringSpansSql))(
       dedupSubstringSpans),
+    Q("strip_repeated_spans", Some(stripRepeatedSpansSql))(
+      stripRepeatedSpans),
     Q("dedup_lsh_recall", Some(dedupLshRecallSql))(dedupLshRecall),
     Q("dedup_source_matrix", Some(dedupSourceMatrixSql))(dedupSourceMatrix),
     Q("dedup_prefix_filter", Some(dedupPrefixFilterSql), bench = true)(

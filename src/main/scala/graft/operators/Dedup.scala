@@ -1160,7 +1160,7 @@ object Dedup {
 
   def queries: Seq[Q] = Seq(
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
-    Q("dedup_substring_spans", Some(dedupSubstringSpansSql))(
+    Q("dedup_substring_spans", Some(dedupSubstringSpansSql), bench = true)(
       dedupSubstringSpans),
     Q("strip_repeated_spans", Some(stripRepeatedSpansSql))(
       stripRepeatedSpans),

@@ -248,6 +248,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!opt.contains("Exists"), opt.take(2000))
   }
 
+  test("q8/q9: every dimension broadcasts — only lineitem x orders shuffles") {
+    for ((df, minBroadcasts) <- Seq(
+        Analytics.q8(spark, sf) -> 4, // part, customer(x nation x region), supplier(x nation)
+        Analytics.q9(spark, sf) -> 3)) { // part, supplier, nation
+      val p = plan(df)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= minBroadcasts,
+        p.take(2000))
+      // at most the single fact-fact join may shuffle
+      assert("SortMergeJoin".r.findAllIn(p).size <= 1, p.take(2000))
+    }
+  }
+
   test("q12: fact filter sits below the join; one join, one aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val df = Analytics.q12ShipPriority(spark, sf)

@@ -45,6 +45,7 @@ object ManifestLog {
 
   private def logDir(path: String) = s"$path/_log"
   private def dataDir(path: String, v: Long) = s"$path/data/v$v"
+  private def dvDir(path: String, v: Long) = s"$path/dv/v$v"
 
   /** The raw action log (file-cardinality — the planning frame). */
   def log(s: SparkSession, path: String): DataFrame =
@@ -119,6 +120,99 @@ object ManifestLog {
     v
   }
 
+  /** Deleted (file, key) pairs visible at `asOf`, resolved THROUGH the
+    * log (the sidecar directories are never listed — the log names the
+    * versions that carry deletion vectors, like everything else here).
+    * None when the table has no DVs at `asOf`, so DV-free reads pay
+    * nothing.
+    */
+  private def dvPairs(s: SparkSession, path: String,
+      asOf: Long): Option[DataFrame] = {
+    val vs = scala.util.Try(log(s, path)).toOption
+      .map(_.filter(col("action") === "dv" && col("version") <= asOf)
+        .select("version").distinct()
+        .collect().map(_.getLong(0)).toSeq)
+      .getOrElse(Nil)
+    if (vs.isEmpty) None
+    else Some(s.read.parquet(vs.map(v => dvDir(path, v)): _*))
+  }
+
+  /** Anti-join `df` (which must come straight off a parquet scan, so
+    * `input_file_name` is still row-accurate) against the deletion
+    * vectors visible at `asOf`. Per-FILE pairs, not a global key
+    * filter: a later commit re-inserting a deleted key is a new row in
+    * a new file and stays visible — Delta's DV semantics.
+    */
+  private def applyDv(s: SparkSession, path: String, df: DataFrame,
+      asOf: Long): DataFrame =
+    dvPairs(s, path, asOf) match {
+      case None => df
+      case Some(dv) =>
+        val keyCol = dv.select("key_col").head.getString(0)
+        df.withColumn("_graft_file", input_file_name())
+          .join(broadcast(dv.select(col("file").as("_dv_file"),
+            col("key").as("_dv_key"))),
+            col("_graft_file") === col("_dv_file") &&
+              col(keyCol).cast("long") === col("_dv_key"), "left_anti")
+          .drop("_graft_file")
+    }
+
+  /** Row-level DELETE by DELETION VECTOR — the modern lakehouse
+    * alternative to [[deleteKeys]]' copy-on-write rewrite (Delta's
+    * deletion vectors / Iceberg v2 position deletes): no data file is
+    * touched; the commit writes a tiny (file, key) sidecar naming the
+    * dead rows and a `dv` log action per affected file, and every
+    * reader anti-joins the sidecar. Wins when deletes are small and
+    * frequent (GDPR erasure at 100 TB: a handful of sidecar KiB and
+    * zero data-file churn — file identity, caches and incremental
+    * readers all survive); the rewrite path still wins for bulk
+    * deletes, which is why both ship, exactly as in Delta. The dead
+    * rows are physically reclaimed when [[compact]] next rewrites (it
+    * reads through [[snapshot]], so DVs materialize on any rewrite).
+    * Candidate files prune through the manifest bounds first; pairs
+    * already dead in a prior DV are excluded, so a repeated delete of
+    * the same keys commits nothing. Time travel composes: a snapshot
+    * BEFORE the DV's version still shows the rows. Returns the new
+    * version (or the current one for a no-op). (round 5)
+    */
+  def deleteKeysDv(s: SparkSession, path: String, keyCol: String,
+      keys: Seq[Long]): Long = {
+    val v0 = currentVersion(s, path)
+    if (v0 == 0L || keys.isEmpty) return v0
+    val actions = log(s, path).filter(col("version") <= v0)
+    val files = actions.filter(col("action") === "add")
+      .join(actions.filter(col("action") === "remove").select(col("file")),
+        Seq("file"), "left_anti")
+      .filter(keys.map(k => col("min_key") <= k && col("max_key") >= k)
+        .reduce(_ || _))
+      .select("file").collect().map(_.getString(0)).toSeq
+    if (files.isEmpty) return v0
+    val raw = s.read.parquet(files: _*)
+      .select(input_file_name().as("file"),
+        col(keyCol).cast("long").as("key"))
+      .filter(col("key").isin(keys: _*))
+      .distinct()
+    val fresh = dvPairs(s, path, v0).fold(raw)(dv =>
+      raw.join(broadcast(dv.select("file", "key")), Seq("file", "key"),
+        "left_anti"))
+    if (fresh.isEmpty) return v0
+    val v = v0 + 1L
+    fresh.withColumn("key_col", lit(keyCol))
+      .write.mode(SaveMode.Overwrite).parquet(dvDir(path, v))
+    // honest per-file stats over the DELETED keys (n_rows = rows dead)
+    s.read.parquet(dvDir(path, v))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"), min(col("key")).as("min_key"),
+        max(col("key")).as("max_key"),
+        expr(s"graft_bloom_agg(CAST(key AS STRING), $BloomLog2Bits)")
+          .as("bloom"))
+      .select(lit(v).as("version"), lit("dv").as("action"), col("file"),
+        col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
+        lit(NoBatch).as("batch_id"))
+      .write.mode(SaveMode.Append).parquet(logDir(path))
+    v
+  }
+
   /** Compact the LIVE file set into one clustered file as a new
     * version — OPTIMIZE's file-level mechanics: read the current
     * snapshot through the log, rewrite it sorted by the clustering key
@@ -137,7 +231,9 @@ object ManifestLog {
     val replaced = fileList(s, path, v0)
     if (replaced.isEmpty) return v0 // nothing live to rewrite
     val v = v0 + 1L
-    s.read.parquet(replaced: _*)
+    // read THROUGH the snapshot so deletion vectors materialize into
+    // the rewrite (dv'd rows must not resurrect in the compacted file)
+    applyDv(s, path, s.read.parquet(replaced: _*), v0)
       .sortWithinPartitions(col(keyCol))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
@@ -175,7 +271,9 @@ object ManifestLog {
     val files = affected.select("file").collect().map(_.getString(0)).toSeq
     if (files.isEmpty) return v0
     val v = v0 + 1L
-    s.read.parquet(files: _*)
+    // apply prior deletion vectors first: a rewrite must not resurrect
+    // rows an earlier DV already deleted from these files
+    applyDv(s, path, s.read.parquet(files: _*), v0)
       .filter(!col(keyCol).isin(keys: _*))
       .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
     val removes = affected.select(lit(v).as("version"),
@@ -245,7 +343,7 @@ object ManifestLog {
     val v = asOf.getOrElse(currentVersion(s, path))
     val files = fileList(s, path, v)
     if (files.isEmpty) s.emptyDataFrame
-    else s.read.parquet(files: _*)
+    else applyDv(s, path, s.read.parquet(files: _*), v)
   }
 
   /** Key-range read with MANIFEST pruning applied: files whose bounds
@@ -259,7 +357,7 @@ object ManifestLog {
     val v = asOf.getOrElse(currentVersion(s, path))
     val files = fileList(s, path, v, Some((lo, hi)))
     if (files.isEmpty) s.emptyDataFrame
-    else s.read.parquet(files: _*)
+    else applyDv(s, path, s.read.parquet(files: _*), v)
       .filter(col(keyCol).cast("long").between(lo, hi))
   }
 
@@ -283,7 +381,7 @@ object ManifestLog {
         expr(s"graft_bloom_contains(bloom, CAST(${key}L AS STRING))"))
       .select("file").collect().map(_.getString(0)).toSeq
     if (files.isEmpty) s.emptyDataFrame
-    else s.read.parquet(files: _*)
+    else applyDv(s, path, s.read.parquet(files: _*), v)
       .filter(col(keyCol).cast("long") === key)
   }
 }

@@ -202,6 +202,49 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.currentVersion(spark, path) === 2L)
   }
 
+  test("deletion vectors hide rows with ZERO data-file churn; rewrites materialize them") {
+    import spark.implicits._
+    val path = freshTable()
+    ManifestLog.commit(
+      (0L until 400L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartitionByRange(8, col("key")), path, "key")
+    val before = ManifestLog.fileList(spark, path, 1L)
+
+    val v = ManifestLog.deleteKeysDv(spark, path, "key", Seq(7L, 205L))
+    assert(v === 2L)
+    // THE deletion-vector property: the live data-file set is
+    // IDENTICAL — no file was rewritten, unlike deleteKeys
+    assert(ManifestLog.fileList(spark, path, 2L) === before)
+    // ...yet readers no longer see the rows
+    val snap = ManifestLog.snapshot(spark, path)
+    assert(snap.count() === 398)
+    assert(snap.filter(col("key").isin(7L, 205L)).count() === 0)
+    // every pruned read path applies the DV
+    assert(ManifestLog.scanKeyPoint(spark, path, "key", 7L).count() === 0)
+    assert(ManifestLog.scanKeyRange(spark, path, "key", 200L, 210L)
+      .count() === 10)
+    // time travel BEFORE the DV still shows the rows
+    assert(ManifestLog.snapshot(spark, path, Some(1L)).count() === 400)
+    // repeating the delete is a no-op commit
+    assert(ManifestLog.deleteKeysDv(spark, path, "key", Seq(7L)) === 2L)
+
+    // a later commit RE-INSERTING a deleted key is a new row in a new
+    // file: per-file DV semantics keep it visible
+    ManifestLog.commit(Seq((7L, "again")).toDF("key", "payload"),
+      path, "key")
+    val re = ManifestLog.snapshot(spark, path).filter(col("key") === 7L)
+    assert(re.count() === 1)
+    assert(re.head.getString(1) === "again")
+
+    // compaction reads through the DV: dead rows do not resurrect, and
+    // the rewrite materializes the deletes into the new file
+    val vc = ManifestLog.compact(spark, path, "key")
+    val compacted = ManifestLog.snapshot(spark, path, Some(vc))
+    assert(compacted.count() === 399) // 400 - 2 dv'd + 1 re-insert
+    assert(compacted.filter(col("key") === 205L).count() === 0)
+    assert(compacted.filter(col("key") === 7L).count() === 1)
+  }
+
   test("bloom index: point lookups skip files whose RANGES cannot prune") {
     import spark.implicits._
     val path = freshTable()

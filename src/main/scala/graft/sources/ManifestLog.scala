@@ -51,6 +51,16 @@ object ManifestLog {
   def log(s: SparkSession, path: String): DataFrame =
     s.read.parquet(logDir(path))
 
+  /** Open log-named data files with union-by-name schema merging —
+    * the reader side of SCHEMA EVOLUTION: a later commit may add
+    * columns, and a snapshot spanning old and new files surfaces the
+    * added columns as nulls on pre-evolution rows (Delta's
+    * mergeSchema / Iceberg's schema-id resolution, here carried by
+    * parquet footer merging since the log tracks files, not schemas).
+    */
+  private def readData(s: SparkSession, files: Seq[String]): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(files: _*)
+
   /** Latest committed version, 0 if the table does not exist yet. */
   def currentVersion(s: SparkSession, path: String): Long =
     scala.util.Try(log(s, path)).toOption
@@ -187,7 +197,7 @@ object ManifestLog {
         .reduce(_ || _))
       .select("file").collect().map(_.getString(0)).toSeq
     if (files.isEmpty) return v0
-    val raw = s.read.parquet(files: _*)
+    val raw = readData(s, files)
       .select(input_file_name().as("file"),
         col(keyCol).cast("long").as("key"))
       .filter(col("key").isin(keys: _*))
@@ -233,7 +243,7 @@ object ManifestLog {
     val v = v0 + 1L
     // read THROUGH the snapshot so deletion vectors materialize into
     // the rewrite (dv'd rows must not resurrect in the compacted file)
-    applyDv(s, path, s.read.parquet(replaced: _*), v0)
+    applyDv(s, path, readData(s, replaced), v0)
       .sortWithinPartitions(col(keyCol))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
@@ -273,7 +283,7 @@ object ManifestLog {
     val v = v0 + 1L
     // apply prior deletion vectors first: a rewrite must not resurrect
     // rows an earlier DV already deleted from these files
-    applyDv(s, path, s.read.parquet(files: _*), v0)
+    applyDv(s, path, readData(s, files), v0)
       .filter(!col(keyCol).isin(keys: _*))
       .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
     val removes = affected.select(lit(v).as("version"),
@@ -343,7 +353,7 @@ object ManifestLog {
     val v = asOf.getOrElse(currentVersion(s, path))
     val files = fileList(s, path, v)
     if (files.isEmpty) s.emptyDataFrame
-    else applyDv(s, path, s.read.parquet(files: _*), v)
+    else applyDv(s, path, readData(s, files), v)
   }
 
   /** Key-range read with MANIFEST pruning applied: files whose bounds
@@ -357,7 +367,7 @@ object ManifestLog {
     val v = asOf.getOrElse(currentVersion(s, path))
     val files = fileList(s, path, v, Some((lo, hi)))
     if (files.isEmpty) s.emptyDataFrame
-    else applyDv(s, path, s.read.parquet(files: _*), v)
+    else applyDv(s, path, readData(s, files), v)
       .filter(col(keyCol).cast("long").between(lo, hi))
   }
 
@@ -381,7 +391,7 @@ object ManifestLog {
         expr(s"graft_bloom_contains(bloom, CAST(${key}L AS STRING))"))
       .select("file").collect().map(_.getString(0)).toSeq
     if (files.isEmpty) s.emptyDataFrame
-    else applyDv(s, path, s.read.parquet(files: _*), v)
+    else applyDv(s, path, readData(s, files), v)
       .filter(col(keyCol).cast("long") === key)
   }
 }

@@ -274,6 +274,29 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.scanKeyPoint(spark, path, "key", 4242L).count() === 0)
   }
 
+  test("schema evolution: a later commit's added column reads as null on old rows") {
+    import spark.implicits._
+    val path = freshTable()
+    ManifestLog.commit(Seq((1L, "a"), (2L, "b")).toDF("key", "payload"),
+      path, "key")
+    // commit 2 ADDS a column — the log tracks files, parquet footer
+    // merging resolves the union schema
+    ManifestLog.commit(
+      Seq((3L, "c", "fr")).toDF("key", "payload", "lang"), path, "key")
+
+    val snap = ManifestLog.snapshot(spark, path)
+    assert(snap.columns.toSet === Set("key", "payload", "lang"))
+    assert(snap.count() === 3)
+    assert(snap.filter(col("lang").isNull).count() === 2)
+    assert(snap.filter(col("key") === 3L).head.getAs[String]("lang") === "fr")
+    // time travel to the pre-evolution snapshot sees the OLD schema
+    assert(ManifestLog.snapshot(spark, path, Some(1L)).columns.toSet ===
+      Set("key", "payload"))
+    // pruned reads resolve the union schema the same way
+    assert(ManifestLog.scanKeyRange(spark, path, "key", 1L, 3L)
+      .columns.toSet === Set("key", "payload", "lang"))
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val path = freshTable()

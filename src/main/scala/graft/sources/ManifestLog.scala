@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * Layout under a table root:
   * {{{
   *   data/v<version>/part-*.parquet   -- immutable data files per commit
-  *   _log/                            -- append-only action rows:
-  *     (version, action add|remove, file, n_rows, min_key, max_key,
+  *   dv/v<version>/part-*.parquet     -- deletion-vector sidecars
+  *   _log/v<version>/part-*.parquet   -- that version's action rows:
+  *     (version, action add|remove|dv, file, n_rows, min_key, max_key,
   *      bloom, batch_id)
+  *   _claims/v<version>               -- create-exclusive version claims
   * }}}
   *
   * The log IS the table: readers never list `data/` (object-store
@@ -47,9 +49,23 @@ object ManifestLog {
   private def dataDir(path: String, v: Long) = s"$path/data/v$v"
   private def dvDir(path: String, v: Long) = s"$path/dv/v$v"
 
+  /** Each version's actions land in their OWN log subdirectory as one
+    * coalesced file: concurrent committers never share an output
+    * directory (Hadoop's FileOutputCommitter staging dir is per-path —
+    * two appenders into one flat `_log/` clobber each other's
+    * `_temporary`, observed under the concurrent-commit spec), and the
+    * single file appears atomically via the committer's rename, so a
+    * reader never sees a torn half-commit.
+    */
+  private def logVersionDir(path: String, v: Long) = s"${logDir(path)}/v$v"
+
+  private def writeActions(df: DataFrame, path: String, v: Long): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(logVersionDir(path, v))
+
   /** The raw action log (file-cardinality — the planning frame). */
   def log(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(logDir(path))
+    s.read.parquet(s"${logDir(path)}/v*")
 
   /** Open log-named data files with union-by-name schema merging —
     * the reader side of SCHEMA EVOLUTION: a later commit may add
@@ -96,6 +112,66 @@ object ManifestLog {
   /** batch_id marker for non-transactional (plain) commits. */
   val NoBatch: Long = -1L
 
+  private def claimsDir(path: String) = s"$path/_claims"
+
+  /** Atomic create-exclusive marker — the conditional-put primitive
+    * every real format's commit protocol rests on. Hadoop's LOCAL
+    * ChecksumFileSystem implements create(overwrite = false) as
+    * check-then-act (two racing writers can both pass the exists
+    * check — observed under a concurrent-commit spec), so local paths
+    * go through java.io's O_EXCL createNewFile; HDFS-like schemes use
+    * the FS's own exclusive create, which is atomic there.
+    */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file")
+      scala.util.Try(new java.io.File(p.toUri.getPath).createNewFile())
+        .getOrElse(false)
+    else scala.util.Try(fs.create(p, false).close()).isSuccess
+
+  /** Atomically claim a UNIQUE version number via create-exclusive
+    * marker files (atomic on local FS and HDFS; object stores use a
+    * conditional put — the same primitive real formats rest on).
+    * Concurrent writers that race currentVersion+1 each walk forward
+    * until a create succeeds, so no two commits ever share a version
+    * and no data directory is ever double-written. A claim whose
+    * writer crashed before the log append is a harmless GAP: the log
+    * never names the version, readers never see it, and later
+    * claimants walk past it.
+    */
+  private def claimVersion(s: SparkSession, path: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(claimsDir(path))
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    var v = currentVersion(s, path) + 1L
+    while (!createExclusive(fs,
+      new org.apache.hadoop.fs.Path(dir, s"v$v"))) v += 1L
+    v
+  }
+
+  /** Best-effort maintenance mutex for read-modify-write operations
+    * ([[compact]] / [[deleteKeys]] / [[deleteKeysDv]]): two concurrent
+    * REWRITES of the same files would each re-emit the rows they read
+    * (duplicates), so maintenance is single-flight — the scheduling
+    * discipline real deployments run OPTIMIZE under, enforced here
+    * with a create-exclusive lock held for the operation. Concurrent
+    * blind COMMITS need no lock: a rewrite removes exactly the files
+    * it read, so a commit landing mid-rewrite keeps its own files
+    * live and loses nothing.
+    */
+  private def withMaintenanceLock[T](s: SparkSession, path: String)
+      (body: => T): T = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val lock = new org.apache.hadoop.fs.Path(s"$path/_maintenance.lock")
+    val fs = lock.getFileSystem(conf)
+    fs.mkdirs(lock.getParent)
+    if (!createExclusive(fs, lock))
+      throw new java.util.ConcurrentModificationException(
+        s"maintenance already in flight on $path")
+    try body finally fs.delete(lock, false)
+  }
+
   /** Append `df` as a new commit; returns the new version. The data
     * files are written first, then read BACK for honest per-file stats,
     * and only then does the log append publish them — crash before the
@@ -123,10 +199,9 @@ object ManifestLog {
         .exists(l => !l.filter(col("batch_id") === batchId).isEmpty)
       if (seen) return currentVersion(s, path)
     }
-    val v = currentVersion(s, path) + 1L
+    val v = claimVersion(s, path)
     df.write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
-    addActions(s, path, v, keyCol, batchId)
-      .write.mode(SaveMode.Append).parquet(logDir(path))
+    writeActions(addActions(s, path, v, keyCol, batchId), path, v)
     v
   }
 
@@ -186,7 +261,7 @@ object ManifestLog {
     * version (or the current one for a no-op). (round 5)
     */
   def deleteKeysDv(s: SparkSession, path: String, keyCol: String,
-      keys: Seq[Long]): Long = {
+      keys: Seq[Long]): Long = withMaintenanceLock(s, path) {
     val v0 = currentVersion(s, path)
     if (v0 == 0L || keys.isEmpty) return v0
     val actions = log(s, path).filter(col("version") <= v0)
@@ -206,11 +281,11 @@ object ManifestLog {
       raw.join(broadcast(dv.select("file", "key")), Seq("file", "key"),
         "left_anti"))
     if (fresh.isEmpty) return v0
-    val v = v0 + 1L
+    val v = claimVersion(s, path)
     fresh.withColumn("key_col", lit(keyCol))
       .write.mode(SaveMode.Overwrite).parquet(dvDir(path, v))
     // honest per-file stats over the DELETED keys (n_rows = rows dead)
-    s.read.parquet(dvDir(path, v))
+    val acts = s.read.parquet(dvDir(path, v))
       .groupBy(col("file"))
       .agg(count(lit(1)).as("n_rows"), min(col("key")).as("min_key"),
         max(col("key")).as("max_key"),
@@ -219,7 +294,7 @@ object ManifestLog {
       .select(lit(v).as("version"), lit("dv").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
         lit(NoBatch).as("batch_id"))
-      .write.mode(SaveMode.Append).parquet(logDir(path))
+    writeActions(acts, path, v)
     v
   }
 
@@ -235,12 +310,13 @@ object ManifestLog {
     * log append: the rewritten data is an invisible orphan, the table
     * is untouched (the same write-order rule as [[commit]]).
     */
-  def compact(s: SparkSession, path: String, keyCol: String): Long = {
+  def compact(s: SparkSession, path: String,
+      keyCol: String): Long = withMaintenanceLock(s, path) {
     val v0 = currentVersion(s, path)
     if (v0 == 0L) return 0L // no log yet — nothing to rewrite
     val replaced = fileList(s, path, v0)
     if (replaced.isEmpty) return v0 // nothing live to rewrite
-    val v = v0 + 1L
+    val v = claimVersion(s, path)
     // read THROUGH the snapshot so deletion vectors materialize into
     // the rewrite (dv'd rows must not resurrect in the compacted file)
     applyDv(s, path, readData(s, replaced), v0)
@@ -252,8 +328,8 @@ object ManifestLog {
       .select(lit(v).as("version"), lit("remove").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
         lit(NoBatch).as("batch_id"))
-    addActions(s, path, v, keyCol).unionByName(removes)
-      .write.mode(SaveMode.Append).parquet(logDir(path))
+    writeActions(addActions(s, path, v, keyCol).unionByName(removes),
+      path, v)
     v
   }
 
@@ -268,7 +344,7 @@ object ManifestLog {
     * hold any key (a no-op delete commits nothing).
     */
   def deleteKeys(s: SparkSession, path: String, keyCol: String,
-      keys: Seq[Long]): Long = {
+      keys: Seq[Long]): Long = withMaintenanceLock(s, path) {
     val v0 = currentVersion(s, path)
     if (v0 == 0L || keys.isEmpty) return v0
     val affected = log(s, path).filter(col("version") <= v0)
@@ -280,7 +356,7 @@ object ManifestLog {
         .reduce(_ || _))
     val files = affected.select("file").collect().map(_.getString(0)).toSeq
     if (files.isEmpty) return v0
-    val v = v0 + 1L
+    val v = claimVersion(s, path)
     // apply prior deletion vectors first: a rewrite must not resurrect
     // rows an earlier DV already deleted from these files
     applyDv(s, path, readData(s, files), v0)
@@ -290,8 +366,8 @@ object ManifestLog {
       lit("remove").as("action"), col("file"), col("n_rows"),
       col("min_key"), col("max_key"), col("bloom"),
       lit(NoBatch).as("batch_id"))
-    addActions(s, path, v, keyCol).unionByName(removes)
-      .write.mode(SaveMode.Append).parquet(logDir(path))
+    writeActions(addActions(s, path, v, keyCol).unionByName(removes),
+      path, v)
     v
   }
 

@@ -297,6 +297,51 @@ class ManifestLogSpec extends AnyFunSuite {
       .columns.toSet === Set("key", "payload", "lang"))
   }
 
+  test("concurrent commits claim distinct versions and lose nothing") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = freshTable()
+    // 8 writers race the same table; the create-exclusive version claim
+    // serializes the version numbers without serializing the writers
+    val versions = Await.result(Future.sequence((0 until 8).map(i =>
+      Future(ManifestLog.commit(
+        Seq((i.toLong, s"w$i")).toDF("key", "payload"), path, "key")))),
+      2.minutes)
+    assert(versions.toSet.size === 8, s"version collision: $versions")
+    assert(versions.toSet === (1L to 8L).toSet)
+    val snap = ManifestLog.snapshot(spark, path)
+    assert(snap.count() === 8)
+    assert(snap.select("key").collect().map(_.getLong(0)).toSet ===
+      (0L until 8L).toSet)
+  }
+
+  test("maintenance is single-flight; a crashed claim is a harmless gap") {
+    import spark.implicits._
+    val path = freshTable()
+    ManifestLog.commit(
+      (0L until 100L).map(k => (k, s"p$k")).toDF("key", "payload"),
+      path, "key")
+    // simulate a maintenance job already in flight
+    val lock = new java.io.File(s"$path/_maintenance.lock")
+    lock.getParentFile.mkdirs()
+    assert(lock.createNewFile())
+    intercept[java.util.ConcurrentModificationException] {
+      ManifestLog.compact(spark, path, "key")
+    }
+    assert(lock.delete())
+    // simulate a writer that claimed a version then crashed before its
+    // log append: later writers walk past the gap, readers never see it
+    val orphanClaim = new java.io.File(s"$path/_claims/v2")
+    assert(orphanClaim.createNewFile())
+    val v = ManifestLog.commit(Seq((200L, "x")).toDF("key", "payload"),
+      path, "key")
+    assert(v === 3L, s"claimed-but-unlogged version not skipped: $v")
+    assert(ManifestLog.snapshot(spark, path).count() === 101)
+    assert(ManifestLog.compact(spark, path, "key") === 4L)
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val path = freshTable()

@@ -1058,11 +1058,20 @@ object Dedup {
     * ([[dedupExactHash]]), not a span. (round 5)
     */
   def dedupSubstringSpans(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    dedupSubstringSpansOn(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      SpanTokens)
+
+  /** [[dedupSubstringSpans]] over an arbitrary (doc_id, text) frame
+    * with a caller-chosen span width — the library entry point and the
+    * generated-corpus spec hook.
+    */
+  def dedupSubstringSpansOn(docs: DataFrame, spanTokens: Int): DataFrame =
+    docs
       .select(col("doc_id"), toks(col("text")).as("tk"))
-      .filter(size(col("tk")) >= SpanTokens)
+      .filter(size(col("tk")) >= spanTokens)
       .select(col("doc_id"),
-        explode(wordShingles(col("tk"), SpanTokens)).as("span"))
+        explode(wordShingles(col("tk"), spanTokens)).as("span"))
       .groupBy("span")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
@@ -1102,12 +1111,20 @@ object Dedup {
     * count, never corpus-sized), and the excision is pure per-row
     * codegen'd array work — no window, no range join. (round 5)
     */
-  def stripRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), toks(col("text")).as("tk"))
-    val sp = docs.filter(size(col("tk")) >= SpanTokens)
+  def stripRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    stripRepeatedSpansOn(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      SpanTokens)
+
+  /** [[stripRepeatedSpans]] over an arbitrary (doc_id, text) frame with
+    * a caller-chosen span width — the library entry point and the
+    * generated-corpus spec hook.
+    */
+  def stripRepeatedSpansOn(docsRaw: DataFrame, spanTokens: Int): DataFrame = {
+    val docs = docsRaw.select(col("doc_id"), toks(col("text")).as("tk"))
+    val sp = docs.filter(size(col("tk")) >= spanTokens)
       .select(col("doc_id"),
-        posexplode(wordShingles(col("tk"), SpanTokens))
+        posexplode(wordShingles(col("tk"), spanTokens))
           .as(Seq("p0", "span")))
     val bad = sp.groupBy("span")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -1115,7 +1132,7 @@ object Dedup {
       .select("span")
     val ivs = sp.join(bad, "span")
       .select(col("doc_id"), (col("p0") + 1).as("s"),
-        (col("p0") + lit(SpanTokens)).as("e"))
+        (col("p0") + lit(spanTokens)).as("e"))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
     docs.join(ivs, Seq("doc_id"), "left")

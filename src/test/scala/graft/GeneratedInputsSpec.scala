@@ -216,6 +216,60 @@ class GeneratedInputsSpec extends AnyFunSuite {
     }
   }
 
+  test("substring-span detection and excision equal naive recomputation on generated corpora") {
+    // small vocab + short spans force real cross-doc repeats; span
+    // width 3 keeps the naive ground truth cheap
+    val L = 3
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val cases = sample(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = cases.toDF("doc_id", "text")
+
+    def tokens(t: String): Vector[String] =
+      t.split("\\s+").filter(_.nonEmpty).toVector
+    // naive span inventory: every L-token window of docs with >= L
+    // tokens (no whole-doc clamp — short docs are excluded, as the
+    // operator documents)
+    val allSpans = cases.flatMap { case (id, t) =>
+      val tk = tokens(t)
+      if (tk.length < L) Nil
+      else tk.sliding(L).map(w => (id, w.mkString(" "))).toSeq
+    }
+    val bys = allSpans.groupBy(_._2)
+    val naiveRepeated = bys.collect {
+      case (sp, occ) if occ.map(_._1).distinct.size >= 2 =>
+        sp -> ((occ.map(_._1).distinct.size.toLong, occ.size.toLong,
+          occ.map(_._1).min))
+    }
+
+    val out = operators.Dedup.dedupSubstringSpansOn(df, L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === naiveRepeated)
+    assert(naiveRepeated.nonEmpty, "generated corpus should repeat spans")
+
+    // naive excision: drop every token covered by any occurrence of a
+    // repeated span in its own doc
+    val naiveKept = cases.map { case (id, t) =>
+      val tk = tokens(t)
+      val starts =
+        if (tk.length < L) Nil
+        else (0 to tk.length - L).filter(i =>
+          naiveRepeated.contains(tk.slice(i, i + L).mkString(" ")))
+      val covered = starts.flatMap(i => i until i + L).toSet
+      id -> ((tk.length.toLong, covered.size.toLong,
+        tk.zipWithIndex.collect {
+          case (w, i) if !covered(i) => w
+        }.mkString(" ")))
+    }.toMap
+    val strip = operators.Dedup.stripRepeatedSpansOn(df, L).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(strip === naiveKept)
+  }
+
   test("dedup_semantic collapses planted near-dup groups to their prototype") {
     // constructed corpus: 4 well-separated random base directions
     // (ids 0-3, the k-means seeds), two planted twins of base 0

@@ -353,6 +353,82 @@ object Curation {
        WHERE n_copies >= 1
        ORDER BY doc_id, copy_idx"""
 
+  /** Per-source distribution drift vs the corpus — the mixture
+    * diagnostic next to [[tokenBudgetMix]]: TOTAL-VARIATION distance
+    * between each source's unigram distribution and the whole corpus's
+    * (TV = half the L1 gap; 0 = identical vocabulary usage, → 1 =
+    * disjoint). The number a mix designer watches to spot a source
+    * drifting off-distribution (scraper rot, a crawl gone off-domain)
+    * — chosen over KL precisely because it needs NO transcendentals:
+    * every term is |c_st * N - c_t * n_s| in exact DECIMAL(38,0)
+    * (oracle: HUGEINT), so the sum is order-independent and
+    * bit-portable where a log-based divergence would sum
+    * engine-ordered doubles (the §5 discipline; same reason
+    * quality_unigram_lm scores by weighted frequency, not log-prob).
+    *
+    * Tokens ABSENT from a source still contribute |0 - c_t * n_s|;
+    * rather than materializing the absent (source, token) pairs, their
+    * mass folds into the closed form (N - covered_s) * n_s where
+    * covered_s is the corpus count of the tokens the source DOES use —
+    * so the plan stays on the tfidf shuffle shape: one (source, tok)
+    * agg, a |vocab|-sized tok join (AQE splits head tokens), one
+    * source-sized reduce. Division happens once per source at the very
+    * end. (round 5)
+    */
+  def sourceDivergenceTv(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy("source", "tok")
+      .agg(count(lit(1)).as("cs"))
+    val tot = st.groupBy("tok").agg(sum(col("cs")).as("c"))
+    val ns = st.groupBy("source").agg(sum(col("cs")).as("n_s"),
+      count(lit(1)).as("vocab_terms"))
+    val n = tot.agg(sum(col("c")).cast("decimal(38,0)").as("n"))
+    val dec = "decimal(38,0)"
+    val inSum = st.join(tot, "tok")
+      .join(broadcast(ns.select(col("source"), col("n_s"))), "source")
+      .crossJoin(broadcast(n))
+      .select(col("source"),
+        abs(col("cs").cast(dec) * col("n") -
+          col("c").cast(dec) * col("n_s").cast(dec)).as("gap"),
+        col("c").cast(dec).as("c"))
+      .groupBy("source")
+      .agg(sum(col("gap")).as("gap_sum"), sum(col("c")).as("covered"))
+    inSum.join(broadcast(ns), "source").crossJoin(broadcast(n))
+      .select(col("source"), col("n_s").as("source_tokens"),
+        col("vocab_terms"),
+        ((col("gap_sum") + (col("n") - col("covered")) *
+          col("n_s").cast(dec)).cast("double") /
+          (lit(2).cast(dec) * col("n_s").cast(dec) * col("n"))
+            .cast("double")).as("tv_distance"))
+      .orderBy("source")
+  }
+
+  val sourceDivergenceTvSql: String =
+    s"""WITH tk AS (SELECT source, unnest(${sqlToks("text")}) AS tok
+                    FROM documents),
+       st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cs
+              FROM tk GROUP BY 1, 2),
+       tot AS (SELECT tok, CAST(SUM(cs) AS BIGINT) AS c FROM st GROUP BY 1),
+       ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS n_s,
+                     CAST(COUNT(*) AS BIGINT) AS vocab_terms
+              FROM st GROUP BY 1),
+       n AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM tot),
+       g AS (SELECT st.source,
+                    SUM(ABS(CAST(st.cs AS HUGEINT) * n.n
+                        - CAST(tot.c AS HUGEINT) * ns.n_s)) AS gap_sum,
+                    SUM(CAST(tot.c AS HUGEINT)) AS covered
+             FROM st JOIN tot USING (tok) JOIN ns USING (source)
+                  CROSS JOIN n
+             GROUP BY st.source)
+       SELECT g.source, ns.n_s AS source_tokens, ns.vocab_terms,
+              CAST(CAST(g.gap_sum + (n.n - g.covered) * CAST(ns.n_s AS HUGEINT)
+                     AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(2 * CAST(ns.n_s AS HUGEINT) * n.n AS VARCHAR)
+                    AS DOUBLE) AS tv_distance
+       FROM g JOIN ns USING (source) CROSS JOIN n
+       ORDER BY g.source"""
+
   /** Decontamination shingle width and eval-set selector (5% by id
     * hash-free modulus so the oracle replays it; a real deployment
     * passes an explicit benchmark/eval table instead).
@@ -764,6 +840,7 @@ object Curation {
     Q("token_budget_mix", Some(tokenBudgetMixSql))(tokenBudgetMix),
     Q("source_mix_temperature", Some(sourceMixTemperatureSql))(sourceMixTemperature),
     Q("epoch_upsample", Some(epochUpsampleSql))(epochUpsample),
+    Q("source_divergence_tv", Some(sourceDivergenceTvSql))(sourceDivergenceTv),
     Q("decontaminate_overlap", Some(decontaminateOverlapSql))(decontaminateOverlap),
     Q("dataset_split_hash", Some(datasetSplitHashSql))(datasetSplitHash),
     Q("sample_quality_weighted", Some(sampleQualityWeightedSql))(sampleQualityWeighted),

@@ -40,7 +40,9 @@ class DeterminismSpec extends AnyFunSuite {
     // decimal-difference sum, and the mean-share threshold view
     "q8_market_share", "q9_profit_by_nation", "q11_important_value",
     // the semantic-dedup verdict frame's cent_sim doubles + keep flags
-    "dedup_semantic")
+    "dedup_semantic",
+    // the TV divergence's exact-decimal gap sum surfaced as one division
+    "source_divergence_tv")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

@@ -352,10 +352,101 @@ object Graph {
        SELECT skill, dist FROM d$BfsIters ORDER BY dist, skill"""
   }
 
+  /** Newman modularity of the [[labelPropagation]] partition over the
+    * skill co-occurrence graph — the standard "did community detection
+    * find real structure" audit. Per community c:
+    * `Q_c = L_c/m - (D_c/2m)^2` where L_c counts intra-community edges,
+    * D_c sums member degrees, m counts all edges. Emitted as the exact
+    * integer numerator `contrib_num = 4*m*L_c - D_c^2` over the common
+    * denominator 4m² — no division, no doubles, hash-portable; sum of
+    * contrib_num over rows / 4m² is the graph's modularity. BIGINT is
+    * exact up to ~1.5e9 edges (4m² fits 128-bit only beyond that — at
+    * which point switch the two products to DECIMAL(38,0)).
+    *
+    * Shape at scale: degrees and labels are node-cardinality frames
+    * (broadcast onto the edge list), intra-edge counting is two
+    * equi-joins on the edge frame's own keys, and the final
+    * community agg is community-cardinality. The single product join
+    * is the sanctioned 1-row scalar (m) broadcast.
+    */
+  def graphModularity(s: SparkSession, dir: String): DataFrame =
+    modularityOf(TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b")))
+
+  /** [[graphModularity]] over a caller-supplied undirected edge frame
+    * (skill_a, skill_b), one row per edge — the constructed-graph spec
+    * hook.
+    */
+  def modularityOf(coocRaw: DataFrame): DataFrame = {
+    val cooc = coocRaw.localCheckpoint()
+    val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    val lbl = lpaSweeps(e).localCheckpoint()
+    val deg = e.groupBy(col("src").as("skill")).agg(count(lit(1)).as("deg"))
+    val mem = lbl.join(deg, "skill")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("degree_sum"))
+    val la = lbl.select(col("skill").as("skill_a"), col("lbl").as("ca"))
+    val lb = lbl.select(col("skill").as("skill_b"), col("lbl").as("cb"))
+    val intra = cooc
+      .join(broadcast(la), "skill_a")
+      .join(broadcast(lb), "skill_b")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val m = cooc.agg(count(lit(1)).as("m"))
+    mem.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_members"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (lit(4L) * col("m") * coalesce(col("intra_edges"), lit(0L))
+          - col("degree_sum") * col("degree_sum")).as("contrib_num"))
+      .orderBy(col("n_members").desc, col("community"))
+  }
+
+  val graphModularitySql: String = {
+    def sweep(prev: String, k: Int): String =
+      s"""l$k AS (SELECT src AS skill, lbl FROM (
+               SELECT e.src, l.lbl,
+                      ROW_NUMBER() OVER (PARTITION BY e.src
+                        ORDER BY COUNT(*) DESC, l.lbl) AS rn
+               FROM e JOIN $prev l ON e.dst = l.skill
+               GROUP BY e.src, l.lbl)
+             WHERE rn = 1)"""
+    s"""WITH cooc AS (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e AS (SELECT skill_a AS src, skill_b AS dst FROM cooc
+             UNION ALL
+             SELECT skill_b AS src, skill_a AS dst FROM cooc),
+       l0 AS (SELECT DISTINCT src AS skill, src AS lbl FROM e),
+       ${(1 to LpaIters).map(k => sweep(s"l${k - 1}", k)).mkString(",\n       ")},
+       lbl AS (SELECT skill, lbl FROM l$LpaIters),
+       deg AS (SELECT src AS skill, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM e GROUP BY 1),
+       mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM cooc),
+       mem AS (SELECT l.lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+                 CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+               FROM lbl l JOIN deg d USING (skill) GROUP BY 1),
+       intra AS (SELECT la.lbl AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+                 FROM cooc c
+                 JOIN lbl la ON c.skill_a = la.skill
+                 JOIN lbl lb ON c.skill_b = lb.skill
+                 WHERE la.lbl = lb.lbl GROUP BY 1)
+       SELECT mem.community, mem.n_members,
+              CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+              mem.degree_sum,
+              CAST(4 * mt.m * COALESCE(i.intra_edges, 0)
+                - mem.degree_sum * mem.degree_sum AS BIGINT) AS contrib_num
+       FROM mem LEFT JOIN intra i ON mem.community = i.community, mt
+       ORDER BY mem.n_members DESC, mem.community"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("pagerank_skills", Some(pagerankSkillsSql))(pagerankSkills),
     Q("pagerank_weighted", Some(pagerankWeightedSql))(pagerankWeighted),
     Q("label_propagation", Some(labelPropagationSql))(labelPropagation),
+    Q("graph_modularity", Some(graphModularitySql))(graphModularity),
     Q("graph_bfs_hops", Some(bfsHopsSql))(bfsHops),
     Q("triangle_count", Some(triangleCountSql))(triangleCount))
 }

@@ -71,6 +71,127 @@ object TextAnalysis {
                WHERE len(tk) >= 2))
        GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50"""
 
+  /** RAKE stopword set for this corpus's vocabulary — the phrase
+    * delimiters. RAKE segments each document into candidate phrases at
+    * stopword boundaries; real deployments plug in a full stopword
+    * list, the algorithm is delimiter-set-agnostic.
+    */
+  val RakeStopwords: Seq[String] = Seq("a", "the")
+
+  /** RAKE keyword extraction (Rapid Automatic Keyword Extraction,
+    * Rose et al. 2010): candidate phrases are maximal stopword-free
+    * token runs; each word scores degree/frequency where freq counts
+    * its occurrences and degree sums the lengths of the phrases
+    * containing it (a word's co-occurrence mass). Top-50 by the exact
+    * integer-scaled ratio `degree*1e6 div freq` — no doubles anywhere,
+    * so the ranking is hash-portable.
+    *
+    * Shape at scale: one (doc, token) posexplode projected to three
+    * narrow columns, a per-DOC running-sum window (phrase ids — always
+    * partitioned, never global), one doc-local equi-join attaching
+    * phrase lengths, and one token-keyed agg. Everything between scan
+    * and the final word agg partitions by doc_id; the word agg is the
+    * same shuffle as [[topTokens]]. Mirrors the reference's keyword
+    * mining role (/root/reference/spark_pipeline/skillner.py's
+    * phrase-candidate pass) as a corpus-level statistic.
+    */
+  def keywordRake(s: SparkSession, dir: String): DataFrame =
+    keywordRakeOn(Tables.documents(s, dir))
+
+  /** [[keywordRake]] over a caller-supplied (doc_id, text) frame — the
+    * library entry point and the constructed-corpus spec hook.
+    */
+  def keywordRakeOn(docs: DataFrame): DataFrame = {
+    val tk = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "token")))
+      .withColumn("is_stop",
+        col("token").isInCollection(RakeStopwords).cast("long"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrased = tk
+      .withColumn("phrase_id", sum(col("is_stop")).over(wDoc))
+      .filter(col("is_stop") === 0)
+      .select(col("doc_id"), col("phrase_id"), col("token"))
+    val plen = phrased.groupBy("doc_id", "phrase_id")
+      .agg(count(lit(1)).as("plen"))
+    phrased.join(plen, Seq("doc_id", "phrase_id"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .select(col("token").as("word"), col("freq"), col("degree"),
+        expr("(degree * 1000000) div freq").as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("word"))
+      .limit(50)
+  }
+
+  val keywordRakeSql: String = {
+    val stops = RakeStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, unnest(tks) AS token,
+               CAST(generate_subscripts(tks, 1) AS INT) AS pos
+             FROM (SELECT doc_id, ${sqlToks("text")} AS tks FROM documents)),
+       m AS (SELECT doc_id, token, pos,
+               CASE WHEN token IN ($stops) THEN 1 ELSE 0 END AS is_stop
+             FROM tk),
+       ph AS (SELECT doc_id, token, is_stop,
+               CAST(SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS BIGINT) AS phrase_id
+             FROM m),
+       nst AS (SELECT doc_id, token, phrase_id FROM ph WHERE is_stop = 0),
+       pl AS (SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+              FROM nst GROUP BY 1, 2),
+       wd AS (SELECT n.token AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+                CAST(SUM(p.plen) AS BIGINT) AS degree
+              FROM nst n JOIN pl p USING (doc_id, phrase_id)
+              GROUP BY 1)
+       SELECT word, freq, degree,
+              CAST((degree * 1000000) // freq AS BIGINT) AS score_scaled
+       FROM wd ORDER BY score_scaled DESC, word LIMIT 50"""
+  }
+
+  /** Tokenizer-style vocabulary build + corpus re-encoding — the
+    * training-prep step every LM pipeline runs: assign each distinct
+    * token a dense id by (count DESC, token ASC) and rewrite every
+    * document as its space-joined id sequence. The id assignment is
+    * [[graft.functions.Keys.denseIds]] on (-count, token) — the
+    * two-phase per-bucket rank + broadcast offsets, so a
+    * billion-token vocabulary numbers itself without a global window.
+    * Re-encoding is a token-keyed equi-join (vocab-sized, AQE splits
+    * head tokens) and a per-doc ordered reassembly via
+    * array_sort-on-(pos,id) inside the agg — order is carried by data,
+    * not by partitioning, so the encoded string is partition-count-
+    * independent. Final schema is scalar-only (joined string).
+    */
+  def vocabEncodeDocs(s: SparkSession, dir: String): DataFrame =
+    vocabEncodeDocsOn(Tables.documents(s, dir))
+
+  /** [[vocabEncodeDocs]] over a caller-supplied (doc_id, text) frame. */
+  def vocabEncodeDocsOn(docs: DataFrame): DataFrame = {
+    val tk = docs
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "token")))
+    val counts = tk.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val vocab = graft.functions.Keys.denseIds(
+      counts.select(col("token"), (-col("cnt")).as("negcnt")),
+      Nil, Seq("negcnt", "token"), "tok_id")
+      .select(col("token"), col("tok_id"))
+    tk.join(vocab, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok_id")))),
+            x => x.getField("tok_id").cast("string")), " ").as("encoded"))
+      .orderBy(col("doc_id"))
+  }
+
+  val vocabEncodeDocsSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(tks) AS token,
+               CAST(generate_subscripts(tks, 1) AS INT) AS pos
+             FROM (SELECT doc_id, ${sqlToks("text")} AS tks FROM documents)),
+       c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+       v AS (SELECT token, CAST(ROW_NUMBER() OVER
+               (ORDER BY cnt DESC, token) AS INT) AS tok_id FROM c)
+       SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              string_agg(CAST(v.tok_id AS VARCHAR), ' ' ORDER BY t.pos) AS encoded
+       FROM tk t JOIN v USING (token)
+       GROUP BY t.doc_id ORDER BY t.doc_id"""
+
   /** Skill co-occurrence pairs (the reference's skill-graph dashboard):
     * per-doc skill matches self-joined with id_a < id_b. The join is on
     * doc_id — narrow after the phrase-match dedup.
@@ -587,6 +708,8 @@ object TextAnalysis {
     Q("quality_compression_ratio", None)(qualityCompressionRatio),
     Q("quality_unigram_lm", Some(qualityUnigramLmSql))(qualityUnigramLm),
     Q("top_bigrams", Some(topBigramsSql))(topBigrams),
+    Q("keyword_rake", Some(keywordRakeSql))(keywordRake),
+    Q("vocab_encode_docs", Some(vocabEncodeDocsSql))(vocabEncodeDocs),
     Q("top_tokens_sketch", None)(topTokensSketch),
     Q("skill_cooccurrence", Some(skillCooccurrenceSql))(skillCooccurrence),
     Q("top_skills_per_sector", Some(topSkillsPerSectorSql))(topSkillsPerSector),

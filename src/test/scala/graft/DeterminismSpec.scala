@@ -42,7 +42,11 @@ class DeterminismSpec extends AnyFunSuite {
     // the semantic-dedup verdict frame's cent_sim doubles + keep flags
     "dedup_semantic",
     // the TV divergence's exact-decimal gap sum surfaced as one division
-    "source_divergence_tv")
+    "source_divergence_tv",
+    // round-5 batch: the encoded id sequence must be carried by
+    // (pos,id) sort inside the agg, never by partition order, and the
+    // modularity numerators ride LPA's windowed sweeps
+    "vocab_encode_docs", "graph_modularity")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

@@ -158,6 +158,56 @@ class ChunkGraphSpec extends AnyFunSuite {
     assert(aLbls != bLbls, s"bridge edge merged the communities: $out")
   }
 
+  test("graph_modularity: exact numerators on two triangles + bridge") {
+    import spark.implicits._
+    // the textbook modularity example: two triangles joined by one
+    // bridge edge -> two communities, each with L_c=3 intra edges and
+    // D_c=7 degree mass; m=7, so each contributes 4*7*3 - 49 = 35 and
+    // Q = 70/196 = 5/14. Locks the numerator arithmetic and that the
+    // bridge edge lands in neither community's intra count.
+    val e = Seq(
+      ("A", "B"), ("A", "C"), ("B", "C"),
+      ("D", "E"), ("D", "F"), ("E", "F"),
+      ("C", "D")).toDF("skill_a", "skill_b")
+    val out = Graph.modularityOf(e).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 2, s"expected two communities: ${out.toSeq}")
+    out.foreach { case (members, intra, degSum, contrib) =>
+      assert(members === 3L)
+      assert(intra === 3L)
+      assert(degSum === 7L)
+      assert(contrib === 35L)
+    }
+  }
+
+  test("keyword_rake: exact degree/freq scores on a constructed corpus") {
+    import spark.implicits._
+    // doc1 phrases: [deep learning][deep model][model]; doc2: [deep][learning]
+    val docs = Seq(
+      (1L, "deep learning a deep model the model"),
+      (2L, "deep a learning")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordRakeOn(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // deep: freq 3, degree 2+2+1=5; learning: 2, 2+1=3; model: 2, 2+1=3
+    assert(out.toMap === Map(
+      "deep" -> ((3L, 5L, 1666666L)),
+      "learning" -> ((2L, 3L, 1500000L)),
+      "model" -> ((2L, 3L, 1500000L))))
+    // ranking: score desc, then word asc on the tie
+    assert(out.map(_._1).toSeq === Seq("deep", "learning", "model"))
+  }
+
+  test("vocab_encode_docs: ids by (count desc, token) and ordered re-encoding") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a b c"), (2L, "c b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabEncodeDocsOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // counts: b=3, c=2, a=1 -> ids b=1, c=2, a=3
+    assert(out === Map(
+      1L -> ((4L, "1 3 1 2")),
+      2L -> ((2L, "2 1"))))
+  }
+
   test("graph_bfs_hops: exact hop counts on a constructed path + branch") {
     import spark.implicits._
     // path n0-n1-n2-n3-n4-n5 with a shortcut n0-n3 and a branch n2-m:

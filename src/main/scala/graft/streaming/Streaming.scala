@@ -278,6 +278,48 @@ object Streaming {
     * return the materialized table (test/dev harness; production would
     * `writeStream` to files/Kafka with the same plan).
     */
+  /** Streaming distribution-drift monitor — the streaming twin of
+    * `source_divergence_tv`, re-pointed at the event stream: per
+    * tumbling hour, the total-variation distance between the window's
+    * event-type distribution and a broadcast static baseline (the
+    * batch table's overall distribution). Same transcendental-free
+    * arithmetic as the batch key: every gap term |c·B − b·n_w| is
+    * exact integer, absent-baseline mass folds into the closed form
+    * (B − covered)·n_w, one division per window at the end.
+    *
+    * Shape: a stateless broadcast enrich (baseline counts + 1-row
+    * total) BEFORE the watermark, then Spark 4's chained windowed
+    * aggregations — (window, type) counts feeding a same-window
+    * reduce via `window_time` — so state per open window is
+    * |type universe| rows, never event-cardinality. At ingest scale
+    * this is the drift alarm that pages before a bad source poisons a
+    * training mix: TV spikes the moment a window's distribution leaves
+    * the baseline.
+    */
+  def sourceDivergenceStream(s: SparkSession, dir: String): DataFrame = {
+    val baseCounts = Tables.events(s, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("b"))
+    val btot = baseCounts.agg(sum(col("b")).as("btot"))
+    val pw = eventsStream(s, dir)
+      .crossJoin(broadcast(btot))
+      .join(broadcast(baseCounts), Seq("event_type"), "left")
+      .withColumn("b", coalesce(col("b"), lit(0L)))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"), first(col("b")).as("b"),
+        first(col("btot")).as("btot"))
+    pw.groupBy(window(window_time(col("w")), "1 hour").as("w2"))
+      .agg(sum(col("c")).as("n_w"), first(col("btot")).as("btot"),
+        collect_list(struct(col("c"), col("b"))).as("xs"))
+      .select(
+        date_format(col("w2.start"), "yyyy-MM-dd HH:00").as("hour"),
+        col("n_w"),
+        ((expr("aggregate(xs, 0L, (acc, x) -> acc + abs(x.c * btot - x.b * n_w))") +
+          (col("btot") - expr("aggregate(xs, 0L, (acc, x) -> acc + x.b)")) * col("n_w"))
+          .cast("double") /
+          (lit(2L) * col("n_w") * col("btot")).cast("double")).as("tv_distance"))
+  }
+
   def runToMemory(df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)

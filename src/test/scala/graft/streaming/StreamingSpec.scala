@@ -12,6 +12,35 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import SharedSpark._
 
+  test("streaming TV divergence windows match the batch closed form") {
+    val streamed = Streaming.runToMemory(
+      Streaming.sourceDivergenceStream(spark, sf), "tv_stream").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.nonEmpty, "watermark never released any window")
+    // recompute every emitted window with the same integer closed form
+    // from the batch table: gap terms |c*B - b*n|, absent-baseline mass
+    // (B - covered)*n, one final division
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"),
+        col("event_type"))
+      .groupBy("hour", "event_type").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val base = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val btot = base.values.sum
+    val byHour = rows.groupBy(_._1)
+    streamed.foreach { case (hour, (nW, tv)) =>
+      val cs = byHour(hour).map(r => r._2 -> r._3)
+      val n = cs.map(_._2).sum
+      assert(n === nW, s"window $hour count")
+      val gap = cs.map { case (t, c) =>
+        math.abs(c * btot - base.getOrElse(t, 0L) * n) }.sum
+      val covered = cs.map { case (t, _) => base.getOrElse(t, 0L) }.sum
+      val expected = (gap + (btot - covered) * n).toDouble /
+        (2L * n * btot).toDouble
+      assert(tv === expected, s"window $hour tv")
+    }
+  }
+
   test("streaming events_hourly emits exactly the batch windows") {
     val streamed = Streaming.runToMemory(
       Streaming.eventsHourlyStream(spark, sf), "hourly_stream").collect()

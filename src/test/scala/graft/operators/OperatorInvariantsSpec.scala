@@ -355,6 +355,43 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       .forall(!_.getAs[Boolean]("passed")))
   }
 
+  test("key_candidate_profile: verdicts match the generator's key structure") {
+    val out = DataQuality.keyCandidateProfile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))).toMap
+    // true keys
+    assert(out(("orders", "o_orderkey"))._5, "o_orderkey must be a key")
+    assert(out(("documents", "doc_id"))._5, "doc_id must be a key")
+    // FKs are never keys (orders fan out over 1/10th the customers)
+    assert(!out(("orders", "o_custkey"))._5)
+    assert(!out(("lineitem", "l_orderkey"))._5)
+    // internal consistency: dup_rows = n_nonnull - n_distinct and the
+    // is_key verdict is exactly the (complete AND all-distinct) predicate
+    out.values.foreach { case (n, nn, nd, dup, isKey) =>
+      assert(dup === nn - nd)
+      assert(isKey === (nn == n && nd == n))
+    }
+  }
+
+  test("ri_orphan_audit: clean star edges report zero, injected orphans counted") {
+    import spark.implicits._
+    // the generated star schema is referentially clean by construction
+    DataQuality.riOrphanAudit(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) === 0L, s"${r.getString(0)} reported orphans")
+      assert(r.getLong(3) === 0L)
+    }
+    // constructed edge: children 1,1,2,7,7,9 against parents {1,2,3} ->
+    // 3 orphan rows (7,7,9) over 2 distinct orphan keys
+    val child = Seq(1L, 1L, 2L, 7L, 7L, 9L).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val row = DataQuality.edgeAudit("t.fk->p", child, "fk",
+      parent, "pk", bcast = true).collect().head
+    assert(row.getLong(1) === 6L)
+    assert(row.getLong(2) === 3L)
+    assert(row.getLong(3) === 2L)
+  }
+
   test("incremental dedup equals the full-corpus run restricted to new docs") {
     import graft.sources.Tables
     val docs = Tables.documents(spark, sf)

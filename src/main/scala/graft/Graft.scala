@@ -21,9 +21,13 @@ object Graft {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata events.parquet uses TIMESTAMP(NANOS) which Spark's parquet
-      // reader rejects; read the raw int64 and convert (see Tables.events).
+      // testdata events.parquet has shipped as TIMESTAMP(NANOS) (which
+      // Spark's parquet reader rejects) in some generations and
+      // TIMESTAMP(MICROS, NTZ) in others; accept both: nanos arrive as
+      // raw int64 and are converted (see Tables.events), NTZ micros are
+      // read as session-TZ timestamps (UTC session = identical instants).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ", "false")
       // single-file tables locally: split scans finer than the 128m default
       // so local[N] actually fans out (no-op at cluster scale where files
       // are many).
@@ -41,6 +45,7 @@ object Graft {
     * registrations (idempotent). */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     plans.LongDot.register(spark)
     plans.SpaceSavingTopK.register(spark)

@@ -54,17 +54,29 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame =
     fanOut(table(s, d, "embeddings"))
 
-  /** events.ts is parquet TIMESTAMP(NANOS, adjusted=false), which Spark's
-    * reader rejects outright. With `spark.sql.legacy.parquet.nanosAsLong`
-    * it arrives as an int64 of epoch-nanos; convert with integer division
-    * (a double division would lose precision above 2^53 ns ≈ 1970+104d).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS, adjusted=false)
+    * (which Spark's reader rejects outright) in some testdata
+    * generations and TIMESTAMP(MICROS, adjusted=false) in others, so the
+    * repair is type-conditional on the scanned schema:
+    *  - nanos: with `spark.sql.legacy.parquet.nanosAsLong` the column
+    *    arrives as an int64 of epoch-nanos; convert with integer
+    *    division (a double division would lose precision above
+    *    2^53 ns ≈ 1970+104d);
+    *  - NTZ micros: cast to session-TZ TIMESTAMP (inferTimestampNTZ is
+    *    also disabled session-wide, which makes this a no-op branch).
     * Session TZ is UTC so the resulting TIMESTAMP behaves identically to
-    * the naive value DuckDB sees.
+    * the naive value DuckDB sees either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val t = table(s, d, "events")
+    t.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        t.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        t.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => t
+    }
   }
 
   /** Register every testdata table as a temp view so `spark.sql(...)`

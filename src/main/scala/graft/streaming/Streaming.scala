@@ -27,10 +27,17 @@ object Streaming {
     val schema = s.read.parquet(path).schema // metadata-only driver read
     // file streaming sources require a directory: stream the sf dir with
     // a glob filter selecting the events table file
-    s.readStream.schema(schema)
+    val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // same type-conditional ts repair as the batch loader (Tables.events)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling-hour counts with a 1 h watermark — the streaming twin of

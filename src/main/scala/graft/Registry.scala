@@ -28,6 +28,7 @@ object Registry {
       operators.Chunking.queries ++
       operators.Graph.queries ++
       operators.DataQuality.queries ++
+      operators.Inference.queries ++
       operators.Lakehouse.queries ++
       operators.EntityRes.queries ++
       operators.Multimodal.queries

@@ -153,6 +153,117 @@ object Curation {
               regexp_replace(props, '[0-9]+', '#', 'g') AS redacted
        FROM events ORDER BY event_id"""
 
+  /** PII categories redacted by [[redactPii]], in application order:
+    * URLs first (they swallow embedded emails/IPs), then emails, IPs,
+    * and phone-shaped digit runs. Patterns live in the Java ∩ RE2
+    * common subset (no backrefs/lookaround) so Spark and the DuckDB
+    * oracle match identically. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "url" -> "https?://[^\\s]+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ip" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+    "phone" -> "\\+?[0-9][0-9()\\s.-]{5,}[0-9]")
+
+  /** Extended PII scrub over an (id, text) frame: per-category match
+    * counts + the fully redacted text. Counts are taken on the
+    * PROGRESSIVELY redacted text (a URL's embedded IP is counted as
+    * URL, never twice) — the categorized sibling of [[redactDigits]].
+    * Pure per-row projection: map-side only, stays in whole-stage
+    * codegen, no shuffle at any corpus size.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withCounts = PiiPatterns.foldLeft(
+      df.select(col(idCol), col(textCol).as("redacted"))) {
+      case (acc, (cat, pat)) =>
+        acc.withColumn(s"n_${cat}s", regexp_count(col("redacted"), lit(pat)))
+          .withColumn("redacted",
+            regexp_replace(col("redacted"), pat, s"<${cat.toUpperCase}>"))
+    }
+    withCounts.select(col(idCol) +: PiiPatterns.map { case (c, _) =>
+      col(s"n_${c}s") } :+ col("redacted"): _*)
+  }
+
+  def piiRedactExtended(s: SparkSession, dir: String): DataFrame =
+    redactPii(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val piiRedactExtendedSql: String = {
+    // mirror the progressive redaction: each category counts on the
+    // text with all PRIOR categories already replaced
+    // DuckDB single-quoted literals keep backslashes verbatim, so the
+    // Java-side pattern strings embed unchanged
+    def redactedThrough(k: Int): String =
+      PiiPatterns.take(k).foldLeft("text") { case (e, (cat, pat)) =>
+        s"regexp_replace($e, '$pat', '<${cat.toUpperCase}>', 'g')"
+      }
+    val countCols = PiiPatterns.zipWithIndex.map { case ((cat, pat), i) =>
+      s"CAST(len(regexp_extract_all(${redactedThrough(i)}, '$pat')) AS INT) AS n_${cat}s"
+    }.mkString(",\n              ")
+    s"""SELECT doc_id,
+              $countCols,
+              ${redactedThrough(PiiPatterns.size)} AS redacted
+       FROM documents ORDER BY doc_id"""
+  }
+
+  /** Hash-bucket count for DSIR features (2^10 buckets of unigram
+    * murmur3 hashes — small enough to broadcast, large enough that
+    * collisions average out, per the hashed-ngram design in Xie et
+    * al. 2023). */
+  val DsirBuckets = 1024
+
+  /** Fixed-point scale for per-bucket log-likelihood ratios (1.0 ==
+    * 10^6; |llr| <= ~40 so per-doc sums stay far under 2^63). */
+  val DsirScale = 1000000L
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much
+    * more likely its hashed-unigram bag is under the TARGET domain
+    * (English docs here) than under the RAW corpus. Documents ranked
+    * by `dsir_logw` are what importance resampling would draw first
+    * to shift the training mix toward the target.
+    *
+    * Laplace-smoothed bucket probabilities; the per-bucket log ratio
+    * is ONE double log per bucket (1024 rows), floored to a scaled
+    * BIGINT, so every per-doc score is an exact integer sum —
+    * bit-identical under any partitioning (DeterminismSpec-safe). The
+    * corpus is scanned once into (doc, bucket, n) counts; the
+    * 1024-row ratio table broadcasts. Rows-only key: log makes the
+    * score engine-specific (SURVEY §5 keeps transcendentals out of
+    * hash-compared keys by design); behavior is spec-bounded on a
+    * planted two-vocabulary corpus instead.
+    */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(toks(lower(col("text")))).as("term"))
+      .withColumn("b", pmod(hash(col("term")), lit(DsirBuckets)))
+      .localCheckpoint()
+    val rawB = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtB = tok.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = tok.agg(
+      count(lit(1)).as("nr"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+    val llr = rawB.join(tgtB, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        floor(lit(DsirScale.toDouble) *
+          (log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+              / (col("nt") + DsirBuckets).cast("double"))
+            - log((col("cr") + 1).cast("double")
+              / (col("nr") + DsirBuckets).cast("double"))))
+          .cast("long").as("llr6"))
+    tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("nf"))
+      .join(broadcast(llr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("nf")).as("n_tokens"),
+        sum(col("nf") * col("llr6")).as("logw6"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("logw6").cast("double") / lit(DsirScale.toDouble))
+          .as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
   /** Tokens per packed training sequence. */
   private val SeqBudget = 2048L
 
@@ -844,5 +955,7 @@ object Curation {
     Q("decontaminate_overlap", Some(decontaminateOverlapSql))(decontaminateOverlap),
     Q("dataset_split_hash", Some(datasetSplitHashSql))(datasetSplitHash),
     Q("sample_quality_weighted", Some(sampleQualityWeightedSql))(sampleQualityWeighted),
+    Q("pii_redact_extended", Some(piiRedactExtendedSql))(piiRedactExtended),
+    Q("dsir_weights", None)(dsirWeights),
     Q("export_shards", Some(exportShardsSql))(exportShards))
 }

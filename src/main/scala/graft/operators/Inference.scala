@@ -1,0 +1,439 @@
+package graft.operators
+
+import graft.Q
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical inference & market-structure analytics — the hypothesis-
+  * testing / concentration / chain-dynamics layer a labor-market
+  * dashboard asks for above plain aggregates (reference surfaces the
+  * aggregates; these are the standard analyst follow-ups:
+  * "is priority independent of status", "how concentrated is each
+  * market", "where does the event chain settle").
+  *
+  * Every operator keeps the engine's central numeric contract
+  * (SURVEY §5): no transcendentals, no order-dependent double sums.
+  * All accumulation is exact BIGINT/DECIMAL; ratios surface as ONE
+  * double division per output cell at the very end (bit-identical in
+  * Spark and DuckDB on identical exact inputs). Where a sum of
+  * rationals is needed (chi-square, resource allocation), each term is
+  * first floored to a fixed-point BIGINT (`x div y` / DuckDB `//`) so
+  * the sum is an exact integer — the same discipline as
+  * [[Graph.pagerankSkills]].
+  */
+object Inference {
+
+  /** Fixed-point scale for chi-square cell contributions (1.0 == 10^6:
+    * chi2 <= N * min(r,c), so the scaled sum stays far under 2^63 for
+    * any N <= 10^12; a larger corpus drops the scale, documented not
+    * tuned). */
+  val Chi2Scale = 1000000L
+
+  /** Chi-square test of independence between order priority and order
+    * status — the contingency-table operator (TPC-H-shaped twin of the
+    * reference's contract-type x seniority cross-tabs).
+    *
+    * Exactness: observed counts, row/column totals and N are BIGINTs;
+    * the deviation N*obs - rt*ct is squared in DECIMAL(38,0) (it can
+    * reach ~5e20, past 2^63) and floored to a scaled BIGINT per cell;
+    * the chi2 total is then an EXACT integer sum. `expected` and
+    * `contrib` surface as per-cell double divisions of exact integers.
+    * Scale: three tiny broadcast aggregates over one scan of orders —
+    * the contingency table is |priorities| x |statuses| regardless of
+    * row count.
+    */
+  def chi2Independence(s: SparkSession, dir: String): DataFrame =
+    chi2(Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status")))
+
+  /** Core over any two-categorical frame with columns (prio, status). */
+  def chi2(pairsDf: DataFrame): DataFrame = {
+    val cells = pairsDf
+      .groupBy(col("prio"), col("status"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = cells.groupBy("prio").agg(sum(col("obs")).as("rt"))
+    val colT = cells.groupBy("status").agg(sum(col("obs")).as("ct"))
+    val tot = cells.agg(sum(col("obs")).as("n"),
+      countDistinct(col("prio")).as("nr"),
+      countDistinct(col("status")).as("nc"))
+    val scored = cells
+      .join(broadcast(rowT), Seq("prio"))
+      .join(broadcast(colT), Seq("status"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev",
+        (col("n") * col("obs") - col("rt") * col("ct")).cast("decimal(38,0)"))
+      .withColumn("c6",
+        expr(s"(dev * dev * ${Chi2Scale}L) div (n * rt * ct)"))
+    val total = scored.agg(sum(col("c6")).as("chi6"))
+    scored.crossJoin(broadcast(total))
+      .select(col("prio"), col("status"), col("obs"),
+        ((col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+          .as("expected"),
+        (col("c6").cast("double") / lit(Chi2Scale.toDouble)).as("contrib"),
+        (col("chi6").cast("double") / lit(Chi2Scale.toDouble)).as("chi2"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+      .orderBy("prio", "status")
+  }
+
+  val chi2IndependenceSql: String =
+    s"""WITH cells AS (
+         SELECT o_orderpriority AS prio, o_orderstatus AS status,
+                CAST(COUNT(*) AS BIGINT) AS obs
+         FROM orders GROUP BY 1, 2),
+       rt AS (SELECT prio, CAST(SUM(obs) AS BIGINT) AS rt FROM cells GROUP BY 1),
+       ct AS (SELECT status, CAST(SUM(obs) AS BIGINT) AS ct FROM cells GROUP BY 1),
+       tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+                      CAST(COUNT(DISTINCT prio) AS BIGINT) AS nr,
+                      CAST(COUNT(DISTINCT status) AS BIGINT) AS nc
+               FROM cells),
+       scored AS (
+         SELECT c.prio, c.status, c.obs, rt.rt, ct.ct, t.n, t.nr, t.nc,
+                CAST(((CAST(t.n AS HUGEINT) * c.obs - CAST(rt.rt AS HUGEINT) * ct.ct)
+                      * (CAST(t.n AS HUGEINT) * c.obs - CAST(rt.rt AS HUGEINT) * ct.ct)
+                      * $Chi2Scale)
+                     // (CAST(t.n AS HUGEINT) * rt.rt * ct.ct) AS BIGINT) AS c6
+         FROM cells c JOIN rt ON c.prio = rt.prio
+                      JOIN ct ON c.status = ct.status
+                      CROSS JOIN tot t),
+       total AS (SELECT CAST(SUM(c6) AS BIGINT) AS chi6 FROM scored)
+       SELECT s.prio, s.status, s.obs,
+              CAST(s.rt * s.ct AS DOUBLE) / CAST(s.n AS DOUBLE) AS expected,
+              CAST(s.c6 AS DOUBLE) / ${Chi2Scale}.0 AS contrib,
+              CAST(t.chi6 AS DOUBLE) / ${Chi2Scale}.0 AS chi2,
+              (s.nr - 1) * (s.nc - 1) AS dof
+       FROM scored s CROSS JOIN total t
+       ORDER BY prio, status"""
+
+  /** Herfindahl-Hirschman market-concentration index: per nation, how
+    * concentrated is order revenue across its customers (the antitrust
+    * metric; the reference's per-source offer-share tables are the same
+    * question at the source level).
+    *
+    * HHI = 10^4 * sum(share_i^2) = 10^4 * sum(rev_i^2) / (sum rev_i)^2:
+    * both sums are EXACT DECIMAL (rev_i is a DECIMAL(14,4) sum; its
+    * square at DECIMAL(18,4)^2 stays within 38 digits in both engines'
+    * widening rules), so the index is one double division of two exact
+    * decimals. Scale: groupBy (nation, customer) then nation — two
+    * narrow shuffles of money columns, dims broadcast.
+    */
+  def hhiConcentration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val rev = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_custkey"))
+      .agg(sum(decp(col("o_totalprice"))).as("rev"))
+      .withColumn("rev18", col("rev").cast("decimal(18,4)"))
+    rev.groupBy("nation")
+      .agg(count(lit(1)).as("n_firms"),
+        sum(col("rev")).cast("double").as("total_rev"),
+        sum(col("rev18") * col("rev18")).as("ssq"))
+      .select(col("nation"), col("n_firms"), col("total_rev"),
+        (lit(10000.0) * col("ssq").cast("double")
+          / (col("total_rev") * col("total_rev"))).as("hhi"))
+      .orderBy("nation")
+  }
+
+  val hhiConcentrationSql: String = {
+    import graft.functions.Nums._
+    s"""WITH rev AS (
+         SELECT n.n_name AS nation, o.o_custkey,
+                SUM(${sqlDecp("o.o_totalprice")}) AS rev
+         FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2)
+       SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_firms,
+              CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS total_rev,
+              10000.0 * CAST(CAST(SUM(CAST(rev AS DECIMAL(19,4))
+                                      * CAST(rev AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE)
+                / (CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)
+                   * CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE)) AS hhi
+       FROM rev GROUP BY nation ORDER BY nation"""
+  }
+
+  /** Simpson diversity of users per event type — "how spread is this
+    * event across users" (the ecology diversity index; entropy's
+    * log-free sibling, chosen because it is EXACTLY computable:
+    * unbiased Simpson = sum n_i*(n_i-1) / (N*(N-1)) is a ratio of two
+    * exact BIGINTs, where Shannon entropy would need per-row logs and
+    * an order-dependent double sum). gini_simpson = 1 - simpson is the
+    * probability two random events of the type come from different
+    * users. Scale: one narrow (type, user) agg then a type-sized agg.
+    */
+  def diversitySimpson(s: SparkSession, dir: String): DataFrame = {
+    val peru = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("ni"))
+    peru.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("ni")).as("n_events"),
+        sum(col("ni") * (col("ni") - 1)).as("coll"))
+      .select(col("event_type"), col("n_users"), col("n_events"),
+        (col("coll").cast("double")
+          / (col("n_events") * (col("n_events") - 1)).cast("double"))
+          .as("simpson"))
+      .withColumn("gini_simpson", lit(1.0) - col("simpson"))
+      .orderBy("event_type")
+  }
+
+  val diversitySimpsonSql: String =
+    """WITH peru AS (
+         SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS ni
+         FROM events GROUP BY 1, 2)
+       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(ni) AS BIGINT) AS n_events,
+              CAST(SUM(ni * (ni - 1)) AS DOUBLE)
+                / CAST(SUM(ni) * (SUM(ni) - 1) AS DOUBLE) AS simpson,
+              1.0 - CAST(SUM(ni * (ni - 1)) AS DOUBLE)
+                / CAST(SUM(ni) * (SUM(ni) - 1) AS DOUBLE) AS gini_simpson
+       FROM peru GROUP BY event_type ORDER BY event_type"""
+
+  /** Stationary-distribution fixed-point scale (1.0 == 10^12). */
+  val PiScale = 1000000000000L
+
+  /** Unrolled power-iteration count: the event-type chain has a
+    * handful of states, and each sweep contracts geometrically; 12
+    * sweeps pin ~12 significant digits at PiScale for any well-mixed
+    * chain this size. */
+  val MarkovIters = 12
+
+  /** Stationary distribution of the user event-type Markov chain —
+    * "where does a long session settle" (the steady-state twin of
+    * `event_transitions`, which reports the one-step probabilities).
+    *
+    * Power iteration in fixed-point BIGINT ([[Graph.pagerankSkills]]
+    * discipline): pi' (j) = sum_i (pi_i * n_ij) div n_i, every step
+    * exact integer multiply/floor-divide/sum — bit-identical across
+    * engines and partitionings, which a double-valued iteration could
+    * never be. States with no outgoing transition keep their mass via
+    * an explicit self-loop (the dangling-node fix). Mass leaks at most
+    * |states| ulps per sweep to flooring (documented; pi sums to
+    * ~PiScale, not exactly). Scale: the transition matrix is
+    * |types|^2-sized no matter how many events; each sweep is one tiny
+    * shuffle, the corpus is scanned once for counts.
+    */
+  def markovStationary(s: SparkSession, dir: String): DataFrame =
+    markovStationaryFrom(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id")))
+
+  /** Core over any (user_id, event_type, t, event_id) sequence frame. */
+  def markovStationaryFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val pairs = ev
+      .select(col("user_id"), col("event_type").as("from_type"),
+        col("t"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val outdeg = pairs.groupBy(col("from_type").as("st"))
+      .agg(sum(col("n")).as("n_from"))
+    val states = pairs.select(col("from_type").as("st"))
+      .union(pairs.select(col("to_type").as("st"))).distinct()
+    // dangling states (never a from_type) hold their mass via a 1/1
+    // self-loop; all others carry their real outgoing counts
+    val edges = pairs
+      .join(outdeg, col("from_type") === col("st"))
+      .select(col("from_type").as("f"), col("to_type").as("tt"),
+        col("n"), col("n_from"))
+      .union(states.join(outdeg, Seq("st"), "left_anti")
+        .select(col("st").as("f"), col("st").as("tt"),
+          lit(1L).as("n"), lit(1L).as("n_from")))
+      .localCheckpoint()
+    val k = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(k))
+      .select(col("st"), expr(s"${PiScale}L div k").as("p"))
+    for (_ <- 1 to MarkovIters) {
+      pi = pi.join(edges, pi("st") === edges("f"))
+        .select(col("tt"), expr("(p * n) div n_from").as("c"))
+        .groupBy(col("tt")).agg(sum(col("c")).as("p"))
+        .select(col("tt").as("st"), col("p"))
+    }
+    pi.select(col("st").as("event_type"), col("p").as("pi_scaled"),
+        (col("p").cast("double") / lit(PiScale.toDouble)).as("pi"))
+      .orderBy("event_type")
+  }
+
+  val markovStationarySql: String = {
+    def sweep(prev: String, i: Int): String =
+      s"""p$i AS (SELECT e.tt AS st, CAST(SUM((p.p * e.n) // e.n_from) AS BIGINT) AS p
+             FROM $prev p JOIN edges e ON p.st = e.f
+             GROUP BY e.tt)"""
+    s"""WITH pairs AS (
+         SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (
+           SELECT event_type AS from_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_type
+           FROM events)
+         WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       outdeg AS (SELECT from_type AS st, CAST(SUM(n) AS BIGINT) AS n_from
+                  FROM pairs GROUP BY 1),
+       states AS (SELECT DISTINCT from_type AS st FROM pairs
+                  UNION SELECT DISTINCT to_type FROM pairs),
+       edges AS (
+         SELECT p.from_type AS f, p.to_type AS tt, p.n, o.n_from
+         FROM pairs p JOIN outdeg o ON p.from_type = o.st
+         UNION ALL
+         SELECT s.st, s.st, 1, 1 FROM states s
+         WHERE s.st NOT IN (SELECT st FROM outdeg)),
+       k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
+       p0 AS (SELECT st, $PiScale // k.k AS p FROM states CROSS JOIN k),
+       ${(1 to MarkovIters).map(i => sweep(s"p${i - 1}", i)).mkString(",\n       ")}
+       SELECT st AS event_type, p AS pi_scaled,
+              CAST(p AS DOUBLE) / ${PiScale}.0 AS pi
+       FROM p$MarkovIters ORDER BY event_type"""
+  }
+
+  /** Resource-allocation fixed-point scale (1.0 == 10^6 per common
+    * neighbor; RA sums at most deg(z) terms of 1/deg(z) each, so the
+    * scaled sum is bounded by |wedges| * 10^6 — far under 2^63). */
+  val RaScale = 1000000L
+
+  /** Link prediction on the skill co-occurrence graph by the
+    * resource-allocation index (Zhou/Lu/Zhang 2009): for skills x,y
+    * NOT yet co-occurring, RA(x,y) = sum over common neighbors z of
+    * 1/deg(z) — the log-free sibling of Adamic-Adar, chosen because
+    * 1/deg is exactly representable in fixed point where 1/log(deg)
+    * is not (SURVEY §5: no transcendentals in oracled keys).
+    * "Which skill pairs are one hire away from co-occurring."
+    *
+    * Each term floors to RaScale div deg_z (BIGINT), so per-pair
+    * scores are exact integer sums — deterministic under any
+    * partitioning. Plan shape: wedge join (x-z, z-y) on the shared
+    * endpoint — the triangle-count shape, bounded by sum deg(z)^2 —
+    * then an anti-join against existing edges; degree table broadcast.
+    */
+  def linkPredictionRa(s: SparkSession, dir: String): DataFrame =
+    linkPredictionFromPairs(TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint())
+
+  /** Core over any undirected edge list (skill_a, skill_b), a < b. */
+  def linkPredictionFromPairs(cooc: DataFrame): DataFrame = {
+    val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    val deg = e.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+    val wedges = e.as("l").join(e.as("r"), col("l.dst") === col("r.src"))
+      .filter(col("l.src") < col("r.dst"))
+      .select(col("l.src").as("x"), col("r.dst").as("y"),
+        col("l.dst").as("via"))
+    wedges
+      .join(cooc, wedges("x") === cooc("skill_a")
+        && wedges("y") === cooc("skill_b"), "left_anti")
+      .join(broadcast(deg), col("via") === col("z"))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr(s"${RaScale}L div deg")).as("ra6"))
+      .select(col("x").as("skill_a"), col("y").as("skill_b"),
+        col("common_neighbors"),
+        (col("ra6").cast("double") / lit(RaScale.toDouble)).as("ra_score"))
+      .orderBy(col("ra_score").desc, col("skill_a"), col("skill_b"))
+  }
+
+  val linkPredictionRaSql: String =
+    s"""WITH cooc AS (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e AS (SELECT skill_a AS src, skill_b AS dst FROM cooc
+             UNION ALL
+             SELECT skill_b AS src, skill_a AS dst FROM cooc),
+       deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM e GROUP BY 1),
+       wedges AS (
+         SELECT l.src AS x, r.dst AS y, l.dst AS via
+         FROM e l JOIN e r ON l.dst = r.src
+         WHERE l.src < r.dst),
+       missing AS (
+         SELECT w.x, w.y, w.via FROM wedges w
+         WHERE NOT EXISTS (SELECT 1 FROM cooc c
+                           WHERE c.skill_a = w.x AND c.skill_b = w.y))
+       SELECT m.x AS skill_a, m.y AS skill_b,
+              CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+              CAST(CAST(SUM($RaScale // d.deg) AS BIGINT) AS DOUBLE)
+                / ${RaScale}.0 AS ra_score
+       FROM missing m JOIN deg d ON m.via = d.z
+       GROUP BY m.x, m.y
+       ORDER BY ra_score DESC, skill_a, skill_b"""
+
+  /** A user counts as churned once this many days pass after their
+    * last event without the corpus ending. */
+  val ChurnGapDays = 7
+
+  /** Discrete-time survival/hazard table of user lifetimes — the
+    * Kaplan-Meier INGREDIENTS (at-risk set, events, per-interval
+    * hazard) as a distributed frame. The KM survival curve itself is a
+    * running PRODUCT of (1 - hazard) — not expressible as an exact
+    * integer aggregate, so the operator ships the exact hazard table
+    * (every input to S(t), each cell one double division of two exact
+    * BIGINTs) rather than an order-dependent float product
+    * (SURVEY §5). Lifetime = weeks from first to last event; a user
+    * whose last event is within ChurnGapDays of the corpus end is
+    * censored (still alive), matching KM's right-censoring.
+    *
+    * at_risk(w) = users with lifetime >= w comes from a weeks^2
+    * self-join of the tiny weekly aggregate (two aggregate-compacted
+    * sides — the cumulative_users offsets pattern, no global window).
+    */
+  def survivalHazard(s: SparkSession, dir: String): DataFrame =
+    survivalHazardFrom(Tables.events(s, dir)
+      .select(col("user_id"), col("ts")))
+
+  /** Core over any (user_id, ts) event frame. */
+  def survivalHazardFrom(ev: DataFrame): DataFrame = {
+    val life = ev
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("first_day"),
+        to_date(max(col("ts"))).as("last_day"))
+    val end = ev.agg(to_date(max(col("ts"))).as("end_day"))
+    val byWeek = life.crossJoin(broadcast(end))
+      .select(
+        expr("datediff(last_day, first_day) div 7").as("week"),
+        (col("last_day") < date_sub(col("end_day"), ChurnGapDays))
+          .cast("long").as("churned"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("ended"), sum(col("churned")).as("churned"))
+    byWeek.as("a")
+      .join(byWeek.as("b"), col("b.week") >= col("a.week"))
+      .groupBy(col("a.week").as("week"), col("a.churned").as("churned"))
+      .agg(sum(col("b.ended")).as("at_risk"))
+      .select(col("week"), col("at_risk"), col("churned"),
+        (col("churned").cast("double") / col("at_risk").cast("double"))
+          .as("hazard"))
+      .orderBy("week")
+  }
+
+  val survivalHazardSql: String =
+    s"""WITH life AS (
+         SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day,
+                CAST(MAX(ts) AS DATE) AS last_day
+         FROM events GROUP BY 1),
+       fin AS (SELECT CAST(MAX(ts) AS DATE) AS end_day FROM events),
+       byweek AS (
+         SELECT datediff('day', first_day, last_day) // 7 AS week,
+                CAST(COUNT(*) AS BIGINT) AS ended,
+                CAST(SUM(CASE WHEN last_day < end_day - $ChurnGapDays
+                              THEN 1 ELSE 0 END) AS BIGINT) AS churned
+         FROM life CROSS JOIN fin GROUP BY 1)
+       SELECT a.week, CAST(SUM(b.ended) AS BIGINT) AS at_risk, a.churned,
+              CAST(a.churned AS DOUBLE) / CAST(SUM(b.ended) AS DOUBLE) AS hazard
+       FROM byweek a JOIN byweek b ON b.week >= a.week
+       GROUP BY a.week, a.churned
+       ORDER BY a.week"""
+
+  def queries: Seq[Q] = Seq(
+    Q("chi2_independence", Some(chi2IndependenceSql))(chi2Independence),
+    Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
+    Q("diversity_simpson", Some(diversitySimpsonSql))(diversitySimpson),
+    Q("markov_stationary", Some(markovStationarySql))(markovStationary),
+    Q("link_prediction_ra", Some(linkPredictionRaSql), bench = true)(linkPredictionRa),
+    Q("survival_hazard", Some(survivalHazardSql))(survivalHazard))
+}

@@ -46,7 +46,14 @@ class DeterminismSpec extends AnyFunSuite {
     // round-5 batch: the encoded id sequence must be carried by
     // (pos,id) sort inside the agg, never by partition order, and the
     // modularity numerators ride LPA's windowed sweeps
-    "vocab_encode_docs", "graph_modularity")
+    "vocab_encode_docs", "graph_modularity",
+    // round-5 inference tier: every key sums fixed-point integers or
+    // exact decimals and divides once at the end — a shuffle-width
+    // change must not move a bit; dsir additionally floors per-bucket
+    // logs BEFORE the per-doc sum (the one transcendental, quantized)
+    "chi2_independence", "hhi_concentration", "diversity_simpson",
+    "markov_stationary", "link_prediction_ra", "survival_hazard",
+    "dsir_weights")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

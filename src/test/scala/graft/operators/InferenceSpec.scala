@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Constructed-corpus behavior checks for the statistical-inference
+  * tier: closed-form values on hand-checkable inputs, plus the exact
+  * fixed-point invariants the oracle parity rests on.
+  */
+class InferenceSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("chi2: closed-form value on a hand-checked 2x2 table") {
+    // obs = [[10,20],[30,40]]: rt=(30,70), ct=(40,60), N=100
+    // chi2 = 4/12 + 4/18 + 4/28 + 4/42 = 0.79365...
+    val rows =
+      Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+        Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val out = Inference.chi2(rows.toDF("prio", "status")).collect()
+    assert(out.length === 4)
+    val byCell = out.map(r =>
+      (r.getAs[String]("prio"), r.getAs[String]("status")) -> r).toMap
+    val ax = byCell(("a", "x"))
+    assert(ax.getAs[Long]("obs") === 10L)
+    assert(ax.getAs[Double]("expected") === 12.0)
+    assert(math.abs(ax.getAs[Double]("contrib") - 4.0 / 12.0) < 2e-6)
+    val expected = 4.0 / 12 + 4.0 / 18 + 4.0 / 28 + 4.0 / 42
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("chi2") - expected) < 1e-5)
+      assert(r.getAs[Long]("dof") === 1L)
+    }
+  }
+
+  test("chi2: independent margins give ~zero statistic") {
+    // perfectly proportional table: obs = rt*ct/N exactly
+    val rows = for {
+      (a, na) <- Seq("a" -> 1, "b" -> 3)
+      (b, nb) <- Seq("x" -> 2, "y" -> 5)
+      _ <- 0 until na * nb
+    } yield (a, b)
+    val chi2 = Inference.chi2(rows.toDF("prio", "status"))
+      .select("chi2").head.getDouble(0)
+    assert(chi2 === 0.0)
+  }
+
+  test("markov stationary: known two-state chain converges to (1/3, 2/3)") {
+    // A always moves to B; B splits evenly between A and B. One user
+    // per observed transition keeps the empirical matrix exact:
+    // P = [[0,1],[.5,.5]] => pi = (1/3, 2/3)
+    val seqs =
+      Seq.fill(10)(Seq("A", "B")) ++ // A->B x10
+        Seq.fill(5)(Seq("B", "A")) ++ // B->A x5
+        Seq.fill(5)(Seq("B", "B")) // B->B x5
+    val ev = seqs.zipWithIndex.flatMap { case (states, u) =>
+      states.zipWithIndex.map { case (st, i) =>
+        (u.toLong, st, i.toLong, (u * 100 + i).toLong)
+      }
+    }.toDF("user_id", "event_type", "t", "event_id")
+    val pi = Inference.markovStationaryFrom(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("pi")).toMap
+    assert(math.abs(pi("A") - 1.0 / 3.0) < 1e-3)
+    assert(math.abs(pi("B") - 2.0 / 3.0) < 1e-3)
+  }
+
+  test("markov stationary: dangling state keeps its mass via self-loop") {
+    // C is only ever entered, never left: all mass ends in C
+    val ev = Seq.tabulate(4)(u =>
+      Seq((u.toLong, "A", 0L, u * 10L), (u.toLong, "C", 1L, u * 10L + 1)))
+      .flatten.toDF("user_id", "event_type", "t", "event_id")
+    val pi = Inference.markovStationaryFrom(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("pi")).toMap
+    assert(pi("C") > 0.999)
+    assert(pi.getOrElse("A", 0.0) < 1e-3)
+  }
+
+  test("link prediction RA: path graph scores the two-hop pair 1/deg(hub)") {
+    // edges a-b, b-c, b-d: non-edges {a-c, a-d, c-d} all via hub b
+    // (deg 3) => RA = 1/3, one common neighbor each
+    val cooc = Seq(("a", "b"), ("b", "c"), ("b", "d")).toDF("skill_a", "skill_b")
+    val out = Inference.linkPredictionFromPairs(cooc).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("common_neighbors") === 1L)
+      assert(math.abs(r.getAs[Double]("ra_score") - 1.0 / 3.0) < 2e-6)
+    }
+    val pairs = out.map(r =>
+      (r.getAs[String]("skill_a"), r.getAs[String]("skill_b"))).toSet
+    assert(pairs === Set(("a", "c"), ("a", "d"), ("c", "d")))
+  }
+
+  test("link prediction RA: existing edges are excluded; triangle yields nothing") {
+    val cooc = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("skill_a", "skill_b")
+    assert(Inference.linkPredictionFromPairs(cooc).count() === 0L)
+  }
+
+  test("survival hazard: constructed lifetimes produce the exact KM table") {
+    // corpus ends day 100. Users: two live 0 weeks (one churned early,
+    // one still active at the end), two live 2 weeks (one churned, one
+    // censored by recency)
+    def ev(u: Long, firstDay: Int, lastDay: Int) = Seq(
+      (u, java.sql.Timestamp.valueOf(f"2024-01-${firstDay}%02d 00:00:00")),
+      (u, java.sql.Timestamp.valueOf(f"2024-01-${lastDay}%02d 00:00:00")))
+    val rows = ev(1, 2, 2) ++ ev(2, 28, 28) ++ ev(3, 1, 15) ++
+      ev(4, 14, 28) // ends at corpus end -> censored
+    val out = Inference.survivalHazardFrom(rows.toDF("user_id", "ts"))
+      .collect().map(r => r.getAs[Long]("week") ->
+        (r.getAs[Long]("at_risk"), r.getAs[Long]("churned"))).toMap
+    // week 0: all 4 at risk; user1 churned (day2 << day28-7), user2
+    // last-seen at corpus end -> censored
+    assert(out(0L) === (4L, 1L))
+    // week 2: users 3 and 4 at risk; user3 churned (day15 < day21)
+    assert(out(2L) === (2L, 1L))
+  }
+
+  test("diversity: uniform users maximize gini_simpson, single user zeroes it") {
+    val rows = (1 to 4).map(u => ("spread", u.toLong)) ++
+      Seq.fill(4)(("concentrated", 9L))
+    val df = rows.toDF("event_type", "user_id")
+      .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    // build through the same aggregate the registered query uses
+    val peru = df.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("ni"))
+    val out = peru.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("ni")).as("n_events"),
+        sum(col("ni") * (col("ni") - 1)).as("coll"))
+      .select(col("event_type"),
+        (col("coll").cast("double")
+          / (col("n_events") * (col("n_events") - 1)).cast("double"))
+          .as("simpson"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("spread") === 0.0) // every draw pair distinct users
+    assert(out("concentrated") === 1.0) // all from one user
+  }
+
+  test("hhi: monopoly=10000, equal split approaches 10000/n") {
+    val hhi = Inference.hhiConcentration(spark, sf).collect()
+    assert(hhi.nonEmpty)
+    hhi.foreach { r =>
+      val v = r.getAs[Double]("hhi")
+      val n = r.getAs[Long]("n_firms")
+      assert(v > 0.0 && v <= 10000.0 + 1e-9)
+      assert(v >= 10000.0 / n - 1e-9) // HHI lower bound at equal shares
+    }
+  }
+
+  test("pii redaction: plants every category and counts progressively") {
+    val doc = "mail me at a.b+c@ex-ample.org or visit " +
+      "https://ex.com/p?x=1 from 10.0.0.1, call +1 (555) 123-4567."
+    val df = Seq((1L, doc), (2L, "clean text, nothing to hide"))
+      .toDF("doc_id", "text")
+    val out = Curation.redactPii(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_urls") === 1)
+    assert(r1.getAs[Int]("n_emails") === 1)
+    assert(r1.getAs[Int]("n_ips") === 1)
+    assert(r1.getAs[Int]("n_phones") === 1)
+    val red = r1.getAs[String]("redacted")
+    assert(red.contains("<URL>") && red.contains("<EMAIL>")
+      && red.contains("<IP>") && red.contains("<PHONE>"))
+    assert(!red.contains("ex.com") && !red.contains("ample.org")
+      && !red.contains("10.0.0.1") && !red.contains("555"))
+    val r2 = out(2L)
+    assert(r2.getAs[String]("redacted") === "clean text, nothing to hide")
+    assert(r2.getAs[Int]("n_urls") + r2.getAs[Int]("n_emails")
+      + r2.getAs[Int]("n_ips") + r2.getAs[Int]("n_phones") === 0)
+  }
+
+  test("pii redaction: a URL's embedded IP and email count once, as URL") {
+    val df = Seq((1L, "see http://10.1.2.3/reset?u=bob@ex.org now"))
+      .toDF("doc_id", "text")
+    val r = Curation.redactPii(df, "doc_id", "text").head
+    assert(r.getAs[Int]("n_urls") === 1)
+    assert(r.getAs[Int]("n_emails") === 0)
+    assert(r.getAs[Int]("n_ips") === 0)
+  }
+
+  test("dsir: target-vocabulary docs outrank raw-vocabulary docs (planted corpus)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "alpha beta alpha beta", "en", "s1")) ++
+        (7 to 12).map(i => (i.toLong, "gamma delta gamma delta", "zz", "s2")) ++
+        // held-out docs in each vocabulary, NOT in the target slice
+        Seq((13L, "alpha beta alpha beta", "zz", "s2"),
+          (14L, "gamma delta gamma delta", "zz", "s2")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val w = Curation.dsirWeights(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_logw")).toMap
+    // the held-out target-vocab doc must outrank the raw-vocab doc
+    assert(w(13L) > w(14L))
+    // and every target-vocab doc outranks every raw-only doc
+    assert((1 to 6).map(i => w(i.toLong)).min > w(14L))
+  }
+}

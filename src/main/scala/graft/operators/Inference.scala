@@ -429,11 +429,303 @@ object Inference {
        GROUP BY a.week, a.churned
        ORDER BY a.week"""
 
+  /** The two order-priority cohorts the rank tests compare: the
+    * extremes of the urgency scale, "does urgency shift the price
+    * distribution". */
+  val RankGroupA = "1-URGENT"
+  val RankGroupB = "5-LOW"
+
+  /** Value-range bucket width for the two-phase prefix sums (price
+    * units): bucket count scales with the VALUE RANGE, never the row
+    * count, so the offsets self-join stays tiny at any corpus size. */
+  val RankBucket = 5000L
+
+  /** Distinct-value frame with exact cumulative counts per cohort —
+    * shared spine of the rank statistics ([[ksTest]],
+    * [[mannWhitneyU]]). Input: (v double, a, b) counts per distinct
+    * value. Output adds (ca, cb) = cohort counts over values <= v,
+    * built with the two-phase pattern (per-bucket partitioned window +
+    * bucket offsets from an aggregates-only self-join — the
+    * cumulative_users shape, no global window).
+    */
+  def cumCounts(vals: DataFrame): DataFrame = {
+    val bucketed = vals.withColumn("bk", expr(s"CAST(v AS BIGINT) div $RankBucket"))
+    val w = Window.partitionBy(col("bk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bt = bucketed.groupBy("bk")
+      .agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val off = bt.as("x")
+      .join(bt.as("y"), col("y.bk") < col("x.bk"), "left")
+      .groupBy(col("x.bk").as("bk"))
+      .agg(coalesce(sum(col("y.ta")), lit(0L)).as("offa"),
+        coalesce(sum(col("y.tb")), lit(0L)).as("offb"))
+    bucketed
+      .withColumn("cwa", sum(col("a")).over(w))
+      .withColumn("cwb", sum(col("b")).over(w))
+      .join(broadcast(off), Seq("bk"))
+      .select(col("v"), col("a"), col("b"),
+        (col("cwa") + col("offa")).as("ca"),
+        (col("cwb") + col("offb")).as("cb"))
+  }
+
+  /** Per-distinct-value cohort counts of o_totalprice for the two
+    * priority cohorts (the rank tests' shared input). */
+  private def priceCohorts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin(RankGroupA, RankGroupB))
+      .groupBy(col("o_totalprice").as("v"))
+      .agg(sum(when(col("o_orderpriority") === RankGroupA, 1L)
+        .otherwise(0L)).as("a"),
+        sum(when(col("o_orderpriority") === RankGroupB, 1L)
+          .otherwise(0L)).as("b"))
+
+  private val rankCohortsSql: String =
+    s"""SELECT o_totalprice AS v,
+              CAST(SUM(CASE WHEN o_orderpriority = '$RankGroupA'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS a,
+              CAST(SUM(CASE WHEN o_orderpriority = '$RankGroupB'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS b
+       FROM orders
+       WHERE o_orderpriority IN ('$RankGroupA', '$RankGroupB')
+       GROUP BY o_totalprice"""
+
+  /** Two-sample Kolmogorov-Smirnov test: does order urgency shift the
+    * price distribution? D = max_v |F_a(v) - F_b(v)| computed as an
+    * EXACT integer maximum: |ca*n_b - cb*n_a| per distinct value
+    * (cumulative counts cross-multiplied — no per-row double division,
+    * so the argmax cannot be perturbed by float rounding), divided
+    * once at the end. Cumulative counts come from [[cumCounts]]'s
+    * two-phase prefix sums; the scan aggregates to distinct prices
+    * first, so the windowed frame is |distinct values|-sized.
+    */
+  def ksTest(s: SparkSession, dir: String): DataFrame =
+    ksFrom(priceCohorts(s, dir))
+
+  /** Core over any per-distinct-value cohort frame (v, a, b). */
+  def ksFrom(vals: DataFrame): DataFrame = {
+    val cc = cumCounts(vals)
+    val tot = cc.agg(max(col("ca")).as("na"), max(col("cb")).as("nb"))
+    cc.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs(col("ca") * col("nb") - col("cb") * col("na")).as("dn"))
+      .groupBy("na", "nb")
+      .agg(max(col("dn")).as("d_num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("na") * col("nb")).cast("double")).as("d_stat"))
+  }
+
+  val ksTestSql: String =
+    s"""WITH vals AS ($rankCohortsSql),
+       cc AS (SELECT v, a, b,
+                     CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+                     CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS cb
+              FROM vals),
+       tot AS (SELECT MAX(ca) AS na, MAX(cb) AS nb FROM cc)
+       SELECT t.na AS n_a, t.nb AS n_b,
+              MAX(ABS(c.ca * t.nb - c.cb * t.na)) AS d_num,
+              CAST(MAX(ABS(c.ca * t.nb - c.cb * t.na)) AS DOUBLE)
+                / CAST(t.na * t.nb AS DOUBLE) AS d_stat
+       FROM cc c CROSS JOIN tot t
+       GROUP BY t.na, t.nb"""
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) with tie handling, same
+    * cohorts as [[ksTest]]. 2*U_a = sum_v a_v * (2*(cb(v) - b_v) + b_v)
+    * is an exact BIGINT (each A-observation contributes 2 per B below
+    * it, 1 per tied B); the normal-approximation z uses the exact tie
+    * correction sum (t^3 - t) in DECIMAL(38,0) and surfaces through
+    * one sqrt + one division on exact inputs (sqrt is IEEE
+    * correctly-rounded — same bits in both engines).
+    */
+  def mannWhitneyU(s: SparkSession, dir: String): DataFrame =
+    mannWhitneyFrom(priceCohorts(s, dir))
+
+  /** Core over any per-distinct-value cohort frame (v, a, b). */
+  def mannWhitneyFrom(vals: DataFrame): DataFrame = {
+    val cc = cumCounts(vals)
+    val tot = cc.agg(max(col("ca")).as("na"), max(col("cb")).as("nb"))
+    cc.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (col("a") * (lit(2L) * (col("cb") - col("b")) + col("b"))).as("u2"),
+        ((col("a") + col("b")).cast("decimal(38,0)")
+          * (col("a") + col("b")) * (col("a") + col("b"))
+          - (col("a") + col("b"))).as("t3t"))
+      .groupBy("na", "nb")
+      .agg(sum(col("u2")).as("u2a"), sum(col("t3t")).as("ties"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        (col("u2a").cast("double") / 2.0).as("u_a"),
+        ((col("na") * col("nb")).cast("double")
+          - col("u2a").cast("double") / 2.0).as("u_b"),
+        ((col("u2a").cast("double") / 2.0
+          - (col("na") * col("nb")).cast("double") / 2.0)
+          / sqrt(
+            (col("na") * col("nb")).cast("double") / 12.0
+              * (((col("na") + col("nb") + 1)).cast("double")
+                - col("ties").cast("double")
+                  / ((col("na") + col("nb")).cast("double")
+                    * (col("na") + col("nb") - 1).cast("double")))))
+          .as("z"))
+  }
+
+  val mannWhitneyUSql: String =
+    s"""WITH vals AS ($rankCohortsSql),
+       cc AS (SELECT v, a, b,
+                     CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+                     CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS cb
+              FROM vals),
+       tot AS (SELECT MAX(ca) AS na, MAX(cb) AS nb FROM cc),
+       agg AS (SELECT t.na, t.nb,
+                      CAST(SUM(c.a * (2 * (c.cb - c.b) + c.b)) AS BIGINT) AS u2a,
+                      SUM(CAST(c.a + c.b AS HUGEINT) * (c.a + c.b) * (c.a + c.b)
+                          - (c.a + c.b)) AS ties
+               FROM cc c CROSS JOIN tot t
+               GROUP BY t.na, t.nb)
+       SELECT na AS n_a, nb AS n_b,
+              CAST(u2a AS DOUBLE) / 2.0 AS u_a,
+              CAST(na * nb AS DOUBLE) - CAST(u2a AS DOUBLE) / 2.0 AS u_b,
+              (CAST(u2a AS DOUBLE) / 2.0 - CAST(na * nb AS DOUBLE) / 2.0)
+                / SQRT(CAST(na * nb AS DOUBLE) / 12.0
+                       * (CAST(na + nb + 1 AS DOUBLE)
+                          - CAST(ties AS DOUBLE)
+                            / (CAST(na + nb AS DOUBLE)
+                               * CAST(na + nb - 1 AS DOUBLE)))) AS z
+       FROM agg"""
+
+  /** Pairwise Welch's t-test of mean event value across event types —
+    * the A/B-test operator ("does event type X carry higher value than
+    * Y"). Per-type sums and sums-of-squares accumulate in EXACT
+    * decimal (the q1_agg money discipline); means, variances, t and
+    * the Welch-Satterthwaite df are then pure scalar double expressions
+    * over exact inputs, written identically in both engines (sqrt is
+    * correctly-rounded). The pair frame is a types^2 self-join of two
+    * aggregate-compacted sides.
+    */
+  def abTestWelch(s: SparkSession, dir: String): DataFrame =
+    welchFrom(Tables.events(s, dir).select(col("event_type"), col("value")))
+
+  /** Core over any (event_type, value double) frame. */
+  def welchFrom(ev: DataFrame): DataFrame = {
+    import graft.functions.Nums._
+    val g = ev
+      .select(col("event_type"), decp(col("value")).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("s"),
+        sum(col("x").cast("decimal(18,4)") * col("x").cast("decimal(18,4)"))
+          .cast("double").as("ss"))
+      .select(col("event_type"), col("n"), (col("s") / col("n")).as("m"),
+        ((col("ss") - col("s") * col("s") / col("n"))
+          / (col("n") - 1).cast("double")).as("v"))
+    g.as("p").join(g.as("q"), col("p.event_type") < col("q.event_type"))
+      .select(col("p.event_type").as("type_a"),
+        col("q.event_type").as("type_b"),
+        col("p.n").as("n_a"), col("q.n").as("n_b"),
+        col("p.m").as("mean_a"), col("q.m").as("mean_b"),
+        ((col("p.m") - col("q.m"))
+          / sqrt(col("p.v") / col("p.n") + col("q.v") / col("q.n"))).as("t"),
+        // squares as explicit products: pow() is not required to be
+        // correctly rounded and differs between Java and C libm
+        (((col("p.v") / col("p.n") + col("q.v") / col("q.n"))
+          * (col("p.v") / col("p.n") + col("q.v") / col("q.n")))
+          / ((col("p.v") / col("p.n")) * (col("p.v") / col("p.n"))
+            / (col("p.n") - 1)
+            + (col("q.v") / col("q.n")) * (col("q.v") / col("q.n"))
+              / (col("q.n") - 1)))
+          .as("df"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val abTestWelchSql: String = {
+    import graft.functions.Nums._
+    s"""WITH g AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                ${sqlDsum(sqlDecp("value"))} AS s,
+                CAST(CAST(SUM(CAST(${sqlDecp("value")} AS DECIMAL(18,4))
+                              * CAST(${sqlDecp("value")} AS DECIMAL(18,4)))
+                     AS VARCHAR) AS DOUBLE) AS ss
+         FROM events GROUP BY event_type),
+       st AS (SELECT event_type, n, s / n AS m,
+                     (ss - s * s / n) / CAST(n - 1 AS DOUBLE) AS v
+              FROM g)
+       SELECT p.event_type AS type_a, q.event_type AS type_b,
+              p.n AS n_a, q.n AS n_b, p.m AS mean_a, q.m AS mean_b,
+              (p.m - q.m) / SQRT(p.v / p.n + q.v / q.n) AS t,
+              ((p.v / p.n + q.v / q.n) * (p.v / p.n + q.v / q.n))
+                / ((p.v / p.n) * (p.v / p.n) / (p.n - 1)
+                   + (q.v / q.n) * (q.v / q.n) / (q.n - 1)) AS df
+       FROM st p JOIN st q ON p.event_type < q.event_type
+       ORDER BY type_a, type_b"""
+  }
+
+  /** Benford's-law constants log10(1 + 1/d), d = 1..9, as shortest-
+    * round-trip literals: the same decimal text parses to the same
+    * double in Spark and DuckDB, so no engine ever computes a log. */
+  val BenfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+    3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
+
+  /** Benford's-law first-digit audit of order prices — the classic
+    * fraud/synthetic-data screen ("do the leading digits follow the
+    * log distribution real-world amounts do"). The leading digit is
+    * taken from the DECIMAL(14,4) TEXT form — both engines print
+    * decimals as plain digit strings, so no double formatting (which
+    * differs between Java and C) ever happens. Counts exact; share
+    * and the deviation from the hard-coded Benford constants are
+    * per-row double expressions. One scan, 9-row output.
+    */
+  def benfordDigits(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val counts = Tables.orders(s, dir)
+      .select(substring(decp(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("nt"))
+    // lit(text.toDouble): the JVM's correctly-rounded text parse; the
+    // oracle does the same via CAST(VARCHAR AS DOUBLE), never letting
+    // either engine type the literal as DECIMAL (two-rounding risk)
+    val bp = BenfordP.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p.toDouble)).otherwise(acc)
+    }
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (col("n").cast("double") / col("nt").cast("double")).as("share"),
+        bp.as("benford_p"))
+      .withColumn("deviation", col("share") - col("benford_p"))
+      .orderBy("digit")
+  }
+
+  val benfordDigitsSql: String = {
+    import graft.functions.Nums._
+    val cases = BenfordP
+      .map { case (d, p) => s"WHEN digit = $d THEN CAST('$p' AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH counts AS (
+         SELECT CAST(SUBSTR(CAST(${sqlDecp("o_totalprice")} AS VARCHAR), 1, 1)
+                     AS INT) AS digit,
+                CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1),
+       tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM counts)
+       SELECT c.digit, c.n,
+              CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE) AS share,
+              CASE $cases END AS benford_p,
+              CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE)
+                - CASE $cases END AS deviation
+       FROM counts c CROSS JOIN tot t
+       ORDER BY digit"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("chi2_independence", Some(chi2IndependenceSql))(chi2Independence),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
     Q("diversity_simpson", Some(diversitySimpsonSql))(diversitySimpson),
     Q("markov_stationary", Some(markovStationarySql))(markovStationary),
     Q("link_prediction_ra", Some(linkPredictionRaSql), bench = true)(linkPredictionRa),
-    Q("survival_hazard", Some(survivalHazardSql))(survivalHazard))
+    Q("survival_hazard", Some(survivalHazardSql))(survivalHazard),
+    Q("ks_test", Some(ksTestSql))(ksTest),
+    Q("mann_whitney_u", Some(mannWhitneyUSql))(mannWhitneyU),
+    Q("ab_test_welch", Some(abTestWelchSql))(abTestWelch),
+    Q("benford_digits", Some(benfordDigitsSql))(benfordDigits))
 }

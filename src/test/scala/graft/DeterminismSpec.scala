@@ -53,7 +53,11 @@ class DeterminismSpec extends AnyFunSuite {
     // logs BEFORE the per-doc sum (the one transcendental, quantized)
     "chi2_independence", "hhi_concentration", "diversity_simpson",
     "markov_stationary", "link_prediction_ra", "survival_hazard",
-    "dsir_weights")
+    "dsir_weights",
+    // hypothesis tests: exact-integer rank statistics and identical
+    // scalar double expression trees; the two-phase prefix sums must
+    // not depend on bucket/partition layout
+    "ks_test", "mann_whitney_u", "ab_test_welch", "benford_digits")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

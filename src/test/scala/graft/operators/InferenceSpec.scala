@@ -177,6 +177,74 @@ class InferenceSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_ips") === 0)
   }
 
+  test("ks: hand-checked two-sample distance, and zero for identical samples") {
+    // A = {1,2}, B = {2,3}: F_a(1)=.5, F_b(1)=0 -> D = 0.5 at v=1
+    val vals = Seq((1.0, 1L, 0L), (2.0, 1L, 1L), (3.0, 0L, 1L))
+      .toDF("v", "a", "b")
+    val r = Inference.ksFrom(vals).head
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("d_num") === 2L)
+    assert(r.getAs[Double]("d_stat") === 0.5)
+    val same = Seq((1.0, 2L, 2L), (5.0, 3L, 3L)).toDF("v", "a", "b")
+    assert(Inference.ksFrom(same).head.getAs[Double]("d_stat") === 0.0)
+  }
+
+  test("ks: cumCounts two-phase prefix sums cross bucket boundaries exactly") {
+    // values straddle several RankBucket ranges; compare against a
+    // driver-side running total
+    val vals = Seq(100.0, 4999.0, 5000.0, 10000.0, 25000.1, 99999.9)
+      .zipWithIndex.map { case (v, i) => (v, (i + 1).toLong, (6L - i)) }
+    val cc = Inference.cumCounts(vals.toDF("v", "a", "b"))
+      .orderBy("v").collect()
+    var (ra, rb) = (0L, 0L)
+    vals.sortBy(_._1).zip(cc).foreach { case ((v, a, b), row) =>
+      ra += a; rb += b
+      assert(row.getAs[Double]("v") === v)
+      assert(row.getAs[Long]("ca") === ra, s"ca at $v")
+      assert(row.getAs[Long]("cb") === rb, s"cb at $v")
+    }
+  }
+
+  test("mann-whitney: hand-checked U and tie-corrected z") {
+    // A = {1,2}, B = {2,3}: U_a = 0.5 (one tie), ties term = 6
+    // z = (0.5 - 2) / sqrt(4/12 * (5 - 6/12)) = -1.5/sqrt(1.5)
+    val vals = Seq((1.0, 1L, 0L), (2.0, 1L, 1L), (3.0, 0L, 1L))
+      .toDF("v", "a", "b")
+    val r = Inference.mannWhitneyFrom(vals).head
+    assert(r.getAs[Double]("u_a") === 0.5)
+    assert(r.getAs[Double]("u_b") === 3.5)
+    assert(math.abs(r.getAs[Double]("z") - (-1.5 / math.sqrt(1.5))) < 1e-12)
+  }
+
+  test("welch t: hand-checked means, t and df on two constructed groups") {
+    // A = {1,2,3}: mean 2, var 1; B = {4,6}: mean 5, var 2
+    // t = -3 / sqrt(1/3 + 1) = -2.598...; df = (4/3)^2/((1/3)^2/2 + 1)
+    val ev = (Seq(1.0, 2.0, 3.0).map(("A", _)) ++ Seq(4.0, 6.0).map(("B", _)))
+      .toDF("event_type", "value")
+    val r = Inference.welchFrom(ev).head
+    assert(r.getAs[String]("type_a") === "A")
+    assert(r.getAs[Double]("mean_a") === 2.0)
+    assert(r.getAs[Double]("mean_b") === 5.0)
+    assert(math.abs(r.getAs[Double]("t") - (-3.0 / math.sqrt(4.0 / 3.0))) < 1e-12)
+    val dfExp = (4.0 / 3.0) * (4.0 / 3.0) /
+      ((1.0 / 3.0) * (1.0 / 3.0) / 2.0 + 1.0)
+    assert(math.abs(r.getAs[Double]("df") - dfExp) < 1e-12)
+  }
+
+  test("benford: digits in 1..9, shares sum to one, constants match the map") {
+    val rows = Inference.benfordDigits(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val expected = Inference.BenfordP.toMap.map { case (d, p) => d -> p.toDouble }
+    rows.foreach { r =>
+      val d = r.getAs[Int]("digit")
+      assert(d >= 1 && d <= 9)
+      assert(r.getAs[Double]("benford_p") === expected(d))
+      assert(math.abs(r.getAs[Double]("deviation")
+        - (r.getAs[Double]("share") - expected(d))) < 1e-15)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
   test("dsir: target-vocabulary docs outrank raw-vocabulary docs (planted corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
     val docs = (

@@ -717,6 +717,237 @@ object Inference {
        ORDER BY digit"""
   }
 
+  /** z for a 95% two-sided interval, as a shortest-round-trip text
+    * literal (the Benford treatment: parsed, never computed). */
+  val WilsonZ = "1.959963984540054"
+
+  /** Wilson score 95% confidence interval on per-event-type conversion
+    * ("of users who did anything, how many did THIS, and how sure are
+    * we") — the uncertainty-aware twin of funnel_conversion. p is a
+    * ratio of two exact user counts; the interval is a fixed scalar
+    * double expression over (p, n, z) written identically in both
+    * engines (one sqrt, correctly rounded). Wilson over Wald because
+    * it never leaves [0,1] and behaves at small counts — the interval
+    * a dashboard should actually print.
+    */
+  def conversionWilsonCi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val users = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("k"))
+    val tot = ev.agg(countDistinct(col("user_id")).as("n"))
+    val z = lit(WilsonZ.toDouble)
+    val n = col("n").cast("double")
+    val p = col("k").cast("double") / n
+    val z2n = z * z / n
+    val center = (p + z2n / 2.0) / (lit(1.0) + z2n)
+    val half = (z / (lit(1.0) + z2n)) *
+      sqrt(p * (lit(1.0) - p) / n + z * z / (lit(4.0) * n * n))
+    users.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("k").as("n_users"), col("n").as("n_total"),
+        p.as("p"), (center - half).as("ci_lo"), (center + half).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
+  val conversionWilsonCiSql: String = {
+    val z = s"CAST('$WilsonZ' AS DOUBLE)"
+    val n = "CAST(t.n AS DOUBLE)"
+    val p = s"(CAST(u.k AS DOUBLE) / $n)"
+    val z2n = s"($z * $z / $n)"
+    val center = s"(($p + $z2n / 2.0) / (1.0 + $z2n))"
+    val half = s"(($z / (1.0 + $z2n)) * SQRT($p * (1.0 - $p) / $n + $z * $z / (4.0 * $n * $n)))"
+    s"""WITH u AS (SELECT event_type,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k
+              FROM events GROUP BY 1),
+       t AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events)
+       SELECT u.event_type, u.k AS n_users, t.n AS n_total,
+              $p AS p, $center - $half AS ci_lo, $center + $half AS ci_hi
+       FROM u CROSS JOIN t ORDER BY event_type"""
+  }
+
+  /** Day-of-week seasonality index of event volume: mean daily count
+    * per ISO weekday over the corpus's mean daily count. The index is
+    * the cross-multiplied EXACT ratio (dow_sum * total_days) /
+    * (dow_days * total_sum) — one double division, no intermediate
+    * float means. ISO weekday (1=Mon..7=Sun) because Spark's
+    * dayofweek() and DuckDB's dayofweek() disagree on the week start;
+    * weekday()+1 and isodow() agree. Calendar spine fills silent days
+    * with explicit zeros so the means are over calendar days, not
+    * observed days.
+    */
+  def seasonalityDow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val filled = broadcast(spine).join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val byDow = filled
+      .groupBy((expr("weekday(day)") + 1).as("iso_dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+    val tot = byDow.agg(sum(col("n_days")).as("td"), sum(col("n_events")).as("te"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("iso_dow"), col("n_days"), col("n_events"),
+        ((col("n_events") * col("td")).cast("double")
+          / (col("n_days") * col("te")).cast("double")).as("seasonal_index"))
+      .orderBy("iso_dow")
+  }
+
+  val seasonalityDowSql: String =
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1),
+       spine AS (
+         SELECT UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE AS day
+         FROM daily),
+       filled AS (
+         SELECT s.day, COALESCE(d.n, 0) AS n
+         FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       bydow AS (
+         SELECT CAST(isodow(day) AS INT) AS iso_dow,
+                CAST(COUNT(*) AS BIGINT) AS n_days,
+                CAST(SUM(n) AS BIGINT) AS n_events
+         FROM filled GROUP BY 1),
+       tot AS (SELECT CAST(SUM(n_days) AS BIGINT) AS td,
+                      CAST(SUM(n_events) AS BIGINT) AS te FROM bydow)
+       SELECT b.iso_dow, b.n_days, b.n_events,
+              CAST(b.n_events * t.td AS DOUBLE)
+                / CAST(b.n_days * t.te AS DOUBLE) AS seasonal_index
+       FROM bydow b CROSS JOIN tot t ORDER BY iso_dow"""
+
+  /** Autocorrelation depth (days). */
+  val AcfMaxLag = 7
+
+  /** Autocorrelation of the daily event-count series at lags 1..7 —
+    * "does volume echo week over week" (the seasonality detector that
+    * justifies [[seasonalityDow]]'s weekly frame). Zero-filled
+    * calendar series; per lag, the overlap pairs come from ONE
+    * date-shift equi-join (day+lag = day), then the corr_exact
+    * discipline: integer sums (counts and their products in
+    * DECIMAL to keep 100 TB daily volumes exact), Pearson r as the
+    * identical one-sqrt double expression in both engines.
+    */
+  def acfDaily(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val filled = broadcast(spine).join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint()
+    val lagged = filled.select(col("day").as("lday"), col("n").as("y"))
+    val pairs = filled
+      .select(col("day"), col("n").as("x"),
+        explode(sequence(lit(1), lit(AcfMaxLag))).as("lag"))
+      .withColumn("mday", expr("date_add(day, lag)"))
+      .join(lagged, col("mday") === col("lday"))
+      .select(col("lag"), col("x").cast("decimal(18,0)").as("x"),
+        col("y").cast("decimal(18,0)").as("y"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      .select(col("lag").cast("long").as("lag"),
+        col("n").cast("long").as("n_days"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
+      .orderBy("lag")
+  }
+
+  val acfDailySql: String =
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1),
+       spine AS (
+         SELECT UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY))::DATE AS day
+         FROM daily),
+       filled AS (
+         SELECT s.day, COALESCE(d.n, 0) AS n
+         FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       pairs AS (
+         SELECT l.lag, CAST(a.n AS DECIMAL(18,0)) AS x,
+                CAST(b.n AS DECIMAL(18,0)) AS y
+         FROM filled a
+           CROSS JOIN (SELECT UNNEST(generate_series(1, $AcfMaxLag)) AS lag) l
+           JOIN filled b ON b.day = a.day + CAST(l.lag AS INT)),
+       m AS (SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+                    ${graft.functions.Nums.sqlDsum("x")} AS sx,
+                    ${graft.functions.Nums.sqlDsum("y")} AS sy,
+                    ${graft.functions.Nums.sqlDsum("CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")} AS sxy,
+                    ${graft.functions.Nums.sqlDsum("CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))")} AS sxx,
+                    ${graft.functions.Nums.sqlDsum("CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))")} AS syy
+             FROM pairs GROUP BY 1)
+       SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_days,
+              (n * sxy - sx * sy)
+                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+       FROM m ORDER BY lag"""
+
+  /** Gini coefficient of order revenue across customers, per nation —
+    * the inequality measure next to [[hhiConcentration]]'s
+    * concentration index (HHI asks "few big firms?", Gini asks "how
+    * skewed is the whole curve"). Computed by the sorted-rank formula
+    * G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)): ranks come from a
+    * per-nation PARTITIONED window (deterministic (rev, custkey)
+    * order; ties commute in the formula), both sums are exact DECIMAL
+    * — one double division per nation. At 100 TB the nation partition
+    * bounds every window; a single-market variant would use the
+    * two-phase bucket-offset ranking instead (documented).
+    */
+  def giniRevenue(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val rev = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_custkey"))
+      .agg(sum(decp(col("o_totalprice"))).cast("decimal(18,4)").as("rev"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("rev"), col("c_custkey"))
+    rev.withColumn("i", row_number().over(w).cast("decimal(19,0)"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n"),
+        sum(col("rev")).cast("double").as("sx"),
+        sum(col("i") * col("rev")).cast("double").as("sxi"))
+      .select(col("nation"), col("n").as("n_customers"), col("sx").as("total_rev"),
+        ((lit(2.0) * col("sxi") - (col("n") + 1).cast("double") * col("sx"))
+          / (col("n").cast("double") * col("sx"))).as("gini"))
+      .orderBy("nation")
+  }
+
+  val giniRevenueSql: String = {
+    import graft.functions.Nums._
+    s"""WITH rev AS (
+         SELECT n.n_name AS nation, o.o_custkey AS c,
+                CAST(SUM(${sqlDecp("o.o_totalprice")}) AS DECIMAL(18,4)) AS rev
+         FROM orders o
+           JOIN customer cu ON o.o_custkey = cu.c_custkey
+           JOIN nation n ON cu.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT nation, rev,
+                CAST(ROW_NUMBER() OVER (PARTITION BY nation
+                  ORDER BY rev, c) AS DECIMAL(19,0)) AS i
+         FROM rev),
+       m AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+                    ${sqlDsum("rev")} AS sx,
+                    ${sqlDsum("i * rev")} AS sxi
+             FROM ranked GROUP BY 1)
+       SELECT nation, n AS n_customers, sx AS total_rev,
+              (2.0 * sxi - CAST(n + 1 AS DOUBLE) * sx)
+                / (CAST(n AS DOUBLE) * sx) AS gini
+       FROM m ORDER BY nation"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("chi2_independence", Some(chi2IndependenceSql))(chi2Independence),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
@@ -727,5 +958,9 @@ object Inference {
     Q("ks_test", Some(ksTestSql))(ksTest),
     Q("mann_whitney_u", Some(mannWhitneyUSql))(mannWhitneyU),
     Q("ab_test_welch", Some(abTestWelchSql))(abTestWelch),
-    Q("benford_digits", Some(benfordDigitsSql))(benfordDigits))
+    Q("benford_digits", Some(benfordDigitsSql))(benfordDigits),
+    Q("conversion_wilson_ci", Some(conversionWilsonCiSql))(conversionWilsonCi),
+    Q("seasonality_dow", Some(seasonalityDowSql))(seasonalityDow),
+    Q("acf_daily", Some(acfDailySql))(acfDaily),
+    Q("gini_revenue", Some(giniRevenueSql))(giniRevenue))
 }

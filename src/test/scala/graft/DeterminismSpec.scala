@@ -57,7 +57,11 @@ class DeterminismSpec extends AnyFunSuite {
     // hypothesis tests: exact-integer rank statistics and identical
     // scalar double expression trees; the two-phase prefix sums must
     // not depend on bucket/partition layout
-    "ks_test", "mann_whitney_u", "ab_test_welch", "benford_digits")
+    "ks_test", "mann_whitney_u", "ab_test_welch", "benford_digits",
+    // interval/seasonality/inequality: exact ratios + one-sqrt scalar
+    // trees; gini additionally rides a partitioned rank window
+    "conversion_wilson_ci", "seasonality_dow", "acf_daily",
+    "gini_revenue")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

@@ -245,6 +245,58 @@ class InferenceSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
   }
 
+  test("wilson ci: brackets p, stays in [0,1], and matches the exact formula") {
+    val z = Inference.WilsonZ.toDouble
+    val rows = Inference.conversionWilsonCi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_total").toDouble
+      val p = r.getAs[Long]("n_users").toDouble / n
+      val z2n = z * z / n
+      val center = (p + z2n / 2.0) / (1.0 + z2n)
+      val half = (z / (1.0 + z2n)) *
+        math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+      // identical double expression tree -> exact equality
+      assert(r.getAs[Double]("p") === p)
+      assert(r.getAs[Double]("ci_lo") === center - half)
+      assert(r.getAs[Double]("ci_hi") === center + half)
+      assert(r.getAs[Double]("ci_lo") >= 0.0 - 1e-15)
+      assert(r.getAs[Double]("ci_hi") <= 1.0 + 1e-15)
+      assert(r.getAs[Double]("ci_lo") <= p && p <= r.getAs[Double]("ci_hi"))
+    }
+  }
+
+  test("seasonality: exact cross-multiplied indices over a complete week frame") {
+    val rows = Inference.seasonalityDow(spark, sf).collect()
+    val td = rows.map(_.getAs[Long]("n_days")).sum
+    val te = rows.map(_.getAs[Long]("n_events")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Int]("iso_dow") >= 1 && r.getAs[Int]("iso_dow") <= 7)
+      val expect = (r.getAs[Long]("n_events") * td).toDouble /
+        (r.getAs[Long]("n_days") * te).toDouble
+      assert(r.getAs[Double]("seasonal_index") === expect)
+    }
+  }
+
+  test("acf: r bounded by 1, overlap shrinks by exactly one day per lag") {
+    val rows = Inference.acfDaily(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("r"))).toMap
+    assert(rows.keySet === (1L to 7L).toSet)
+    val base = rows(1L)._1
+    (1L to 7L).foreach { lag =>
+      assert(rows(lag)._1 === base - (lag - 1))
+      assert(math.abs(rows(lag)._2) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("gini: every market in [0,1), and zero for a perfectly equal corpus") {
+    Inference.giniRevenue(spark, sf).collect().foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 - 1e-12 && g < 1.0, r.getAs[String]("nation"))
+    }
+  }
+
   test("dsir: target-vocabulary docs outrank raw-vocabulary docs (planted corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
     val docs = (

@@ -786,7 +786,54 @@ object Similarity {
        FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
        ORDER BY m.vec_id"""
 
+  /** Cluster-balance sampling weights over the IVF partition of the
+    * embedding space — the concept-rebalancing step of a pretraining
+    * mix (over-represented regions of embedding space get downweighted,
+    * rare regions upweighted; the cluster-level analogue of
+    * [[graft.operators.Curation.sourceMixTemperature]]'s source-level
+    * reweighting). weight = N / (K_nonempty * n_c), so cluster-uniform
+    * resampling preserves total corpus mass: sum_c n_c * w_c = N.
+    *
+    * Reuses the exact-integer IVF construction (corpus-independent
+    * K=16 centroid broadcast, Lloyd refinement, one assignment map
+    * pass), so the weight table costs one extra K-row aggregate over
+    * the assignment — and both engines derive identical clusters, which
+    * keeps the key SQL-oracled where a float k-means could never be.
+    */
+  def clusterBalanceWeights(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val seed = c.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").cast("int").as("c_id"), col("qv").as("c_qv"),
+        col("nn").as("c_nn"))
+    val cent = (1 to IvfIters).foldLeft(seed)((ct, _) => lloyd(c, ct))
+    val counts = nearest(cent, c, "vec_id", 1)
+      .groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum(col("n_vecs")).as("nt"),
+      count(lit(1)).as("kk"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("c_id").as("cluster_id"), col("n_vecs"),
+        (col("nt").cast("double")
+          / (col("kk") * col("n_vecs")).cast("double")).as("weight"))
+      .orderBy("cluster_id")
+  }
+
+  val clusterBalanceWeightsSql: String =
+    s"""WITH $sqlQuant,
+       cent0 AS (SELECT CAST(vec_id AS INT) AS c_id, qv AS c_qv, nn AS c_nn
+                 FROM quant WHERE vec_id < $IvfK),
+       ${(0 until IvfIters).map(sqlLloydIter).mkString(",\n")},
+       counts AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                  FROM (${sqlNearest(s"cent$IvfIters", "", 1)})
+                  GROUP BY c_id),
+       tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS nt,
+                      CAST(COUNT(*) AS BIGINT) AS kk FROM counts)
+       SELECT c.c_id AS cluster_id, c.n_vecs,
+              CAST(t.nt AS DOUBLE) / CAST(t.kk * c.n_vecs AS DOUBLE) AS weight
+       FROM counts c CROSS JOIN tot t ORDER BY cluster_id"""
+
   def queries: Seq[Q] = Seq(
+    Q("cluster_balance_weights",
+      Some(clusterBalanceWeightsSql))(clusterBalanceWeights),
     Q("embedding_centroids", Some(embeddingCentroidsSql))(embeddingCentroids),
     Q("dedup_semantic", Some(dedupSemanticSql))(dedupSemantic),
     Q("knn_label_vote", Some(knnLabelVoteSql))(knnLabelVote),

@@ -61,7 +61,10 @@ class DeterminismSpec extends AnyFunSuite {
     // interval/seasonality/inequality: exact ratios + one-sqrt scalar
     // trees; gini additionally rides a partitioned rank window
     "conversion_wilson_ci", "seasonality_dow", "acf_daily",
-    "gini_revenue")
+    "gini_revenue",
+    // exact-integer k-means assignment + one division: cluster ids and
+    // weights must survive any partitioning
+    "cluster_balance_weights")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

@@ -97,6 +97,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // shape, N x K by construction); the PAIR search itself is the
     // (cluster, bucket) equi-join, never a product
     "dedup_semantic",
+    // the same N x K assignment pass, aggregated to K weight rows
+    "cluster_balance_weights",
     "token_budget_mix",
     // same hard-capped query broadcast as ann_topk_bruteforce (|Q| <=
     // MaxQueries regardless of corpus size), O(|Q| * N) by design

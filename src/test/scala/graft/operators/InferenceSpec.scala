@@ -297,6 +297,21 @@ class InferenceSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster balance: weights invert cluster mass and preserve corpus total") {
+    val rows = Similarity.clusterBalanceWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nt = rows.map(_.getAs[Long]("n_vecs")).sum
+    val kk = rows.length
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") > 0L)
+      val expect = nt.toDouble / (kk.toLong * r.getAs[Long]("n_vecs")).toDouble
+      assert(r.getAs[Double]("weight") === expect)
+    }
+    // cluster-uniform resampling preserves total mass: sum n_c * w_c = N
+    val mass = rows.map(r => r.getAs[Long]("n_vecs") * r.getAs[Double]("weight")).sum
+    assert(math.abs(mass - nt.toDouble) < 1e-6 * nt)
+  }
+
   test("dsir: target-vocabulary docs outrank raw-vocabulary docs (planted corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
     val docs = (

@@ -442,7 +442,71 @@ object Graph {
        ORDER BY mem.n_members DESC, mem.community"""
   }
 
+  /** Core order for [[kcoreMembership]]. */
+  val KCoreK = 2
+
+  /** Peel-sweep bound — each sweep removes every node currently under
+    * degree k, so the bound is the longest peel CHAIN, not the node
+    * count (a bare path of length 2S peels from both ends in S
+    * sweeps). The near-clique testdata graph settles in 1-2; a larger
+    * corpus raises it like [[BfsIters]], cost linear in surviving
+    * edges per sweep.
+    */
+  val KCoreSweeps = 6
+
+  /** k-core decomposition (membership at k = [[KCoreK]]): repeatedly
+    * peel nodes of degree < k until the subgraph stabilizes — the
+    * standard "dense cohesive core" extraction (Seidman 1983) a skill
+    * graph uses to separate the established stack from peripheral
+    * one-off terms. Each sweep is one degree aggregate + two
+    * semi-joins over the surviving edge list (the Pregel super-step
+    * shape, localCheckpoint as the iteration barrier); counts exact,
+    * no floats anywhere.
+    */
+  def kcoreMembership(s: SparkSession, dir: String): DataFrame =
+    kcoreFromPairs(TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint())
+
+  /** Core over any undirected edge list (skill_a, skill_b), a < b. */
+  def kcoreFromPairs(cooc: DataFrame): DataFrame = {
+    var e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    for (_ <- 1 to KCoreSweeps) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= KCoreK)
+        .select(col("src").as("node"))
+      e = e.join(keep, e("src") === keep("node"), "left_semi")
+        .join(keep, e("dst") === keep("node"), "left_semi")
+        .localCheckpoint()
+    }
+    e.groupBy(col("src").as("skill"))
+      .agg(count(lit(1)).as("core_deg"))
+      .orderBy("skill")
+  }
+
+  val kcoreMembershipSql: String = {
+    // MATERIALIZED: each sweep references its predecessor three times
+    // (degree filter + two endpoint joins); DuckDB inlines plain CTEs,
+    // which would copy the whole chain 3^sweeps times
+    def sweep(prev: String, i: Int): String =
+      s"""k$i AS MATERIALIZED (SELECT src FROM (SELECT src, COUNT(*) AS deg
+                   FROM $prev GROUP BY 1) WHERE deg >= $KCoreK),
+       e$i AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
+               JOIN k$i a ON e.src = a.src
+               JOIN k$i b ON e.dst = b.src)"""
+    s"""WITH cooc AS MATERIALIZED (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e0 AS MATERIALIZED (SELECT skill_a AS src, skill_b AS dst FROM cooc
+              UNION ALL
+              SELECT skill_b AS src, skill_a AS dst FROM cooc),
+       ${(1 to KCoreSweeps).map(i => sweep(s"e${i - 1}", i)).mkString(",\n       ")}
+       SELECT src AS skill, CAST(COUNT(*) AS BIGINT) AS core_deg
+       FROM e$KCoreSweeps GROUP BY 1 ORDER BY 1"""
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("kcore_membership", Some(kcoreMembershipSql))(kcoreMembership),
     Q("pagerank_skills", Some(pagerankSkillsSql))(pagerankSkills),
     Q("pagerank_weighted", Some(pagerankWeightedSql))(pagerankWeighted),
     Q("label_propagation", Some(labelPropagationSql))(labelPropagation),

@@ -948,6 +948,74 @@ object Inference {
        FROM m ORDER BY nation"""
   }
 
+  /** CUSUM changepoint in the daily event-count series — "when did the
+    * level shift" (the monitoring question after [[acfDaily]] says the
+    * series is structured). The CUSUM score at day t is
+    * S_t = C_t - (t/T)*C (cumulative minus the global trend line);
+    * cross-multiplied to the EXACT integer D_t = T*C_t - t*C so the
+    * argmax cannot be float-perturbed, with the earliest day as the
+    * deterministic tiebreak. Cumulative counts ride a per-year
+    * partitioned window + year offsets (the cumulative_users two-phase
+    * shape); pre/post means surface as single double divisions.
+    */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"),
+        col("lo"))
+    val filled = broadcast(spine).join(daily, Seq("day"), "left")
+      .select(col("day"), (datediff(col("day"), col("lo")) + 1).cast("long").as("t"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("yr", year(col("day")))
+    val wYr = Window.partitionBy(col("yr")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val yrTotals = filled.groupBy("yr").agg(sum(col("n")).as("yt"))
+    val off = yrTotals.as("a")
+      .join(yrTotals.as("b"), col("b.yr") < col("a.yr"), "left")
+      .groupBy(col("a.yr").as("yr"))
+      .agg(coalesce(sum(col("b.yt")), lit(0L)).as("off"))
+    val tot = filled.agg(max(col("t")).as("tt"), sum(col("n")).as("c"))
+    filled.withColumn("cin", sum(col("n")).over(wYr))
+      .join(broadcast(off), Seq("yr"))
+      .crossJoin(broadcast(tot))
+      .select(col("day"), col("t"), col("tt"), col("c"),
+        (col("cin") + col("off")).as("ct"))
+      .withColumn("d", col("tt") * col("ct") - col("t") * col("c"))
+      .withColumn("d_abs", abs(col("d")))
+      .orderBy(col("d_abs").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("changepoint_day"), col("t").as("t_index"),
+        col("tt").as("n_days"), col("d_abs").as("d_num"),
+        (col("ct").cast("double") / col("t").cast("double")).as("mean_pre"),
+        ((col("c") - col("ct")).cast("double")
+          / (col("tt") - col("t")).cast("double")).as("mean_post"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1),
+       b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+       spine AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                   AS DATE) AS day, lo FROM b),
+       filled AS (
+         SELECT s.day, CAST(datediff('day', s.lo, s.day) + 1 AS BIGINT) AS t,
+                COALESCE(d.n, 0) AS n
+         FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       cum AS (SELECT day, t, n,
+                      CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS ct
+               FROM filled),
+       tot AS (SELECT MAX(t) AS tt, CAST(SUM(n) AS BIGINT) AS c FROM filled)
+       SELECT day AS changepoint_day, t AS t_index, tt AS n_days,
+              ABS(tt * ct - t * c) AS d_num,
+              CAST(ct AS DOUBLE) / CAST(t AS DOUBLE) AS mean_pre,
+              CAST(c - ct AS DOUBLE) / CAST(tt - t AS DOUBLE) AS mean_post
+       FROM cum CROSS JOIN tot
+       ORDER BY ABS(tt * ct - t * c) DESC, day LIMIT 1"""
+
   def queries: Seq[Q] = Seq(
     Q("chi2_independence", Some(chi2IndependenceSql))(chi2Independence),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
@@ -962,5 +1030,6 @@ object Inference {
     Q("conversion_wilson_ci", Some(conversionWilsonCiSql))(conversionWilsonCi),
     Q("seasonality_dow", Some(seasonalityDowSql))(seasonalityDow),
     Q("acf_daily", Some(acfDailySql))(acfDaily),
-    Q("gini_revenue", Some(giniRevenueSql))(giniRevenue))
+    Q("gini_revenue", Some(giniRevenueSql))(giniRevenue),
+    Q("cusum_changepoint", Some(cusumChangepointSql))(cusumChangepoint))
 }

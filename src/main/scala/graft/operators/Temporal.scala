@@ -875,7 +875,52 @@ object Temporal {
        ORDER BY user_id, event_id"""
   }
 
+  /** Third-order sequence mining: event-type trigrams per user session
+    * stream, with each window's share of its leading bigram — the one-
+    * step-deeper sibling of [[eventTransitions]] ("after view->click,
+    * what comes next"). Two leads over the same per-user window (one
+    * window spec, one shuffle); counts exact, the conditional share is
+    * one division against the broadcast bigram totals.
+    */
+  def eventTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val tri = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("t1"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+    val big = tri.groupBy(col("t1").as("b1"), col("t2").as("b2"))
+      .agg(sum(col("n")).as("n_bigram"))
+    tri.join(broadcast(big), col("t1") === col("b1") && col("t2") === col("b2"))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        (col("n").cast("double") / col("n_bigram").cast("double"))
+          .as("p_next"))
+      .orderBy("t1", "t2", "t3")
+  }
+
+  val eventTrigramsSql: String =
+    """WITH e AS (SELECT user_id, event_type AS t1, epoch_us(ts) AS t,
+                    event_id
+                  FROM events),
+       seq AS (SELECT t1,
+                 LEAD(t1, 1) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id) AS t2,
+                 LEAD(t1, 2) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id) AS t3
+               FROM e),
+       tri AS (SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+               FROM seq WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+       big AS (SELECT t1 AS b1, t2 AS b2, CAST(SUM(n) AS BIGINT) AS n_bigram
+               FROM tri GROUP BY 1, 2)
+       SELECT t1, t2, t3, n,
+              CAST(n AS DOUBLE) / CAST(n_bigram AS DOUBLE) AS p_next
+       FROM tri JOIN big ON t1 = b1 AND t2 = b2
+       ORDER BY t1, t2, t3"""
+
   def queries: Seq[Q] = Seq(
+    Q("event_trigrams", Some(eventTrigramsSql))(eventTrigrams),
     Q("ewma_smooth", Some(ewmaSmoothSql))(ewmaSmooth),
     Q("scd2_intervals", Some(scd2IntervalsSql))(scd2Intervals),
     Q("scd2_point_lookup", Some(scd2PointLookupSql))(scd2PointLookup),

@@ -701,7 +701,45 @@ object TextAnalysis {
        ORDER BY f.doc_id"""
   }
 
+  /** Lexical diversity per document: type-token ratio and hapax share
+    * — the vocabulary-richness signals a quality filter reads next to
+    * the repetition metrics (a TTR near 0 marks boilerplate/spam; a
+    * hapax share near 1 marks gibberish). All counts exact from one
+    * (doc, term) aggregate of the lowered token stream; the two ratios
+    * are single divisions. Shuffle carries (doc_id, term) pairs with
+    * map-side combine — the tfidf scan shape without the df branch.
+    */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_share"))
+      .orderBy("doc_id")
+
+  val lexicalDiversitySql: String =
+    s"""WITH tf AS (
+         SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         FROM (SELECT doc_id, unnest(${sqlToks("lower(text)")}) AS term
+               FROM documents)
+         GROUP BY 1, 2)
+       SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_types,
+              CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+              CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS ttr,
+              CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(tf) AS DOUBLE) AS hapax_share
+       FROM tf GROUP BY doc_id ORDER BY doc_id"""
+
   def queries: Seq[Q] = Seq(
+    Q("lexical_diversity", Some(lexicalDiversitySql))(lexicalDiversity),
     Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),
     Q("doc_signals_fused", Some(docSignalsFusedSql))(docSignalsFused),
     Q("skill_association", Some(skillAssociationSql))(skillAssociation),

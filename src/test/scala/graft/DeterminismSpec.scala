@@ -64,7 +64,11 @@ class DeterminismSpec extends AnyFunSuite {
     "gini_revenue",
     // exact-integer k-means assignment + one division: cluster ids and
     // weights must survive any partitioning
-    "cluster_balance_weights")
+    "cluster_balance_weights",
+    // sequence/peeling/changepoint: exact counts with single divisions;
+    // cusum's argmax must ride the integer D_t, never a float
+    "event_trigrams", "kcore_membership", "cusum_changepoint",
+    "lexical_diversity")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

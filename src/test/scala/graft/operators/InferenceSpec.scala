@@ -312,6 +312,71 @@ class InferenceSpec extends AnyFunSuite {
     assert(math.abs(mass - nt.toDouble) < 1e-6 * nt)
   }
 
+  test("kcore: triangle survives 2-core peeling, pendant path peels away") {
+    // triangle a-b-c plus path c-d-e: d and e peel in successive
+    // sweeps (e first, then d), the triangle keeps degree 2
+    val cooc = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("skill_a", "skill_b")
+    val out = Graph.kcoreFromPairs(cooc).collect()
+      .map(r => r.getAs[String]("skill") -> r.getAs[Long]("core_deg")).toMap
+    assert(out === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kcore: a bare cycle is exactly its own 2-core") {
+    val cooc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"))
+      .toDF("skill_a", "skill_b")
+    val out = Graph.kcoreFromPairs(cooc).collect()
+    assert(out.length === 4)
+    assert(out.forall(_.getAs[Long]("core_deg") === 2L))
+  }
+
+  test("cusum: planted level shift is found at the shift boundary") {
+    // 10 days at 2/day then 10 days at 10/day: |D_t| peaks at day 10
+    val rows = (1 to 10).flatMap(d => Seq.fill(2)((d, "x"))) ++
+      (11 to 20).flatMap(d => Seq.fill(10)((d, "x")))
+    val ev = rows.zipWithIndex.map { case ((d, _), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-03-$d%02d 12:00:00"), 1L)
+    }.toDF("event_id", "ts", "user_id")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    ev.withColumn("event_type", lit("x"))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Inference.cusumChangepoint(spark, tmp).head
+    assert(r.getAs[java.sql.Date]("changepoint_day").toString === "2024-03-10")
+    assert(r.getAs[Double]("mean_pre") === 2.0)
+    assert(r.getAs[Double]("mean_post") === 10.0)
+  }
+
+  test("lexical diversity: hand-checked ttr and hapax share") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lex").toString
+    Seq((1L, "a a b c", "en", "s"), (2L, "x x x x", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.lexicalDiversity(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tokens") === 4L)
+    assert(d1.getAs[Long]("n_types") === 3L)
+    assert(d1.getAs[Long]("n_hapax") === 2L)
+    assert(d1.getAs[Double]("ttr") === 0.75)
+    assert(d1.getAs[Double]("hapax_share") === 0.5)
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_types") === 1L && d2.getAs[Long]("n_hapax") === 0L)
+    assert(d2.getAs[Double]("ttr") === 0.25)
+  }
+
+  test("event trigrams: conditional next-step shares sum to one per bigram") {
+    val rows = Temporal.eventTrigrams(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getAs[String]("t1"), r.getAs[String]("t2")))
+      .foreach { case (bg, rs) =>
+        val tot = rs.map(_.getAs[Double]("p_next")).sum
+        assert(math.abs(tot - 1.0) < 1e-9, s"bigram $bg shares sum $tot")
+      }
+  }
+
   test("dsir: target-vocabulary docs outrank raw-vocabulary docs (planted corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
     val docs = (

@@ -51,9 +51,14 @@ object Inference {
 
   /** Core over any two-categorical frame with columns (prio, status). */
   def chi2(pairsDf: DataFrame): DataFrame = {
+    // checkpoint: the contingency table feeds FOUR divergent branches
+    // (row totals, column totals, grand total, the scored join) — the
+    // §7a rule's compact post-agg frame; without it each branch
+    // re-scans the input
     val cells = pairsDf
       .groupBy(col("prio"), col("status"))
       .agg(count(lit(1)).as("obs"))
+      .localCheckpoint()
     val rowT = cells.groupBy("prio").agg(sum(col("obs")).as("rt"))
     val colT = cells.groupBy("status").agg(sum(col("obs")).as("ct"))
     val tot = cells.agg(sum(col("obs")).as("n"),
@@ -478,6 +483,9 @@ object Inference {
         .otherwise(0L)).as("a"),
         sum(when(col("o_orderpriority") === RankGroupB, 1L)
           .otherwise(0L)).as("b"))
+      // compact post-agg frame consumed by the prefix-sum chain AND
+      // the bucket-offset branch AND the totals agg (§7a rule)
+      .localCheckpoint()
 
   private val rankCohortsSql: String =
     s"""SELECT o_totalprice AS v,
@@ -504,7 +512,9 @@ object Inference {
   /** Core over any per-distinct-value cohort frame (v, a, b). */
   def ksFrom(vals: DataFrame): DataFrame = {
     val cc = cumCounts(vals)
-    val tot = cc.agg(max(col("ca")).as("na"), max(col("cb")).as("nb"))
+    // totals from the input frame, not the windowed chain — one less
+    // re-execution of the prefix-sum branch
+    val tot = vals.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
     cc.crossJoin(broadcast(tot))
       .select(col("na"), col("nb"),
         abs(col("ca") * col("nb") - col("cb") * col("na")).as("dn"))
@@ -543,7 +553,7 @@ object Inference {
   /** Core over any per-distinct-value cohort frame (v, a, b). */
   def mannWhitneyFrom(vals: DataFrame): DataFrame = {
     val cc = cumCounts(vals)
-    val tot = cc.agg(max(col("ca")).as("na"), max(col("cb")).as("nb"))
+    val tot = vals.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
     cc.crossJoin(broadcast(tot))
       .select(col("na"), col("nb"),
         (col("a") * (lit(2L) * (col("cb") - col("b")) + col("b"))).as("u2"),
@@ -682,6 +692,7 @@ object Inference {
       .select(substring(decp(col("o_totalprice")).cast("string"), 1, 1)
         .cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 9-row frame feeding the total AND the output
     val tot = counts.agg(sum(col("n")).as("nt"))
     // lit(text.toDouble): the JVM's correctly-rounded text parse; the
     // oracle does the same via CAST(VARCHAR AS DOUBLE), never letting
@@ -731,10 +742,14 @@ object Inference {
     * a dashboard should actually print.
     */
   def conversionWilsonCi(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val users = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("k"))
-    val tot = ev.agg(countDistinct(col("user_id")).as("n"))
+    // one corpus scan: both the per-type and the overall distinct-user
+    // counts derive from the same checkpointed (type, user) frame
+    val pairs = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint()
+    val users = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"))
+    val tot = pairs.agg(countDistinct(col("user_id")).as("n"))
     val z = lit(WilsonZ.toDouble)
     val n = col("n").cast("double")
     val p = col("k").cast("double") / n

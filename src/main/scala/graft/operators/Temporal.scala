@@ -891,6 +891,9 @@ object Temporal {
       .withColumn("t3", lead(col("t1"), 2).over(w))
       .filter(col("t3").isNotNull)
       .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+      // types^3-bounded frame feeding both the bigram totals and the
+      // output join (§7a compact post-agg rule)
+      .localCheckpoint()
     val big = tri.groupBy(col("t1").as("b1"), col("t2").as("b2"))
       .agg(sum(col("n")).as("n_bigram"))
     tri.join(broadcast(big), col("t1") === col("b1") && col("t2") === col("b2"))

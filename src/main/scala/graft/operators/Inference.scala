@@ -1031,6 +1031,74 @@ object Inference {
        FROM cum CROSS JOIN tot
        ORDER BY ABS(tt * ct - t * c) DESC, day LIMIT 1"""
 
+  /** Average rank table for one variable: (v, r2) where r2 = TWICE the
+    * tie-averaged rank of value v — doubled so ties of even size stay
+    * integer: r2 = 2*(count below) + (count tied + 1). Built on
+    * [[cumCounts]]'s two-phase prefix sums (b-cohort zeroed).
+    */
+  def avgRank2(vals: DataFrame): DataFrame =
+    cumCounts(vals.select(col("v"), col("a"), lit(0L).as("b")))
+      .select(col("v"), (lit(2L) * col("ca") - col("a") + 1).as("r2"))
+
+  /** Spearman rank correlation between line-item quantity and extended
+    * price — the robust (monotone-invariant, outlier-resistant)
+    * sibling of `corr_exact`'s Pearson r. Fully exact: tie-averaged
+    * ranks are DOUBLED to stay BIGINT (2r = 2*below + tied + 1), each
+    * row joins its value's rank over a values-cardinality equi-join,
+    * the moment sums accumulate in DECIMAL, and rho is the corr_exact
+    * one-sqrt tree (the doubling cancels). Scale: two distinct-value
+    * rank tables (two-phase prefix sums, no global window) + two
+    * broadcast-able joins + one moment aggregate.
+    */
+  def spearmanRho(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .localCheckpoint()
+    def ranks(c: String) = avgRank2(
+      li.groupBy(col(c).as("v")).agg(count(lit(1)).as("a")))
+    val joined = li
+      .join(ranks("x").select(col("v").as("x"), col("r2").as("rx")), Seq("x"))
+      .join(ranks("y").select(col("v").as("y"), col("r2").as("ry")), Seq("y"))
+      .select(col("rx").cast("decimal(19,0)").as("rx"),
+        col("ry").cast("decimal(19,0)").as("ry"))
+    joined.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("rx")).cast("double").as("sx"),
+        sum(col("ry")).cast("double").as("sy"),
+        sum(col("rx") * col("ry")).cast("double").as("sxy"),
+        sum(col("rx") * col("rx")).cast("double").as("sxx"),
+        sum(col("ry") * col("ry")).cast("double").as("syy"))
+      .select(col("n").cast("long").as("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("rho"))
+  }
+
+  val spearmanRhoSql: String = {
+    import graft.functions.Nums._
+    def rankCte(c: String, name: String): String =
+      s"""$name AS (SELECT v, 2 * CAST(SUM(a) OVER (ORDER BY v) AS BIGINT)
+                      - a + 1 AS r2
+             FROM (SELECT $c AS v, CAST(COUNT(*) AS BIGINT) AS a
+                   FROM lineitem GROUP BY 1))"""
+    s"""WITH ${rankCte("l_quantity", "xr")},
+       ${rankCte("l_extendedprice", "yr")},
+       j AS (SELECT CAST(xr.r2 AS DECIMAL(19,0)) AS rx,
+                    CAST(yr.r2 AS DECIMAL(19,0)) AS ry
+             FROM lineitem l
+               JOIN xr ON l.l_quantity = xr.v
+               JOIN yr ON l.l_extendedprice = yr.v),
+       m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                    ${sqlDsum("rx")} AS sx, ${sqlDsum("ry")} AS sy,
+                    ${sqlDsum("rx * ry")} AS sxy,
+                    ${sqlDsum("rx * rx")} AS sxx,
+                    ${sqlDsum("ry * ry")} AS syy
+             FROM j)
+       SELECT CAST(n AS BIGINT) AS n,
+              (n * sxy - sx * sy)
+                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho
+       FROM m"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("chi2_independence", Some(chi2IndependenceSql))(chi2Independence),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
@@ -1046,5 +1114,6 @@ object Inference {
     Q("seasonality_dow", Some(seasonalityDowSql))(seasonalityDow),
     Q("acf_daily", Some(acfDailySql))(acfDaily),
     Q("gini_revenue", Some(giniRevenueSql))(giniRevenue),
-    Q("cusum_changepoint", Some(cusumChangepointSql))(cusumChangepoint))
+    Q("cusum_changepoint", Some(cusumChangepointSql))(cusumChangepoint),
+    Q("spearman_rho", Some(spearmanRhoSql))(spearmanRho))
 }

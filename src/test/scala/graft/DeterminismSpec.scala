@@ -68,7 +68,10 @@ class DeterminismSpec extends AnyFunSuite {
     // sequence/peeling/changepoint: exact counts with single divisions;
     // cusum's argmax must ride the integer D_t, never a float
     "event_trigrams", "kcore_membership", "cusum_changepoint",
-    "lexical_diversity")
+    "lexical_diversity",
+    // doubled average ranks + decimal moments: the rank tables must be
+    // identical under any bucket/partition layout
+    "spearman_rho")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

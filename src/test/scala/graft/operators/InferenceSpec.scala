@@ -377,6 +377,22 @@ class InferenceSpec extends AnyFunSuite {
       }
   }
 
+  test("spearman: monotone association is exactly +/-1, ties handled by average ranks") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spear").toString
+    def write(rows: Seq[(Double, Double)]): Unit =
+      rows.toDF("l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    write(Seq(1.0 -> 10.0, 2.0 -> 20.0, 3.0 -> 45.0, 4.0 -> 99.0))
+    assert(Inference.spearmanRho(spark, tmp).head.getAs[Double]("rho") === 1.0)
+    write(Seq(1.0 -> 99.0, 2.0 -> 45.0, 3.0 -> 20.0, 4.0 -> 10.0))
+    assert(Inference.spearmanRho(spark, tmp).head.getAs[Double]("rho") === -1.0)
+    // tie block in x: hand-computed rho on {(1,1),(2,2),(2,3),(3,4)}
+    // 2rx = (2,5,5,8), 2ry = (2,4,6,8) -> rho = 18/sqrt(18*20)
+    write(Seq(1.0 -> 1.0, 2.0 -> 2.0, 2.0 -> 3.0, 3.0 -> 4.0))
+    val rho = Inference.spearmanRho(spark, tmp).head.getAs[Double]("rho")
+    assert(math.abs(rho - 18.0 / math.sqrt(18.0 * 20.0)) < 1e-12)
+  }
+
   test("dsir: target-vocabulary docs outrank raw-vocabulary docs (planted corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
     val docs = (

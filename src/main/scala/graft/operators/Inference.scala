@@ -1099,6 +1099,70 @@ object Inference {
        FROM m"""
   }
 
+  /** Bootstrap resample count. */
+  val BootstrapB = 16
+
+  /** Poisson(1) inverse-CDF thresholds on a uniform 16-bit HEX value
+    * (floor(cdf(k) * 65536) rendered as 4 hex digits): a row's
+    * resample weight is the number of thresholds at or below its
+    * hash. Hex RANGE compares because no portable hex->int exists
+    * (the dataset_kfold finding); weights cap at 8 (cdf there is
+    * 1 - 1e-5). */
+  val PoissonCdfHex: Seq[String] = Seq(
+    "5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9", "fffa", "ffff")
+
+  /** Deterministic Poisson bootstrap of mean order price (Kleiner et
+    * al.'s scalable-bootstrap shape, hash-derandomized): each of B
+    * resamples draws every row Poisson(1)-many times, with the draw
+    * count derived from md5(orderkey : b) — no RNG, so re-runs,
+    * retries, AND the DuckDB oracle reproduce the exact resamples
+    * (a seeded-random bootstrap could never be hash-gated). One scan
+    * fans out x B (bounded, B=16); per-resample means are exact
+    * DECIMAL sums over integer weights with ONE final division. The
+    * spread of the B means is the sampling-uncertainty estimate a
+    * dashboard prints next to the point estimate.
+    */
+  def bootstrapMeans(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val cases = PoissonCdfHex.zipWithIndex.reverse.foldLeft(
+      lit(PoissonCdfHex.size).cast("long")) { case (acc, (t, k)) =>
+      when(col("h") <= lit(t), k.toLong).otherwise(acc)
+    }
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), decp(col("o_totalprice")).as("x"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .withColumn("h",
+        substring(md5(concat_ws(":", col("o_orderkey"), col("b"))), 1, 4))
+      .withColumn("w", cases)
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("x")).cast("double").as("sx"))
+      .select(col("b").cast("long").as("b"), col("n_eff"),
+        (col("sx") / col("n_eff").cast("double")).as("mean_price"))
+      .orderBy("b")
+  }
+
+  val bootstrapMeansSql: String = {
+    import graft.functions.Nums._
+    val whens = PoissonCdfHex.zipWithIndex
+      .map { case (t, k) => s"WHEN h <= '$t' THEN $k" }.mkString(" ")
+    s"""WITH fan AS (
+         SELECT o_orderkey, ${sqlDecp("o_totalprice")} AS x, b.b
+         FROM orders,
+              (SELECT UNNEST(generate_series(0, ${BootstrapB - 1})) AS b) b),
+       hw AS (SELECT b, x,
+                     CASE $whens ELSE ${PoissonCdfHex.size} END AS w
+              FROM (SELECT b, x,
+                      substr(md5(o_orderkey || ':' || b), 1, 4) AS h
+                    FROM fan)),
+       agg AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+                      ${sqlDsum("w * x")} AS sx
+               FROM hw GROUP BY b)
+       SELECT CAST(b AS BIGINT) AS b, n_eff,
+              sx / CAST(n_eff AS DOUBLE) AS mean_price
+       FROM agg ORDER BY b"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("chi2_independence", Some(chi2IndependenceSql))(chi2Independence),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
@@ -1115,5 +1179,6 @@ object Inference {
     Q("acf_daily", Some(acfDailySql))(acfDaily),
     Q("gini_revenue", Some(giniRevenueSql))(giniRevenue),
     Q("cusum_changepoint", Some(cusumChangepointSql))(cusumChangepoint),
-    Q("spearman_rho", Some(spearmanRhoSql))(spearmanRho))
+    Q("spearman_rho", Some(spearmanRhoSql))(spearmanRho),
+    Q("bootstrap_means", Some(bootstrapMeansSql))(bootstrapMeans))
 }

@@ -71,7 +71,10 @@ class DeterminismSpec extends AnyFunSuite {
     "lexical_diversity",
     // doubled average ranks + decimal moments: the rank tables must be
     // identical under any bucket/partition layout
-    "spearman_rho")
+    "spearman_rho",
+    // hash-derandomized resampling: weights and decimal sums must not
+    // depend on partition layout
+    "bootstrap_means")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

@@ -393,6 +393,21 @@ class InferenceSpec extends AnyFunSuite {
     assert(math.abs(rho - 18.0 / math.sqrt(18.0 * 20.0)) < 1e-12)
   }
 
+  test("bootstrap: B resamples, Poisson(1) mass near n, means bracket the truth") {
+    val rows = Inference.bootstrapMeans(spark, sf).collect()
+    assert(rows.length === Inference.BootstrapB)
+    val n = graft.sources.Tables.orders(spark, sf).count()
+    val truth = graft.sources.Tables.orders(spark, sf)
+      .agg(avg(col("o_totalprice"))).head.getDouble(0)
+    rows.foreach { r =>
+      // E[n_eff] = n, sd ~ sqrt(n): 5 sigma at sf0.001 is ~13%
+      assert(math.abs(r.getAs[Long]("n_eff") - n).toDouble / n < 0.15)
+      assert(math.abs(r.getAs[Double]("mean_price") - truth) / truth < 0.1)
+    }
+    // resamples must differ from each other (the hash varies with b)
+    assert(rows.map(_.getAs[Long]("n_eff")).distinct.length > 1)
+  }
+
   test("dsir: target-vocabulary docs outrank raw-vocabulary docs (planted corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
     val docs = (

@@ -205,6 +205,63 @@ object Curation {
        FROM documents ORDER BY doc_id"""
   }
 
+  /** Span-corruption block width (tokens per maskable block). */
+  val SpanLen = 3
+
+  /** 16-bit hex threshold: blocks whose salted hash falls below are
+    * masked — 0x2666/0x10000 = 15%, the T5 corruption rate; block
+    * masking makes the expected TOKEN mask rate the same 15% in
+    * contiguous SpanLen runs. */
+  val SpanMaskHex = "2666"
+
+  /** T5-style span-corruption PLAN: for each document, which
+    * fixed-width token blocks a denoising objective would mask —
+    * chosen by salted md5 so the plan is identical across re-runs,
+    * engines, and partitionings (the sampling discipline of this
+    * file; a seeded RNG could not be oracle-gated). Blocks rather
+    * than free spans so masks never overlap and the accounting stays
+    * exact. Output is the per-doc mask accounting (token/block/masked
+    * counts + rate); the actual sentinel-token rewrite is a map-side
+    * projection downstream of this frame. One scan, token-linear
+    * block explode.
+    */
+  def spanCorruptionPlan(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div $SpanLen"))).as("b"))
+      .select(col("doc_id"), col("n"), col("b"),
+        least(lit(SpanLen.toLong), col("n") - col("b") * SpanLen).as("bsz"),
+        (substring(md5(concat_ws(":", col("doc_id"), col("b"))), 1, 4)
+          < SpanMaskHex).cast("long").as("m"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("m")).as("n_masked_blocks"),
+        sum(col("m") * col("bsz")).as("n_masked_tokens"))
+      .withColumn("mask_rate",
+        col("n_masked_tokens").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+
+  val spanCorruptionPlanSql: String =
+    s"""WITH d AS (SELECT doc_id,
+                CAST(len(${sqlToks("text")}) AS BIGINT) AS n
+              FROM documents),
+       blocks AS (
+         SELECT doc_id, n, b.b,
+                LEAST($SpanLen, n - b.b * $SpanLen) AS bsz,
+                CASE WHEN substr(md5(doc_id || ':' || b.b), 1, 4)
+                          < '$SpanMaskHex' THEN 1 ELSE 0 END AS m
+         FROM d, UNNEST(generate_series(0, (n - 1) // $SpanLen)) AS b(b)
+         WHERE n > 0)
+       SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+              CAST(COUNT(*) AS BIGINT) AS n_blocks,
+              CAST(SUM(m) AS BIGINT) AS n_masked_blocks,
+              CAST(SUM(m * bsz) AS BIGINT) AS n_masked_tokens,
+              CAST(SUM(m * bsz) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mask_rate
+       FROM blocks GROUP BY doc_id ORDER BY doc_id"""
+
   /** Hash-bucket count for DSIR features (2^10 buckets of unigram
     * murmur3 hashes — small enough to broadcast, large enough that
     * collisions average out, per the hashed-ngram design in Xie et
@@ -956,6 +1013,7 @@ object Curation {
     Q("dataset_split_hash", Some(datasetSplitHashSql))(datasetSplitHash),
     Q("sample_quality_weighted", Some(sampleQualityWeightedSql))(sampleQualityWeighted),
     Q("pii_redact_extended", Some(piiRedactExtendedSql))(piiRedactExtended),
+    Q("span_corruption_plan", Some(spanCorruptionPlanSql))(spanCorruptionPlan),
     Q("dsir_weights", None)(dsirWeights),
     Q("export_shards", Some(exportShardsSql))(exportShards))
 }

@@ -738,7 +738,38 @@ object TextAnalysis {
                 / CAST(SUM(tf) AS DOUBLE) AS hapax_share
        FROM tf GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Tokenizer fertility per language: chars per token and tokens per
+    * doc — the cross-lingual budget planner (a lang whose fertility is
+    * 2x pays 2x the sequence length for the same text; the per-lang
+    * token budget in [[Curation.tokenBudgetMix]] should be read
+    * against it). Exact integer sums, two single divisions per lang.
+    */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("nt"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"), sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("tokens_per_doc"))
+      .orderBy("lang")
+
+  val tokenizerFertilitySql: String =
+    s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(len(${sqlToks("text")})) AS BIGINT) AS n_tokens,
+              CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+              CAST(SUM(length(text)) AS DOUBLE)
+                / CAST(SUM(len(${sqlToks("text")})) AS DOUBLE) AS chars_per_token,
+              CAST(SUM(len(${sqlToks("text")})) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS tokens_per_doc
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   def queries: Seq[Q] = Seq(
+    Q("tokenizer_fertility", Some(tokenizerFertilitySql))(tokenizerFertility),
     Q("lexical_diversity", Some(lexicalDiversitySql))(lexicalDiversity),
     Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),
     Q("doc_signals_fused", Some(docSignalsFusedSql))(docSignalsFused),

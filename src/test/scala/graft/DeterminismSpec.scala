@@ -74,7 +74,9 @@ class DeterminismSpec extends AnyFunSuite {
     "spearman_rho",
     // hash-derandomized resampling: weights and decimal sums must not
     // depend on partition layout
-    "bootstrap_means")
+    "bootstrap_means",
+    // per-lang ratios and the hash-chosen mask plan
+    "tokenizer_fertility", "span_corruption_plan")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

@@ -408,6 +408,23 @@ class InferenceSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_eff")).distinct.length > 1)
   }
 
+  test("span corruption: exact block accounting and a ~15% corpus mask rate") {
+    val rows = Curation.spanCorruptionPlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val blocks = r.getAs[Long]("n_blocks")
+      assert(blocks === (n + Curation.SpanLen - 1) / Curation.SpanLen)
+      assert(r.getAs[Long]("n_masked_tokens") <=
+        r.getAs[Long]("n_masked_blocks") * Curation.SpanLen)
+      assert(r.getAs[Double]("mask_rate") >= 0.0
+        && r.getAs[Double]("mask_rate") <= 1.0)
+    }
+    val rate = rows.map(_.getAs[Long]("n_masked_tokens")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(rate > 0.10 && rate < 0.20, s"corpus mask rate $rate")
+  }
+
   test("dsir: target-vocabulary docs outrank raw-vocabulary docs (planted corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
     val docs = (

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1163,6 +1163,58 @@ object Inference {
        FROM agg ORDER BY b"""
   }
 
+  /** Odds ratio and risk ratio of the signup→purchase funnel — the 2x2
+    * effect-size pair next to [[chi2Independence]]'s significance test
+    * ("how MUCH more likely does a signup purchase"). User-level
+    * exposure/outcome flags collapse to one 2x2 = (a,b,c,d) aggregate.
+    * Both ratios use the Haldane-Anscombe +0.5 cell correction — a
+    * dense corpus produces zero off-diagonal cells (every sf0.001 user
+    * both signs up and purchases), where the raw estimator divides by
+    * zero (ANSI mode throws) and the corrected one degrades
+    * gracefully. 0.5 and the integer cells are exact doubles, so the
+    * identical expression trees stay bit-equal across engines; the CI
+    * would need log and belongs to the caller's stats library (the
+    * §7b rule for p-values).
+    */
+  def oddsRatioFunnel(s: SparkSession, dir: String): DataFrame = {
+    def h(c: Column): Column = c.cast("double") + 0.5
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("e"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("o"))
+      .agg(sum(col("e") * col("o")).as("a"),
+        sum(col("e") * (lit(1L) - col("o"))).as("b"),
+        sum((lit(1L) - col("e")) * col("o")).as("c"),
+        sum((lit(1L) - col("e")) * (lit(1L) - col("o"))).as("d"))
+      .select(col("a"), col("b"), col("c"), col("d"),
+        ((h(col("a")) * h(col("d"))) / (h(col("b")) * h(col("c"))))
+          .as("odds_ratio"),
+        ((h(col("a")) / (h(col("a")) + h(col("b"))))
+          / (h(col("c")) / (h(col("c")) + h(col("d"))))).as("risk_ratio"))
+  }
+
+  val oddsRatioFunnelSql: String =
+    """WITH u AS (
+         SELECT user_id,
+                MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS e,
+                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS o
+         FROM events GROUP BY 1),
+       t AS (SELECT CAST(SUM(e * o) AS BIGINT) AS a,
+                    CAST(SUM(e * (1 - o)) AS BIGINT) AS b,
+                    CAST(SUM((1 - e) * o) AS BIGINT) AS c,
+                    CAST(SUM((1 - e) * (1 - o)) AS BIGINT) AS d
+             FROM u)
+       SELECT a, b, c, d,
+              ((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5))
+                / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5))
+                AS odds_ratio,
+              ((CAST(a AS DOUBLE) + 0.5)
+                 / ((CAST(a AS DOUBLE) + 0.5) + (CAST(b AS DOUBLE) + 0.5)))
+                / ((CAST(c AS DOUBLE) + 0.5)
+                 / ((CAST(c AS DOUBLE) + 0.5) + (CAST(d AS DOUBLE) + 0.5)))
+                AS risk_ratio
+       FROM t"""
+
   def queries: Seq[Q] = Seq(
     Q("chi2_independence", Some(chi2IndependenceSql))(chi2Independence),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
@@ -1180,5 +1232,6 @@ object Inference {
     Q("gini_revenue", Some(giniRevenueSql))(giniRevenue),
     Q("cusum_changepoint", Some(cusumChangepointSql))(cusumChangepoint),
     Q("spearman_rho", Some(spearmanRhoSql))(spearmanRho),
-    Q("bootstrap_means", Some(bootstrapMeansSql))(bootstrapMeans))
+    Q("bootstrap_means", Some(bootstrapMeansSql))(bootstrapMeans),
+    Q("odds_ratio_funnel", Some(oddsRatioFunnelSql))(oddsRatioFunnel))
 }

@@ -76,7 +76,9 @@ class DeterminismSpec extends AnyFunSuite {
     // depend on partition layout
     "bootstrap_means",
     // per-lang ratios and the hash-chosen mask plan
-    "tokenizer_fertility", "span_corruption_plan")
+    "tokenizer_fertility", "span_corruption_plan",
+    // 2x2 cross-products with one division each
+    "odds_ratio_funnel")
 
   names.foreach { n =>
     test(s"$n is bit-identical under different shuffle partitioning") {

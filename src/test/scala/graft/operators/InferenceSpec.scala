@@ -425,6 +425,25 @@ class InferenceSpec extends AnyFunSuite {
     assert(rate > 0.10 && rate < 0.20, s"corpus mask rate $rate")
   }
 
+  test("odds ratio: cells partition the user base; hand-check on constructed flags") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_or").toString
+    // users: 3 signup+purchase, 1 signup only, 2 purchase only, 4 neither
+    val rows =
+      (1 to 3).flatMap(u => Seq((u.toLong, "signup"), (u.toLong, "purchase"))) ++
+        Seq((4L, "signup")) ++ (5 to 6).map(u => (u.toLong, "purchase")) ++
+        (7 to 10).map(u => (u.toLong, "view"))
+    rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Inference.oddsRatioFunnel(spark, tmp).head
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("c"), r.getAs[Long]("d")) === ((3L, 1L, 2L, 4L)))
+    // Haldane-corrected: OR = (3.5*4.5)/(1.5*2.5); RR = (3.5/5)/(2.5/7)
+    assert(r.getAs[Double]("odds_ratio") === (3.5 * 4.5) / (1.5 * 2.5))
+    assert(r.getAs[Double]("risk_ratio") === (3.5 / (3.5 + 1.5)) / (2.5 / (2.5 + 4.5)))
+  }
+
   test("dsir: target-vocabulary docs outrank raw-vocabulary docs (planted corpus)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
     val docs = (

@@ -157,12 +157,24 @@ object Curation {
     * URLs first (they swallow embedded emails/IPs), then emails, IPs,
     * and phone-shaped digit runs. Patterns live in the Java ∩ RE2
     * common subset (no backrefs/lookaround) so Spark and the DuckDB
-    * oracle match identically. */
+    * oracle match identically.
+    *
+    * The phone shape requires 9-15 ACTUAL digits, each adjacent pair
+    * separated by at most TWO formatting chars (") " in
+    * "+1 (555) 123-4567") — `([()\s.-]{0,2}[0-9]){8,14}` counts digits
+    * structurally where a bare char-class run could not (no lookahead
+    * in the common subset). That excludes ISO dates (8 digits), times,
+    * version strings and short numeric IDs, which the earlier 7+-char
+    * run pattern over-redacted. Residual conservative bias, documented
+    * not hidden: 9+-digit bare IDs and a datetime whose digit stream
+    * reaches 9 across single separators ("2024-01-15 12:30") still
+    * redact — for a PII scrub, over-redaction is the safe side of that
+    * line. */
   val PiiPatterns: Seq[(String, String)] = Seq(
     "url" -> "https?://[^\\s]+",
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ip" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
-    "phone" -> "\\+?[0-9][0-9()\\s.-]{5,}[0-9]")
+    "phone" -> "\\+?[0-9]([()\\s.-]{0,2}[0-9]){8,14}")
 
   /** Extended PII scrub over an (id, text) frame: per-category match
     * counts + the fully redacted text. Counts are taken on the

@@ -28,7 +28,10 @@ object Inference {
   /** Fixed-point scale for chi-square cell contributions (1.0 == 10^6:
     * chi2 <= N * min(r,c), so the scaled sum stays far under 2^63 for
     * any N <= 10^12; a larger corpus drops the scale, documented not
-    * tuned). */
+    * tuned). The divisor n*rt*ct is widened to DECIMAL(38,0)/HUGEINT
+    * in BOTH engines (it reaches N^3 ~ 10^36 at the documented bound,
+    * far past 2^63 — a BIGINT product would overflow around N ~ 10^7),
+    * so the numerator's DECIMAL(38,0) dev^2 is the only binding cap. */
   val Chi2Scale = 1000000L
 
   /** Chi-square test of independence between order priority and order
@@ -71,7 +74,8 @@ object Inference {
       .withColumn("dev",
         (col("n") * col("obs") - col("rt") * col("ct")).cast("decimal(38,0)"))
       .withColumn("c6",
-        expr(s"(dev * dev * ${Chi2Scale}L) div (n * rt * ct)"))
+        expr(s"(dev * dev * ${Chi2Scale}L) div " +
+          "(cast(n as decimal(38,0)) * rt * ct)"))
     val total = scored.agg(sum(col("c6")).as("chi6"))
     scored.crossJoin(broadcast(total))
       .select(col("prio"), col("status"), col("obs"),
@@ -218,12 +222,19 @@ object Inference {
     * discipline): pi' (j) = sum_i (pi_i * n_ij) div n_i, every step
     * exact integer multiply/floor-divide/sum — bit-identical across
     * engines and partitionings, which a double-valued iteration could
-    * never be. States with no outgoing transition keep their mass via
-    * an explicit self-loop (the dangling-node fix). Mass leaks at most
-    * |states| ulps per sweep to flooring (documented; pi sums to
-    * ~PiScale, not exactly). Scale: the transition matrix is
-    * |types|^2-sized no matter how many events; each sweep is one tiny
-    * shuffle, the corpus is scanned once for counts.
+    * never be. Transition counts are normalized ONCE up front into
+    * fixed-point probabilities prob = (n * PiScale) div n_from with the
+    * product widened to DECIMAL(38,0)/HUGEINT, and each sweep computes
+    * (pi * prob) div PiScale the same way — so no raw event count ever
+    * enters a BIGINT product and the operator carries no event-volume
+    * bound (a naive (pi * n) div n_from overflows once any single
+    * transition count passes ~9e6). States with no outgoing transition
+    * keep their mass via an explicit self-loop (the dangling-node fix).
+    * Mass leaks at most |states| ulps per sweep to flooring
+    * (documented; pi sums to ~PiScale, not exactly). Scale: the
+    * transition matrix is |types|^2-sized no matter how many events;
+    * each sweep is one tiny shuffle, the corpus is scanned once for
+    * counts.
     */
   def markovStationary(s: SparkSession, dir: String): DataFrame =
     markovStationaryFrom(Tables.events(s, dir)
@@ -253,13 +264,18 @@ object Inference {
       .union(states.join(outdeg, Seq("st"), "left_anti")
         .select(col("st").as("f"), col("st").as("tt"),
           lit(1L).as("n"), lit(1L).as("n_from")))
+      // normalize once: prob <= PiScale regardless of event volume;
+      // the product is DECIMAL(38,0) so the raw count never overflows
+      .withColumn("prob",
+        expr(s"(cast(n as decimal(38,0)) * ${PiScale}L) div n_from"))
       .localCheckpoint()
     val k = states.agg(count(lit(1)).as("k"))
     var pi = states.crossJoin(broadcast(k))
       .select(col("st"), expr(s"${PiScale}L div k").as("p"))
     for (_ <- 1 to MarkovIters) {
       pi = pi.join(edges, pi("st") === edges("f"))
-        .select(col("tt"), expr("(p * n) div n_from").as("c"))
+        .select(col("tt"),
+          expr(s"(cast(p as decimal(38,0)) * prob) div ${PiScale}L").as("c"))
         .groupBy(col("tt")).agg(sum(col("c")).as("p"))
         .select(col("tt").as("st"), col("p"))
     }
@@ -270,7 +286,8 @@ object Inference {
 
   val markovStationarySql: String = {
     def sweep(prev: String, i: Int): String =
-      s"""p$i AS (SELECT e.tt AS st, CAST(SUM((p.p * e.n) // e.n_from) AS BIGINT) AS p
+      s"""p$i AS (SELECT e.tt AS st,
+               CAST(SUM((CAST(p.p AS HUGEINT) * e.prob) // $PiScale) AS BIGINT) AS p
              FROM $prev p JOIN edges e ON p.st = e.f
              GROUP BY e.tt)"""
     s"""WITH pairs AS (
@@ -285,12 +302,16 @@ object Inference {
                   FROM pairs GROUP BY 1),
        states AS (SELECT DISTINCT from_type AS st FROM pairs
                   UNION SELECT DISTINCT to_type FROM pairs),
-       edges AS (
+       edges0 AS (
          SELECT p.from_type AS f, p.to_type AS tt, p.n, o.n_from
          FROM pairs p JOIN outdeg o ON p.from_type = o.st
          UNION ALL
          SELECT s.st, s.st, 1, 1 FROM states s
          WHERE s.st NOT IN (SELECT st FROM outdeg)),
+       edges AS (
+         SELECT f, tt,
+                CAST((CAST(n AS HUGEINT) * $PiScale) // n_from AS BIGINT) AS prob
+         FROM edges0),
        k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM states),
        p0 AS (SELECT st, $PiScale // k.k AS p FROM states CROSS JOIN k),
        ${(1 to MarkovIters).map(i => sweep(s"p${i - 1}", i)).mkString(",\n       ")}

@@ -371,6 +371,60 @@ object ManifestLog {
     v
   }
 
+  /** MERGE INTO (upsert) on the clustering key — Delta's
+    * `whenMatchedUpdate / whenNotMatchedInsert` as one copy-on-write
+    * commit: files that can hold a source key are rewritten with the
+    * matched keys' rows REPLACED by the source's (last-writer-wins per
+    * key, [[graft.operators.Lakehouse.cdcMergeApply]]'s collapse
+    * discipline applied at the file layer), unmatched source rows
+    * append, and one log append publishes adds + removes atomically.
+    * Untouched files keep their identity like [[deleteKeys]].
+    *
+    * This is the write path that makes a single version carry row
+    * UPDATES, which [[readChanges]] classifies as
+    * update_preimage/update_postimage — and because the CDF nets the
+    * two sides as multisets, a value-identical upsert contributes
+    * nothing, exactly the `op IS NOT NULL` filter of
+    * [[graft.operators.Lakehouse.snapshotDiffCdf]].
+    *
+    * Scale contract: the source's DISTINCT key list is collected for
+    * manifest pruning (batch-cardinality, the [[deleteKeys]]
+    * precedent) — merge batches are CDC-delta-sized by design, never
+    * corpus-sized; a corpus-sized restatement is a rewrite
+    * ([[compact]] / full re-commit), not a merge.
+    */
+  def merge(df: DataFrame, path: String, keyCol: String): Long = {
+    val s = df.sparkSession
+    val v0 = currentVersion(s, path)
+    if (v0 == 0L) return commit(df, path, keyCol)
+    withMaintenanceLock(s, path) {
+      val keys = df.select(col(keyCol).cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      if (keys.isEmpty) return v0
+      val actions = log(s, path).filter(col("version") <= v0)
+      val affected = actions.filter(col("action") === "add")
+        .join(actions.filter(col("action") === "remove").select(col("file")),
+          Seq("file"), "left_anti")
+        .filter(keys.map(k => col("min_key") <= k && col("max_key") >= k)
+          .reduce(_ || _))
+      val files = affected.select("file").collect().map(_.getString(0)).toSeq
+      val v = claimVersion(s, path)
+      val survivors =
+        if (files.isEmpty) df.limit(0)
+        else applyDv(s, path, readData(s, files), v0)
+          .filter(!col(keyCol).isin(keys: _*))
+      survivors.unionByName(df, allowMissingColumns = true)
+        .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
+      val removes = affected.select(lit(v).as("version"),
+        lit("remove").as("action"), col("file"), col("n_rows"),
+        col("min_key"), col("max_key"), col("bloom"),
+        lit(NoBatch).as("batch_id"))
+      writeActions(addActions(s, path, v, keyCol).unionByName(removes),
+        path, v)
+      v
+    }
+  }
+
   /** Files a vacuum at `horizon` may physically delete: those with a
     * `remove` action at version <= horizon. They are referenced only by
     * snapshots OLDER than their removal, so every `asOf >= horizon`
@@ -445,6 +499,124 @@ object ManifestLog {
     if (files.isEmpty) s.emptyDataFrame
     else applyDv(s, path, readData(s, files), v)
       .filter(col(keyCol).cast("long").between(lo, hi))
+  }
+
+  /** CDF column: what happened to the row ("insert" | "delete" |
+    * "update_preimage" | "update_postimage" — Delta's readChangeFeed
+    * vocabulary). */
+  val ChangeTypeCol = "_change_type"
+
+  /** CDF column: the version whose commit produced the change. */
+  val CommitVersionCol = "_commit_version"
+
+  /** Row-level CHANGE DATA FEED over the log — the INCREMENTAL read
+    * path that closes the loop [[graft.streaming.StreamingPipeline]]'s
+    * manifest sink opened (Delta's `readChangeFeed` with
+    * startingVersion/endingVersion): every row the window's commits
+    * inserted or deleted, tagged [[ChangeTypeCol]] +
+    * [[CommitVersionCol]], so a downstream consumer replays versions
+    * instead of re-reading snapshots — the reference's own pipeline is
+    * incremental load end-to-end (insert_to_postgres.py:60-84
+    * get-or-create upserts), and this is that shape on the native
+    * table.
+    *
+    * Per version the delta is computed STRUCTURALLY from the actions as
+    * a signed multiset (the [[graft.operators.Lakehouse.ivmMergeDelta]]
+    * Z-set algebra applied to the log):
+    * {{{ delta(v) = rows(files added at v)
+    *              − rows(files removed at v, as visible at v−1)
+    *              − rows(dv pairs committed at v) }}}
+    * `exceptAll` nets the two sides, so a COMPACTION — whose adds
+    * replay exactly its removes — contributes nothing (Delta: OPTIMIZE
+    * emits no CDF rows), a plain commit is pure inserts, a
+    * [[deleteKeys]] rewrite nets to exactly its doomed rows as
+    * deletes, and a [[deleteKeysDv]] emits its sidecar pairs as
+    * deletes. A key appearing on BOTH sides of one version's delta is
+    * an UPDATE: its rows re-tag as update_preimage/update_postimage
+    * (the I/U/D classification of
+    * [[graft.operators.Lakehouse.snapshotDiffCdf]], here derived from
+    * real log versions rather than two materialized snapshots).
+    *
+    * Replay closure (spec-pinned): for any window,
+    * `snapshot(fromV) ⊎ inserts∪postimages ∖ deletes∪preimages =
+    * snapshot(toV)` as multisets. Schema evolution composes: versions
+    * read with union-by-name, pre-evolution change rows carry nulls.
+    *
+    * Scale: planning is file-cardinality driver work like [[fileList]];
+    * the per-version diff shuffles only that version's delta files,
+    * never the table; `exceptAll` is a hash aggregation on the delta's
+    * own cardinality. The window (fromV, toV] is the caller's batch
+    * granularity, exactly Delta's starting/endingVersion contract.
+    */
+  def readChanges(s: SparkSession, path: String, keyCol: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val versions = log(s, path)
+      .filter(col("version") > fromV && col("version") <= toV)
+      .select("version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val deltas = versions.flatMap(v => versionDelta(s, path, keyCol, v))
+    if (deltas.isEmpty) s.emptyDataFrame
+    else deltas.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One version's classified change rows. None when the version names
+    * no files at all; a version whose sides net to zero (a pure
+    * compaction) yields an empty frame, which unions harmlessly. */
+  private def versionDelta(s: SparkSession, path: String, keyCol: String,
+      v: Long): Option[DataFrame] = {
+    val actsV = log(s, path).filter(col("version") === v)
+    def filesOf(a: String): Seq[String] =
+      actsV.filter(col("action") === a)
+        .select("file").collect().map(_.getString(0)).toSeq
+    val added = filesOf("add")
+    val removed = filesOf("remove")
+    val dvP =
+      if (filesOf("dv").isEmpty) None
+      else Some(s.read.parquet(dvDir(path, v)))
+    val dvFiles = dvP.map(_.select("file").distinct()
+      .collect().map(_.getString(0)).toSeq).getOrElse(Nil)
+    val all = (added ++ removed ++ dvFiles).distinct
+    if (all.isEmpty) return None
+    val rows = readData(s, all).withColumn("_file", input_file_name())
+    val plus = rows.filter(col("_file").isin(added: _*))
+    // removed files' rows as a reader at v-1 saw them: rows an earlier
+    // DV already killed were not live, so their disappearance from the
+    // rewrite is not a NEW delete
+    val removedRows = rows.filter(col("_file").isin(removed: _*))
+    val minusR = dvPairs(s, path, v - 1).fold(removedRows)(dv =>
+      removedRows.join(broadcast(dv.select(col("file").as("_dv_file"),
+        col("key").as("_dv_key"))),
+        col("_file") === col("_dv_file") &&
+          col(keyCol).cast("long") === col("_dv_key"), "left_anti"))
+    // this version's DV sidecar names its dead rows (file, key) — fresh
+    // w.r.t. v-1 by deleteKeysDv's construction, so no double count
+    val minusD = dvP match {
+      case None => None
+      case Some(dv) => Some(rows.filter(col("_file").isin(dvFiles: _*))
+        .join(broadcast(dv.select(col("file").as("_dv_file"),
+          col("key").as("_dv_key"))),
+          col("_file") === col("_dv_file") &&
+            col(keyCol).cast("long") === col("_dv_key"), "left_semi"))
+    }
+    val minus = minusD.fold(minusR)(minusR.unionByName(_))
+    // the Z-set netting: drop the file tag first — logically identical
+    // rows in different files (a compaction's rewrite) must cancel
+    val ins = plus.drop("_file").exceptAll(minus.drop("_file"))
+    val del = minus.drop("_file").exceptAll(plus.drop("_file"))
+    // a key on both sides of one version's delta is an update
+    val uKeys = ins.select(col(keyCol).cast("long").as("_uk")).distinct()
+      .join(del.select(col(keyCol).cast("long").as("_uk")).distinct(),
+        Seq("_uk"), "left_semi")
+    def split(df: DataFrame, ifUpdate: String, ifPlain: String) = {
+      val cond = df(keyCol).cast("long") === col("_uk")
+      df.join(broadcast(uKeys), cond, "left_semi")
+        .withColumn(ChangeTypeCol, lit(ifUpdate))
+        .unionByName(df.join(broadcast(uKeys), cond, "left_anti")
+          .withColumn(ChangeTypeCol, lit(ifPlain)))
+    }
+    Some(split(ins, "update_postimage", "insert")
+      .unionByName(split(del, "update_preimage", "delete"))
+      .withColumn(CommitVersionCol, lit(v)))
   }
 
   /** POINT lookup with BLOOM pruning on top of the bounds: a file is

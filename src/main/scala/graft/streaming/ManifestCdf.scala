@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.ManifestLog
+
+/** Incremental consumer over [[graft.sources.ManifestLog.readChanges]] —
+  * the read half of the lakehouse loop whose write half is
+  * [[StreamingPipeline.startManifestPublish]]: a downstream job tails the
+  * table VERSION BY VERSION (each commit is one micro-batch, Delta's
+  * streaming-source contract) instead of re-reading snapshots, which is
+  * how the reference's own load stays incremental
+  * (insert_to_postgres.py:60-84 processes only what arrived).
+  *
+  * Exactly-once mechanics, mirroring Structured Streaming's foreachBatch
+  * contract rather than reimplementing a DataSourceV2 stream:
+  *
+  *  - the checkpoint directory holds one marker file per PROCESSED
+  *    version (`v<N>`), written with the same create-exclusive
+  *    primitive the manifest's commit protocol uses — Spark's own
+  *    checkpoint commit log is this exact idea;
+  *  - the marker is written AFTER the handler returns, so a crash
+  *    between handler and marker REPLAYS that version with the SAME
+  *    version id — the handler must be idempotent per version
+  *    (foreachBatch's batchId contract; `commitIdempotent(batchId = v)`
+  *    satisfies it for manifest-table downstreams, as
+  *    [[mirrorChangelog]] demonstrates and the spec replays);
+  *  - versions are processed in order, one at a time, so a partial pump
+  *    (crash mid-window) resumes exactly where it stopped.
+  *
+  * Scale: per pump, the log window is file-cardinality planning and each
+  * version's batch shuffles only that version's delta — a 100 TB table
+  * with a 1 GB daily commit costs the consumer 1 GB, not 100 TB.
+  */
+object ManifestCdf {
+
+  private def markerDir(checkpoint: String) =
+    new org.apache.hadoop.fs.Path(checkpoint)
+
+  private def fsOf(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Highest version this checkpoint has fully processed (0 = none). */
+  def lastProcessed(s: SparkSession, checkpoint: String): Long = {
+    val dir = markerDir(checkpoint)
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") =>
+        scala.util.Try(n.drop(1).toLong).toOption }
+      .flatten.foldLeft(0L)(math.max)
+  }
+
+  private def markProcessed(s: SparkSession, checkpoint: String,
+      v: Long): Unit = {
+    val dir = markerDir(checkpoint)
+    val fs = fsOf(s, dir)
+    fs.mkdirs(dir)
+    // idempotent: a replayed version's marker already existing is fine
+    val p = new org.apache.hadoop.fs.Path(dir, s"v$v")
+    if (fs.getScheme == "file")
+      new java.io.File(p.toUri.getPath).createNewFile()
+    else if (!fs.exists(p)) fs.create(p, false).close()
+    ()
+  }
+
+  /** Process every committed-but-unprocessed version, one micro-batch
+    * per version, oldest first. `handler(changes, v)` receives version
+    * v's classified change rows ([[ManifestLog.ChangeTypeCol]] tagged;
+    * possibly empty for a net-zero version like a compaction) and MUST
+    * be idempotent per v. Returns the versions processed this pump.
+    * Run it again after more commits land — or on a schedule — and it
+    * picks up exactly the new ones; run it after a crash and it replays
+    * exactly the unmarked ones.
+    */
+  def pump(s: SparkSession, tablePath: String, keyCol: String,
+      checkpoint: String)(handler: (DataFrame, Long) => Unit): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    val from = lastProcessed(s, checkpoint)
+    val versions = scala.util.Try(ManifestLog.log(s, tablePath)).toOption
+      .map(_.filter(col("version") > from).select("version").distinct()
+        .collect().map(_.getLong(0)).sorted.toSeq)
+      .getOrElse(Nil)
+    versions.map { v =>
+      handler(ManifestLog.readChanges(s, tablePath, keyCol, v - 1, v), v)
+      markProcessed(s, checkpoint, v)
+      v
+    }
+  }
+
+  /** The consumer composed end-to-end: tail `srcPath` and append each
+    * version's change rows to a DOWNSTREAM manifest table at `dstPath`
+    * (the CDF-to-changelog-table shape) — exactly-once because the
+    * downstream commit is `commitIdempotent(batchId = v)`: a replayed
+    * version finds its batch in the downstream log and commits nothing.
+    * The downstream table is then the queryable changelog; folding its
+    * inserts/postimages minus deletes/preimages over `snapshot(fromV)`
+    * reproduces `snapshot(toV)` (replay closure, spec-pinned).
+    */
+  def mirrorChangelog(s: SparkSession, srcPath: String, keyCol: String,
+      dstPath: String, checkpoint: String): Seq[Long] =
+    pump(s, srcPath, keyCol, checkpoint) { (changes, v) =>
+      if (!changes.isEmpty) {
+        ManifestLog.commitIdempotent(changes, dstPath, keyCol, batchId = v)
+        ()
+      }
+    }
+}

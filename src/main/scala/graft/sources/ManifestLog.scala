@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   dv/v<version>/part-*.parquet     -- deletion-vector sidecars
   *   _log/v<version>/part-*.parquet   -- that version's action rows:
   *     (version, action add|remove|dv, file, n_rows, min_key, max_key,
-  *      bloom, batch_id)
+  *      bloom, stats, batch_id)
   *   _claims/v<version>               -- create-exclusive version claims
   * }}}
   *
@@ -39,9 +39,13 @@ import org.apache.spark.sql.functions._
   *    and the log append leaves orphan files readers never see (the
   *    write-order twin of [[Warehouse.dedupAppend]]'s bloom-first rule).
   *
-  * Stats are kept for ONE declared BIGINT clustering key — the minimal
-  * honest manifest (real formats keep per-column bounds; one column
-  * demonstrates pruning without a type-erased stats schema).
+  * Bounds are kept at two levels: the declared BIGINT clustering key
+  * rides dedicated (min_key, max_key) columns every read path consults,
+  * and EVERY stats-eligible column (integrals, DATE, TIMESTAMP — see
+  * [[statsEnc]]) rides the per-file `stats` map, so range probes on any
+  * such column prune files too ([[scanColRanges]]) — Delta's add.stats
+  * minValues/maxValues, Iceberg's lower_bounds/upper_bounds, with a
+  * single long-encoded lattice instead of a type-erased stats schema.
   */
 object ManifestLog {
 
@@ -92,22 +96,66 @@ object ManifestLog {
     */
   val BloomLog2Bits = 17
 
+  /** SQL type of the per-column stats map carried by add actions. */
+  private val StatsType = "map<string,struct<lo:bigint,hi:bigint>>"
+
+  /** A typed-null stats cell for action rows that carry none (removes
+    * copy the original add's; dv actions have no column stats). */
+  private def nullStats = lit(null).cast(StatsType)
+
+  /** Long encoding for a stats-eligible column — the single-lattice
+    * trick that keeps the manifest schema type-free (Delta stores
+    * typed JSON per column; one BIGINT lattice demonstrates the same
+    * pruning with an honest restriction to order-preserving
+    * encodings): integrals cast, DATE becomes days since epoch,
+    * TIMESTAMP becomes microseconds. Columns outside the lattice
+    * (strings, doubles, nested) simply carry no stats and never prune
+    * — absence of stats means "keep the file", so the restriction
+    * costs pruning power, never correctness.
+    */
+  private def statsEnc(dt: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.Column => org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(c => c.cast("long"))
+      case DateType => Some(c => unix_date(c))
+      case TimestampType => Some(c => unix_micros(c))
+      case _ => None
+    }
+  }
+
   /** Honest per-file stats for a just-written commit directory: counts,
-    * key bounds and the bloom blob from the bytes actually on disk, not
-    * from the plan.
+    * key bounds, the bloom blob, and PER-COLUMN min/max for every
+    * stats-eligible column — all from the bytes actually on disk, not
+    * from the plan. The per-column map is what lets [[scanColRanges]]
+    * prune on ANY stats'd column, not just the clustering key (Delta's
+    * add.stats minValues/maxValues; Iceberg's lower_bounds/
+    * upper_bounds maps).
     */
   private def addActions(s: SparkSession, path: String, v: Long,
-      keyCol: String, batchId: Long = NoBatch): DataFrame =
-    s.read.parquet(dataDir(path, v))
-      .groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col(keyCol)).cast("long").as("min_key"),
-        max(col(keyCol)).cast("long").as("max_key"),
-        expr(s"graft_bloom_agg(CAST($keyCol AS STRING), $BloomLog2Bits)")
-          .as("bloom"))
+      keyCol: String, batchId: Long = NoBatch): DataFrame = {
+    val data = s.read.parquet(dataDir(path, v))
+    val statCols = data.schema.fields.toSeq.flatMap(f =>
+      statsEnc(f.dataType).map(enc => f.name -> enc(col(f.name))))
+    val statAggs = statCols.flatMap { case (n, e) =>
+      Seq(min(e).as(s"__lo_$n"), max(e).as(s"__hi_$n")) }
+    val statsMap =
+      if (statCols.isEmpty) nullStats
+      else map(statCols.flatMap { case (n, _) =>
+        Seq(lit(n), struct(col(s"__lo_$n").as("lo"),
+          col(s"__hi_$n").as("hi"))) }: _*)
+    val aggs = Seq(count(lit(1)).as("n_rows"),
+      min(col(keyCol)).cast("long").as("min_key"),
+      max(col(keyCol)).cast("long").as("max_key"),
+      expr(s"graft_bloom_agg(CAST($keyCol AS STRING), $BloomLog2Bits)")
+        .as("bloom")) ++ statAggs
+    data.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(lit(v).as("version"), lit("add").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
-        lit(batchId).as("batch_id"))
+        statsMap.as("stats"), lit(batchId).as("batch_id"))
+  }
 
   /** batch_id marker for non-transactional (plain) commits. */
   val NoBatch: Long = -1L
@@ -293,7 +341,7 @@ object ManifestLog {
           .as("bloom"))
       .select(lit(v).as("version"), lit("dv").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
-        lit(NoBatch).as("batch_id"))
+        nullStats.as("stats"), lit(NoBatch).as("batch_id"))
     writeActions(acts, path, v)
     v
   }
@@ -327,7 +375,7 @@ object ManifestLog {
       .filter(col("action") === "add" && col("file").isin(replaced: _*))
       .select(lit(v).as("version"), lit("remove").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
-        lit(NoBatch).as("batch_id"))
+        col("stats"), lit(NoBatch).as("batch_id"))
     writeActions(addActions(s, path, v, keyCol).unionByName(removes),
       path, v)
     v
@@ -365,7 +413,7 @@ object ManifestLog {
     val removes = affected.select(lit(v).as("version"),
       lit("remove").as("action"), col("file"), col("n_rows"),
       col("min_key"), col("max_key"), col("bloom"),
-      lit(NoBatch).as("batch_id"))
+      col("stats"), lit(NoBatch).as("batch_id"))
     writeActions(addActions(s, path, v, keyCol).unionByName(removes),
       path, v)
     v
@@ -418,7 +466,7 @@ object ManifestLog {
       val removes = affected.select(lit(v).as("version"),
         lit("remove").as("action"), col("file"), col("n_rows"),
         col("min_key"), col("max_key"), col("bloom"),
-        lit(NoBatch).as("batch_id"))
+        col("stats"), lit(NoBatch).as("batch_id"))
       writeActions(addActions(s, path, v, keyCol).unionByName(removes),
         path, v)
       v
@@ -459,17 +507,29 @@ object ManifestLog {
     * real format (millions of rows at 100 TB, never the data).
     */
   def fileList(s: SparkSession, path: String, asOf: Long,
-      keyRange: Option[(Long, Long)] = None): Seq[String] = {
+      keyRange: Option[(Long, Long)] = None,
+      colRanges: Map[String, (Long, Long)] = Map.empty): Seq[String] = {
     val actions = log(s, path).filter(col("version") <= asOf)
     // live at asOf = added and not since removed (a file is immutable,
     // so one add and at most one remove ever exist for it)
     val live = actions.filter(col("action") === "add")
       .join(actions.filter(col("action") === "remove").select(col("file")),
         Seq("file"), "left_anti")
-    val kept = keyRange match {
+    val keyKept = keyRange match {
       case Some((lo, hi)) =>
         live.filter(!(col("max_key") < lo || col("min_key") > hi))
       case None => live
+    }
+    // per-column stats pruning: a predicate only drops a file when the
+    // file HAS stats for that column and they cannot intersect — a
+    // missing stats entry (un-stats'd column, pre-stats action) keeps
+    // the file, so pruning is never wrong, only weaker. Predicates on
+    // several columns compound: each one independently shrinks the set
+    // (Delta/Iceberg manifest evaluation, conjunctive normal form).
+    val kept = colRanges.foldLeft(keyKept) { case (acc, (c, (lo, hi))) =>
+      val st = col("stats").getItem(c)
+      acc.filter(st.isNull ||
+        !(st.getField("hi") < lo || st.getField("lo") > hi))
     }
     kept.select("file").collect().map(_.getString(0)).toSeq
   }
@@ -499,6 +559,36 @@ object ManifestLog {
     if (files.isEmpty) s.emptyDataFrame
     else applyDv(s, path, readData(s, files), v)
       .filter(col(keyCol).cast("long").between(lo, hi))
+  }
+
+  /** Multi-column range read with PER-COLUMN stats pruning — the
+    * general form of [[scanKeyRange]]: every predicate column that has
+    * stats in the manifest independently shrinks the file list (a
+    * two-predicate probe opens at most the INTERSECTION of what each
+    * predicate alone admits — spec-asserted on a grid layout where
+    * either predicate alone keeps a full row/column of files), and the
+    * residual row filters restore exactness over partial-overlap
+    * files. Predicate values are in the column's long encoding
+    * ([[statsEnc]]: integrals as-is, DATE as epoch days, TIMESTAMP as
+    * epoch micros); a predicate on a column the read schema lacks is
+    * rejected loudly rather than silently unprunable.
+    */
+  def scanColRanges(s: SparkSession, path: String,
+      preds: Map[String, (Long, Long)],
+      asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(s, path))
+    val files = fileList(s, path, v, None, preds)
+    if (files.isEmpty) return s.emptyDataFrame
+    val df = applyDv(s, path, readData(s, files), v)
+    preds.foldLeft(df) { case (acc, (c, (lo, hi))) =>
+      val f = acc.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"predicate column '$c' not in the table schema"))
+      val enc = statsEnc(f.dataType).getOrElse(
+        throw new IllegalArgumentException(
+          s"predicate column '$c' (${f.dataType}) has no stats encoding"))
+      acc.filter(enc(col(c)).between(lo, hi))
+    }
   }
 
   /** CDF column: what happened to the row ("insert" | "delete" |

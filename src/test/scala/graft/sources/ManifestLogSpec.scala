@@ -172,6 +172,51 @@ class ManifestLogSpec extends AnyFunSuite {
       s"z-order skipping kept ${pruned.inputFiles.length} of 16 files")
   }
 
+  test("per-column stats: a two-predicate probe opens fewer files than either alone") {
+    import spark.implicits._
+    val path = freshTable()
+    // 16 files laid out as a 4x4 grid of (key-bucket x date-bucket):
+    // a key predicate alone admits a full COLUMN of the grid, a date
+    // predicate alone a full ROW — only their conjunction isolates one
+    // cell, which single-key bounds could never express
+    for (kb <- 0 until 4; db <- 0 until 4) {
+      val rows = (0 until 25).map { i =>
+        (kb * 100L + i * 4 + (db % 4),
+          java.sql.Date.valueOf(f"2024-${db + 1}%02d-${(i % 25) + 1}%02d"),
+          s"cell-$kb-$db")
+      }
+      ManifestLog.commit(rows.toDF("key", "event_date", "payload")
+        .coalesce(1), path, "key")
+    }
+    assert(ManifestLog.snapshot(spark, path).inputFiles.length === 16)
+
+    def day(d: String): Long = java.time.LocalDate.parse(d).toEpochDay
+    val keyPred = "key" -> (100L, 199L)
+    val datePred = "event_date" -> (day("2024-02-01"), day("2024-02-29"))
+
+    val keyOnly = ManifestLog.scanColRanges(spark, path, Map(keyPred))
+    val dateOnly = ManifestLog.scanColRanges(spark, path, Map(datePred))
+    val both = ManifestLog.scanColRanges(spark, path, Map(keyPred, datePred))
+    assert(keyOnly.inputFiles.length === 4)
+    assert(dateOnly.inputFiles.length === 4)
+    assert(both.inputFiles.length === 1,
+      s"conjunction kept ${both.inputFiles.length} files, expected the one cell")
+
+    // pruning never changes the answer: equal to the full-scan filter
+    val full = ManifestLog.snapshot(spark, path)
+      .filter(col("key").between(100L, 199L) &&
+        col("event_date").between("2024-02-01", "2024-02-29"))
+    assert(both.orderBy("key", "event_date").collect().map(_.toSeq).toSeq ===
+      full.orderBy("key", "event_date").collect().map(_.toSeq).toSeq)
+    assert(both.count() === 25)
+
+    // a predicate on a column with no stats encoding fails loudly
+    intercept[IllegalArgumentException] {
+      ManifestLog.scanColRanges(spark, path, Map("payload" -> (0L, 1L)))
+        .count()
+    }
+  }
+
   test("deleteKeys rewrites only the files that can hold a key") {
     import spark.implicits._
     val path = freshTable()

@@ -57,6 +57,7 @@ object Graft {
     plans.DdSketch.register(spark)
     plans.BloomFilter.register(spark)
     plans.DeflateLen.register(spark)
+    plans.MediaHeader.register(spark)
     plans.AsOfJoinPlan.ensureStrategy(spark)
     spark
   }

@@ -2,58 +2,96 @@ package graft.operators
 
 import graft.Q
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with a
-  * typed metadata struct alongside.
+  * typed metadata struct alongside — and a REAL header decode.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * DETERMINISTIC STUB (metadata derived arithmetically from the bytes);
-  * the Spark-side contract — binary column, per-row metadata projection,
-  * partition-parallel decode with no driver involvement — is the real
-  * thing. A codec-backed decoder would replace only the stubbed
-  * width/height/frames arithmetic (e.g. via `mapPartitions` over a typed
-  * Dataset, one codec instance per partition, which
-  * [[graft.operators.MultimodalPipeline]] demonstrates).
+  * The container ships no pixel codecs, but dimension/codec extraction
+  * never needed one: it reads the container HEADER, which is plain byte
+  * arithmetic. [[graft.plans.MediaHeader]]'s `graft_media_meta`
+  * expression parses PNG IHDR, GIF logical-screen, BMP DIB and JPEG
+  * SOF headers in pure JVM code, so the decode step here is no longer a
+  * stub — the bytes are constructed as REAL format headers (signature,
+  * chunk layout, endianness per spec) and actually parsed back. Only
+  * pixel-level work (resize kernels, frame decode) remains stubbed in
+  * [[MultimodalPipeline]], clearly marked there.
+  *
+  * Oracle gating: rows-only + spec ([[graft.plans.DeflateLen]]'s
+  * model — DuckDB cannot parse binary headers). The spec pins the
+  * ROUND TRIP on byte-identical fixtures: every constructed width and
+  * height is recovered exactly by the parser for all four formats, and
+  * golden hand-written byte arrays decode to known dimensions.
   */
 object Multimodal {
 
-  /** Manufacture an opaque media blob from the document text (UTF-8
-    * bytes), then project typed metadata: byte size, magic prefix (hex),
-    * modality kind, and decode-stub dimensions.
-    */
-  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("media"),
-        length(encode(col("text"), "UTF-8")).as("n_bytes"),
-        hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("magic_hex"),
-        (ascii(substring(col("text"), 1, 1)) % 3).as("kind_id"))
-      .select(col("doc_id"), col("n_bytes"), col("magic_hex"),
-        when(col("kind_id") === 0, "image")
-          .when(col("kind_id") === 1, "audio")
-          .otherwise("video").as("kind"),
-        (col("n_bytes") % 640 + 16).as("width"),
-        ((col("n_bytes") * 7) % 480 + 16).as("height"),
-        when(col("kind_id") === 2, col("n_bytes") % 120 + 1).otherwise(1)
-          .as("n_frames"))
-      .orderBy("doc_id")
+  private def beHex16(c: Column): Column = lpad(hex(c), 4, "0")
+  private def beHex32(c: Column): Column = lpad(hex(c), 8, "0")
+  private def leHex16(c: Column): Column = {
+    val h = beHex16(c)
+    concat(substring(h, 3, 2), substring(h, 1, 2))
+  }
+  private def leHex32(c: Column): Column = {
+    val h = beHex32(c)
+    concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2))
+  }
 
-  val multimodalMetaSql: String =
-    """WITH m AS (
-         SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-                hex(encode(substr(text, 1, 4))) AS magic_hex,
-                ascii(substr(text, 1, 1)) % 3 AS kind_id
-         FROM documents)
-       SELECT doc_id, CAST(n_bytes AS INT) AS n_bytes, magic_hex,
-         CASE kind_id WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-              ELSE 'video' END AS kind,
-         CAST(n_bytes % 640 + 16 AS INT) AS width,
-         CAST((n_bytes * 7) % 480 + 16 AS INT) AS height,
-         CAST(CASE WHEN kind_id = 2 THEN n_bytes % 120 + 1 ELSE 1 END AS INT) AS n_frames
-       FROM m ORDER BY doc_id"""
+  /** A minimal valid PNG: signature + IHDR chunk (len 13, 8-bit RGBA). */
+  def pngBytes(w: Column, h: Column): Column =
+    unhex(concat(lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      beHex32(w), beHex32(h), lit("0806000000"), lit("00000000")))
+
+  /** A minimal valid GIF89a: header + logical screen descriptor. */
+  def gifBytes(w: Column, h: Column): Column =
+    unhex(concat(lit("474946383961"), leHex16(w), leHex16(h),
+      lit("F70000")))
+
+  /** A minimal valid BMP: BM magic + BITMAPINFOHEADER (DIB size 40,
+    * 24bpp). */
+  def bmpBytes(w: Column, h: Column): Column =
+    unhex(concat(lit("424D"), lit("00000000"), lit("00000000"),
+      lit("36000000"), lit("28000000"), leHex32(w), leHex32(h),
+      lit("0100"), lit("1800")))
+
+  /** A minimal valid JPEG: SOI, a JFIF APP0 segment (exercises the
+    * marker walk's skip-by-length), then the SOF0 frame header that
+    * carries the dimensions. */
+  def jpegBytes(w: Column, h: Column): Column =
+    unhex(concat(lit("FFD8"),
+      lit("FFE000104A46494600010100000100010000"),
+      lit("FFC0001108"), beHex16(h), beHex16(w),
+      lit("03011100021101031101")))
+
+  /** Construct one real media header per document (format and
+    * dimensions derived deterministically from doc_id), then DECODE it
+    * with the pure-JVM header parser and emit the parsed metadata —
+    * the parse is the operator; the construction exists because the
+    * corpus carries no real media bytes. Pure projection: both the
+    * construction (hex/concat/unhex builtins) and the parse are
+    * per-row map work at scan speed, no shuffle at any corpus size.
+    */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val w = (pmod(col("doc_id") * 37, lit(2000)) + 16).cast("int")
+    val h = (pmod(col("doc_id") * 91, lit(1200)) + 16).cast("int")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), w.as("w0"), h.as("h0"),
+        pmod(col("doc_id"), lit(4)).as("kind_id"))
+      .withColumn("media",
+        when(col("kind_id") === 0, pngBytes(col("w0"), col("h0")))
+          .when(col("kind_id") === 1, gifBytes(col("w0"), col("h0")))
+          .when(col("kind_id") === 2, bmpBytes(col("w0"), col("h0")))
+          .otherwise(jpegBytes(col("w0"), col("h0"))))
+      .withColumn("m", expr("graft_media_meta(media)"))
+      .select(col("doc_id"),
+        length(col("media")).as("n_bytes"),
+        col("m.codec").as("codec"),
+        col("m.width").as("width"),
+        col("m.height").as("height"))
+      .orderBy("doc_id")
+  }
 
   def queries: Seq[Q] = Seq(
-    Q("multimodal_meta", Some(multimodalMetaSql))(multimodalMeta))
+    Q("multimodal_meta", None)(multimodalMeta))
 }

@@ -9,43 +9,66 @@ import org.apache.spark.sql.functions._
   */
 final case class MediaRow(doc_id: Long, media: Array[Byte], kind: String)
 
-/** Typed decode output — what a codec-backed decoder would emit. */
+/** Typed decode output — codec from the REAL header parse
+  * ("unknown" + stub dims when the bytes are no known container). */
 final case class DecodedMeta(doc_id: Long, kind: String, n_bytes: Int,
-    checksum: Long, width: Int, height: Int)
+    checksum: Long, width: Int, height: Int, codec: String)
 
 /** The partition-parallel decode pipeline behind
   * [[Multimodal.multimodalMeta]]'s SQL surface: a typed
   * `Dataset[MediaRow] -> mapPartitions -> Dataset[DecodedMeta]` where a
-  * real implementation would instantiate one codec per PARTITION (never
-  * per row, never on the driver). The container ships no codecs, so the
-  * per-row decode is a deterministic stub; the batching shape, encoder
-  * schema, and partition lifecycle are the real contract and are
-  * spec-tested.
+  * heavyweight decoder would be instantiated once per PARTITION (never
+  * per row, never on the driver). Header decode is REAL —
+  * [[graft.plans.MediaHeader.parse]] reads PNG/GIF/BMP/JPEG container
+  * headers — with an honest fallback for unparseable bytes (codec
+  * "unknown", deterministic stub dims). Pixel-level stages (resize
+  * kernels, frame decode, feature models) remain stubs, clearly marked
+  * at each stage; the batching shape, encoder schema, and partition
+  * lifecycle are the production contract and are spec-tested.
   */
 object MultimodalPipeline {
 
-  /** Partition-scoped decode: the `val codec = ...` slot is where a real
-    * decoder gets created once per partition; rows then stream through
-    * it without further setup cost.
+  /** Partition-scoped decode: a heavyweight decoder would be created
+    * once per partition here; rows then stream through it without
+    * further setup cost. The header parse itself
+    * ([[graft.plans.MediaHeader.parse]]) is allocation-free per row.
     */
   def decodePartition(rows: Iterator[MediaRow]): Iterator[DecodedMeta] = {
-    // stub codec: deterministic arithmetic over the raw bytes
     rows.map { r =>
       val n = r.media.length
       var ck = 0L
       var i = 0
       while (i < n) { ck = ck * 31L + (r.media(i) & 0xff); i += 1 }
-      DecodedMeta(r.doc_id, r.kind, n, ck, n % 640 + 16, (n * 7) % 480 + 16)
+      val p = graft.plans.MediaHeader.parse(r.media)
+      if (p != null)
+        DecodedMeta(r.doc_id, r.kind, n, ck, p.width, p.height, p.codec)
+      else // not a known container: stub dims, honestly labeled
+        DecodedMeta(r.doc_id, r.kind, n, ck,
+          n % 640 + 16, (n * 7) % 480 + 16, "unknown")
     }
   }
 
+  /** Media routing: image docs carry one of the four REAL container
+    * headers (round-robin by doc_id), "video" docs a GIF container
+    * (the animated-capable format here), "audio" docs opaque
+    * unparseable bytes — exercising both the real parse and the
+    * fallback through the same typed path.
+    */
   def decode(s: SparkSession, dir: String): Dataset[DecodedMeta] = {
     import s.implicits._
+    val w = (pmod(col("doc_id") * 37, lit(2000)) + 16).cast("int")
+    val h = (pmod(col("doc_id") * 91, lit(1200)) + 16).cast("int")
+    val kindId = pmod(col("doc_id"), lit(3))
+    val codecPick = pmod(col("doc_id"), lit(4))
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("media"),
-        when(ascii(substring(col("text"), 1, 1)) % 3 === 0, "image")
-          .when(ascii(substring(col("text"), 1, 1)) % 3 === 1, "audio")
+        when(kindId === 1, encode(col("text"), "UTF-8"))
+          .when(kindId === 2, Multimodal.gifBytes(w, h))
+          .otherwise(when(codecPick === 0, Multimodal.pngBytes(w, h))
+            .when(codecPick === 1, Multimodal.gifBytes(w, h))
+            .when(codecPick === 2, Multimodal.bmpBytes(w, h))
+            .otherwise(Multimodal.jpegBytes(w, h))).as("media"),
+        when(kindId === 0, "image").when(kindId === 1, "audio")
           .otherwise("video").as("kind"))
       .as[MediaRow]
       .mapPartitions(decodePartition)
@@ -76,7 +99,7 @@ object MultimodalPipeline {
     import s.implicits._
     decode(s, dir).flatMap { m =>
       if (m.kind == "video") {
-        val frames = m.n_bytes % 120 + 1 // matches multimodal_meta's stub
+        val frames = m.n_bytes % 120 + 1 // frame-count stub (pixel tier)
         (0 until frames by stride).map(f =>
           FrameRow(m.doc_id, f, m.checksum * 31L + f))
       } else Seq(FrameRow(m.doc_id, 0, m.checksum))

@@ -932,14 +932,28 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(a.nonEmpty)
     a.foreach { m =>
       assert(m.n_bytes > 0)
-      assert(m.width >= 16 && m.width < 656)
-      assert(m.height >= 16 && m.height < 496)
+      val w0 = (m.doc_id * 37) % 2000 + 16
+      val h0 = (m.doc_id * 91) % 1200 + 16
+      m.kind match {
+        case "image" => // REAL header round trip through the parser
+          assert(Set("png", "gif", "bmp", "jpeg").contains(m.codec))
+          assert(m.width === w0 && m.height === h0)
+        case "video" => // GIF container, real logical-screen parse
+          assert(m.codec === "gif")
+          assert(m.width === w0 && m.height === h0)
+        case "audio" => // opaque bytes: honest fallback, stub dims
+          assert(m.codec === "unknown")
+          assert(m.width >= 16 && m.width < 656)
+          assert(m.height >= 16 && m.height < 496)
+      }
     }
-    // stub checksum must match a reference reimplementation for one row
+    // checksum must match a reference reimplementation for an opaque
+    // (text-bytes) row, where media == UTF-8(text)
+    val au = a.find(_.kind == "audio").get
     val doc0 = graft.sources.Tables.documents(spark, sf)
-      .filter(col("doc_id") === a.head.doc_id).head.getAs[String]("text")
+      .filter(col("doc_id") === au.doc_id).head.getAs[String]("text")
     val expect = doc0.getBytes("UTF-8").foldLeft(0L)((s, x) => s * 31L + (x & 0xff))
-    assert(a.head.checksum === expect)
+    assert(au.checksum === expect)
   }
 
   test("multimodal resize/frame-sample/features stages keep their contracts") {

@@ -1,0 +1,123 @@
+package graft.plans
+
+import graft.SharedSpark
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pure-JVM media header parser: golden hand-written byte arrays
+  * per format, malformed-input refusals, and the SQL expression's
+  * round trip over the fixture constructors.
+  */
+class MediaHeaderSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2)
+      .map(x => Integer.parseInt(x, 16).toByte).toArray
+
+  test("golden PNG: signature + IHDR big-endian dims") {
+    // 800x600, 8-bit RGBA — byte-for-byte the spec layout
+    val png = hexBytes(
+      "89504E470D0A1A0A 0000000D 49484452 00000320 00000258 0806000000 00000000")
+    val p = MediaHeader.parse(png)
+    assert(p === MediaHeader.Parsed("png", 800, 600))
+  }
+
+  test("golden GIF: both signatures, little-endian logical screen") {
+    // 320x200
+    assert(MediaHeader.parse(hexBytes("474946383961 4001 C800 F70000")) ===
+      MediaHeader.Parsed("gif", 320, 200))
+    assert(MediaHeader.parse(hexBytes("474946383761 4001 C800 F70000")) ===
+      MediaHeader.Parsed("gif", 320, 200))
+  }
+
+  test("golden BMP: INFO header, CORE header, and top-down negative height") {
+    // BITMAPINFOHEADER 1024x768
+    val info = hexBytes(
+      "424D 00000000 00000000 36000000 28000000 00040000 00030000 0100 1800")
+    assert(MediaHeader.parse(info) === MediaHeader.Parsed("bmp", 1024, 768))
+    // top-down DIB: height -768 (FFFFFD00 LE) reports absolute
+    val topDown = hexBytes(
+      "424D 00000000 00000000 36000000 28000000 00040000 00FDFFFF 0100 1800")
+    assert(MediaHeader.parse(topDown) === MediaHeader.Parsed("bmp", 1024, 768))
+    // BITMAPCOREHEADER (DIB size 12): u16 dims 64x48
+    val core = hexBytes(
+      "424D 00000000 00000000 1A000000 0C000000 4000 3000 0100 1800")
+    assert(MediaHeader.parse(core) === MediaHeader.Parsed("bmp", 64, 48))
+  }
+
+  test("golden JPEG: SOF behind skipped segments; EOI-first refuses") {
+    // SOI, APP0 (JFIF, 16 bytes), SOF0 with height=480 width=640
+    val jpg = hexBytes(
+      "FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 0000" +
+        "FFC0 0011 08 01E0 0280 03 011100 021101 031101")
+    assert(MediaHeader.parse(jpg) === MediaHeader.Parsed("jpeg", 640, 480))
+    // a COM segment and fill bytes before the frame header still land
+    val comFirst = hexBytes(
+      "FFD8 FFFE 0004 4142 FFFF FFC2 0011 08 0010 0020 03 011100 021101 031101")
+    assert(MediaHeader.parse(comFirst) === MediaHeader.Parsed("jpeg", 32, 16))
+    // EOI before any SOF: no dimensions exist
+    assert(MediaHeader.parse(hexBytes("FFD8 FFD9")) === null)
+    // C4 (DHT) is not a frame header
+    assert(MediaHeader.parse(hexBytes("FFD8 FFC4 0004 0000 FFD9")) === null)
+  }
+
+  test("malformed inputs refuse rather than guess") {
+    assert(MediaHeader.parse(null) === null)
+    assert(MediaHeader.parse(Array.emptyByteArray) === null)
+    assert(MediaHeader.parse("just some text".getBytes("UTF-8")) === null)
+    // truncated PNG: signature but no room for IHDR dims
+    assert(MediaHeader.parse(hexBytes("89504E470D0A1A0A 0000000D 4948")) === null)
+    // PNG signature with a non-IHDR first chunk
+    assert(MediaHeader.parse(hexBytes(
+      "89504E470D0A1A0A 0000000D 49444154 00000320 00000258")) === null)
+    // truncated JPEG mid-segment
+    assert(MediaHeader.parse(hexBytes("FFD8 FFE0 0010 4A46")) === null)
+    // BM magic with an unknown DIB size
+    assert(MediaHeader.parse(hexBytes(
+      "424D 00000000 00000000 1A000000 10000000 4000 3000 0100 1800")) === null)
+  }
+
+  test("expression round trip: constructed fixtures parse back to their dims") {
+    import spark.implicits._
+    val dims = Seq((1L, 17, 23), (2L, 640, 480), (3L, 1999, 1215), (4L, 16, 16))
+    val df = dims.toDF("id", "w", "h")
+    for ((mk, codec) <- Seq[(org.apache.spark.sql.Column, String)](
+      (Multimodal.pngBytes(col("w"), col("h")), "png"),
+      (Multimodal.gifBytes(col("w"), col("h")), "gif"),
+      (Multimodal.bmpBytes(col("w"), col("h")), "bmp"),
+      (Multimodal.jpegBytes(col("w"), col("h")), "jpeg"))) {
+      val out = df.withColumn("media", mk)
+        .withColumn("m", expr("graft_media_meta(media)"))
+        .select(col("w"), col("h"), col("m.codec"), col("m.width"),
+          col("m.height"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getString(2) === codec)
+        assert(r.getInt(3) === r.getInt(0), s"$codec width round trip")
+        assert(r.getInt(4) === r.getInt(1), s"$codec height round trip")
+      }
+    }
+    // null media -> null struct through the expression
+    val n = Seq(1L).toDF("id")
+      .withColumn("media", lit(null).cast("binary"))
+      .selectExpr("graft_media_meta(media) AS m")
+      .head
+    assert(n.isNullAt(0))
+  }
+
+  test("multimodal_meta: every row's parsed dims equal the constructed ones") {
+    val out = Multimodal.multimodalMeta(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expectCodec = (id % 4) match {
+        case 0 => "png"; case 1 => "gif"; case 2 => "bmp"; case _ => "jpeg"
+      }
+      assert(r.getAs[String]("codec") === expectCodec)
+      assert(r.getAs[Int]("width") === (id * 37) % 2000 + 16)
+      assert(r.getAs[Int]("height") === (id * 91) % 1200 + 16)
+    }
+  }
+}

@@ -7,13 +7,16 @@ import org.apache.spark.sql.SparkSession
   * is fully materialized via the noop sink (a bare count() would let
   * Catalyst prune the projection and under-report).
   *
-  * Contention robustness (two rounds of phantom >4x outliers on the
-  * driver's bench host): best of THREE timed passes per query, plus
-  * per-query spread fields so a contended run self-documents — `spread`
-  * is the median absolute deviation of the three times, and any query
-  * whose worst pass exceeds 2x its best lands in `outliers`. A noisy
-  * host then shows up as large MADs / a populated outlier list around
-  * believable minima, instead of silently inflating the totals.
+  * Contention robustness (three rounds of phantom >4x outliers on the
+  * driver's bench host, each adjudicated away by a quiet-host re-run):
+  * best of THREE timed passes per query; any query whose worst pass
+  * exceeds 2x its best is automatically RE-RUN once and the rerun
+  * replaces the worst pass — a transient contention spike then washes
+  * out (the rerun lands near the min and the flag drops), while a real
+  * regression reproduces and stays flagged. Per-query `spread` is the
+  * median absolute deviation of the kept passes; queries still
+  * spread-flagged after the rerun land in `outliers`, so a genuinely
+  * noisy host self-documents instead of silently inflating totals.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,25 +29,30 @@ object Bench {
         .mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    def flagged(ts: Seq[Double]): Boolean =
+      ts.max > 2.0 * ts.min && ts.max - ts.min > 0.25
     val results = qs.map { q =>
-      val times = (1 to 3).map { _ =>
+      def pass(): Double = {
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      var times = (1 to 3).map(_ => pass()).sorted
+      if (flagged(times)) // one confirmation pass replaces the worst
+        times = (times.dropRight(1) :+ pass()).sorted
       val median = times(times.size / 2)
       val mad = times.map(t => math.abs(t - median)).sorted.apply(times.size / 2)
-      (q.name, times.min, times.max, mad)
+      (q.name, times.min, times.max, mad, flagged(times))
     }
-    def fmtMap(f: ((String, Double, Double, Double)) => String): String =
+    def fmtMap(f: ((String, Double, Double, Double, Boolean)) => String): String =
       results.map(f).mkString("{", ",", "}")
-    val qJson = fmtMap { case (k, mn, _, _) => "\"" + k + "\":" + f"$mn%.3f" }
-    val spreadJson = fmtMap { case (k, _, _, mad) => "\"" + k + "\":" + f"$mad%.3f" }
+    val qJson = fmtMap { case (k, mn, _, _, _) => "\"" + k + "\":" + f"$mn%.3f" }
+    val spreadJson = fmtMap { case (k, _, _, mad, _) => "\"" + k + "\":" + f"$mad%.3f" }
     val outliers = results.collect {
-      case (k, mn, mx, _) if mx > 2.0 * mn && mx - mn > 0.25 => "\"" + k + "\""
+      case (k, _, _, _, true) => "\"" + k + "\""
     }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(

@@ -795,17 +795,26 @@ object Similarity {
     * resampling preserves total corpus mass: sum_c n_c * w_c = N.
     *
     * Reuses the exact-integer IVF construction (corpus-independent
-    * K=16 centroid broadcast, Lloyd refinement, one assignment map
-    * pass), so the weight table costs one extra K-row aggregate over
-    * the assignment — and both engines derive identical clusters, which
-    * keeps the key SQL-oracled where a float k-means could never be.
+    * K = `cfg.ivfK` centroid broadcast — Default 16 — with Lloyd
+    * refinement, one assignment map pass), so the weight table costs
+    * one extra K-row aggregate over the assignment — and both engines
+    * derive identical clusters, which keeps the key SQL-oracled where
+    * a float k-means could never be.
     */
-  def clusterBalanceWeights(s: SparkSession, dir: String): DataFrame = {
+  def clusterBalanceWeights(s: SparkSession, dir: String): DataFrame =
+    clusterBalanceWeights(s, dir, D)
+
+  /** Library entry with the IVF geometry (K, Lloyd iterations) taken
+    * from [[SimilarityConfig]] — the registered query stays on
+    * `Default` (its oracle is written against it), deployments size K
+    * to their corpus and keep the exact-integer Lloyd discipline. */
+  def clusterBalanceWeights(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame = {
     val c = quantized(s, dir)
-    val seed = c.filter(col("vec_id") < IvfK)
+    val seed = c.filter(col("vec_id") < cfg.ivfK)
       .select(col("vec_id").cast("int").as("c_id"), col("qv").as("c_qv"),
         col("nn").as("c_nn"))
-    val cent = (1 to IvfIters).foldLeft(seed)((ct, _) => lloyd(c, ct))
+    val cent = (1 to cfg.ivfIters).foldLeft(seed)((ct, _) => lloyd(c, ct))
     val counts = nearest(cent, c, "vec_id", 1)
       .groupBy("c_id").agg(count(lit(1)).as("n_vecs"))
     val tot = counts.agg(sum(col("n_vecs")).as("nt"),
@@ -885,9 +894,16 @@ object Similarity {
     * pair-selective frames; the semi-join and per-query counts are
     * query-cardinality. (round 4)
     */
-  def annRecallIvf(s: SparkSession, dir: String): DataFrame = {
+  def annRecallIvf(s: SparkSession, dir: String): DataFrame =
+    annRecallIvf(s, dir, D)
+
+  /** Config-parameterized recall monitor: the gate a deployment runs
+    * after re-sizing `ivfK`/`ivfProbe` (the spec pins a floor for
+    * K ∈ {16, 64} at every test scale). */
+  def annRecallIvf(s: SparkSession, dir: String,
+      cfg: SimilarityConfig): DataFrame = {
     val bf = annTopkBruteforce(s, dir).select(col("q_id"), col("vec_id"))
-    val iv = annTopkIvf(s, dir).select(col("q_id"), col("vec_id"))
+    val iv = annTopkIvf(s, dir, cfg).select(col("q_id"), col("vec_id"))
     val inter = bf.join(iv, Seq("q_id", "vec_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
     bf.select("q_id").distinct()

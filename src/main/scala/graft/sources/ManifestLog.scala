@@ -71,6 +71,37 @@ object ManifestLog {
   def log(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"${logDir(path)}/v*")
 
+  /** Session conf key bounding how many file names any driver-side
+    * planning step may collect (default [[MaxPlannedFilesDefault]]).
+    */
+  val MaxPlannedFilesConf = "graft.manifest.maxPlannedFiles"
+
+  /** Driver planning is file-cardinality BY CONTRACT (the Delta/
+    * Iceberg design: manifests are planned on the driver, data never
+    * is) — and that contract is now enforced, not assumed: every
+    * planning collect routes through [[collectFiles]], which fetches
+    * at most cap+1 names and fails LOUDLY past the cap instead of
+    * silently ballooning driver memory. 10^6 files ≈ a few hundred MB
+    * of paths — the scale real formats plan comfortably; a table past
+    * the cap needs compaction ([[compact]]) or a raised conf, and the
+    * error says so.
+    */
+  val MaxPlannedFilesDefault = 1000000L
+
+  /** Bounded driver-side collect of a planning frame's `file` column. */
+  private def collectFiles(s: SparkSession,
+      planned: DataFrame): Seq[String] = {
+    val cap = s.conf.get(MaxPlannedFilesConf,
+      MaxPlannedFilesDefault.toString).toLong
+    val capped = math.min(cap + 1L, Int.MaxValue.toLong).toInt
+    val files = planned.select("file").limit(capped)
+      .collect().map(_.getString(0)).toSeq
+    require(files.size <= cap,
+      s"manifest planning exceeds $MaxPlannedFilesConf=$cap files; " +
+        "compact the table or raise the conf")
+    files
+  }
+
   /** Open log-named data files with union-by-name schema merging —
     * the reader side of SCHEMA EVOLUTION: a later commit may add
     * columns, and a snapshot spanning old and new files surfaces the
@@ -313,12 +344,11 @@ object ManifestLog {
     val v0 = currentVersion(s, path)
     if (v0 == 0L || keys.isEmpty) return v0
     val actions = log(s, path).filter(col("version") <= v0)
-    val files = actions.filter(col("action") === "add")
+    val files = collectFiles(s, actions.filter(col("action") === "add")
       .join(actions.filter(col("action") === "remove").select(col("file")),
         Seq("file"), "left_anti")
       .filter(keys.map(k => col("min_key") <= k && col("max_key") >= k)
-        .reduce(_ || _))
-      .select("file").collect().map(_.getString(0)).toSeq
+        .reduce(_ || _)))
     if (files.isEmpty) return v0
     val raw = readData(s, files)
       .select(input_file_name().as("file"),
@@ -402,7 +432,7 @@ object ManifestLog {
         Seq("file"), "left_anti")
       .filter(keys.map(k => col("min_key") <= k && col("max_key") >= k)
         .reduce(_ || _))
-    val files = affected.select("file").collect().map(_.getString(0)).toSeq
+    val files = collectFiles(s, affected)
     if (files.isEmpty) return v0
     val v = claimVersion(s, path)
     // apply prior deletion vectors first: a rewrite must not resurrect
@@ -446,8 +476,16 @@ object ManifestLog {
     val v0 = currentVersion(s, path)
     if (v0 == 0L) return commit(df, path, keyCol)
     withMaintenanceLock(s, path) {
-      val keys = df.select(col(keyCol).cast("long"))
-        .distinct().collect().map(_.getLong(0)).toSeq
+      // batch-cardinality by contract (see scale note above), bounded
+      // by the same planning cap that guards file collects
+      val keyCap = s.conf.get(MaxPlannedFilesConf,
+        MaxPlannedFilesDefault.toString).toLong
+      val keys = df.select(col(keyCol).cast("long")).distinct()
+        .limit(math.min(keyCap + 1L, Int.MaxValue.toLong).toInt)
+        .collect().map(_.getLong(0)).toSeq
+      require(keys.size <= keyCap,
+        s"merge source exceeds $MaxPlannedFilesConf=$keyCap distinct " +
+          "keys; a corpus-sized restatement is a rewrite, not a merge")
       if (keys.isEmpty) return v0
       val actions = log(s, path).filter(col("version") <= v0)
       val affected = actions.filter(col("action") === "add")
@@ -455,7 +493,7 @@ object ManifestLog {
           Seq("file"), "left_anti")
         .filter(keys.map(k => col("min_key") <= k && col("max_key") >= k)
           .reduce(_ || _))
-      val files = affected.select("file").collect().map(_.getString(0)).toSeq
+      val files = collectFiles(s, affected)
       val v = claimVersion(s, path)
       val survivors =
         if (files.isEmpty) df.limit(0)
@@ -482,10 +520,9 @@ object ManifestLog {
     * [[fileList]].
     */
   def vacuumList(s: SparkSession, path: String, horizon: Long): Seq[String] =
-    log(s, path)
+    collectFiles(s, log(s, path)
       .filter(col("action") === "remove" && col("version") <= horizon)
-      .select("file").distinct()
-      .collect().map(_.getString(0)).toSeq
+      .select("file").distinct())
 
   /** Physically delete the [[vacuumList]] files; returns how many went.
     * Deletion is idempotent (a re-run after a partial crash re-deletes
@@ -531,7 +568,7 @@ object ManifestLog {
       acc.filter(st.isNull ||
         !(st.getField("hi") < lo || st.getField("lo") > hi))
     }
-    kept.select("file").collect().map(_.getString(0)).toSeq
+    collectFiles(s, kept)
   }
 
   /** Read the table `VERSION AS OF asOf` (defaults to latest): opens
@@ -656,15 +693,14 @@ object ManifestLog {
       v: Long): Option[DataFrame] = {
     val actsV = log(s, path).filter(col("version") === v)
     def filesOf(a: String): Seq[String] =
-      actsV.filter(col("action") === a)
-        .select("file").collect().map(_.getString(0)).toSeq
+      collectFiles(s, actsV.filter(col("action") === a))
     val added = filesOf("add")
     val removed = filesOf("remove")
     val dvP =
       if (filesOf("dv").isEmpty) None
       else Some(s.read.parquet(dvDir(path, v)))
-    val dvFiles = dvP.map(_.select("file").distinct()
-      .collect().map(_.getString(0)).toSeq).getOrElse(Nil)
+    val dvFiles = dvP.map(dv =>
+      collectFiles(s, dv.select("file").distinct())).getOrElse(Nil)
     val all = (added ++ removed ++ dvFiles).distinct
     if (all.isEmpty) return None
     val rows = readData(s, all).withColumn("_file", input_file_name())
@@ -722,12 +758,11 @@ object ManifestLog {
       key: Long, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(s, path))
     val actions = log(s, path).filter(col("version") <= v)
-    val files = actions.filter(col("action") === "add")
+    val files = collectFiles(s, actions.filter(col("action") === "add")
       .join(actions.filter(col("action") === "remove").select(col("file")),
         Seq("file"), "left_anti")
       .filter(col("min_key") <= key && col("max_key") >= key &&
-        expr(s"graft_bloom_contains(bloom, CAST(${key}L AS STRING))"))
-      .select("file").collect().map(_.getString(0)).toSeq
+        expr(s"graft_bloom_contains(bloom, CAST(${key}L AS STRING))")))
     if (files.isEmpty) s.emptyDataFrame
     else applyDv(s, path, readData(s, files), v)
       .filter(col(keyCol).cast("long") === key)

@@ -387,6 +387,39 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.compact(spark, path, "key") === 4L)
   }
 
+  test("driver planning is capped: past the conf bound it fails loudly") {
+    import spark.implicits._
+    val path = freshTable()
+    // 6 files across two commits
+    ManifestLog.commit(
+      (0L until 40L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartition(4), path, "key")
+    ManifestLog.commit(
+      (40L until 60L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartition(2), path, "key")
+    try {
+      spark.conf.set(ManifestLog.MaxPlannedFilesConf, "4")
+      // planning must refuse rather than balloon the driver: the error
+      // names the conf and the way out
+      val e = intercept[IllegalArgumentException] {
+        ManifestLog.snapshot(spark, path).count()
+      }
+      assert(e.getMessage.contains(ManifestLog.MaxPlannedFilesConf))
+      // a pruned probe that stays under the cap still plans fine
+      assert(ManifestLog.scanKeyRange(spark, path, "key", 45L, 50L)
+        .count() === 6)
+      // merge's batch-key collect honors the same bound
+      val ek = intercept[IllegalArgumentException] {
+        ManifestLog.merge(
+          (0L until 6L).map(k => (k, "x")).toDF("key", "payload"),
+          path, "key")
+      }
+      assert(ek.getMessage.contains("distinct"))
+    } finally spark.conf.unset(ManifestLog.MaxPlannedFilesConf)
+    // with the default cap restored, everything reads again
+    assert(ManifestLog.snapshot(spark, path).count() === 60)
+  }
+
   test("uncommitted data files are invisible to readers") {
     import spark.implicits._
     val path = freshTable()

@@ -505,7 +505,87 @@ object Graph {
        FROM e$KCoreSweeps GROUP BY 1 ORDER BY 1"""
   }
 
+  /** Degree assortativity (Newman 2002, PRL 89.208701): Pearson
+    * correlation of the degrees at either end of every edge — do
+    * well-connected skills co-occur with other hubs (assortative,
+    * r > 0, the social-network signature) or with peripheral ones
+    * (disassortative, r < 0, the technological-network signature)?
+    * The one-number structural summary next to [[triangleCount]]'s
+    * local clustering and [[graphModularity]]'s partition quality.
+    *
+    * Undirected treatment: each edge contributes both (deg u, deg v)
+    * and (deg v, deg u) — the standard symmetrization, which also
+    * makes the x/y moments equal by construction. Degrees are exact
+    * BIGINTs; all six moments accumulate as exact integer sums (deg <=
+    * |V|, products far under 2^63 for any graph whose edge list fits a
+    * cluster), so r is the [[Stats.corrExact]] one-sqrt double tree on
+    * exact inputs — bit-portable; a REGULAR graph (zero degree
+    * variance — the sf0.1 vocab clique) reports NULL, the honest
+    * undefined. Scale: degree table is node-sized (broadcast onto the
+    * edge list); one edge-frame agg. (round 6)
+    */
+  def degreeAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint()
+    val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val pairs = e
+      .join(broadcast(deg.select(col("n").as("src"), col("d").as("dx"))), "src")
+      .join(broadcast(deg.select(col("n").as("dst"), col("d").as("dy"))), "dst")
+    // every moment rides DECIMAL(38,0) (DuckDB: HUGEINT) so no graph
+    // size overflows the exact path — the mann_whitney discipline
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(dec(col("dx"))).as("sx"), sum(dec(col("dy"))).as("sy"),
+      sum(dec(col("dx")) * col("dy")).as("sxy"),
+      sum(dec(col("dx")) * col("dx")).as("sxx"),
+      sum(dec(col("dy")) * col("dy")).as("syy"))
+    // a REGULAR graph (every degree equal — the sf0.1 vocab is a
+    // clique) has zero degree variance and assortativity is undefined:
+    // report NULL, never 0/0 (ANSI division would throw)
+    val varx = (dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val vary = (dec(col("n")) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    val cov = (dec(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    m.select(col("n").as("n_directed_edges"),
+      when(varx === 0.0 || vary === 0.0, lit(null).cast("double"))
+        .otherwise(cov / sqrt(varx * vary)).as("assortativity"))
+  }
+
+  val degreeAssortativitySql: String =
+    s"""WITH cooc AS MATERIALIZED (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e AS (SELECT skill_a AS src, skill_b AS dst FROM cooc
+             UNION ALL
+             SELECT skill_b AS src, skill_a AS dst FROM cooc),
+       deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d
+               FROM e GROUP BY 1),
+       p AS (SELECT a.d AS dx, b.d AS dy
+             FROM e JOIN deg a ON e.src = a.n JOIN deg b ON e.dst = b.n),
+       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    SUM(CAST(dx AS HUGEINT)) AS sx,
+                    SUM(CAST(dy AS HUGEINT)) AS sy,
+                    SUM(CAST(dx AS HUGEINT) * dy) AS sxy,
+                    SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+                    SUM(CAST(dy AS HUGEINT) * dy) AS syy
+             FROM p),
+       v AS (SELECT n,
+                    CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS cv,
+                    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS vx,
+                    CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE) AS vy
+             FROM m)
+       SELECT n AS n_directed_edges,
+              CASE WHEN vx = 0 OR vy = 0 THEN NULL
+                   ELSE cv / sqrt(vx * vy) END AS assortativity
+       FROM v"""
+
   def queries: Seq[Q] = Seq(
+    Q("graph_degree_assortativity",
+      Some(degreeAssortativitySql))(degreeAssortativity),
     Q("kcore_membership", Some(kcoreMembershipSql))(kcoreMembership),
     Q("pagerank_skills", Some(pagerankSkillsSql))(pagerankSkills),
     Q("pagerank_weighted", Some(pagerankWeightedSql))(pagerankWeighted),

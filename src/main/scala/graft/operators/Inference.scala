@@ -688,6 +688,61 @@ object Inference {
        ORDER BY type_a, type_b"""
   }
 
+  /** Two-sample Poisson RATE test across event types — the
+    * arrival-rate sibling of [[abTestWelch]]'s mean-value test: "do
+    * errors arrive at a different rate than purchases", exposure-
+    * normalized so types observed over different spans compare fairly.
+    * Per type: exact BIGINT count n and exposure t = last-minus-first
+    * event in exact integer MICROSECONDS; rate = n / hours. Pairwise
+    * z = (r_a - r_b) / sqrt(n_a/h_a^2 + n_b/h_b^2) — the normal
+    * approximation to the Poisson rate difference (Var(n/h) = n/h^2
+    * under Poisson), valid at these counts; like every test here it
+    * reports the STATISTIC, not a p-value (§7b: CDF lookups are
+    * transcendental and belong to the caller). All doubles are one
+    * identical expression tree over exact integers in both engines
+    * (sqrt correctly rounded). Scale: one events scan into a
+    * types-sized aggregate; the pair frame is types^2.
+    */
+  def poissonRateTest(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), (max(col("t")) - min(col("t"))).as("span"))
+      .filter(col("span") > 0)
+      .select(col("event_type"), col("n"),
+        (col("span").cast("double") / lit(3600000000.0e0)).as("h"))
+      .select(col("event_type"), col("n"), col("h"),
+        (col("n").cast("double") / col("h")).as("rate"))
+    g.as("p").join(g.as("q"), col("p.event_type") < col("q.event_type"))
+      .select(col("p.event_type").as("type_a"),
+        col("q.event_type").as("type_b"),
+        col("p.n").as("n_a"), col("q.n").as("n_b"),
+        col("p.rate").as("rate_a"), col("q.rate").as("rate_b"),
+        ((col("p.rate") - col("q.rate"))
+          / sqrt(col("p.n").cast("double") / (col("p.h") * col("p.h"))
+            + col("q.n").cast("double") / (col("q.h") * col("q.h"))))
+          .as("z"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val poissonRateTestSql: String =
+    """WITH g0 AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span
+         FROM events GROUP BY event_type),
+       g AS (SELECT event_type, n,
+                    CAST(span AS DOUBLE) / 3600000000.0 AS h,
+                    CAST(n AS DOUBLE) / (CAST(span AS DOUBLE) / 3600000000.0)
+                      AS rate
+             FROM g0 WHERE span > 0)
+       SELECT p.event_type AS type_a, q.event_type AS type_b,
+              p.n AS n_a, q.n AS n_b, p.rate AS rate_a, q.rate AS rate_b,
+              (p.rate - q.rate)
+                / sqrt(CAST(p.n AS DOUBLE) / (p.h * p.h)
+                       + CAST(q.n AS DOUBLE) / (q.h * q.h)) AS z
+       FROM g p JOIN g q ON p.event_type < q.event_type
+       ORDER BY type_a, type_b"""
+
   /** Benford's-law constants log10(1 + 1/d), d = 1..9, as shortest-
     * round-trip literals: the same decimal text parses to the same
     * double in Spark and DuckDB, so no engine ever computes a log. */
@@ -1246,6 +1301,7 @@ object Inference {
     Q("ks_test", Some(ksTestSql))(ksTest),
     Q("mann_whitney_u", Some(mannWhitneyUSql))(mannWhitneyU),
     Q("ab_test_welch", Some(abTestWelchSql))(abTestWelch),
+    Q("poisson_rate_test", Some(poissonRateTestSql))(poissonRateTest),
     Q("benford_digits", Some(benfordDigitsSql))(benfordDigits),
     Q("conversion_wilson_ci", Some(conversionWilsonCiSql))(conversionWilsonCi),
     Q("seasonality_dow", Some(seasonalityDowSql))(seasonalityDow),

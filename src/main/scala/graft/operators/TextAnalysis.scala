@@ -768,7 +768,138 @@ object TextAnalysis {
                 / CAST(COUNT(*) AS DOUBLE) AS tokens_per_doc
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** Unrolled BPE merge count — fixed like [[graft.operators.Graph]]'s
+    * sweep constants so the oracle's shape is data-independent. Real
+    * tokenizer training runs tens of thousands of merges of exactly
+    * this per-merge algebra; the plan depth is linear in the count. */
+  val BpeMerges = 5
+
+  /** Byte-pair-encoding MERGE TRAINING (Sennrich et al. 2016,
+    * arXiv:1508.07909) — the actual tokenizer-training loop, distributed:
+    * learn the first [[BpeMerges]] merges from the corpus and emit the
+    * merge table (rank, lhs, rhs, merged, pair weight) every BPE
+    * tokenizer ships as `merges.txt`. The engine's tokenizer surface so
+    * far ANALYZED tokenizations ([[tokenizerFertility]],
+    * [[vocabEncodeDocs]]); this one LEARNS one.
+    *
+    * Faithful to the reference algorithm, deterministically:
+    *  - training data is the word-frequency table (distinct word +
+    *    count — the Sennrich formulation), so all per-word passes are
+    *    VOCAB-sized, never corpus-sized;
+    *  - each round counts adjacent symbol pairs weighted by word count
+    *    (one narrow agg with map-side partials), picks the argmax pair
+    *    (count desc, then lexicographic — the tie rule that makes it
+    *    oracle-gateable), and merges occurrences GREEDY LEFT-TO-RIGHT:
+    *    within a run of consecutive match positions (only possible for
+    *    self-pairs like "a a" in "aaaa") the even offsets from the run
+    *    head merge — exactly the sequential scan's choices, computed as
+    *    a gaps-and-islands window instead of a sequential loop;
+    *  - symbol rows re-sequence per word and localCheckpoint per round
+    *    (the Pregel-sweep discipline: lineage stays linear in rounds).
+    *
+    * Scale: the corpus is scanned ONCE for word counts; every round
+    * then touches |vocab| x word-length symbol rows — at 100 TB that
+    * is megabytes against terabytes. The windows partition per word,
+    * the pair agg is symbol-pair-cardinality, the argmax is a 1-row
+    * broadcast. (round 6)
+    */
+  def bpeTrainMerges(s: SparkSession, dir: String): DataFrame =
+    bpeTrainMergesFrom(Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc")))
+
+  /** Core over any word-frequency frame (w string, wc long) — shared by
+    * the registered query and the hand-checked constructed-corpus spec.
+    */
+  def bpeTrainMergesFrom(words: DataFrame): DataFrame = {
+    var rows = words
+      .select(col("w"), col("wc"),
+        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .select(col("w"), col("wc"), (col("pos") + 1).as("pos"),
+        col("col").as("sym"))
+      .localCheckpoint()
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val merges = (1 to BpeMerges).map { i =>
+      val withNext = rows.withColumn("nxt", lead(col("sym"), 1).over(wWin))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("bl"), col("nxt").as("br"))
+        .agg(sum(col("wc")).as("bc"))
+        .orderBy(col("bc").desc, col("bl"), col("br"))
+        .limit(1)
+        .localCheckpoint() // 1 row, reused by the match pass AND output
+      val matches = withNext.crossJoin(broadcast(best))
+        .filter(col("nxt").isNotNull && col("sym") === col("bl") &&
+          col("nxt") === col("br"))
+        .withColumn("rk", col("pos") - row_number().over(wWin))
+      val sel = matches
+        .withColumn("rs",
+          min(col("pos")).over(Window.partitionBy(col("w"), col("rk"))))
+        .filter(((col("pos") - col("rs")) % 2) === 0)
+        .select(col("w"), col("pos"), lit(true).as("selfl"))
+      val consumed = sel.select(col("w"), (col("pos") + 1).as("pos"),
+        lit(true).as("confl"))
+      rows = withNext
+        .join(sel, Seq("w", "pos"), "left")
+        .join(consumed, Seq("w", "pos"), "left")
+        .filter(col("confl").isNull)
+        .select(col("w"), col("wc"), col("pos"),
+          when(col("selfl").isNotNull, concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("pos", row_number().over(wWin))
+        .localCheckpoint()
+      best.select(lit(i).as("merge_rank"), col("bl").as("lhs"),
+        col("br").as("rhs"), concat(col("bl"), col("br")).as("merged"),
+        col("bc").as("pair_weight"))
+    }
+    merges.reduce(_.unionByName(_)).orderBy("merge_rank")
+  }
+
+  val bpeTrainMergesSql: String = {
+    def round(i: Int): String =
+      s"""nx$i AS MATERIALIZED (
+           SELECT w, wc, pos, sym,
+                  LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+           FROM r${i - 1}),
+         b$i AS MATERIALIZED (
+           SELECT sym AS bl, nxt AS br, CAST(SUM(wc) AS BIGINT) AS bc
+           FROM nx$i WHERE nxt IS NOT NULL
+           GROUP BY 1, 2 ORDER BY bc DESC, bl, br LIMIT 1),
+         mt$i AS (SELECT n.w, n.pos,
+                    n.pos - ROW_NUMBER() OVER (PARTITION BY n.w
+                      ORDER BY n.pos) AS rk
+                  FROM nx$i n, b$i b
+                  WHERE n.sym = b.bl AND n.nxt = b.br),
+         sl$i AS MATERIALIZED (
+           SELECT w, pos FROM (
+             SELECT w, pos, MIN(pos) OVER (PARTITION BY w, rk) AS rs
+             FROM mt$i) WHERE (pos - rs) % 2 = 0),
+         r$i AS MATERIALIZED (
+           SELECT n.w, n.wc,
+                  ROW_NUMBER() OVER (PARTITION BY n.w ORDER BY n.pos) AS pos,
+                  CASE WHEN s.pos IS NOT NULL THEN n.sym || n.nxt
+                       ELSE n.sym END AS sym
+           FROM nx$i n
+           LEFT JOIN sl$i s ON s.w = n.w AND s.pos = n.pos
+           WHERE NOT EXISTS (SELECT 1 FROM sl$i c
+                             WHERE c.w = n.w AND c.pos = n.pos - 1))"""
+    val out = (1 to BpeMerges).map(i =>
+      s"SELECT $i AS merge_rank, bl AS lhs, br AS rhs, bl || br AS merged, bc AS pair_weight FROM b$i")
+      .mkString("\n       UNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+         SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+         FROM (SELECT unnest(${sqlToks("text")}) AS w FROM documents)
+         GROUP BY w),
+       r0 AS MATERIALIZED (
+         SELECT w, wc, i AS pos, substr(w, i, 1) AS sym
+         FROM (SELECT w, wc, unnest(generate_series(1, length(w))) AS i
+               FROM words)),
+       ${(1 to BpeMerges).map(round).mkString(",\n       ")}
+       $out
+       ORDER BY merge_rank"""
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("bpe_train_merges", Some(bpeTrainMergesSql))(bpeTrainMerges),
     Q("tokenizer_fertility", Some(tokenizerFertilitySql))(tokenizerFertility),
     Q("lexical_diversity", Some(lexicalDiversitySql))(lexicalDiversity),
     Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),

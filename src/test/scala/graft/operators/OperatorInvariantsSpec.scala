@@ -991,6 +991,40 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merges: hand-checked learning on a constructed corpus, greedy overlap rule") {
+    import spark.implicits._
+    // corpus: "aaab" x3, "ab" x2. Round 1: (a,a) weight 6 beats (a,b) 5;
+    // greedy left-to-right in "aaab" merges positions (1,2) only (the
+    // overlap at (2,3) is consumed). Round 2: (a,b) 5 = 3 (in [aa,a,b])
+    // + 2 (in [a,b]). Round 3: (aa,ab) 3. Rounds 4-5: nothing mergeable
+    // twice... round 4 merges (aaab = aa||ab? no — [aa,ab] pairs (aa,ab)
+    // weight 3, merged round 3) leaving single-symbol words; round 4's
+    // best is the ab-word pair universe: [ab] has no pairs, [aaab] is one
+    // symbol — no pairs remain, so rounds 4-5 emit nothing.
+    val words = Seq(("aaab", 3L), ("ab", 2L)).toDF("w", "wc")
+    val merges = TextAnalysis.bpeTrainMergesFrom(words).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_weight")))
+    assert(merges.toSeq === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+
+    // the self-pair overlap rule on an even run: "aaaa" merges twice,
+    // "aaa" once (the trailing 'a' survives) — byte-for-byte Sennrich
+    val runs = Seq(("aaaa", 1L), ("aaa", 1L)).toDF("w", "wc")
+    val m2 = TextAnalysis.bpeTrainMergesFrom(runs).collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_weight")))
+    // round 1: (a,a) appears at positions 1,2,3 in "aaaa" (select 1,3)
+    // and 1,2 in "aaa" (select 1) -> weight 3+2 = 5
+    assert(m2.head === ((1, "aa", 5L)))
+    // round 2: "aaaa"=[aa,aa] -> (aa,aa) 1; "aaa"=[aa,a] -> (aa,a) 1;
+    // tie broken lexicographically: (aa,a) < (aa,aa)
+    assert(m2(1) === ((2, "aaa", 1L)))
+  }
+
   test("IVF K is a config knob: recall holds a floor for K in {16, 64} at every SF") {
     // the judge-mandated gate for re-sizing the IVF geometry: K comes
     // from SimilarityConfig (not a constant), the exact-integer Lloyd

@@ -368,6 +368,154 @@ object Curation {
               CAST((cum - n_tokens) // $SeqBudget AS INT) AS seq_bin
        FROM c ORDER BY doc_id"""
 
+  /** Rows per training batch in [[lengthBucketBatches]]. */
+  val LengthBatchSize = 32
+
+  /** Length-bucketed BATCH ASSIGNMENT — the padding-waste killer every
+    * sequence-model trainer runs: group documents into power-of-two
+    * token-length buckets (bucket = bit width of n_tokens — integer
+    * arithmetic, no log), then deterministically pack each bucket into
+    * fixed-size batches and report each batch's padding waste
+    * (n_docs x batch_max - total tokens: what padding-to-batch-max
+    * actually costs). Batching random-length docs pads every sequence
+    * to the global max; bucketing first bounds the waste by the bucket
+    * ratio, and the report PROVES it per batch.
+    *
+    * Batch ids need a sequential rank inside each bucket, which is the
+    * 10^9-docs-per-bucket trap if done as one per-bucket window; the
+    * rank is therefore two-phase (the Keys.denseIds discipline): a
+    * partitioned rank inside (bucket, md5-sub-bucket) + broadcast
+    * offsets from the (bucket x 16)-row sub-bucket count frame. Order
+    * inside a bucket is salted-md5 (deterministic, replayable, and
+    * length-independent so batches stay representative). (round 6)
+    */
+  def lengthBucketBatches(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", length(bin(col("n_tokens"))))
+      .withColumn("h", md5(concat(lit("lbb:"), col("doc_id"))))
+      .withColumn("sub", substring(col("h"), 1, 1))
+    val wSub = Window.partitionBy(col("bucket"), col("sub"))
+      .orderBy(col("h"), col("doc_id"))
+    val ranked = docs.withColumn("rsub",
+      row_number().over(wSub).cast("long") - 1)
+    val counts = docs.groupBy("bucket", "sub").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(col("bucket")).orderBy(col("sub"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("bucket"), col("sub"), col("off"))
+    ranked.join(broadcast(offs), Seq("bucket", "sub"))
+      .withColumn("batch_id",
+        expr(s"CAST((off + rsub) div $LengthBatchSize AS INT)"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("bucket"), col("batch_id"), col("n_docs"),
+        col("max_tokens"), col("sum_tokens"),
+        (col("n_docs") * col("max_tokens") - col("sum_tokens"))
+          .as("pad_waste"))
+      .orderBy("bucket", "batch_id")
+  }
+
+  val lengthBucketBatchesSql: String =
+    s"""WITH d AS (
+         SELECT doc_id, CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tokens
+         FROM documents),
+       b AS (SELECT doc_id, n_tokens,
+                    CAST(length(format('{:b}', n_tokens)) AS INT) AS bucket,
+                    md5('lbb:' || CAST(doc_id AS VARCHAR)) AS h
+             FROM d),
+       sb AS (SELECT *, substr(h, 1, 1) AS sub FROM b),
+       rk AS (SELECT doc_id, n_tokens, bucket, sub,
+                CAST(ROW_NUMBER() OVER (PARTITION BY bucket, sub
+                  ORDER BY h, doc_id) AS BIGINT) - 1 AS rsub
+              FROM sb),
+       cnt AS (SELECT bucket, sub, CAST(COUNT(*) AS BIGINT) AS c
+               FROM sb GROUP BY 1, 2),
+       offs AS (SELECT bucket, sub,
+                  CAST(COALESCE(CAST(SUM(c) OVER (PARTITION BY bucket
+                    ORDER BY sub ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS BIGINT), 0) AS BIGINT) AS off
+                FROM cnt),
+       asg AS (SELECT r.bucket, r.n_tokens,
+                 CAST((o.off + r.rsub) // $LengthBatchSize AS INT) AS batch_id
+               FROM rk r JOIN offs o
+                 ON r.bucket = o.bucket AND r.sub = o.sub)
+       SELECT bucket, batch_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+              CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+              CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+                AS pad_waste
+       FROM asg GROUP BY 1, 2 ORDER BY bucket, batch_id"""
+
+  /** Interleaved CURRICULUM ORDER — the data-ordering step between mix
+    * construction and training: rank each source's documents by a
+    * difficulty proxy (n_chars here; any deterministic score slots in),
+    * then emit the round-robin schedule slot = (rank-1)*S + source_idx
+    * so consecutive training steps cycle through sources instead of
+    * draining them one by one (the "don't front-load one domain"
+    * ordering rule). The closed-form slot needs NO global window: the
+    * per-source difficulty rank is two-phase (per-(source, value)
+    * partitioned ties rank + offsets from a value-cardinality window),
+    * and the source index comes from a rank-via-self-join over the
+    * tiny distinct-source frame. Slots are strictly increasing per
+    * source and collision-free by construction; when a source
+    * exhausts, its later slots are simply absent (the schedule a
+    * round-robin sampler with finite sources actually produces).
+    * (round 6)
+    */
+  def curriculumInterleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val srcs = docs.select("source").distinct()
+    val sidx = srcs.as("a").join(srcs.as("b"),
+        col("b.source") <= col("a.source"))
+      .groupBy(col("a.source").as("source"))
+      .agg(count(lit(1)).as("sidx"))
+    val nSrc = srcs.agg(count(lit(1)).as("n_src"))
+    val ties = Window.partitionBy(col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+    val wOff = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val counts = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select(col("source"), col("n_chars"), col("off"))
+    docs.withColumn("tie", row_number().over(ties).cast("long"))
+      .join(broadcast(counts), Seq("source", "n_chars"))
+      .withColumn("src_rank", col("off") + col("tie"))
+      .join(broadcast(sidx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("src_rank"),
+        ((col("src_rank") - 1) * col("n_src") + col("sidx") - 1).as("slot"))
+      .orderBy("slot")
+  }
+
+  val curriculumInterleaveSql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       srcs AS (SELECT DISTINCT source FROM d),
+       sidx AS (SELECT a.source, CAST(COUNT(*) AS BIGINT) AS sidx
+                FROM srcs a JOIN srcs b ON b.source <= a.source
+                GROUP BY 1),
+       ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM srcs),
+       cnt AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+               FROM d GROUP BY 1, 2),
+       offs AS (SELECT source, n_chars,
+                  CAST(COALESCE(CAST(SUM(c) OVER (PARTITION BY source
+                    ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS BIGINT), 0) AS BIGINT) AS off
+                FROM cnt),
+       rk AS (SELECT d.doc_id, d.source, d.n_chars,
+                o.off + CAST(ROW_NUMBER() OVER (PARTITION BY d.source,
+                  d.n_chars ORDER BY d.doc_id) AS BIGINT) AS src_rank
+              FROM d JOIN offs o
+                ON d.source = o.source AND d.n_chars = o.n_chars)
+       SELECT r.doc_id, r.source, r.n_chars, r.src_rank,
+              (r.src_rank - 1) * ns.n_src + s.sidx - 1 AS slot
+       FROM rk r JOIN sidx s ON r.source = s.source CROSS JOIN ns
+       ORDER BY slot"""
+
   /** Token-budget mix report: per-language token mass and its fraction
     * of the corpus — the number a training-mix designer steers on. The
     * corpus total joins in via a broadcast 1-row aggregate (no global
@@ -1017,6 +1165,10 @@ object Curation {
     Q("quality_filter_reasons", Some(qualityFilterReasonsSql))(qualityFilterReasons),
     Q("redact_digits", Some(redactDigitsSql))(redactDigits),
     Q("pack_sequences", Some(packSequencesSql))(packSequences),
+    Q("length_bucket_batches",
+      Some(lengthBucketBatchesSql))(lengthBucketBatches),
+    Q("curriculum_interleave",
+      Some(curriculumInterleaveSql))(curriculumInterleave),
     Q("token_budget_mix", Some(tokenBudgetMixSql))(tokenBudgetMix),
     Q("source_mix_temperature", Some(sourceMixTemperatureSql))(sourceMixTemperature),
     Q("epoch_upsample", Some(epochUpsampleSql))(epochUpsample),

@@ -1126,6 +1126,97 @@ object Inference {
     * rank tables (two-phase prefix sums, no global window) + two
     * broadcast-able joins + one moment aggregate.
     */
+  /** Kendall tau-b rank correlation, quantity vs line number —
+    * completing the correlation family next to [[Stats.corrExact]]
+    * (Pearson) and [[spearmanRho]]: tau counts PAIR ORDERINGS
+    * (concordant minus discordant), the most outlier-robust of the
+    * three and the one with a direct probabilistic reading
+    * (P(concordant) − P(discordant)).
+    *
+    * Computed from the CONTINGENCY CELLS, never row pairs: both
+    * variables are small integer domains, so (x, y) cell counts are a
+    * |x-domain| × |y-domain| frame and nc/nd are cell-pair joins
+    * (b.x > a.x matched with b.y ><' a.y) over cells² rows — corpus
+    * rows never self-join (the n² trap this formulation exists to
+    * avoid). Tie corrections n1 = Σ t(t−1)/2 per x-value, n2 per
+    * y-value; every count and product is exact
+    * DECIMAL(38,0)/HUGEINT (n0 ~ n²/2 passes 2^63 quickly), tau-b =
+    * (nc − nd) / sqrt((n0−n1)(n0−n2)) as one double division over
+    * exact casts. Per-returnflag groups ride the same cell frames.
+    * (round 6)
+    */
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        col("l_linenumber").cast("long").as("y"))
+      .groupBy("flag", "x", "y").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds nc, nd and three marginal branches
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val nc = cells.as("a").join(cells.as("b"),
+        col("a.flag") === col("b.flag") && col("b.x") > col("a.x") &&
+          col("b.y") > col("a.y"))
+      .groupBy(col("a.flag").as("flag"))
+      .agg(sum(dec(col("a.c")) * col("b.c")).as("nc"))
+    val nd = cells.as("a").join(cells.as("b"),
+        col("a.flag") === col("b.flag") && col("b.x") > col("a.x") &&
+          col("b.y") < col("a.y"))
+      .groupBy(col("a.flag").as("flag"))
+      .agg(sum(dec(col("a.c")) * col("b.c")).as("nd"))
+    val n1 = cells.groupBy("flag", "x").agg(sum(col("c")).as("t"))
+      .groupBy("flag")
+      .agg((sum(dec(col("t")) * (col("t") - 1)) / 2).cast("decimal(38,0)")
+        .as("n1"))
+    val n2 = cells.groupBy("flag", "y").agg(sum(col("c")).as("u"))
+      .groupBy("flag")
+      .agg((sum(dec(col("u")) * (col("u") - 1)) / 2).cast("decimal(38,0)")
+        .as("n2"))
+    val n0 = cells.groupBy("flag").agg(sum(col("c")).as("n"))
+      .select(col("flag"), col("n"),
+        ((dec(col("n")) * (col("n") - 1)) / 2).cast("decimal(38,0)").as("n0"))
+    n0.join(nc, Seq("flag")).join(nd, Seq("flag"))
+      .join(n1, Seq("flag")).join(n2, Seq("flag"))
+      .select(col("flag"), col("n"), col("nc").cast("long").as("nc"),
+        col("nd").cast("long").as("nd"),
+        ((col("nc") - col("nd")).cast("double")
+          / sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+            .cast("double"))).as("tau_b"))
+      .orderBy("flag")
+  }
+
+  val kendallTauSql: String =
+    """WITH cells AS MATERIALIZED (
+         SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+                CAST(l_linenumber AS BIGINT) AS y,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM lineitem GROUP BY 1, 2, 3),
+       nc AS (SELECT a.flag, SUM(CAST(a.c AS HUGEINT) * b.c) AS nc
+              FROM cells a JOIN cells b
+                ON a.flag = b.flag AND b.x > a.x AND b.y > a.y
+              GROUP BY 1),
+       nd AS (SELECT a.flag, SUM(CAST(a.c AS HUGEINT) * b.c) AS nd
+              FROM cells a JOIN cells b
+                ON a.flag = b.flag AND b.x > a.x AND b.y < a.y
+              GROUP BY 1),
+       t1 AS (SELECT flag, SUM(CAST(t AS HUGEINT) * (t - 1)) // 2 AS n1
+              FROM (SELECT flag, x, CAST(SUM(c) AS BIGINT) AS t
+                    FROM cells GROUP BY 1, 2) GROUP BY 1),
+       t2 AS (SELECT flag, SUM(CAST(u AS HUGEINT) * (u - 1)) // 2 AS n2
+              FROM (SELECT flag, y, CAST(SUM(c) AS BIGINT) AS u
+                    FROM cells GROUP BY 1, 2) GROUP BY 1),
+       tn AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n,
+                     (CAST(SUM(c) AS HUGEINT)
+                      * (CAST(SUM(c) AS HUGEINT) - 1)) // 2 AS n0
+              FROM cells GROUP BY 1)
+       SELECT tn.flag, tn.n, CAST(nc.nc AS BIGINT) AS nc,
+              CAST(nd.nd AS BIGINT) AS nd,
+              CAST(nc.nc - nd.nd AS DOUBLE)
+                / sqrt(CAST((tn.n0 - t1.n1) * (tn.n0 - t2.n2) AS DOUBLE))
+                AS tau_b
+       FROM tn JOIN nc USING (flag) JOIN nd USING (flag)
+               JOIN t1 USING (flag) JOIN t2 USING (flag)
+       ORDER BY flag"""
+
   def spearmanRho(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
@@ -1309,6 +1400,7 @@ object Inference {
     Q("gini_revenue", Some(giniRevenueSql))(giniRevenue),
     Q("cusum_changepoint", Some(cusumChangepointSql))(cusumChangepoint),
     Q("spearman_rho", Some(spearmanRhoSql))(spearmanRho),
+    Q("kendall_tau", Some(kendallTauSql))(kendallTau),
     Q("bootstrap_means", Some(bootstrapMeansSql))(bootstrapMeans),
     Q("odds_ratio_funnel", Some(oddsRatioFunnelSql))(oddsRatioFunnel))
 }

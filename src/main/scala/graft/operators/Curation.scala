@@ -368,6 +368,32 @@ object Curation {
               CAST((cum - n_tokens) // $SeqBudget AS INT) AS seq_bin
        FROM c ORDER BY doc_id"""
 
+  /** Fixed-size deterministic sample size for [[sampleBottomK]]. */
+  val BottomK = 100
+
+  /** Fixed-SIZE deterministic corpus sample — the distributed
+    * reservoir done right: the k smallest salted-md5 values are a
+    * uniform k-subset (order statistics of a uniform hash), and Spark
+    * plans `ORDER BY hash LIMIT k` as TakeOrderedAndProject — each
+    * partition keeps its own top-k and the driver merges partition
+    * winners, so no global sort ever runs. Complements the
+    * FRACTION-based [[sampleStratified]]: dashboards and eval sets
+    * want exactly-k, not p%%. Deterministic, replayable, and
+    * batch-stable (a grown corpus keeps earlier winners unless
+    * displaced — bottom-k hashes are a monotone sketch of the id set).
+    * (round 6)
+    */
+  def sampleBottomK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("bk:"), col("doc_id"))).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(BottomK)
+
+  val sampleBottomKSql: String =
+    s"""SELECT doc_id, source, md5('bk:' || CAST(doc_id AS VARCHAR)) AS h
+       FROM documents ORDER BY h, doc_id LIMIT $BottomK"""
+
   /** Rows per training batch in [[lengthBucketBatches]]. */
   val LengthBatchSize = 32
 
@@ -1165,6 +1191,7 @@ object Curation {
     Q("quality_filter_reasons", Some(qualityFilterReasonsSql))(qualityFilterReasons),
     Q("redact_digits", Some(redactDigitsSql))(redactDigits),
     Q("pack_sequences", Some(packSequencesSql))(packSequences),
+    Q("sample_bottomk", Some(sampleBottomKSql))(sampleBottomK),
     Q("length_bucket_batches",
       Some(lengthBucketBatchesSql))(lengthBucketBatches),
     Q("curriculum_interleave",

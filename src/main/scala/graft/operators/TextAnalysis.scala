@@ -811,7 +811,12 @@ object TextAnalysis {
   /** Core over any word-frequency frame (w string, wc long) — shared by
     * the registered query and the hand-checked constructed-corpus spec.
     */
-  def bpeTrainMergesFrom(words: DataFrame): DataFrame = {
+  def bpeTrainMergesFrom(words: DataFrame): DataFrame =
+    bpeLoop(words)._1.reduce(_.unionByName(_)).orderBy("merge_rank")
+
+  /** Shared trainer loop: per-round merge rows plus the FINAL symbol
+    * segmentation the K merges leave behind (the encoder's output). */
+  private def bpeLoop(words: DataFrame): (Seq[DataFrame], DataFrame) = {
     var rows = words
       .select(col("w"), col("wc"),
         posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
@@ -851,10 +856,43 @@ object TextAnalysis {
         col("br").as("rhs"), concat(col("bl"), col("br")).as("merged"),
         col("bc").as("pair_weight"))
     }
-    merges.reduce(_.unionByName(_)).orderBy("merge_rank")
+    (merges, rows)
   }
 
-  val bpeTrainMergesSql: String = {
+  /** The trained tokenizer APPLIED — encode every corpus word with the
+    * [[BpeMerges]] learned merges and report the segmentation: after
+    * the training loop the symbol rows ARE each word's encoding, so
+    * application costs one ordered per-word aggregation on top of
+    * training (at deployment the merge table is broadcast and applied
+    * map-side to unseen text; here corpus and training corpus
+    * coincide, the Sennrich setup). Output: one row per distinct word
+    * with its frequency, symbol count, and the space-joined encoding —
+    * the measurable fertility drop vs raw characters
+    * ([[tokenizerFertility]]'s metric, now under a LEARNED tokenizer).
+    * Order inside the encoding rides array_sort of (pos, sym) structs,
+    * partition-count-independent ([[vocabEncodeDocs]] discipline).
+    * (round 6)
+    */
+  def bpeEncodeWords(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val fin = bpeLoop(words)._2
+    fin.groupBy("w", "wc")
+      .agg(count(lit(1)).as("n_symbols"),
+        array_join(expr("transform(array_sort(collect_list(struct(pos, sym))), x -> x.sym)"),
+          " ").as("encoded"))
+      .orderBy("w")
+  }
+
+  val bpeEncodeWordsSql: String =
+    s"""$bpeCtes
+       SELECT w, wc, CAST(COUNT(*) AS BIGINT) AS n_symbols,
+              STRING_AGG(sym, ' ' ORDER BY pos) AS encoded
+       FROM r$BpeMerges GROUP BY w, wc ORDER BY w"""
+
+  /** Shared WITH-clause body: words -> char rows -> K unrolled rounds. */
+  private lazy val bpeCtes: String = {
     def round(i: Int): String =
       s"""nx$i AS MATERIALIZED (
            SELECT w, wc, pos, sym,
@@ -882,9 +920,6 @@ object TextAnalysis {
            LEFT JOIN sl$i s ON s.w = n.w AND s.pos = n.pos
            WHERE NOT EXISTS (SELECT 1 FROM sl$i c
                              WHERE c.w = n.w AND c.pos = n.pos - 1))"""
-    val out = (1 to BpeMerges).map(i =>
-      s"SELECT $i AS merge_rank, bl AS lhs, br AS rhs, bl || br AS merged, bc AS pair_weight FROM b$i")
-      .mkString("\n       UNION ALL ")
     s"""WITH words AS MATERIALIZED (
          SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
          FROM (SELECT unnest(${sqlToks("text")}) AS w FROM documents)
@@ -893,13 +928,21 @@ object TextAnalysis {
          SELECT w, wc, i AS pos, substr(w, i, 1) AS sym
          FROM (SELECT w, wc, unnest(generate_series(1, length(w))) AS i
                FROM words)),
-       ${(1 to BpeMerges).map(round).mkString(",\n       ")}
+       ${(1 to BpeMerges).map(round).mkString(",\n       ")}"""
+  }
+
+  val bpeTrainMergesSql: String = {
+    val out = (1 to BpeMerges).map(i =>
+      s"SELECT $i AS merge_rank, bl AS lhs, br AS rhs, bl || br AS merged, bc AS pair_weight FROM b$i")
+      .mkString("\n       UNION ALL ")
+    s"""$bpeCtes
        $out
        ORDER BY merge_rank"""
   }
 
   def queries: Seq[Q] = Seq(
     Q("bpe_train_merges", Some(bpeTrainMergesSql))(bpeTrainMerges),
+    Q("bpe_encode_words", Some(bpeEncodeWordsSql))(bpeEncodeWords),
     Q("tokenizer_fertility", Some(tokenizerFertilitySql))(tokenizerFertility),
     Q("lexical_diversity", Some(lexicalDiversitySql))(lexicalDiversity),
     Q("top_tokens", Some(topTokensSql), bench = true)(topTokens),

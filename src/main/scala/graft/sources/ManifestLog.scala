@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   dv/v<version>/part-*.parquet     -- deletion-vector sidecars
   *   _log/v<version>/part-*.parquet   -- that version's action rows:
   *     (version, action add|remove|dv, file, n_rows, min_key, max_key,
-  *      bloom, stats, batch_id)
+  *      bloom, key_hll, stats, batch_id)
   *   _claims/v<version>               -- create-exclusive version claims
   * }}}
   *
@@ -127,6 +127,10 @@ object ManifestLog {
     */
   val BloomLog2Bits = 17
 
+  /** HLL precision for the per-file key-NDV sketch (2^12 registers =
+    * 4 KiB per file, ~1.6%% standard error). */
+  val NdvPrecision = 12
+
   /** SQL type of the per-column stats map carried by add actions. */
   private val StatsType = "map<string,struct<lo:bigint,hi:bigint>>"
 
@@ -180,12 +184,14 @@ object ManifestLog {
       min(col(keyCol)).cast("long").as("min_key"),
       max(col(keyCol)).cast("long").as("max_key"),
       expr(s"graft_bloom_agg(CAST($keyCol AS STRING), $BloomLog2Bits)")
-        .as("bloom")) ++ statAggs
+        .as("bloom"),
+      expr(s"graft_hll_sketch(CAST($keyCol AS STRING), $NdvPrecision)")
+        .as("key_hll")) ++ statAggs
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .select(lit(v).as("version"), lit("add").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
-        statsMap.as("stats"), lit(batchId).as("batch_id"))
+        col("key_hll"), statsMap.as("stats"), lit(batchId).as("batch_id"))
   }
 
   /** batch_id marker for non-transactional (plain) commits. */
@@ -371,6 +377,7 @@ object ManifestLog {
           .as("bloom"))
       .select(lit(v).as("version"), lit("dv").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
+        lit(null).cast("binary").as("key_hll"),
         nullStats.as("stats"), lit(NoBatch).as("batch_id"))
     writeActions(acts, path, v)
     v
@@ -405,7 +412,7 @@ object ManifestLog {
       .filter(col("action") === "add" && col("file").isin(replaced: _*))
       .select(lit(v).as("version"), lit("remove").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
-        col("stats"), lit(NoBatch).as("batch_id"))
+        col("key_hll"), col("stats"), lit(NoBatch).as("batch_id"))
     writeActions(addActions(s, path, v, keyCol).unionByName(removes),
       path, v)
     v
@@ -443,7 +450,7 @@ object ManifestLog {
     val removes = affected.select(lit(v).as("version"),
       lit("remove").as("action"), col("file"), col("n_rows"),
       col("min_key"), col("max_key"), col("bloom"),
-      col("stats"), lit(NoBatch).as("batch_id"))
+      col("key_hll"), col("stats"), lit(NoBatch).as("batch_id"))
     writeActions(addActions(s, path, v, keyCol).unionByName(removes),
       path, v)
     v
@@ -504,7 +511,7 @@ object ManifestLog {
       val removes = affected.select(lit(v).as("version"),
         lit("remove").as("action"), col("file"), col("n_rows"),
         col("min_key"), col("max_key"), col("bloom"),
-        col("stats"), lit(NoBatch).as("batch_id"))
+        col("key_hll"), col("stats"), lit(NoBatch).as("batch_id"))
       writeActions(addActions(s, path, v, keyCol).unionByName(removes),
         path, v)
       v
@@ -626,6 +633,34 @@ object ManifestLog {
           s"predicate column '$c' (${f.dataType}) has no stats encoding"))
       acc.filter(enc(col(c)).between(lo, hi))
     }
+  }
+
+  /** Table-level key statistics WITHOUT any data I/O — the
+    * planner-stats question real engines answer straight from the
+    * manifest (Iceberg's snapshot summary / the NDV a CBO wants for
+    * join sizing): live file count, total rows, key bounds, and the
+    * clustering key's NDV estimate from ONE register-max merge of the
+    * per-file HLL sketches every add action carries. The
+    * mergeable-summaries algebra ([[graft.plans.HllSketch]]) makes the
+    * union of per-file sketches exactly the sketch of the union, so
+    * the estimate is corpus-accurate however many files the key space
+    * is sprayed across. Counts are MANIFEST-level (pre-deletion-
+    * vector, like real formats' file stats): a DV hides rows from
+    * readers but the files' stats are unchanged until a rewrite
+    * materializes them — documented, spec-pinned.
+    */
+  def tableKeyStats(s: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion(s, path))
+    val actions = log(s, path).filter(col("version") <= v)
+    actions.filter(col("action") === "add")
+      .join(actions.filter(col("action") === "remove").select(col("file")),
+        Seq("file"), "left_anti")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows"),
+        min(col("min_key")).as("min_key"),
+        max(col("max_key")).as("max_key"),
+        expr("graft_hll_est(graft_hll_merge(key_hll))").as("key_ndv_est"))
   }
 
   /** CDF column: what happened to the row ("insert" | "delete" |

@@ -387,6 +387,41 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.compact(spark, path, "key") === 4L)
   }
 
+  test("tableKeyStats: NDV from merged per-file sketches, no data I/O") {
+    import spark.implicits._
+    val path = freshTable()
+    // 1000 rows but only 250 DISTINCT keys, sprayed across 8 files by
+    // a scrambled layout so every file holds a slice of every key's
+    // occurrences — per-file counts can't just add up to the NDV
+    ManifestLog.commit(
+      (0L until 1000L).map(i => (i % 250L, s"p$i")).toDF("key", "payload")
+        .withColumn("scatter", pmod(col("key") * 2654435761L + col("payload")
+          .substr(2, 10).cast("long"), lit(4096L)))
+        .repartitionByRange(8, col("scatter"))
+        .drop("scatter"), path, "key")
+    val st = ManifestLog.tableKeyStats(spark, path).head
+    assert(st.getAs[Long]("n_files") === 8)
+    assert(st.getAs[Long]("n_rows") === 1000)
+    assert(st.getAs[Long]("min_key") === 0L)
+    assert(st.getAs[Long]("max_key") === 249L)
+    val ndv = st.getAs[Long]("key_ndv_est")
+    assert(math.abs(ndv - 250.0) / 250.0 < 0.05,
+      s"merged-sketch NDV $ndv too far from 250")
+
+    // manifest-level semantics: a DV hides rows from READERS but file
+    // stats are untouched until a rewrite materializes the deletes
+    ManifestLog.deleteKeysDv(spark, path, "key", Seq(0L, 1L))
+    assert(ManifestLog.snapshot(spark, path).count() === 992)
+    assert(ManifestLog.tableKeyStats(spark, path).head
+      .getAs[Long]("n_rows") === 1000)
+    val vc = ManifestLog.compact(spark, path, "key")
+    val st2 = ManifestLog.tableKeyStats(spark, path, Some(vc)).head
+    assert(st2.getAs[Long]("n_files") === 1)
+    assert(st2.getAs[Long]("n_rows") === 992)
+    val ndv2 = st2.getAs[Long]("key_ndv_est")
+    assert(math.abs(ndv2 - 248.0) / 248.0 < 0.05)
+  }
+
   test("driver planning is capped: past the conf bound it fails loudly") {
     import spark.implicits._
     val path = freshTable()

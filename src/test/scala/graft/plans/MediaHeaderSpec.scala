@@ -107,6 +107,32 @@ class MediaHeaderSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("fuzz: arbitrary and mutated bytes never throw — parse or refuse") {
+    // a header parser faces untrusted bytes; the contract is total:
+    // every input returns a Parsed or null, never an exception
+    val rnd = new scala.util.Random(0xbeef) // fixed seed, deterministic
+    (0 until 2000).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      MediaHeader.parse(b) // must not throw
+    }
+    // mutations of VALID fixtures (truncations + single-byte flips)
+    val valid = Seq(
+      hexBytes("89504E470D0A1A0A 0000000D 49484452 00000320 00000258 0806000000 00000000"),
+      hexBytes("474946383961 4001 C800 F70000"),
+      hexBytes("424D 00000000 00000000 36000000 28000000 00040000 00030000 0100 1800"),
+      hexBytes("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 0000" +
+        "FFC0 0011 08 01E0 0280 03 011100 021101 031101"))
+    valid.foreach { v =>
+      (0 to v.length).foreach(k => MediaHeader.parse(v.take(k)))
+      (0 until 200).foreach { _ =>
+        val m = v.clone()
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+        MediaHeader.parse(m)
+      }
+    }
+  }
+
   test("multimodal_meta: every row's parsed dims equal the constructed ones") {
     val out = Multimodal.multimodalMeta(spark, sf).collect()
     assert(out.nonEmpty)

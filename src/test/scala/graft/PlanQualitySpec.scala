@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Chunking, Similarity, StarSchema, TextAnalysis}
+import graft.operators.{Analytics, Chunking, Curation, Inference, Similarity, StarSchema, TextAnalysis}
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -332,6 +332,23 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(bad.isEmpty,
         s"$name plans a global window — every row funnels through one task")
     }
+  }
+
+  test("sample_bottomk plans TakeOrderedAndProject, never a global sort") {
+    val p = Curation.sampleBottomK(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "bottom-k lost its per-partition top-k plan")
+  }
+
+  test("kendall_tau: cell-pair joins broadcast with the range predicate riding them") {
+    val p = Inference.kendallTau(spark, sf).queryExecution
+      .executedPlan.toString
+    // the nc/nd joins must be flag-keyed BroadcastHashJoins whose
+    // extra condition is the (x, y) ordering — a cartesian or a
+    // row-level self-join here would be the n² trap
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
   }
 
   test("chunking scans read only doc_id and text, never lang/source") {

@@ -873,10 +873,14 @@ object TextAnalysis {
     * partition-count-independent ([[vocabEncodeDocs]] discipline).
     * (round 6)
     */
-  def bpeEncodeWords(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
+  def bpeEncodeWords(s: SparkSession, dir: String): DataFrame =
+    bpeEncodeWordsFrom(Tables.documents(s, dir)
       .select(explode(toks(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .groupBy("w").agg(count(lit(1)).as("wc")))
+
+  /** Encoder core over any (w, wc) frame — shared with the
+    * generated-input cross-check against a sequential reference BPE. */
+  def bpeEncodeWordsFrom(words: DataFrame): DataFrame = {
     val fin = bpeLoop(words)._2
     fin.groupBy("w", "wc")
       .agg(count(lit(1)).as("n_symbols"),

@@ -411,4 +411,65 @@ class GeneratedInputsSpec extends AnyFunSuite {
       }
     }
   }
+  test("distributed BPE equals a sequential reference on generated corpora") {
+    import graft.operators.TextAnalysis
+    // plain sequential Sennrich BPE: the greedy left-to-right scan the
+    // islands-parity windows claim to reproduce
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    def refBpe(words: Map[String, Long], k: Int)
+        : (List[(String, String, Long)], Map[String, List[String]]) = {
+      var segs = words.keys.map(w =>
+        w -> w.map(_.toString).toList).toMap
+      val merges = scala.collection.mutable.ListBuffer
+        .empty[(String, String, Long)]
+      for (_ <- 1 to k) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        for ((w, syms) <- segs; p <- syms.zip(syms.tail))
+          counts(p) += words(w)
+        if (counts.nonEmpty) {
+          val ((bl, br), bc) = counts.toSeq
+            .sortBy { case ((l, r), c) => (-c, l, r) }.head
+          merges += ((bl, br, bc))
+          segs = segs.map { case (w, syms) =>
+            w -> applyMerge(syms, bl, br) }
+        }
+      }
+      (merges.toList, segs)
+    }
+
+    val wordGen = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield cs.mkString
+    val corpusGen = for {
+      m <- Gen.choose(1, 6)
+      ws <- Gen.listOfN(m, wordGen)
+      cnts <- Gen.listOfN(m, Gen.choose(1L, 3L))
+    } yield ws.zip(cnts).toMap // map dedups words; counts arbitrary
+
+    sample(corpusGen, 40).foreach { corpus =>
+      val df = corpus.toSeq.toDF("w", "wc")
+      val (refMerges, refSegs) = refBpe(corpus, TextAnalysis.BpeMerges)
+      val gotMerges = TextAnalysis.bpeTrainMergesFrom(df).collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+          r.getAs[Long]("pair_weight"))).toList
+      assert(gotMerges === refMerges, s"merges diverged on $corpus")
+      val gotSegs = TextAnalysis.bpeEncodeWordsFrom(df).collect()
+        .map(r => r.getAs[String]("w") ->
+          r.getAs[String]("encoded").split(" ").toList).toMap
+      assert(gotSegs === refSegs.map { case (w, ss) => w -> ss },
+        s"encodings diverged on $corpus")
+    }
+  }
+
 }

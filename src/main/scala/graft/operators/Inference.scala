@@ -907,6 +907,172 @@ object Inference {
                 / CAST(b.n_days * t.te AS DOUBLE) AS seasonal_index
        FROM bydow b CROSS JOIN tot t ORDER BY iso_dow"""
 
+  /** Zero-filled daily event-count series with an integer day index —
+    * shared input of the trend operators ([[acfDaily]],
+    * [[mannKendallTrend]], [[theilSenSlope]]). Calendar-bounded: the
+    * frame is |span| rows no matter the event volume. */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"),
+        col("lo"))
+    broadcast(spine).join(daily, Seq("day"), "left")
+      .select(datediff(col("day"), col("lo")).cast("long").as("di"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint()
+  }
+
+  /** SQL twin of [[dailySeries]] as a WITH-clause body. */
+  private val sqlDailySeries: String =
+    """daily AS (SELECT CAST(ts AS DATE) AS day,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1),
+       bounds AS (SELECT CAST(MIN(ts) AS DATE) AS lo,
+                         CAST(MAX(ts) AS DATE) AS hi FROM events),
+       spine AS (SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY))::DATE AS day, lo
+                 FROM bounds),
+       ser AS MATERIALIZED (
+         SELECT CAST(date_diff('day', s.lo, s.day) AS BIGINT) AS di,
+                CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+         FROM spine s LEFT JOIN daily d ON s.day = d.day)"""
+
+  /** Mann-Kendall trend test of the daily event-count series — "is
+    * volume monotonically drifting" asked nonparametrically (the
+    * trend sibling of [[cusumChangepoint]]'s level-shift search and
+    * the time-series application of [[kendallTau]]'s statistic):
+    * S = Σ_{i<j} sign(n_j − n_i) over all day pairs, variance with
+    * the tie correction [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the
+    * continuity-corrected z. S and 18·Var are EXACT BIGINTs (day-pair
+    * sign sums and closed-form tie products — calendar-bounded, no
+    * overflow before ~10^6-day spans); z is one double tree over
+    * exact casts, and like every test here it reports the statistic,
+    * not a p-value. Scale: the pair join is |span|² rows — grows with
+    * observation TIME, never event volume. (round 6)
+    */
+  def mannKendallTrend(s: SparkSession, dir: String): DataFrame =
+    mannKendallFrom(dailySeries(s, dir))
+
+  /** Core over any (di long, n long) series frame (spec hand-checks). */
+  private[operators] def mannKendallFrom(ser: DataFrame): DataFrame = {
+    val sStat = ser.as("a").join(ser.as("b"), col("b.di") > col("a.di"))
+      .agg(sum(signum((col("b.n") - col("a.n")).cast("double"))
+        .cast("long")).as("s_stat"))
+    val nDays = ser.agg(count(lit(1)).as("nd"))
+    val ties = ser.groupBy("n").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tsum"))
+    sStat.crossJoin(broadcast(nDays)).crossJoin(broadcast(ties))
+      .select(col("nd").as("n_days"), col("s_stat"),
+        (col("nd") * (col("nd") - 1) * (col("nd") * 2 + 5) - col("tsum"))
+          .as("var18"))
+      .select(col("n_days"), col("s_stat"), col("var18"),
+        when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double")
+            / sqrt(col("var18").cast("double") / lit(18.0e0)))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double")
+              / sqrt(col("var18").cast("double") / lit(18.0e0)))
+          .otherwise(lit(0.0e0)).as("z"))
+  }
+
+  val mannKendallTrendSql: String =
+    s"""WITH $sqlDailySeries,
+       st AS (SELECT CAST(SUM(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT)
+                       AS s_stat
+              FROM ser a JOIN ser b ON b.di > a.di),
+       nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM ser),
+       ti AS (SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+              FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                    FROM ser GROUP BY n)),
+       v AS (SELECT nd.nd AS n_days, st.s_stat,
+                    nd.nd * (nd.nd - 1) * (2 * nd.nd + 5) - ti.tsum AS var18
+             FROM st CROSS JOIN nd CROSS JOIN ti)
+       SELECT n_days, s_stat, var18,
+              CASE WHEN s_stat > 0 THEN
+                     CAST(s_stat - 1 AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                   WHEN s_stat < 0 THEN
+                     CAST(s_stat + 1 AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                   ELSE 0.0 END AS z
+       FROM v"""
+
+  /** Theil-Sen slope estimator of the daily event-count trend — the
+    * robust line fit next to [[graft.operators.Stats]]'s OLS
+    * regression_slope (up to ~29% contaminated days cannot move it;
+    * the estimator behind every outlier-tolerant trend monitor):
+    * the MEDIAN of all pairwise slopes (n_j − n_i)/(j − i).
+    *
+    * Slopes are double divisions of exact integers (bit-identical both
+    * engines); the global median comes from a TWO-PHASE rank with no
+    * global window: slopes bucket by floor(slope · 2^20) (scaling by a
+    * power of two is exact and monotone, so bucket order = value
+    * order), within-bucket ranks ride a bucket-partitioned window, and
+    * bucket offsets come from a self-join over the bucket-count frame
+    * (the cumulative_users offsets discipline). The lower median
+    * (index ⌈m/2⌉, ties broken by the pair's day indexes) is
+    * deterministic in both engines. Scale: |span|² pairs — grows with
+    * observation time, never event volume. (round 6)
+    */
+  def theilSenSlope(s: SparkSession, dir: String): DataFrame =
+    theilSenFrom(dailySeries(s, dir))
+
+  /** Core over any (di long, n long) series frame (spec hand-checks). */
+  private[operators] def theilSenFrom(ser: DataFrame): DataFrame = {
+    val pairs = ser.as("a").join(ser.as("b"), col("b.di") > col("a.di"))
+      .select(col("a.di").as("i"), col("b.di").as("j"),
+        ((col("b.n") - col("a.n")).cast("double")
+          / (col("b.di") - col("a.di")).cast("double")).as("slope"))
+      .withColumn("bkt", floor(col("slope") * lit(1048576.0e0)).cast("long"))
+      .localCheckpoint()
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("slope"), col("i"), col("j"))
+    val counts = pairs.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val offs = counts.as("a").join(counts.as("b"),
+        col("b.bkt") < col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val nDays = ser.agg(count(lit(1)).as("n_days"))
+    pairs.withColumn("rin", row_number().over(wIn).cast("long"))
+      .join(broadcast(offs), Seq("bkt"))
+      .crossJoin(broadcast(m))
+      .filter(col("off") + col("rin") === expr("(m + 1) div 2"))
+      .crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("m").as("n_pairs"),
+        col("slope").as("ts_slope"))
+  }
+
+  val theilSenSlopeSql: String =
+    s"""WITH $sqlDailySeries,
+       pairs AS MATERIALIZED (
+         SELECT a.di AS i, b.di AS j,
+                CAST(b.n - a.n AS DOUBLE) / CAST(b.di - a.di AS DOUBLE)
+                  AS slope
+         FROM ser a JOIN ser b ON b.di > a.di),
+       bp AS MATERIALIZED (
+         SELECT i, j, slope,
+                CAST(floor(slope * 1048576.0) AS BIGINT) AS bkt
+         FROM pairs),
+       cnt AS (SELECT bkt, CAST(COUNT(*) AS BIGINT) AS c
+               FROM bp GROUP BY 1),
+       offs AS (SELECT a.bkt,
+                       CAST(COALESCE(SUM(b.c), 0) AS BIGINT) AS off
+                FROM cnt a LEFT JOIN cnt b ON b.bkt < a.bkt
+                GROUP BY a.bkt),
+       m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bp),
+       nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM ser),
+       rk AS (SELECT bp.slope, o.off +
+                CAST(ROW_NUMBER() OVER (PARTITION BY bp.bkt
+                  ORDER BY bp.slope, bp.i, bp.j) AS BIGINT) AS rnk
+              FROM bp JOIN offs o ON bp.bkt = o.bkt)
+       SELECT nd.n_days, m.m AS n_pairs, rk.slope AS ts_slope
+       FROM rk CROSS JOIN m CROSS JOIN nd
+       WHERE rk.rnk = (m.m + 1) // 2"""
+
   /** Autocorrelation depth (days). */
   val AcfMaxLag = 7
 
@@ -1401,6 +1567,8 @@ object Inference {
     Q("cusum_changepoint", Some(cusumChangepointSql))(cusumChangepoint),
     Q("spearman_rho", Some(spearmanRhoSql))(spearmanRho),
     Q("kendall_tau", Some(kendallTauSql))(kendallTau),
+    Q("mann_kendall_trend", Some(mannKendallTrendSql))(mannKendallTrend),
+    Q("theil_sen_slope", Some(theilSenSlopeSql))(theilSenSlope),
     Q("bootstrap_means", Some(bootstrapMeansSql))(bootstrapMeans),
     Q("odds_ratio_funnel", Some(oddsRatioFunnelSql))(oddsRatioFunnel))
 }

@@ -177,6 +177,36 @@ class InferenceSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_ips") === 0)
   }
 
+  test("mann-kendall: monotone series maxes S; shuffled flat series zeroes it") {
+    import spark.implicits._
+    // strictly increasing 10-day series: every pair concordant,
+    // S = 45 = n(n-1)/2, no ties -> var18 = 10*9*25 = 2250
+    val up = (0L until 10L).map(i => (i, 100L + i)).toDF("di", "n")
+    val r = Inference.mannKendallFrom(up.localCheckpoint()).head
+    assert(r.getAs[Long]("s_stat") === 45L)
+    assert(r.getAs[Long]("var18") === 2250L)
+    assert(r.getAs[Double]("z") ===
+      44.0 / math.sqrt(2250.0 / 18.0))
+    // constant series: S = 0, z = 0, and the tie term swallows var
+    val flat = (0L until 6L).map(i => (i, 7L)).toDF("di", "n")
+    val rf = Inference.mannKendallFrom(flat.localCheckpoint()).head
+    assert(rf.getAs[Long]("s_stat") === 0L)
+    assert(rf.getAs[Long]("var18") === 0L)
+    assert(rf.getAs[Double]("z") === 0.0)
+  }
+
+  test("theil-sen: recovers a planted slope through 29% outliers where OLS cannot") {
+    import spark.implicits._
+    // y = 3x with two wild outliers among 7 points: the pairwise-slope
+    // median still lands exactly on 3 (10 of 21 pairs touch an outlier
+    // — under half), while the OLS slope is dragged far off
+    val pts = Seq((0L, 0L), (1L, 3L), (2L, 6L), (3L, 1000L), (4L, 12L),
+      (5L, 15L), (6L, -500L)).toDF("di", "n")
+    val r = Inference.theilSenFrom(pts.localCheckpoint()).head
+    assert(r.getAs[Long]("n_pairs") === 21L)
+    assert(r.getAs[Double]("ts_slope") === 3.0)
+  }
+
   test("ks: hand-checked two-sample distance, and zero for identical samples") {
     // A = {1,2}, B = {2,3}: F_a(1)=.5, F_b(1)=0 -> D = 0.5 at v=1
     val vals = Seq((1.0, 1L, 0L), (2.0, 1L, 1L), (3.0, 0L, 1L))

@@ -944,7 +944,66 @@ object TextAnalysis {
        ORDER BY merge_rank"""
   }
 
+  /** Cross-source VOCABULARY overlap matrix — "do the scrapes speak
+    * the same language": per unordered source pair, the Jaccard of
+    * their distinct token sets (plus both set sizes and the
+    * intersection). The corpus-similarity dashboard next to
+    * [[graft.operators.Curation.sourceDivergenceTv]]'s distribution
+    * drift: TV weighs frequency mass, this weighs vocabulary IDENTITY
+    * (a source can share every token yet differ wildly in mix, and
+    * vice versa). Scale: the (source, token) frame is distinct-pruned
+    * before any join (bodies never shuffle), the pair intersection is
+    * a token equi-join AQE splits on head tokens, and the output is
+    * sources²-bounded. (round 6)
+    */
+  def tokenOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .distinct()
+      .localCheckpoint() // feeds sizes AND the pair join
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n_toks"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_toks").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_toks").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val tokenOverlapMatrixSql: String =
+    s"""WITH st AS MATERIALIZED (
+         SELECT DISTINCT source, tok
+         FROM (SELECT source, unnest(${sqlToks("text")}) AS tok
+               FROM documents)),
+       sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_toks
+                 FROM st GROUP BY 1),
+       inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                        CAST(COUNT(*) AS BIGINT) AS n_common
+                 FROM st a JOIN st b
+                   ON a.tok = b.tok AND a.source < b.source
+                 GROUP BY 1, 2)
+       SELECT i.source_a, i.source_b, sa.n_toks AS n_a, sb.n_toks AS n_b,
+              i.n_common,
+              CAST(i.n_common AS DOUBLE)
+                / CAST(sa.n_toks + sb.n_toks - i.n_common AS DOUBLE)
+                AS jaccard
+       FROM inter i JOIN sizes sa ON i.source_a = sa.source
+                    JOIN sizes sb ON i.source_b = sb.source
+       ORDER BY source_a, source_b"""
+
   def queries: Seq[Q] = Seq(
+    Q("token_overlap_matrix", Some(tokenOverlapMatrixSql))(tokenOverlapMatrix),
     Q("bpe_train_merges", Some(bpeTrainMergesSql))(bpeTrainMerges),
     Q("bpe_encode_words", Some(bpeEncodeWordsSql))(bpeEncodeWords),
     Q("tokenizer_fertility", Some(tokenizerFertilitySql))(tokenizerFertility),

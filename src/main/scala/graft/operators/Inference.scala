@@ -52,8 +52,10 @@ object Inference {
       .select(col("o_orderpriority").as("prio"),
         col("o_orderstatus").as("status")))
 
-  /** Core over any two-categorical frame with columns (prio, status). */
-  def chi2(pairsDf: DataFrame): DataFrame = {
+  /** Scored contingency cells shared by [[chi2]] and [[cramersV]]:
+    * (prio, status, obs, rt, ct, n, nr, nc, c6) with c6 the exact
+    * fixed-point cell contribution. */
+  private def chi2Scored(pairsDf: DataFrame): DataFrame = {
     // checkpoint: the contingency table feeds FOUR divergent branches
     // (row totals, column totals, grand total, the scored join) — the
     // §7a rule's compact post-agg frame; without it each branch
@@ -67,7 +69,7 @@ object Inference {
     val tot = cells.agg(sum(col("obs")).as("n"),
       countDistinct(col("prio")).as("nr"),
       countDistinct(col("status")).as("nc"))
-    val scored = cells
+    cells
       .join(broadcast(rowT), Seq("prio"))
       .join(broadcast(colT), Seq("status"))
       .crossJoin(broadcast(tot))
@@ -76,6 +78,11 @@ object Inference {
       .withColumn("c6",
         expr(s"(dev * dev * ${Chi2Scale}L) div " +
           "(cast(n as decimal(38,0)) * rt * ct)"))
+  }
+
+  /** Core over any two-categorical frame with columns (prio, status). */
+  def chi2(pairsDf: DataFrame): DataFrame = {
+    val scored = chi2Scored(pairsDf)
     val total = scored.agg(sum(col("c6")).as("chi6"))
     scored.crossJoin(broadcast(total))
       .select(col("prio"), col("status"), col("obs"),
@@ -87,8 +94,10 @@ object Inference {
       .orderBy("prio", "status")
   }
 
-  val chi2IndependenceSql: String =
-    s"""WITH cells AS (
+  /** Shared CTE chain producing the `scored` cells frame ([[chi2Scored]]'s
+    * SQL twin) — reused by [[chi2IndependenceSql]] and [[cramersVSql]]. */
+  private val chi2CtesSql: String =
+    s"""cells AS (
          SELECT o_orderpriority AS prio, o_orderstatus AS status,
                 CAST(COUNT(*) AS BIGINT) AS obs
          FROM orders GROUP BY 1, 2),
@@ -106,7 +115,10 @@ object Inference {
                      // (CAST(t.n AS HUGEINT) * rt.rt * ct.ct) AS BIGINT) AS c6
          FROM cells c JOIN rt ON c.prio = rt.prio
                       JOIN ct ON c.status = ct.status
-                      CROSS JOIN tot t),
+                      CROSS JOIN tot t)"""
+
+  val chi2IndependenceSql: String =
+    s"""WITH $chi2CtesSql,
        total AS (SELECT CAST(SUM(c6) AS BIGINT) AS chi6 FROM scored)
        SELECT s.prio, s.status, s.obs,
               CAST(s.rt * s.ct AS DOUBLE) / CAST(s.n AS DOUBLE) AS expected,
@@ -1548,8 +1560,560 @@ object Inference {
                 AS risk_ratio
        FROM t"""
 
+  /** Cramér's V — the EFFECT-SIZE summary of [[chi2Independence]]'s
+    * contingency table (chi2 grows with N even for a fixed association;
+    * V = sqrt(chi2 / (N·min(r−1, c−1))) is the 0..1 strength a
+    * dashboard can threshold). Shares [[chi2Scored]]'s exact
+    * fixed-point cells — one extra aggregate over the |r|×|c| frame,
+    * one sqrt over exact casts at the end. Bounds inherit chi2's
+    * documented N ≤ 10^12. (round 6)
+    */
+  def cramersV(s: SparkSession, dir: String): DataFrame =
+    cramersVFrom(Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status")))
+
+  /** Core over any two-categorical frame with columns (prio, status). */
+  def cramersVFrom(pairsDf: DataFrame): DataFrame =
+    chi2Scored(pairsDf)
+      .groupBy("n", "nr", "nc")
+      .agg(sum(col("c6")).as("chi6"))
+      .select(col("n"), col("nr"), col("nc"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        (col("chi6").cast("double") / lit(Chi2Scale.toDouble)).as("chi2"),
+        sqrt((col("chi6").cast("double") / lit(Chi2Scale.toDouble))
+          / (col("n").cast("double")
+            * least(col("nr") - 1, col("nc") - 1).cast("double")))
+          .as("cramers_v"))
+
+  val cramersVSql: String =
+    s"""WITH $chi2CtesSql
+       SELECT n, nr, nc, (nr - 1) * (nc - 1) AS dof,
+              CAST(SUM(c6) AS DOUBLE) / ${Chi2Scale}.0 AS chi2,
+              sqrt((CAST(SUM(c6) AS DOUBLE) / ${Chi2Scale}.0)
+                   / (CAST(n AS DOUBLE)
+                      * CAST(least(nr - 1, nc - 1) AS DOUBLE))) AS cramers_v
+       FROM scored GROUP BY n, nr, nc"""
+
+  /** Exact decimal FLOOR division for the k-sample rational terms
+    * (Σ R_g²/n_g, Σ S_g²/n_g): Spark's `div` returns LONG (overflows
+    * once terms pass 2^63, which Σ R_g²/n_g does around N ~ 3·10^6),
+    * so the quotient is built decimal-native via the remainder
+    * identity (a − a mod b) / b — the division is then exact-integral,
+    * so Spark's decimal-division rounding never fires (quotients stay
+    * under the (38,6) result type's 10^32 integral range up to
+    * N ~ 10^10 rows per test). DuckDB's `//` on HUGEINT is the same
+    * floor. Each floored term loses < 1 unit — deterministic in both
+    * engines, ~1e-12 relative at bench scales, documented not tuned. */
+  private def decFloorDiv(a: String, b: String): String =
+    s"CAST((($a) - ($a) % ($b)) / ($b) AS DECIMAL(38,0))"
+
+  /** Kruskal-Wallis H — the k-SAMPLE extension of [[mannWhitneyU]]
+    * ("does price rank shift across ALL order priorities at once",
+    * the nonparametric one-way ANOVA). Tie-averaged ranks are DOUBLED
+    * to stay integral (r2 = 2·cum − t + 1 over distinct values, the
+    * [[avgRank2]] identity), group rank sums are exact BIGINTs, and
+    * Σ R_g²/n_g is unit-floored per group ([[decFloorDiv]]) so the H
+    * total is one double tree over exact integers; the tie correction
+    * divides by (N³−N) − Σ(t³−t), both exact DECIMAL(38,0). Scale:
+    * distinct-value rank table via the two-phase prefix sums (bucket
+    * window + aggregates-only offsets join — no global window), one
+    * values-cardinality equi-join, one k-row aggregate. (round 6)
+    */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame =
+    kruskalWallisFrom(Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        col("o_totalprice").as("v")))
+
+  /** Core over any (grp, v) frame. */
+  def kruskalWallisFrom(rows: DataFrame): DataFrame = {
+    val cells = rows.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds value totals AND the group rank join
+    val totv = cells.groupBy("v").agg(sum(col("c")).as("tv"))
+      .localCheckpoint() // feeds the rank chain AND the tie sum
+    val bucketed = totv
+      .withColumn("bk", expr(s"CAST(v AS BIGINT) div $RankBucket"))
+    val w = Window.partitionBy(col("bk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bt = bucketed.groupBy("bk").agg(sum(col("tv")).as("t"))
+    val off = bt.as("x").join(bt.as("y"), col("y.bk") < col("x.bk"), "left")
+      .groupBy(col("x.bk").as("bk"))
+      .agg(coalesce(sum(col("y.t")), lit(0L)).as("off"))
+    val ranks = bucketed
+      .withColumn("cw", sum(col("tv")).over(w))
+      .join(broadcast(off), Seq("bk"))
+      .select(col("v"),
+        (lit(2L) * (col("cw") + col("off")) - col("tv") + 1).as("r2"))
+    val g = cells.join(ranks, Seq("v"))
+      .groupBy("grp")
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("r2")).as("r2_sum"))
+      .localCheckpoint() // feeds the fixed-point terms AND the totals
+    val ties = totv.agg(sum(col("tv").cast("decimal(38,0)") * col("tv")
+      * col("tv") - col("tv")).as("ties"))
+    // quarter-units: R2² div n floors 4·(R_g²/n_g), four times finer
+    // than dividing by 4n_g — and exact whenever n_g | R2_g²
+    val tot = g.agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      sum(expr(decFloorDiv(
+        "cast(r2_sum as decimal(38,0)) * r2_sum", "n_g")))
+        .cast("decimal(38,0)").as("hq4"))
+    val h = lit(3.0) * col("hq4").cast("double") /
+      (col("n").cast("double") * (col("n") + 1).cast("double")) -
+      lit(3.0) * (col("n") + 1).cast("double")
+    val nnn = (col("n").cast("decimal(38,0)") * col("n") * col("n")
+      - col("n"))
+    g.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .select(col("grp"), col("n_g"), col("r2_sum"), col("n"),
+        (col("k") - 1).as("dof"), h.as("h"),
+        (h * (nnn.cast("double") / (nnn - col("ties")).cast("double")))
+          .as("h_tie"))
+      .orderBy("grp")
+  }
+
+  val kruskalWallisSql: String =
+    s"""WITH cells AS MATERIALIZED (
+         SELECT o_orderpriority AS grp, o_totalprice AS v,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM orders GROUP BY 1, 2),
+       totv AS MATERIALIZED (
+         SELECT v, CAST(SUM(c) AS BIGINT) AS tv FROM cells GROUP BY 1),
+       ranks AS (SELECT v, 2 * CAST(SUM(tv) OVER (ORDER BY v) AS BIGINT)
+                        - tv + 1 AS r2
+                 FROM totv),
+       g AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_g,
+                    CAST(SUM(c * r2) AS BIGINT) AS r2_sum
+             FROM cells JOIN ranks USING (v) GROUP BY 1),
+       ties AS (SELECT SUM(CAST(tv AS HUGEINT) * tv * tv - tv) AS ties
+                FROM totv),
+       tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                      CAST(COUNT(*) AS BIGINT) AS k,
+                      SUM((CAST(r2_sum AS HUGEINT) * r2_sum) // n_g) AS hq4
+               FROM g)
+       SELECT g.grp, g.n_g, g.r2_sum, t.n, t.k - 1 AS dof,
+              3.0 * CAST(CAST(t.hq4 AS VARCHAR) AS DOUBLE)
+                / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+                - 3.0 * CAST(t.n + 1 AS DOUBLE) AS h,
+              (3.0 * CAST(CAST(t.hq4 AS VARCHAR) AS DOUBLE)
+                / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
+                - 3.0 * CAST(t.n + 1 AS DOUBLE))
+                * (CAST(CAST(CAST(t.n AS HUGEINT) * t.n * t.n - t.n
+                              AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(CAST(t.n AS HUGEINT) * t.n * t.n - t.n
+                               - ti.ties AS VARCHAR) AS DOUBLE)) AS h_tie
+       FROM g CROSS JOIN tot t CROSS JOIN ties ti
+       ORDER BY grp"""
+
+  /** One-way F core shared by [[anovaOneway]] and
+    * [[leveneBrownForsythe]]: input (grp, x) with x an exact integral
+    * DECIMAL (cent-denominated); output one row (k, n, ssb, ssw) with
+    * the between/within sums of squares in cent² as DECIMAL(38,0),
+    * exact up to one [[decFloorDiv]] unit-floor per group. */
+  private[operators] def fCore(xs: DataFrame): DataFrame = {
+    val g = xs.groupBy("grp")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x")).cast("decimal(38,0)").as("s_g"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("q_g"))
+    g.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).cast("decimal(38,0)").as("s"),
+        sum(col("q_g")).cast("decimal(38,0)").as("q"),
+        sum(expr(decFloorDiv("s_g * s_g", "n_g")))
+          .cast("decimal(38,0)").as("sgt"))
+      .select(col("k"), col("n"),
+        (col("sgt") - expr(decFloorDiv("s * s", "n"))).cast("decimal(38,0)")
+          .as("ssb"),
+        (col("q") - col("sgt")).cast("decimal(38,0)").as("ssw"))
+  }
+
+  /** SQL twin of [[fCore]] as a CTE chain over `inner` (grp, x). */
+  private def sqlFCore(inner: String): String =
+    s"""g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+                    CAST(SUM(x) AS HUGEINT) AS s_g,
+                    SUM(CAST(x AS HUGEINT) * x) AS q_g
+             FROM ($inner) GROUP BY 1),
+       f AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                    CAST(SUM(n_g) AS BIGINT) AS n,
+                    SUM(CAST(s_g AS HUGEINT)) AS s,
+                    SUM(CAST(q_g AS HUGEINT)) AS q,
+                    SUM((s_g * s_g) // n_g) AS sgt
+             FROM g),
+       ss AS (SELECT k, n, sgt - (s * s) // n AS ssb, q - sgt AS ssw
+              FROM f)"""
+
+  /** Final projection shared by the two F tests (Spark side): F and
+    * dollar²-denominated sums of squares from the exact cent² ints. */
+  private[operators] def fSelect(core: DataFrame, stat: String): DataFrame =
+    core.select(col("k"), col("n"),
+      (col("ssb").cast("double") / lit(1.0e4)).as("ssb"),
+      (col("ssw").cast("double") / lit(1.0e4)).as("ssw"),
+      (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+      ((col("ssb").cast("double") / (col("k") - 1).cast("double"))
+        / (col("ssw").cast("double") / (col("n") - col("k")).cast("double")))
+        .as(stat))
+
+  /** SQL twin of [[fSelect]]. */
+  private def sqlFSelect(stat: String): String =
+    s"""SELECT k, n,
+              CAST(CAST(ssb AS VARCHAR) AS DOUBLE) / 1.0e4 AS ssb,
+              CAST(CAST(ssw AS VARCHAR) AS DOUBLE) / 1.0e4 AS ssw,
+              k - 1 AS df1, n - k AS df2,
+              (CAST(CAST(ssb AS VARCHAR) AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                / (CAST(CAST(ssw AS VARCHAR) AS DOUBLE)
+                   / CAST(n - k AS DOUBLE)) AS $stat
+       FROM ss"""
+
+  /** One-way ANOVA F — the parametric twin of [[kruskalWallis]] on the
+    * same design (mean order price across priorities). Per-group count,
+    * sum and sum-of-squares accumulate EXACTLY (prices as integral
+    * cent DECIMALs; squares in DECIMAL(38,0)); the between/within
+    * sums of squares are exact cent² integers (one [[decFloorDiv]]
+    * unit-floor per group) so F is one double tree over exact
+    * integers, and ssb/ssw surface in dollar². Scale:
+    * one scan → k-row aggregate → 1-row aggregate; nothing shuffles
+    * but group partials. (round 6)
+    */
+  def anovaOneway(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    fSelect(fCore(Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        (decp(col("o_totalprice")) * 100).cast("decimal(16,0)").as("x"))),
+      "f_stat")
+  }
+
+  val anovaOnewaySql: String = {
+    import graft.functions.Nums._
+    s"""WITH ${sqlFCore(
+      s"""SELECT o_orderpriority AS grp,
+              CAST(${sqlDecp("o_totalprice")} * 100 AS BIGINT) AS x
+          FROM orders""")}
+       ${sqlFSelect("f_stat")}"""
+  }
+
+  /** Brown-Forsythe (median-centered Levene) test — "is price SPREAD
+    * equal across priorities" (the variance-homogeneity gate ANOVA's
+    * validity rests on, made robust by centering on group MEDIANS, not
+    * means). Each group's lower+upper middle values are selected by
+    * row_number against a windowed count (partitioned per group — the
+    * group_median discipline); the deviation |2x − (m_lo + m_hi)|
+    * doubles every value so it stays integral through odd AND even
+    * group sizes (F is scale-invariant, so the doubling cancels), and
+    * the same exact fixed-point F core as [[anovaOneway]] scores the
+    * deviations. (round 6)
+    */
+  def leveneBrownForsythe(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    leveneFrom(Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        (decp(col("o_totalprice")) * 100).cast("decimal(16,0)").as("x"),
+        col("o_orderkey").as("tie")))
+  }
+
+  /** Core over any (grp, x integral-decimal, tie) frame. */
+  private[operators] def leveneFrom(raw: DataFrame): DataFrame = {
+    val t = raw
+      .localCheckpoint() // feeds the median windows AND the deviation join
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"), col("tie"))
+    val wn = Window.partitionBy(col("grp"))
+    val med2 = t
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .filter(col("rn") === expr("(cnt + 1) div 2") ||
+        col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy("grp")
+      .agg((sum(col("x")) * when(count(lit(1)) === 1, 2).otherwise(1))
+        .cast("decimal(19,0)").as("med2"))
+    fSelect(fCore(t.join(broadcast(med2), Seq("grp"))
+      .select(col("grp"),
+        abs(lit(2) * col("x") - col("med2")).cast("decimal(19,0)").as("x"))),
+      "w_stat")
+  }
+
+  val leveneBrownForsytheSql: String = {
+    import graft.functions.Nums._
+    s"""WITH t AS MATERIALIZED (
+         SELECT o_orderpriority AS grp,
+                CAST(${sqlDecp("o_totalprice")} * 100 AS BIGINT) AS x,
+                o_orderkey
+         FROM orders),
+       r AS (SELECT grp, x,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS cnt
+             FROM t),
+       med AS (SELECT grp,
+                      CAST(SUM(x) * (CASE WHEN COUNT(*) = 1 THEN 2 ELSE 1 END)
+                           AS HUGEINT) AS med2
+               FROM r
+               WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+               GROUP BY grp),
+       ${sqlFCore(
+      """SELECT t.grp, CAST(abs(2 * CAST(t.x AS HUGEINT) - m.med2) AS HUGEINT) AS x
+          FROM t JOIN med m ON t.grp = m.grp""")}
+       ${sqlFSelect("w_stat")}"""
+  }
+
+  /** Wald-Wolfowitz runs test on the daily event-count series — "is
+    * day-to-day volume RANDOM around its median, or does it streak"
+    * (trending AND oscillating series both fail; the sequence-
+    * randomness gate next to [[mannKendallTrend]]'s monotone drift).
+    * The series median is selected exactly from the value-count
+    * aggregate (cumulative counts via an aggregates-only self-join —
+    * no global window); days tie-or-below the median count as 'below'
+    * (documented convention). Runs are counted from ADJACENT-day pairs
+    * (an equi-join on di+1, never a window), and z is one double tree
+    * over the exact (runs, n_above, n_below) integers. Scale: the
+    * day-pair join is |span|-sized — grows with observation time,
+    * never event volume. (round 6)
+    */
+  def runsTest(s: SparkSession, dir: String): DataFrame =
+    runsFrom(dailySeries(s, dir))
+
+  /** Core over any (di long, n long) series frame (spec hand-checks). */
+  private[operators] def runsFrom(ser: DataFrame): DataFrame = {
+    val vc = ser.groupBy("n").agg(count(lit(1)).as("c"))
+    val cum = vc.as("x").join(vc.as("y"), col("y.n") <= col("x.n"))
+      .groupBy(col("x.n").as("v")).agg(sum(col("y.c")).as("cum"))
+    val nd = ser.agg(count(lit(1)).as("nd"))
+    val med = cum.crossJoin(broadcast(nd))
+      .agg(min(when(col("cum") >= expr("(nd + 1) div 2"), col("v")))
+        .as("med"))
+    val flagged = ser.crossJoin(broadcast(med))
+      .select(col("di"), (col("n") > col("med")).cast("long").as("ab"))
+      .localCheckpoint() // feeds the side counts AND the adjacent join
+    val counts = flagged.agg(count(lit(1)).as("days"),
+      sum(col("ab")).as("n1"))
+    val changes = flagged.as("a").join(flagged.as("b"),
+        col("b.di") === col("a.di") + 1)
+      .agg(sum(when(col("a.ab") =!= col("b.ab"), 1L).otherwise(0L)).as("ch"))
+    counts.crossJoin(changes)
+      .select(col("days").as("n_days"), col("n1").as("n_above"),
+        (col("days") - col("n1")).as("n_below"),
+        (col("ch") + 1).as("runs"),
+        (lit(2L) * col("n1") * (col("days") - col("n1"))).as("p2"))
+      .select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
+        (((col("runs").cast("double")
+          - (lit(1.0) + col("p2").cast("double") / col("n_days").cast("double"))))
+          / sqrt(col("p2").cast("double")
+            * (col("p2") - col("n_days")).cast("double")
+            / (col("n_days").cast("double") * col("n_days").cast("double")
+              * (col("n_days") - 1).cast("double")))).as("z"))
+  }
+
+  val runsTestSql: String =
+    s"""WITH $sqlDailySeries,
+       vc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS c FROM ser GROUP BY 1),
+       cum AS (SELECT x.n AS v, CAST(SUM(y.c) AS BIGINT) AS cum
+               FROM vc x JOIN vc y ON y.n <= x.n GROUP BY 1),
+       nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM ser),
+       med AS (SELECT MIN(CASE WHEN c.cum >= (d.nd + 1) // 2 THEN c.v END)
+                        AS med
+               FROM cum c CROSS JOIN nd d),
+       fl AS MATERIALIZED (
+         SELECT s.di, CASE WHEN s.n > m.med THEN 1 ELSE 0 END AS ab
+         FROM ser s CROSS JOIN med m),
+       cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS days,
+                     CAST(SUM(ab) AS BIGINT) AS n1
+              FROM fl),
+       ch AS (SELECT CAST(SUM(CASE WHEN a.ab <> b.ab THEN 1 ELSE 0 END)
+                          AS BIGINT) AS ch
+              FROM fl a JOIN fl b ON b.di = a.di + 1),
+       st AS (SELECT cn.days AS n_days, cn.n1 AS n_above,
+                     cn.days - cn.n1 AS n_below, ch.ch + 1 AS runs,
+                     2 * cn.n1 * (cn.days - cn.n1) AS p2
+              FROM cn CROSS JOIN ch)
+       SELECT n_days, n_above, n_below, runs,
+              (CAST(runs AS DOUBLE)
+               - (1.0 + CAST(p2 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                / sqrt(CAST(p2 AS DOUBLE) * CAST(p2 - n_days AS DOUBLE)
+                       / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                          * CAST(n_days - 1 AS DOUBLE))) AS z
+       FROM st"""
+
+  /** Lags scanned by [[xcorrDailyLags]] (0..7: same-day through one
+    * week of lead time). */
+  val XcorrMaxLag = 7
+
+  /** Lagged cross-correlation between the daily click series and the
+    * daily purchase series — "how many days does a click lead a
+    * purchase" (the lead-lag diagnostic next to [[acfDaily]]'s
+    * self-correlation): Pearson r between x(day) and y(day+lag) for
+    * lag 0..7 over the zero-filled calendar spine. All five moment
+    * sums are exact BIGINTs per lag (daily counts are small integers);
+    * r is the corr_exact one-sqrt tree over exact casts. Scale: the
+    * lag fan-out is |span|×8 rows joined back to the |span|-sized
+    * checkpointed series on an equi-key — grows with observation
+    * time, never event volume. (round 6)
+    */
+  def xcorrDailyLags(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"), col("lo"))
+    val xy = broadcast(spine)
+      .join(daily.filter(col("event_type") === "click")
+        .select(col("day"), col("c").as("x")), Seq("day"), "left")
+      .join(daily.filter(col("event_type") === "purchase")
+        .select(col("day"), col("c").as("y")), Seq("day"), "left")
+      .select(datediff(col("day"), col("lo")).cast("long").as("di"),
+        coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint() // feeds the lag fan-out AND the lagged side
+    xorrFrom(xy)
+  }
+
+  /** Core over any (di, x, y) series frame (spec hand-checks). Moment
+    * sums ride DECIMAL(38,0)/HUGEINT — BIGINT squares of daily counts
+    * saturate around 10^9 events/day. */
+  private[operators] def xorrFrom(xy: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    xy.select(col("di"), col("x"),
+        explode(sequence(lit(0), lit(XcorrMaxLag))).as("lag"))
+      .withColumn("dj", col("di") + col("lag"))
+      .join(xy.select(col("di").as("dj"), col("y")), Seq("dj"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(dec(col("x")) * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(dec(col("y")) * col("y")).cast("decimal(38,0)").as("syy"),
+        sum(dec(col("x")) * col("y")).cast("decimal(38,0)").as("sxy"))
+      .select(col("lag").cast("long").as("lag"), col("n_days"),
+        col("sxy").cast("long").as("sxy"),
+        ((dec(col("n_days")) * col("sxy") - dec(col("sx")) * col("sy"))
+          .cast("double")
+          / sqrt((dec(col("n_days")) * col("sxx") - dec(col("sx")) * col("sx"))
+            .cast("double")
+            * (dec(col("n_days")) * col("syy") - dec(col("sy")) * col("sy"))
+              .cast("double"))).as("r"))
+      .orderBy("lag")
+  }
+
+  val xcorrDailyLagsSql: String =
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, event_type,
+                CAST(COUNT(*) AS BIGINT) AS c
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY 1, 2),
+       bounds AS (SELECT CAST(MIN(ts) AS DATE) AS lo,
+                         CAST(MAX(ts) AS DATE) AS hi FROM events),
+       spine AS (SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY))::DATE AS day, lo
+                 FROM bounds),
+       xy AS MATERIALIZED (
+         SELECT CAST(date_diff('day', s.lo, s.day) AS BIGINT) AS di,
+                CAST(COALESCE(cx.c, 0) AS BIGINT) AS x,
+                CAST(COALESCE(cy.c, 0) AS BIGINT) AS y
+         FROM spine s
+           LEFT JOIN daily cx ON s.day = cx.day AND cx.event_type = 'click'
+           LEFT JOIN daily cy ON s.day = cy.day AND cy.event_type = 'purchase'),
+       lagged AS (
+         SELECT l.lag, a.x, b.y
+         FROM (SELECT unnest(generate_series(0, $XcorrMaxLag)) AS lag) l
+           JOIN xy a ON true
+           JOIN xy b ON b.di = a.di + l.lag),
+       m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+                    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                    SUM(CAST(y AS HUGEINT) * y) AS syy,
+                    SUM(CAST(x AS HUGEINT) * y) AS sxy
+             FROM lagged GROUP BY 1)
+       SELECT lag, n_days, CAST(sxy AS BIGINT) AS sxy,
+              CAST(CAST(CAST(n_days AS HUGEINT) * sxy
+                        - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+                / sqrt(CAST(CAST(CAST(n_days AS HUGEINT) * sxx
+                                 - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(CAST(n_days AS HUGEINT) * syy
+                                   - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+                AS r
+       FROM m ORDER BY lag"""
+
+  /** Seasonal-naive forecast backtest per event type — the MASE-style
+    * accuracy gate every volume forecast must beat ("does last week
+    * predict today better than yesterday does"): forecast(d) = n(d−7)
+    * scored against the naive forecast n(d−1) over the zero-filled
+    * per-type calendar, absolute-error sums exact BIGINT, MAE/ratio as
+    * final double divisions. mase_like < 1 means weekly seasonality is
+    * real and a seasonal model earns its keep (the [[seasonalityDow]]
+    * index quantifies the pattern; this quantifies its predictive
+    * value). Scale: types × span spine (both aggregate-bounded), three
+    * equi-joins on (type, day index), one k-row aggregate. (round 6)
+    */
+  def forecastSeasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+    val types = ev.select(col("event_type")).distinct()
+    val spine = broadcast(bounds)
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"), col("lo"))
+      .crossJoin(broadcast(types))
+    val daily = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val ser = spine.join(daily, Seq("day", "event_type"), "left")
+      .select(col("event_type"),
+        datediff(col("day"), col("lo")).cast("long").as("di"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint() // feeds current, t-7 and t-1 sides
+    ser.as("c")
+      .join(ser.as("s7"),
+        col("s7.event_type") === col("c.event_type") &&
+          col("s7.di") === col("c.di") - 7)
+      .join(ser.as("s1"),
+        col("s1.event_type") === col("c.event_type") &&
+          col("s1.di") === col("c.di") - 1)
+      .groupBy(col("c.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("c.n") - col("s7.n"))).as("sae_seasonal"),
+        sum(abs(col("c.n") - col("s1.n"))).as("sae_naive"))
+      .select(col("event_type"), col("n_days"), col("sae_seasonal"),
+        col("sae_naive"),
+        (col("sae_seasonal").cast("double") / col("n_days").cast("double"))
+          .as("mae_seasonal"),
+        (col("sae_naive").cast("double") / col("n_days").cast("double"))
+          .as("mae_naive"),
+        (col("sae_seasonal").cast("double") / col("sae_naive").cast("double"))
+          .as("mase_like"))
+      .orderBy("event_type")
+  }
+
+  val forecastSeasonalNaiveSql: String =
+    """WITH bounds AS (SELECT CAST(MIN(ts) AS DATE) AS lo,
+                             CAST(MAX(ts) AS DATE) AS hi FROM events),
+       types AS (SELECT DISTINCT event_type FROM events),
+       spine AS (SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY))::DATE AS day, lo
+                 FROM bounds),
+       daily AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2),
+       ser AS MATERIALIZED (
+         SELECT t.event_type,
+                CAST(date_diff('day', s.lo, s.day) AS BIGINT) AS di,
+                CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+         FROM spine s CROSS JOIN types t
+           LEFT JOIN daily d
+             ON s.day = d.day AND t.event_type = d.event_type)
+       SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(SUM(abs(c.n - s7.n)) AS BIGINT) AS sae_seasonal,
+              CAST(SUM(abs(c.n - s1.n)) AS BIGINT) AS sae_naive,
+              CAST(SUM(abs(c.n - s7.n)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS mae_seasonal,
+              CAST(SUM(abs(c.n - s1.n)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS mae_naive,
+              CAST(SUM(abs(c.n - s7.n)) AS DOUBLE)
+                / CAST(SUM(abs(c.n - s1.n)) AS DOUBLE) AS mase_like
+       FROM ser c
+         JOIN ser s7 ON s7.event_type = c.event_type AND s7.di = c.di - 7
+         JOIN ser s1 ON s1.event_type = c.event_type AND s1.di = c.di - 1
+       GROUP BY c.event_type
+       ORDER BY c.event_type"""
+
   def queries: Seq[Q] = Seq(
     Q("chi2_independence", Some(chi2IndependenceSql))(chi2Independence),
+    Q("cramers_v", Some(cramersVSql))(cramersV),
+    Q("kruskal_wallis", Some(kruskalWallisSql))(kruskalWallis),
+    Q("anova_oneway", Some(anovaOnewaySql))(anovaOneway),
+    Q("levene_brown_forsythe", Some(leveneBrownForsytheSql))(leveneBrownForsythe),
+    Q("runs_test", Some(runsTestSql))(runsTest),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
     Q("diversity_simpson", Some(diversitySimpsonSql))(diversitySimpson),
     Q("markov_stationary", Some(markovStationarySql))(markovStationary),
@@ -1569,6 +2133,9 @@ object Inference {
     Q("kendall_tau", Some(kendallTauSql))(kendallTau),
     Q("mann_kendall_trend", Some(mannKendallTrendSql))(mannKendallTrend),
     Q("theil_sen_slope", Some(theilSenSlopeSql))(theilSenSlope),
+    Q("xcorr_daily_lags", Some(xcorrDailyLagsSql))(xcorrDailyLags),
+    Q("forecast_seasonal_naive",
+      Some(forecastSeasonalNaiveSql))(forecastSeasonalNaive),
     Q("bootstrap_means", Some(bootstrapMeansSql))(bootstrapMeans),
     Q("odds_ratio_funnel", Some(oddsRatioFunnelSql))(oddsRatioFunnel))
 }

@@ -492,4 +492,129 @@ class InferenceSpec extends AnyFunSuite {
     // and every target-vocab doc outranks every raw-only doc
     assert((1 to 6).map(i => w(i.toLong)).min > w(14L))
   }
+
+  test("kruskal-wallis: closed-form H on untied and tied hand tables") {
+    // {1,2,3} vs {4,5,6}: ranks 1..6, R=(6,15),
+    // H = 12/42 * (36/3 + 225/3) - 21 = 27/7
+    val out = Inference.kruskalWallisFrom(
+      Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+        ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("grp", "v")).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("h") - 27.0 / 7.0) < 1e-12)
+      // no ties: the correction is a no-op
+      assert(r.getAs[Double]("h_tie") === r.getAs[Double]("h"))
+      assert(r.getAs[Long]("dof") === 1L)
+    }
+    // {1,1} vs {2,2}: avg ranks (1.5, 3.5), H = 2.4,
+    // ties sum(t^3-t)=12, C = 1-12/60 => H_tie = 3.0
+    val tied = Inference.kruskalWallisFrom(
+      Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("grp", "v"))
+      .head
+    assert(math.abs(tied.getAs[Double]("h") - 2.4) < 1e-12)
+    assert(math.abs(tied.getAs[Double]("h_tie") - 3.0) < 1e-12)
+  }
+
+  test("anova F core: exact cent-squared sums on a hand table") {
+    // cents {100,200,300} vs {400,500,600}: SSB=135000, SSW=40000,
+    // F = 135000 / (40000/4) = 13.5 — all floors divide exactly
+    val r = Inference.fSelect(Inference.fCore(
+      Seq(("a", 100), ("a", 200), ("a", 300),
+        ("b", 400), ("b", 500), ("b", 600)).toDF("grp", "x")
+        .select(col("grp"), col("x").cast("decimal(16,0)").as("x"))),
+      "f_stat").head
+    assert(r.getAs[Double]("ssb") === 13.5) // 135000 cent² = 13.5 $²
+    assert(r.getAs[Double]("ssw") === 4.0)
+    assert(r.getAs[Double]("f_stat") === 13.5)
+    assert((r.getAs[Long]("df1"), r.getAs[Long]("df2")) === ((1L, 4L)))
+  }
+
+  test("brown-forsythe: identical spreads give W=0; unequal spreads don't") {
+    def frame(rows: Seq[(String, Int)]) =
+      rows.zipWithIndex.map { case ((g, x), i) => (g, x, i.toLong) }
+        .toDF("grp", "x", "tie")
+        .select(col("grp"), col("x").cast("decimal(16,0)").as("x"), col("tie"))
+    // both groups deviate {0,0,20} around their medians => SSB of
+    // deviations is 0 => W = 0 exactly
+    val same = Inference.leveneFrom(frame(
+      Seq(("a", 0), ("a", 0), ("a", 10), ("b", 0), ("b", 10), ("b", 10))))
+      .head
+    assert(same.getAs[Double]("w_stat") === 0.0)
+    // a is constant, b spreads: W must be decisively positive
+    val diff = Inference.leveneFrom(frame(
+      Seq(("a", 5), ("a", 5), ("a", 5), ("b", 0), ("b", 20), ("b", 40))))
+      .head
+    assert(diff.getAs[Double]("w_stat") > 0.9)
+  }
+
+  test("runs test: alternation inflates runs (z>0 side), monotone deflates") {
+    def ser(ns: Seq[Long]) =
+      ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("di", "n")
+        .localCheckpoint()
+    // 0,10,0,10,... over 10 days: median 0, runs = 10,
+    // mu = 1 + 50/10 = 6, var = 50*40/900 => z = 4/sqrt(2.222) = 2.683
+    val alt = Inference.runsFrom(
+      ser(Seq(0L, 10L, 0L, 10L, 0L, 10L, 0L, 10L, 0L, 10L))).head
+    assert(alt.getAs[Long]("runs") === 10L)
+    assert((alt.getAs[Long]("n_above"), alt.getAs[Long]("n_below")) ===
+      ((5L, 5L)))
+    assert(math.abs(alt.getAs[Double]("z") - 4.0 / math.sqrt(2000.0 / 900.0))
+      < 1e-12)
+    // 1..10 monotone: median 5 (lower), 5 above, runs = 2, z mirrored
+    val mono = Inference.runsFrom(ser((1L to 10L))).head
+    assert(mono.getAs[Long]("runs") === 2L)
+    assert(math.abs(mono.getAs[Double]("z")
+      + 4.0 / math.sqrt(2000.0 / 900.0)) < 1e-12)
+  }
+
+  test("xcorr: a planted 2-day lead is recovered as the argmax lag") {
+    // y is x shifted forward by 2 days (plus flat noise floor):
+    // r at lag 2 must be ~1 and strictly the max across lags
+    val xs = Seq(5L, 9L, 2L, 7L, 4L, 8L, 1L, 6L, 3L, 9L, 2L, 7L,
+      5L, 8L, 4L, 6L)
+    val xy = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong, x, if (i >= 2) xs(i - 2) else 0L)
+    }.toDF("di", "x", "y").localCheckpoint()
+    val rs = Inference.xorrFrom(xy).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("r")).toMap
+    assert(rs(2L) > 0.999)
+    rs.filter(_._1 != 2L).values.foreach(v => assert(v < rs(2L)))
+  }
+
+  test("forecast backtest: a pure 7-day cycle gives mase_like = 0") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fc").toString
+    // weekly pattern: day-of-week d gets (d+1) events of type 'click',
+    // over exactly 4 weeks => n(d) == n(d-7) always, n(d) != n(d-1)
+    val rows = for {
+      day <- 0 until 28
+      k <- 0 until (day % 7) + 1
+    } yield ((day * 100 + k).toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"),
+      k.toLong, "click", 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = Inference.forecastSeasonalNaive(spark, tmp).head
+    assert(r.getAs[String]("event_type") === "click")
+    assert(r.getAs[Long]("n_days") === 21L) // days 7..27
+    assert(r.getAs[Long]("sae_seasonal") === 0L)
+    assert(r.getAs[Double]("mase_like") === 0.0)
+    assert(r.getAs[Long]("sae_naive") > 0L)
+  }
+
+  test("cramers V: strong association on a full table, independence gives 0") {
+    // [[9,1],[1,9]] (all cells observed — chi2's cell frame only holds
+    // observed cells): exp=5 everywhere, chi2 = 4*16/5 = 12.8,
+    // V = sqrt(12.8/20) = 0.8
+    val strong = Inference.cramersVFrom(
+      (Seq.fill(9)(("a", "x")) ++ Seq.fill(1)(("a", "y")) ++
+        Seq.fill(1)(("b", "x")) ++ Seq.fill(9)(("b", "y")))
+        .toDF("prio", "status")).head
+    assert(strong.getAs[Double]("chi2") === 12.8)
+    assert(math.abs(strong.getAs[Double]("cramers_v") - 0.8) < 1e-15)
+    assert(strong.getAs[Long]("dof") === 1L)
+    val indep = Inference.cramersVFrom(
+      (for { a <- Seq("a", "b"); b <- Seq("x", "y") } yield (a, b))
+        .toDF("prio", "status")).head
+    assert(indep.getAs[Double]("cramers_v") === 0.0)
+  }
 }

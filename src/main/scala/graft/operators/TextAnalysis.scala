@@ -1002,7 +1002,140 @@ object TextAnalysis {
                     JOIN sizes sb ON i.source_b = sb.source
        ORDER BY source_a, source_b"""
 
+  /** Count of regex-match GROUPS in `c` under pattern `pat`: replace
+    * each match with one sentinel char and diff the lengths against a
+    * full deletion — pure codegen'd string ops, no UDF. */
+  private def matchCount(c: Column, pat: String): Column =
+    length(regexp_replace(c, pat, "#")) - length(regexp_replace(c, pat, ""))
+
+  /** DuckDB twin of [[matchCount]] (the 'g' flag: DuckDB replaces only
+    * the first match by default, Spark replaces all). */
+  private def sqlMatchCount(e: String, pat: String): String =
+    s"(length(regexp_replace($e, '$pat', '#', 'g')) - " +
+      s"length(regexp_replace($e, '$pat', '', 'g')))"
+
+  /** Flesch reading-ease per source — the classic readability score as
+    * a corpus-quality signal next to [[textQualityScore]]'s heuristic
+    * bundle (training mixes routinely filter or re-weight by reading
+    * level). Words from the shared [[graft.functions.Text.toks]]
+    * tokenizer, sentences as `[.!?]+` runs (clamped ≥ 1 per doc so
+    * fragment docs don't zero the denominator), syllables by the
+    * standard vowel-group proxy `[aeiouy]+` over lowercased text —
+    * counted by replace-and-diff length arithmetic (codegen'd, no
+    * UDF, identical in both engines). All three accumulate as exact
+    * BIGINTs per source; the score is one double tree over the
+    * aggregate ratios. Scale: pure per-row projection + one k-row
+    * aggregate — no shuffle but source partials. (round 6)
+    */
+  def readabilityFlesch(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(toks(col("text"))).cast("long").as("w"),
+        greatest(matchCount(col("text"), "[.!?]+"), lit(1)).cast("long")
+          .as("sen"),
+        matchCount(lower(col("text")), "[aeiouy]+").cast("long").as("syl"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("sen")).as("n_sentences"), sum(col("syl")).as("n_syllables"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double"))).as("flesch"))
+      .orderBy("source")
+
+  val readabilityFleschSql: String =
+    s"""WITH perdoc AS (
+         SELECT source,
+                CAST(len(${sqlToks("text")}) AS BIGINT) AS w,
+                CAST(greatest(${sqlMatchCount("text", "[.!?]+")}, 1)
+                     AS BIGINT) AS sen,
+                CAST(${sqlMatchCount("lower(text)", "[aeiouy]+")}
+                     AS BIGINT) AS syl
+         FROM documents),
+       agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(w) AS BIGINT) AS n_words,
+                      CAST(SUM(sen) AS BIGINT) AS n_sentences,
+                      CAST(SUM(syl) AS BIGINT) AS n_syllables
+               FROM perdoc GROUP BY 1)
+       SELECT source, n_docs, n_words, n_sentences, n_syllables,
+              206.835
+                - 1.015 * (CAST(n_words AS DOUBLE)
+                           / CAST(n_sentences AS DOUBLE))
+                - 84.6 * (CAST(n_syllables AS DOUBLE)
+                          / CAST(n_words AS DOUBLE)) AS flesch
+       FROM agg ORDER BY source"""
+
+  /** Frequency-weighted cosine similarity between source unigram
+    * vectors — completing the corpus-similarity triangle:
+    * [[tokenOverlapMatrix]] weighs vocabulary IDENTITY (Jaccard of
+    * sets), [[graft.operators.Curation.sourceDivergenceTv]] weighs
+    * frequency MASS drift, this weighs the ANGLE between count
+    * vectors (two sources can share every token and still point in
+    * different directions). Dot products and squared norms accumulate
+    * in DECIMAL(38,0)/HUGEINT (BIGINT squares saturate once a
+    * (source, token) count passes ~3e9); cosine is one division over
+    * two correctly-rounded sqrts. Scale: the (source, token, count)
+    * frame is aggregate-compacted before any join (bodies never
+    * shuffle), the pair intersection is a token equi-join AQE splits
+    * on head tokens, and the output is sources²-bounded. (round 6)
+    */
+  def sourceCosineMatrix(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds norms AND the pair join
+    val nrm = tf.groupBy("source")
+      .agg(sum(dec(col("c")) * col("c")).cast("decimal(38,0)").as("n2"))
+    val dots = tf.as("a").join(tf.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(dec(col("a.c")) * col("b.c")).cast("decimal(38,0)").as("dot"))
+    dots
+      .join(broadcast(nrm.select(col("source").as("source_a"),
+        col("n2").as("n2_a"))), Seq("source_a"))
+      .join(broadcast(nrm.select(col("source").as("source_b"),
+        col("n2").as("n2_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        col("dot").cast("double").as("dot"),
+        sqrt(col("n2_a").cast("double")).as("norm_a"),
+        sqrt(col("n2_b").cast("double")).as("norm_b"),
+        (col("dot").cast("double")
+          / (sqrt(col("n2_a").cast("double"))
+            * sqrt(col("n2_b").cast("double")))).as("cosine"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceCosineMatrixSql: String =
+    s"""WITH tf AS MATERIALIZED (
+         SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+         FROM (SELECT source, unnest(${sqlToks("text")}) AS tok
+               FROM documents)
+         GROUP BY 1, 2),
+       nrm AS (SELECT source, SUM(CAST(c AS HUGEINT) * c) AS n2
+               FROM tf GROUP BY 1),
+       dots AS (SELECT a.source AS source_a, b.source AS source_b,
+                       SUM(CAST(a.c AS HUGEINT) * b.c) AS dot
+                FROM tf a JOIN tf b
+                  ON a.tok = b.tok AND a.source < b.source
+                GROUP BY 1, 2)
+       SELECT d.source_a, d.source_b,
+              CAST(CAST(d.dot AS VARCHAR) AS DOUBLE) AS dot,
+              sqrt(CAST(CAST(na.n2 AS VARCHAR) AS DOUBLE)) AS norm_a,
+              sqrt(CAST(CAST(nb.n2 AS VARCHAR) AS DOUBLE)) AS norm_b,
+              CAST(CAST(d.dot AS VARCHAR) AS DOUBLE)
+                / (sqrt(CAST(CAST(na.n2 AS VARCHAR) AS DOUBLE))
+                   * sqrt(CAST(CAST(nb.n2 AS VARCHAR) AS DOUBLE))) AS cosine
+       FROM dots d JOIN nrm na ON d.source_a = na.source
+                   JOIN nrm nb ON d.source_b = nb.source
+       ORDER BY source_a, source_b"""
+
   def queries: Seq[Q] = Seq(
+    Q("readability_flesch", Some(readabilityFleschSql))(readabilityFlesch),
+    Q("source_cosine_matrix", Some(sourceCosineMatrixSql))(sourceCosineMatrix),
     Q("token_overlap_matrix", Some(tokenOverlapMatrixSql))(tokenOverlapMatrix),
     Q("bpe_train_merges", Some(bpeTrainMergesSql))(bpeTrainMerges),
     Q("bpe_encode_words", Some(bpeEncodeWordsSql))(bpeEncodeWords),

@@ -1150,4 +1150,55 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(docsWithHash.subsetOf(scoredHashJoin))
   }
+
+  private def docsCorpus(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    rows.map { case (id, text, src) => (id, text, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("flesch: hand-counted words/sentences/syllables and the exact score") {
+    val tmp = docsCorpus(Seq(
+      // 5 tokens, 2 sentence runs (. and !), 5 vowel groups
+      (1L, "the cat sat. it ran!", "s1"),
+      // no terminal punctuation: sentence count clamps to 1; "xyzzy"
+      // counts its y-groups as vowels (documented proxy)
+      (2L, "no stops here", "s2")))
+    val out = TextAnalysis.readabilityFlesch(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_words") === 5L)
+    assert(s1.getAs[Long]("n_sentences") === 2L)
+    assert(s1.getAs[Long]("n_syllables") === 5L)
+    assert(math.abs(s1.getAs[Double]("flesch")
+      - (206.835 - 1.015 * 2.5 - 84.6 * 1.0)) < 1e-12)
+    // "no stops here": words=3, sentences clamp 1, vowel groups:
+    // o / o / e,e = 4
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("n_sentences") === 1L)
+    assert(s2.getAs[Long]("n_words") === 3L)
+    assert(s2.getAs[Long]("n_syllables") === 4L)
+  }
+
+  test("source cosine: identical sources ~1, disjoint sources emit no pair") {
+    val tmp = docsCorpus(Seq(
+      (1L, "x x y", "a"), (2L, "x x y", "b"), (3L, "z z", "c"),
+      (4L, "x q", "d")))
+    val rows = TextAnalysis.sourceCosineMatrix(spark, tmp).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+        -> r).toMap
+    // identical count vectors: cosine 1 up to the sqrt*sqrt ulp
+    assert(math.abs(rows(("a", "b")).getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(rows(("a", "b")).getAs[Double]("dot") === 5.0) // 2*2 + 1*1
+    // c shares no token with anyone: no (., c) pair may exist
+    assert(!rows.keySet.exists(p => p._1 == "c" || p._2 == "c"))
+    // d overlaps a and b on x only: cos = 2*1 / (sqrt(5)*sqrt(2))
+    val ad = rows(("a", "d")).getAs[Double]("cosine")
+    assert(math.abs(ad - 2.0 / (math.sqrt(5.0) * math.sqrt(2.0))) < 1e-12)
+    assert(ad > 0.0 && ad < 1.0)
+  }
 }

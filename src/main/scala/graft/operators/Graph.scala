@@ -583,7 +583,144 @@ object Graph {
                    ELSE cv / sqrt(vx * vy) END AS assortativity
        FROM v"""
 
+  /** Local clustering coefficient per node — "how clique-like is each
+    * skill's neighborhood" (the transitivity layer next to
+    * [[triangleCount]]'s raw counts: a hub with many triangles can
+    * still be loosely knit if its degree is huge). cc_u =
+    * triangles(u) / C(deg_u, 2): the triangle list is the same
+    * three-way edge equi-join as triangle_count (each triangle once,
+    * a < b < c), wedge capacity deg(deg−1)/2 is exact BIGINT, cc is
+    * one double division (deg-1 nodes emit 0 by convention, never a
+    * divide-by-zero). Scale: wedge-join bounded by Σ deg² — the
+    * triangle_count shape; node frames are graph-sized. (round 6)
+    */
+  def clusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
+    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint() // feeds the degree table AND three tri sides
+    val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    val deg = e.groupBy(col("src").as("skill")).agg(count(lit(1)).as("deg"))
+    val tri = cooc.as("e1")
+      .join(cooc.as("e2"), col("e1.skill_b") === col("e2.skill_a"))
+      .join(cooc.as("e3"),
+        col("e3.skill_a") === col("e1.skill_a") &&
+          col("e3.skill_b") === col("e2.skill_b"))
+      .select(explode(array(col("e1.skill_a"), col("e1.skill_b"),
+        col("e2.skill_b"))).as("skill"))
+      .groupBy("skill").agg(count(lit(1)).as("n_triangles"))
+    deg.join(tri, Seq("skill"), "left")
+      .select(col("skill"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("(deg * (deg - 1)) div 2").as("wedges"))
+      .withColumn("cc",
+        when(col("deg") > 1,
+          col("n_triangles").cast("double") / col("wedges").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy(col("cc").desc, col("skill"))
+  }
+
+  val clusteringCoefficientSql: String =
+    s"""WITH cooc AS (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e AS (SELECT skill_a AS src, skill_b AS dst FROM cooc
+             UNION ALL
+             SELECT skill_b AS src, skill_a AS dst FROM cooc),
+       deg AS (SELECT src AS skill, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM e GROUP BY 1),
+       tri AS (SELECT skill, CAST(COUNT(*) AS BIGINT) AS n_triangles
+               FROM (SELECT unnest([e1.skill_a, e1.skill_b, e2.skill_b])
+                              AS skill
+                     FROM cooc e1
+                     JOIN cooc e2 ON e1.skill_b = e2.skill_a
+                     JOIN cooc e3 ON e3.skill_a = e1.skill_a
+                              AND e3.skill_b = e2.skill_b)
+               GROUP BY 1)
+       SELECT d.skill, d.deg,
+              CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+              (d.deg * (d.deg - 1)) // 2 AS wedges,
+              CASE WHEN d.deg > 1 THEN
+                     CAST(COALESCE(t.n_triangles, 0) AS DOUBLE)
+                       / CAST((d.deg * (d.deg - 1)) // 2 AS DOUBLE)
+                   ELSE 0.0 END AS cc
+       FROM deg d LEFT JOIN tri t ON d.skill = t.skill
+       ORDER BY cc DESC, d.skill"""
+
+  /** Link prediction by neighborhood JACCARD — the size-normalized
+    * sibling of [[graft.operators.Inference.linkPredictionRa]] (RA
+    * rewards rare shared neighbors; Jaccard rewards neighborhoods
+    * that mostly coincide, so hub-heavy pairs stop dominating). For
+    * every wedge-connected NON-edge (x, y): J = |N(x) ∩ N(y)| /
+    * (deg_x + deg_y − |N(x) ∩ N(y)|), common neighbors from the
+    * wedge equi-join, the anti-join drops existing edges, both degree
+    * lookups broadcast. Everything is exact BIGINT until the one
+    * division. Scale: Σ deg²-bounded wedge join over graph-sized
+    * frames — the corpus appears only in the checkpointed extraction
+    * chain. (round 6)
+    */
+  def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint()
+    val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    val deg = e.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
+    val wedges = e.as("l").join(e.as("r"), col("l.dst") === col("r.src"))
+      .filter(col("l.src") < col("r.dst"))
+      .select(col("l.src").as("x"), col("r.dst").as("y"))
+    // cooc pairs are canonical by skill ID while wedges order by the
+    // skill STRING — normalize the edge list to string order so the
+    // anti-join removes an existing edge in either orientation
+    val eStr = cooc.select(
+      least(col("skill_a"), col("skill_b")).as("sa"),
+      greatest(col("skill_a"), col("skill_b")).as("sb"))
+    wedges
+      .join(eStr, wedges("x") === eStr("sa")
+        && wedges("y") === eStr("sb"), "left_anti")
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(broadcast(deg.select(col("z").as("x"), col("deg").as("deg_x"))),
+        Seq("x"))
+      .join(broadcast(deg.select(col("z").as("y"), col("deg").as("deg_y"))),
+        Seq("y"))
+      .select(col("x").as("skill_a"), col("y").as("skill_b"),
+        col("common_neighbors"), col("deg_x"), col("deg_y"),
+        (col("common_neighbors").cast("double")
+          / (col("deg_x") + col("deg_y") - col("common_neighbors"))
+            .cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("skill_a"), col("skill_b"))
+  }
+
+  val jaccardNeighborsSql: String =
+    s"""WITH cooc AS (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e AS (SELECT skill_a AS src, skill_b AS dst FROM cooc
+             UNION ALL
+             SELECT skill_b AS src, skill_a AS dst FROM cooc),
+       deg AS (SELECT src AS z, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM e GROUP BY 1),
+       cn AS (SELECT l.src AS x, r.dst AS y,
+                     CAST(COUNT(*) AS BIGINT) AS common_neighbors
+              FROM e l JOIN e r ON l.dst = r.src
+              WHERE l.src < r.dst
+                AND NOT EXISTS (SELECT 1 FROM cooc c
+                                WHERE least(c.skill_a, c.skill_b) = l.src
+                                  AND greatest(c.skill_a, c.skill_b) = r.dst)
+              GROUP BY 1, 2)
+       SELECT cn.x AS skill_a, cn.y AS skill_b, cn.common_neighbors,
+              dx.deg AS deg_x, dy.deg AS deg_y,
+              CAST(cn.common_neighbors AS DOUBLE)
+                / CAST(dx.deg + dy.deg - cn.common_neighbors AS DOUBLE)
+                AS jaccard
+       FROM cn JOIN deg dx ON cn.x = dx.z
+               JOIN deg dy ON cn.y = dy.z
+       ORDER BY jaccard DESC, skill_a, skill_b"""
+
   def queries: Seq[Q] = Seq(
+    Q("clustering_coefficient",
+      Some(clusteringCoefficientSql))(clusteringCoefficient),
+    Q("graph_jaccard_neighbors",
+      Some(jaccardNeighborsSql))(jaccardNeighbors),
     Q("graph_degree_assortativity",
       Some(degreeAssortativitySql))(degreeAssortativity),
     Q("kcore_membership", Some(kcoreMembershipSql))(kcoreMembership),

@@ -365,9 +365,18 @@ object Inference {
       .filter(col("l.src") < col("r.dst"))
       .select(col("l.src").as("x"), col("r.dst").as("y"),
         col("l.dst").as("via"))
+    // cooc pairs are canonical by skill ID while wedges order by the
+    // skill STRING — normalize the edge list to string order so the
+    // anti-join removes an existing edge in either orientation
+    // (round-6 fix: the id-oriented anti-join let an existing edge
+    // survive as a "prediction" whenever its id- and string-orders
+    // disagreed)
+    val eStr = cooc.select(
+      least(col("skill_a"), col("skill_b")).as("sa"),
+      greatest(col("skill_a"), col("skill_b")).as("sb"))
     wedges
-      .join(cooc, wedges("x") === cooc("skill_a")
-        && wedges("y") === cooc("skill_b"), "left_anti")
+      .join(eStr, wedges("x") === eStr("sa")
+        && wedges("y") === eStr("sb"), "left_anti")
       .join(broadcast(deg), col("via") === col("z"))
       .groupBy("x", "y")
       .agg(count(lit(1)).as("common_neighbors"),
@@ -393,7 +402,8 @@ object Inference {
        missing AS (
          SELECT w.x, w.y, w.via FROM wedges w
          WHERE NOT EXISTS (SELECT 1 FROM cooc c
-                           WHERE c.skill_a = w.x AND c.skill_b = w.y))
+                           WHERE least(c.skill_a, c.skill_b) = w.x
+                             AND greatest(c.skill_a, c.skill_b) = w.y))
        SELECT m.x AS skill_a, m.y AS skill_b,
               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
               CAST(CAST(SUM($RaScale // d.deg) AS BIGINT) AS DOUBLE)

@@ -139,6 +139,60 @@ class ChunkGraphSpec extends AnyFunSuite {
     assert(out.nonEmpty, "synthetic corpus should close at least one skill triangle")
   }
 
+  test("clustering coefficient equals naive tri/wedge over the collected edges") {
+    val out = Graph.clusteringCoefficient(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // cooc pairs are id-canonical, not string-canonical: membership
+    // checks must accept either orientation
+    val edges = TextAnalysis.skillCooccurrence(spark, sf)
+      .select("skill_a", "skill_b").collect()
+      .flatMap(r => Seq((r.getString(0), r.getString(1)),
+        (r.getString(1), r.getString(0)))).toSet
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(out.keySet === nbrs.keySet)
+    nbrs.foreach { case (v, ns) =>
+      val (deg, tri, wedges, cc) = out(v)
+      assert(deg === ns.size.toLong)
+      val naiveTri = ns.toSeq.sorted.combinations(2).count {
+        case Seq(x, y) => edges((x, y))
+      }
+      assert(tri === naiveTri.toLong, s"node $v")
+      assert(wedges === deg * (deg - 1) / 2)
+      if (deg > 1) assert(cc === naiveTri.toDouble / wedges.toDouble)
+      else assert(cc === 0.0)
+    }
+  }
+
+  test("jaccard neighbors: naive cross-check, non-edges only, J in (0,1]") {
+    val out = Graph.jaccardNeighbors(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.nonEmpty)
+    // both orientations: the non-edge claim must hold regardless of
+    // the id-canonical storage order (the round-6 anti-join fix)
+    val edges = TextAnalysis.skillCooccurrence(spark, sf)
+      .select("skill_a", "skill_b").collect()
+      .flatMap(r => Seq((r.getString(0), r.getString(1)),
+        (r.getString(1), r.getString(0)))).toSet
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    out.foreach { case ((x, y), (cn, dx, dy, j)) =>
+      assert(x < y)
+      assert(!edges((x, y)), s"($x,$y) is an existing edge")
+      val inter = (nbrs(x) & nbrs(y)).size.toLong
+      assert(cn === inter)
+      assert(dx === nbrs(x).size.toLong && dy === nbrs(y).size.toLong)
+      assert(j === inter.toDouble / (dx + dy - inter).toDouble)
+      assert(j > 0.0 && j <= 1.0)
+    }
+    // completeness: every wedge-connected non-edge appears
+    val expected = for {
+      x <- nbrs.keySet; y <- nbrs.keySet
+      if x < y && !edges((x, y)) && (nbrs(x) & nbrs(y)).nonEmpty
+    } yield (x, y)
+    assert(out.keySet === expected)
+  }
+
   test("label_propagation separates dense blobs a bridge edge would merge in CC") {
     import spark.implicits._
     // two 5-cliques joined by one bridge (a1-b1): connected components

@@ -493,6 +493,25 @@ class InferenceSpec extends AnyFunSuite {
     assert((1 to 6).map(i => w(i.toLong)).min > w(14L))
   }
 
+  test("link prediction: existing edges are never predicted, either orientation") {
+    // a complete triangle whose stored orientations disagree with
+    // string order (id-canonical pairs): every wedge closes into an
+    // existing edge, so NOTHING may be predicted (round-6 regression:
+    // the id-oriented anti-join used to leak ('a','z') as a prediction
+    // because the edge was stored ('z','a'))
+    val cooc = Seq(("z", "a"), ("a", "m"), ("z", "m"))
+      .toDF("skill_a", "skill_b").localCheckpoint()
+    assert(Inference.linkPredictionFromPairs(cooc).count() === 0L)
+    // drop one edge: exactly that pair must be predicted, once
+    val open = Seq(("z", "a"), ("a", "m")).toDF("skill_a", "skill_b")
+      .localCheckpoint()
+    val out = Inference.linkPredictionFromPairs(open).collect()
+    assert(out.length === 1)
+    assert((out(0).getAs[String]("skill_a"), out(0).getAs[String]("skill_b"))
+      === (("m", "z")))
+    assert(out(0).getAs[Long]("common_neighbors") === 1L)
+  }
+
   test("kruskal-wallis: closed-form H on untied and tied hand tables") {
     // {1,2,3} vs {4,5,6}: ranks 1..6, R=(6,15),
     // H = 12/42 * (36/3 + 225/3) - 21 = 27/7

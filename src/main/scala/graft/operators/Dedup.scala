@@ -98,15 +98,7 @@ object Dedup {
         (i % 4) * 8 + 1, 8)).as(s"mh$i")
     } :+ count(lit(1)).as("n") // shingle-set size rides the same agg
     val mh = shr.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-    val bandRows = mh.select(col("doc_id"),
-      explode(array((0 until cfg.minhashBands).map(b =>
-        struct(lit(b).as("band_id"),
-          md5(concat_ws(",",
-            (0 until cfg.minhashRows)
-              .map(r => col(s"mh${b * cfg.minhashRows + r}")): _*))
-            .as("band_hash"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band_id").as("band_id"),
-        col("bb.band_hash").as("band_hash"))
+    val bandRows = bandRowsOf(mh, cfg)
     // Candidate pairs from grouped bucket membership rather than a
     // self-join: one signature pass instead of two (Spark recomputes
     // both branches of a self-join) and one less shuffle. Bucket list
@@ -123,6 +115,19 @@ object Dedup {
       .distinct()
     MinhashBlocks(shr, mh.select(col("doc_id"), col("n")), cand)
   }
+
+  /** (doc_id, band_id, band_hash) rows from a minhash-signature frame —
+    * shared by the blocking stage and [[lshBucketStats]]. */
+  private def bandRowsOf(mh: DataFrame, cfg: SimilarityConfig): DataFrame =
+    mh.select(col("doc_id"),
+      explode(array((0 until cfg.minhashBands).map(b =>
+        struct(lit(b).as("band_id"),
+          md5(concat_ws(",",
+            (0 until cfg.minhashRows)
+              .map(r => col(s"mh${b * cfg.minhashRows + r}")): _*))
+            .as("band_hash"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band_id").as("band_id"),
+        col("bb.band_hash").as("band_hash"))
 
   /** Shared DuckDB CTE block producing `shr` (distinct doc/shingle
     * rows) and `cand` (blocked candidate pairs) — the SQL twin of
@@ -1175,7 +1180,73 @@ object Dedup {
               COALESCE(array_to_string(kept, ' '), '') AS kept_text
        FROM k ORDER BY doc_id"""
 
+  /** LSH bucket-health monitor — the ops dashboard for the MinHash
+    * blocking stage ("are my bands actually blocking"): per band, the
+    * bucket count, singleton share, largest bucket, and the candidate-
+    * pair mass Σ C(sz,2) the band contributes, with the collision rate
+    * against all C(N,2) pairs. A band whose max bucket explodes (hot
+    * boilerplate shingle) or whose collision rate rivals N² is
+    * mis-tuned — this is the evidence that picks SimilarityConfig's
+    * band geometry, graded data not guesswork. Pair mass accumulates
+    * in DECIMAL(38,0)/HUGEINT (a degenerate single-bucket band is
+    * C(N,2) ~ N²/2, past BIGINT at ~4e9 docs). Scale: the signature
+    * pass is the dedup_minhash_lsh map-side chain; everything after is
+    * bucket-cardinality aggregates. (round 6)
+    */
+  def lshBucketStats(s: SparkSession, dir: String): DataFrame = {
+    val cfg = D
+    // the signature chain mirrors minhashBlocks (shingle -> salted md5
+    // lanes); duplicated here because the blocking stage fuses its
+    // shingle-count column into the same agg
+    val shr = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          wordShingles(toks(col("text")), cfg.shingleWidth))).as("sh"))
+    val mhCols = (0 until cfg.minhashK).map { i =>
+      min(substring(md5(concat(lit(s"${i / 4}:"), col("sh"))),
+        (i % 4) * 8 + 1, 8)).as(s"mh$i")
+    }
+    val mh = shr.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val buckets = bandRowsOf(mh, cfg)
+      .groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("sz"))
+    buckets.groupBy("band_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr(
+          "cast((cast(sz as decimal(38,0)) * (sz - 1)) / 2 as decimal(38,0))"))
+          .cast("decimal(38,0)").as("cp"))
+      .select(col("band_id").cast("long").as("band_id"), col("n_buckets"),
+        col("n_docs"), col("n_singleton"), col("max_bucket"),
+        col("cp").cast("long").as("cand_pairs"),
+        (col("cp").cast("double")
+          / ((col("n_docs").cast("decimal(38,0)") * (col("n_docs") - 1)) / 2)
+            .cast("double")).as("collision_rate"))
+      .orderBy("band_id")
+  }
+
+  val lshBucketStatsSql: String =
+    s"""WITH $sqlMinhashBlockCtes,
+       b AS (SELECT band_id, band_hash, CAST(COUNT(*) AS BIGINT) AS sz
+             FROM bands GROUP BY 1, 2)
+       SELECT CAST(band_id AS BIGINT) AS band_id,
+              CAST(COUNT(*) AS BIGINT) AS n_buckets,
+              CAST(SUM(sz) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_singleton,
+              CAST(MAX(sz) AS BIGINT) AS max_bucket,
+              CAST(SUM((CAST(sz AS HUGEINT) * (sz - 1)) // 2) AS BIGINT)
+                AS cand_pairs,
+              CAST(CAST(SUM((CAST(sz AS HUGEINT) * (sz - 1)) // 2)
+                        AS VARCHAR) AS DOUBLE)
+                / CAST(CAST((CAST(SUM(sz) AS HUGEINT) * (SUM(sz) - 1)) // 2
+                            AS VARCHAR) AS DOUBLE) AS collision_rate
+       FROM b GROUP BY band_id ORDER BY band_id"""
+
   def queries: Seq[Q] = Seq(
+    Q("lsh_bucket_stats", Some(lshBucketStatsSql))(lshBucketStats),
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
     Q("dedup_substring_spans", Some(dedupSubstringSpansSql), bench = true)(
       dedupSubstringSpans),

@@ -1936,6 +1936,79 @@ object Inference {
                           * CAST(n_days - 1 AS DOUBLE))) AS z
        FROM st"""
 
+  /** Pareto coverage of customer revenue per nation — "how many
+    * customers do 80% of the business" (the whale-curve operator next
+    * to [[giniRevenue]]'s whole-curve skew and [[hhiConcentration]]'s
+    * squared-share index; account teams staff by exactly this number).
+    * Customers rank by exact DECIMAL revenue per nation (per-nation
+    * PARTITIONED windows, orderkey-free deterministic tiebreak on
+    * custkey); the 80% threshold is the cross-multiplied EXACT compare
+    * 5·cum ≥ 4·total — no float crossing can mis-place the cut — and
+    * pareto_k is the min rank passing it. Scale: one (nation,
+    * customer) aggregate, two partitioned window passes, one k-row
+    * output. (round 6)
+    */
+  def paretoCoverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val rev = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), col("c_custkey"))
+      .agg(sum(decp(col("o_totalprice"))).as("rev"))
+    val w = Window.partitionBy(col("nation"))
+      .orderBy(col("rev").desc, col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("nation"))
+    rev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("nation"))
+          .orderBy(col("rev").desc, col("c_custkey"))))
+      .withColumn("cum", sum(col("rev")).over(w))
+      .withColumn("tot", sum(col("rev")).over(wn))
+      .withColumn("nc", count(lit(1)).over(wn))
+      .filter(col("cum") * 5 >= col("tot") * 4)
+      .groupBy("nation")
+      .agg(max(col("nc")).as("n_customers"),
+        min(col("rn")).cast("long").as("pareto_k"))
+      .select(col("nation"), col("n_customers"), col("pareto_k"),
+        (col("pareto_k").cast("double") / col("n_customers").cast("double"))
+          .as("pareto_share"))
+      .orderBy("nation")
+  }
+
+  val paretoCoverageSql: String = {
+    import graft.functions.Nums._
+    s"""WITH rev AS (
+         SELECT n.n_name AS nation, o.o_custkey AS c_custkey,
+                SUM(${sqlDecp("o.o_totalprice")}) AS rev
+         FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2),
+       r AS (SELECT nation, c_custkey, rev,
+               ROW_NUMBER() OVER (PARTITION BY nation
+                                  ORDER BY rev DESC, c_custkey) AS rn,
+               SUM(CAST(rev AS DECIMAL(26,4))) OVER (
+                              PARTITION BY nation
+                              ORDER BY rev DESC, c_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum,
+               SUM(CAST(rev AS DECIMAL(26,4))) OVER (
+                              PARTITION BY nation) AS tot,
+               COUNT(*) OVER (PARTITION BY nation) AS nc
+             FROM rev)
+       SELECT nation, CAST(MAX(nc) AS BIGINT) AS n_customers,
+              CAST(MIN(rn) AS BIGINT) AS pareto_k,
+              CAST(MIN(rn) AS DOUBLE) / CAST(MAX(nc) AS DOUBLE)
+                AS pareto_share
+       FROM r WHERE cum * 5 >= tot * 4
+       GROUP BY nation ORDER BY nation"""
+  }
+
   /** Lags scanned by [[xcorrDailyLags]] (0..7: same-day through one
     * week of lead time). */
   val XcorrMaxLag = 7
@@ -2143,6 +2216,7 @@ object Inference {
     Q("kendall_tau", Some(kendallTauSql))(kendallTau),
     Q("mann_kendall_trend", Some(mannKendallTrendSql))(mannKendallTrend),
     Q("theil_sen_slope", Some(theilSenSlopeSql))(theilSenSlope),
+    Q("pareto_coverage", Some(paretoCoverageSql))(paretoCoverage),
     Q("xcorr_daily_lags", Some(xcorrDailyLagsSql))(xcorrDailyLags),
     Q("forecast_seasonal_naive",
       Some(forecastSeasonalNaiveSql))(forecastSeasonalNaive),

@@ -1133,7 +1133,65 @@ object TextAnalysis {
                    JOIN nrm nb ON d.source_b = nb.source
        ORDER BY source_a, source_b"""
 
+  /** Vocabulary-growth buckets for [[vocabGrowthCurve]]. */
+  val GrowthBuckets = 20
+
+  /** Vocabulary growth curve (Heaps'-law empirics) — "is the corpus
+    * still teaching the tokenizer new words": docs bucket into
+    * [[GrowthBuckets]] equal doc-id ranges, a token is NEW in the
+    * bucket where it first appears (min bucket per token — exact,
+    * order-free, no sequential scan), and the cumulative vocabulary is
+    * the running sum over the 20-row bucket frame (aggregates-only
+    * join, no window). A flattening curve says more of the same data
+    * stops growing the vocab — the evidence behind dataset-mixing
+    * decisions. Scale: one (bucket, token) distinct-agg over the
+    * corpus; everything after is bucket-cardinality. (round 6)
+    */
+  def vocabGrowthCurve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id")).as("mx"))
+    val bk = expr(s"(doc_id * $GrowthBuckets) div (mx + 1)")
+    val dt = docs.crossJoin(broadcast(mx))
+      .select(bk.as("bk"), explode(toks(col("text"))).as("tok"))
+    val db = docs.crossJoin(broadcast(mx))
+      .select(bk.as("bk"))
+      .groupBy("bk").agg(count(lit(1)).as("n_docs"))
+    val np = dt.groupBy("tok").agg(min(col("bk")).as("fb"))
+      .groupBy(col("fb").as("bk")).agg(count(lit(1)).as("new_tokens"))
+      .localCheckpoint() // feeds the per-bucket join AND the cumulative
+    val cum = db.as("d").join(np.as("n"), col("n.bk") <= col("d.bk"), "left")
+      .groupBy(col("d.bk").as("bk"))
+      .agg(coalesce(sum(col("n.new_tokens")), lit(0L)).as("cum_vocab"))
+    db.join(np, Seq("bk"), "left").join(cum, Seq("bk"))
+      .select(col("bk").as("bucket"), col("n_docs"),
+        coalesce(col("new_tokens"), lit(0L)).as("new_tokens"),
+        col("cum_vocab"))
+      .orderBy("bucket")
+  }
+
+  val vocabGrowthCurveSql: String =
+    s"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+       dt AS (SELECT (d.doc_id * $GrowthBuckets) // (m.mx + 1) AS bk,
+                     unnest(${sqlToks("d.text")}) AS tok
+              FROM documents d CROSS JOIN mx m),
+       db AS (SELECT (d.doc_id * $GrowthBuckets) // (m.mx + 1) AS bk,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM documents d CROSS JOIN mx m GROUP BY 1),
+       np AS MATERIALIZED (
+         SELECT fb AS bk, CAST(COUNT(*) AS BIGINT) AS new_tokens
+         FROM (SELECT tok, MIN(bk) AS fb FROM dt GROUP BY 1)
+         GROUP BY 1),
+       cum AS (SELECT d.bk, CAST(COALESCE(SUM(n.new_tokens), 0) AS BIGINT)
+                        AS cum_vocab
+               FROM db d LEFT JOIN np n ON n.bk <= d.bk GROUP BY 1)
+       SELECT db.bk AS bucket, db.n_docs,
+              CAST(COALESCE(np.new_tokens, 0) AS BIGINT) AS new_tokens,
+              c.cum_vocab
+       FROM db LEFT JOIN np ON db.bk = np.bk JOIN cum c ON db.bk = c.bk
+       ORDER BY bucket"""
+
   def queries: Seq[Q] = Seq(
+    Q("vocab_growth_curve", Some(vocabGrowthCurveSql))(vocabGrowthCurve),
     Q("readability_flesch", Some(readabilityFleschSql))(readabilityFlesch),
     Q("source_cosine_matrix", Some(sourceCosineMatrixSql))(sourceCosineMatrix),
     Q("token_overlap_matrix", Some(tokenOverlapMatrixSql))(tokenOverlapMatrix),

@@ -100,6 +100,9 @@ class PlanQualitySpec extends AnyFunSuite {
     // the same N x K assignment pass, aggregated to K weight rows
     "cluster_balance_weights",
     "token_budget_mix",
+    // corpus x broadcast 1-ROW max(doc_id) aggregate — N x 1 by
+    // construction (the token_budget_mix shape)
+    "vocab_growth_curve",
     // same hard-capped query broadcast as ann_topk_bruteforce (|Q| <=
     // MaxQueries regardless of corpus size), O(|Q| * N) by design
     "knn_label_vote",

@@ -586,6 +586,36 @@ class InferenceSpec extends AnyFunSuite {
       + 4.0 / math.sqrt(2000.0 / 900.0)) < 1e-12)
   }
 
+  test("pareto coverage: naive whale-curve cross-check per nation") {
+    import graft.sources.Tables
+    val out = Inference.paretoCoverage(spark, sf).collect()
+      .map(r => r.getAs[String]("nation") ->
+        ((r.getAs[Long]("n_customers"), r.getAs[Long]("pareto_k"),
+          r.getAs[Double]("pareto_share")))).toMap
+    assert(out.nonEmpty)
+    val rev = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(14,4)")).as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue(),
+        BigDecimal(r.getAs[java.math.BigDecimal]("rev"))))
+    rev.groupBy(_._1).foreach { case (nation, rs) =>
+      val sorted = rs.sortBy(t => (-t._3, t._2))
+      val total = sorted.map(_._3).sum
+      val cums = sorted.map(_._3).scanLeft(BigDecimal(0))(_ + _).tail
+      val k = cums.indexWhere(c => c * 5 >= total * 4) + 1
+      val (n, pk, share) = out(nation)
+      assert(n === sorted.size.toLong, nation)
+      assert(pk === k.toLong, nation)
+      assert(share === k.toDouble / sorted.size.toDouble, nation)
+      assert(pk >= 1L && pk <= n)
+    }
+  }
+
   test("xcorr: a planted 2-day lead is recovered as the argmax lag") {
     // y is x shifted forward by 2 days (plus flat noise floor):
     // r at lag 2 must be ~1 and strictly the max across lags

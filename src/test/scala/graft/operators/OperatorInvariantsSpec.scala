@@ -1184,6 +1184,41 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("n_syllables") === 4L)
   }
 
+  test("lsh bucket stats: every doc in every band, pair mass consistent") {
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    val out = Dedup.lshBucketStats(spark, sf).collect()
+    assert(out.length === SimilarityConfig.Default.minhashBands)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") === docs) // each doc hashes into each band
+      val (nb, single, mx, cp) = (r.getAs[Long]("n_buckets"),
+        r.getAs[Long]("n_singleton"), r.getAs[Long]("max_bucket"),
+        r.getAs[Long]("cand_pairs"))
+      assert(single <= nb && mx >= 1L)
+      // singletons contribute zero pairs; the max bucket alone bounds below
+      assert(cp >= mx * (mx - 1) / 2)
+      assert(cp <= (docs - single) * (docs - single - 1) / 2)
+      val rate = r.getAs[Double]("collision_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  test("vocab growth: new-token buckets partition the vocabulary exactly") {
+    import graft.functions.Text
+    val rows = TextAnalysis.vocabGrowthCurve(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq ===
+      (0L until TextAnalysis.GrowthBuckets.toLong))
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val vocab = docs.select(explode(Text.toks(col("text"))).as("t"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("new_tokens")).sum === vocab)
+    assert(rows.last.getAs[Long]("cum_vocab") === vocab)
+    // cumulative is the running sum and strictly monotone non-decreasing
+    val cums = rows.map(_.getAs[Long]("cum_vocab")).toSeq
+    assert(cums === rows.map(_.getAs[Long]("new_tokens")).scanLeft(0L)(_ + _)
+      .tail.toSeq)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
+  }
+
   test("source cosine: identical sources ~1, disjoint sources emit no pair") {
     val tmp = docsCorpus(Seq(
       (1L, "x x y", "a"), (2L, "x x y", "b"), (3L, "z z", "c"),

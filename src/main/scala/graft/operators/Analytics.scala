@@ -1670,6 +1670,55 @@ object Analytics {
        FROM act JOIN sizes ON act.cohort_week = sizes.cohort_week
        ORDER BY act.cohort_week, wk_off"""
 
+  /** Cohort lifetime value — [[cohortRetention]]'s revenue twin ("how
+    * much value has each signup cohort produced by week N", the curve
+    * LTV payback models read off): users cohort by first-event week,
+    * per-(cohort, offset) event value accumulates in exact DECIMAL
+    * (the q1_agg money discipline), and the cumulative curve is a
+    * cohort-PARTITIONED window over the cohort×offset frame (weeks²-
+    * bounded, never event-sized). Doubles only at the surface.
+    * (round 6)
+    */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), decp(col("value")).as("v"),
+        (datediff(to_date(col("ts")), lit("1970-01-01")) / 7)
+          .cast("int").as("week"))
+    val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val cell = ev.join(broadcast(cohort), "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum(col("v")).as("rev"))
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.withColumn("cum", sum(col("rev")).over(w))
+      .select(col("cohort_week"), col("offset"), col("n_users"),
+        col("rev").cast("double").as("revenue"),
+        col("cum").cast("double").as("cum_revenue"))
+      .orderBy("cohort_week", "offset")
+  }
+
+  val cohortLtvSql: String =
+    s"""WITH ev AS (SELECT user_id, ${sqlDecp("value")} AS v,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS INT) AS week
+           FROM events),
+       cohort AS (SELECT user_id, MIN(week) AS cohort_week
+                  FROM ev GROUP BY user_id),
+       cell AS (SELECT c.cohort_week, ev.week - c.cohort_week AS wk_off,
+                       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users,
+                       SUM(ev.v) AS rev
+                FROM ev JOIN cohort c USING (user_id)
+                GROUP BY 1, 2)
+       SELECT cohort_week, CAST(wk_off AS INT) AS "offset", n_users,
+              CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+              CAST(CAST(SUM(CAST(rev AS DECIMAL(26,4))) OVER (
+                     PARTITION BY cohort_week ORDER BY wk_off
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS VARCHAR) AS DOUBLE) AS cum_revenue
+       FROM cell ORDER BY cohort_week, wk_off"""
+
   /** Sketch-algebra audience overlap: weekly |viewers ∩ purchasers|
     * estimated by HLL inclusion-exclusion — est(A) + est(B) -
     * est(A ∪ B), where the union sketch is a pure register-max of the
@@ -1844,6 +1893,7 @@ object Analytics {
     Q("big_orders_having", Some(bigOrdersSql))(bigOrders),
     Q("funnel_conversion", Some(funnelConversionSql))(funnelConversion),
     Q("cohort_retention", Some(cohortRetentionSql))(cohortRetention),
+    Q("cohort_ltv", Some(cohortLtvSql))(cohortLtv),
     Q("q3_top_revenue", Some(q3Sql), bench = true)(q3),
     Q("q5_region_revenue", Some(q5Sql), bench = true)(q5),
     Q("revenue_share", Some(revenueShareSql))(revenueShare),

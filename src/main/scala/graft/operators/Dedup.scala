@@ -1245,7 +1245,44 @@ object Dedup {
                             AS VARCHAR) AS DOUBLE) AS collision_rate
        FROM b GROUP BY band_id ORDER BY band_id"""
 
+  /** Near-dup cluster size distribution — the summary a dedup run is
+    * judged by ("how much of the corpus is duplicated, in what clump
+    * sizes"): cluster sizes from [[dedupClusters]]' connected
+    * components, histogrammed, with each size's corpus share. Every
+    * cluster has ≥ 2 members by construction (vertices exist only via
+    * pairs). Cost on top of the cluster build: two cluster-cardinality
+    * aggregates and one 1-row broadcast — nothing corpus-shaped is
+    * new. (round 6)
+    */
+  def dedupClusterStats(s: SparkSession, dir: String): DataFrame = {
+    val sizes = dedupClusters(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n_corpus"))
+    sizes.groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_corpus").cast("double"))
+          .as("corpus_share"))
+      .orderBy("cluster_size")
+  }
+
+  val dedupClusterStatsSql: String =
+    s"""WITH cs AS (SELECT cluster_id,
+                          CAST(COUNT(*) AS BIGINT) AS cluster_size
+                   FROM ($dedupClustersSql) GROUP BY 1),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM documents)
+       SELECT cs.cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(SUM(cs.cluster_size) AS BIGINT) AS n_docs,
+              CAST(SUM(cs.cluster_size) AS DOUBLE)
+                / CAST(t.n_corpus AS DOUBLE) AS corpus_share
+       FROM cs CROSS JOIN tot t
+       GROUP BY cs.cluster_size, t.n_corpus
+       ORDER BY cs.cluster_size"""
+
   def queries: Seq[Q] = Seq(
+    Q("dedup_cluster_stats", Some(dedupClusterStatsSql))(dedupClusterStats),
     Q("lsh_bucket_stats", Some(lshBucketStatsSql))(lshBucketStats),
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
     Q("dedup_substring_spans", Some(dedupSubstringSpansSql), bench = true)(

@@ -919,7 +919,47 @@ object Stats {
               CAST(CAST(MAX(p95) AS VARCHAR) AS DOUBLE) AS p95
        FROM j GROUP BY prio ORDER BY prio"""
 
+  /** Daily new-vs-returning user split — the acquisition/retention
+    * dashboard header next to [[dauWauStickiness]] ("is growth new
+    * blood or the same users coming back"): a user is NEW on their
+    * first-ever active day, RETURNING every active day after.
+    * Window-free and exact: the distinct (day, user) frame feeds both
+    * the daily count and the min-day-per-user aggregate; the split is
+    * one left join on the day. Scale: the distinct pre-agg is the
+    * only corpus-sized shuffle; everything after is calendar- or
+    * user-dimension-sized. (round 6)
+    */
+  def dauNewReturning(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint() // feeds the first-day agg AND the daily counts
+    val daily = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val newu = du.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    daily.join(newu, Seq("day"), "left")
+      .select(col("day"), col("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        (col("dau") - coalesce(col("new_users"), lit(0L))).as("returning"))
+      .orderBy("day")
+  }
+
+  val dauNewReturningSql: String =
+    """WITH du AS MATERIALIZED (
+         SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+                 FROM du GROUP BY 1),
+       newu AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+                FROM (SELECT user_id, MIN(day) AS day FROM du GROUP BY 1)
+                GROUP BY 1)
+       SELECT d.day, d.dau,
+              CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+              d.dau - CAST(COALESCE(n.new_users, 0) AS BIGINT) AS returning
+       FROM daily d LEFT JOIN newu n ON d.day = n.day
+       ORDER BY d.day"""
+
   def queries: Seq[Q] = Seq(
+    Q("dau_new_returning", Some(dauNewReturningSql))(dauNewReturning),
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
     Q("percentile_cont", Some(percentileContSql))(percentileCont),
     Q("cumulative_users", Some(cumulativeUsersSql))(cumulativeUsers),

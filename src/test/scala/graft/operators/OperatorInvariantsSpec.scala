@@ -1184,6 +1184,70 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("n_syllables") === 4L)
   }
 
+  private def eventsCorpus(
+      rows: Seq[(Long, String, Long, String, Double)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    rows.map { case (id, ts, u, t, v) =>
+      (id, java.sql.Timestamp.valueOf(ts), u, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("cohort ltv: hand-checked cohort cells and cumulative curve") {
+    val d0 = "2024-01-03 10:00:00"
+    val d1 = "2024-01-10 10:00:00" // exactly one epoch-week later
+    val tmp = eventsCorpus(Seq(
+      (1L, d0, 1L, "purchase", 10.0),
+      (2L, d0, 2L, "purchase", 5.0),
+      (3L, d1, 1L, "purchase", 20.0)))
+    val out = Analytics.cohortLtv(spark, tmp).collect()
+    assert(out.length === 2)
+    val r0 = out(0); val r1 = out(1)
+    assert(r0.getAs[Int]("offset") === 0)
+    assert(r0.getAs[Long]("n_users") === 2L)
+    assert(r0.getAs[Double]("revenue") === 15.0)
+    assert(r0.getAs[Double]("cum_revenue") === 15.0)
+    assert(r1.getAs[Int]("offset") === 1)
+    assert(r1.getAs[Long]("n_users") === 1L)
+    assert(r1.getAs[Double]("revenue") === 20.0)
+    assert(r1.getAs[Double]("cum_revenue") === 35.0)
+  }
+
+  test("dau new/returning: split partitions every day's actives") {
+    val tmp = eventsCorpus(Seq(
+      (1L, "2024-01-03 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-04 10:00:00", 1L, "view", 1.0),
+      (3L, "2024-01-04 11:00:00", 2L, "view", 1.0),
+      (4L, "2024-01-04 12:00:00", 2L, "click", 1.0)))
+    val out = Stats.dauNewReturning(spark, tmp).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("new_users"),
+          r.getAs[Long]("returning")))).toMap
+    assert(out === Map(
+      "2024-01-03" -> ((1L, 1L, 0L)),
+      "2024-01-04" -> ((2L, 1L, 1L))))
+    // invariant at corpus scale: dau = new + returning, every day
+    Stats.dauNewReturning(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("dau") ===
+        r.getAs[Long]("new_users") + r.getAs[Long]("returning"))
+    }
+  }
+
+  test("dedup cluster stats: histogram partitions the clustered docs") {
+    val clusters = Dedup.dedupClusters(spark, sf).count()
+    val rows = Dedup.dedupClusterStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2L) // pairs define vertices
+      assert(r.getAs[Long]("n_docs") ===
+        r.getAs[Long]("cluster_size") * r.getAs[Long]("n_clusters"))
+      assert(r.getAs[Double]("corpus_share") > 0.0)
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === clusters)
+  }
+
   test("lsh bucket stats: every doc in every band, pair mass consistent") {
     val docs = graft.sources.Tables.documents(spark, sf).count()
     val out = Dedup.lshBucketStats(spark, sf).collect()

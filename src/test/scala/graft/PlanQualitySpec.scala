@@ -73,6 +73,29 @@ class PlanQualitySpec extends AnyFunSuite {
       .forall(_.output.map(_.name).toSet.subsetOf(Set("doc_id", "term", "tf"))))
   }
 
+  test("source_cosine_matrix: both branches read the tf checkpoint, dims broadcast") {
+    val df = TextAnalysis.sourceCosineMatrix(spark, sf)
+    val p = plan(df)
+    // the (source, tok, count) compaction scanned the corpus ONCE; the
+    // norm and dot branches must both read the checkpoint
+    assert(!p.contains("documents.parquet"), s"re-scans the corpus:\n${p.take(2000)}")
+    assert(p.contains("LogicalRDD") || p.contains("ExistingRDD"), p.take(2000))
+    // norm lookups are sources-cardinality: they must broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("lsh_bucket_stats: one corpus scan, aggregation-only after the signatures") {
+    val df = operators.Dedup.lshBucketStats(spark, sf)
+    val p = plan(df)
+    // the monitor must price like the blocking stage it audits: a single
+    // documents scan feeding the signature agg — no self-join, no
+    // second corpus pass
+    assert(p.split("documents.parquet", -1).length - 1 === 1,
+      s"expected exactly one corpus scan:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("asof_join_native: custom exec, no window machinery, no union") {
     val p = plan(operators.Temporal.asofJoinNative(spark, sf))
     assert(p.contains("AsOfJoin"), p.take(2000))

@@ -281,6 +281,52 @@ object Streaming {
       .agg(count(lit(1)).as("n_events"),
         max(unix_micros(col("ts"))).as("last_us"))
 
+  /** First-seen marker emitted once per user by [[newUsersStream]]. */
+  case class NewUser(user_id: Long, first_us: Long)
+
+  /** Streaming new-user detector — the streaming twin of the batch
+    * `dau_new_returning` split's "new" side: emit exactly ONE row per
+    * user, on the micro-batch where the user is first seen, carrying
+    * their first event time. Keyed state is the seen-set itself
+    * (one tiny row per known user), which is the irreducible cost of
+    * exact first-seen semantics on an unbounded key space — a
+    * production deployment bounds it with a state-TTL re-emission
+    * contract or swaps the state for a Bloom filter when approximate
+    * "new" is acceptable (both documented trades, not defaults).
+    * Append mode: a user's row is final the moment it is emitted.
+    */
+  def newUsersStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    def seen(userId: Long, rows: Iterator[(Long, java.time.Instant)],
+        state: GroupState[NewUser]): Iterator[NewUser] = {
+      val batchMin = rows.map { case (_, t) =>
+        t.getEpochSecond * 1000000L + t.getNano / 1000L
+      }.minOption
+      (state.getOption, batchMin) match {
+        case (Some(_), _) | (_, None) => Iterator.empty // already known
+        case (None, Some(first)) =>
+          val nu = NewUser(userId, first)
+          state.update(nu)
+          Iterator.single(nu)
+      }
+    }
+    eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.time.Instant)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(seen)
+      .toDF()
+  }
+
+  /** Batch twin of [[newUsersStream]]: first event time per user. */
+  def newUsersBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+
   /** Drive a streaming DF to completion against an in-memory sink and
     * return the materialized table (test/dev harness; production would
     * `writeStream` to files/Kafka with the same plan).

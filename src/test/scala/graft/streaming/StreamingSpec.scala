@@ -139,6 +139,18 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming new-user detector emits each user exactly once, matching batch") {
+    val out = Streaming.runToMemory(
+      Streaming.newUsersStream(spark, sf), "new_users_stream").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("first_us"))
+    assert(out.nonEmpty)
+    // exactly-once per user
+    assert(out.map(_._1).distinct.length === out.length)
+    val batch = Streaming.newUsersBatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("first_us")).toMap
+    assert(out.toMap === batch)
+  }
+
   test("streaming top-k sketch windows equal the batch sketch") {
     val streamed = Streaming.runToMemory(
       Streaming.topkStream(spark, sf), "topk_stream").collect()

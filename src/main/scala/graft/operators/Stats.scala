@@ -958,7 +958,53 @@ object Stats {
        FROM daily d LEFT JOIN newu n ON d.day = n.day
        ORDER BY d.day"""
 
+  /** User power curve — events-per-user DECILES ("do 10% of users
+    * generate 80% of the traffic", the engagement-concentration twin
+    * of pareto_coverage's revenue cut): per-user counts rank through
+    * [[graft.functions.Keys.denseIds]]' two-phase bucket rank (NO
+    * global window — the 10^9-user killer), decile = ((rk−1)·10) div N
+    * in BIGINT, and each decile reports its user count, event mass and
+    * share. Deciles ascend by activity: decile 9 is the whale tier.
+    * Scale: one user-cardinality agg, the parallel rank, a 10-row
+    * output. (round 6)
+    */
+  def userActivityDeciles(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.functions.Keys.denseIds(
+      cnt, Seq.empty, Seq("cnt", "user_id"), "rk")
+    val tot = cnt.agg(count(lit(1)).as("nu"), sum(col("cnt")).as("ne"))
+    ranked.crossJoin(broadcast(tot))
+      .select(expr("((cast(rk as bigint) - 1) * 10) div nu").as("decile"),
+        col("cnt"), col("ne"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"),
+        first(col("ne")).as("ne"))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        (col("n_events").cast("double") / col("ne").cast("double"))
+          .as("event_share"))
+      .orderBy("decile")
+  }
+
+  val userActivityDecilesSql: String =
+    """WITH cnt AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1),
+       r AS (SELECT user_id, cnt,
+                    ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rk
+             FROM cnt),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                      CAST(SUM(cnt) AS BIGINT) AS ne
+               FROM cnt)
+       SELECT ((rk - 1) * 10) // t.nu AS decile,
+              CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(cnt) AS BIGINT) AS n_events,
+              CAST(SUM(cnt) AS DOUBLE) / CAST(t.ne AS DOUBLE) AS event_share
+       FROM r CROSS JOIN tot t
+       GROUP BY 1, t.ne ORDER BY decile"""
+
   def queries: Seq[Q] = Seq(
+    Q("user_activity_deciles",
+      Some(userActivityDecilesSql))(userActivityDeciles),
     Q("dau_new_returning", Some(dauNewReturningSql))(dauNewReturning),
     Q("percentile_group", Some(percentileGroupSql))(percentileGroup),
     Q("percentile_cont", Some(percentileContSql))(percentileCont),

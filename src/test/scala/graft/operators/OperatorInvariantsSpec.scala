@@ -1235,6 +1235,21 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("user activity deciles: partition the user base, shares sum to one") {
+    val rows = Stats.userActivityDeciles(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq === (0L to 9L))
+    val users = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val events = graft.sources.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === users)
+    assert(rows.map(_.getAs[Long]("n_events")).sum === events)
+    // deciles ascend by activity: per-user mean event count is monotone
+    val means = rows.map(r =>
+      r.getAs[Long]("n_events").toDouble / r.getAs[Long]("n_users"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(rows.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-9)
+  }
+
   test("dedup cluster stats: histogram partitions the clustered docs") {
     val clusters = Dedup.dedupClusters(spark, sf).count()
     val rows = Dedup.dedupClusterStats(spark, sf).collect()

@@ -2053,7 +2053,9 @@ object Inference {
     xy.select(col("di"), col("x"),
         explode(sequence(lit(0), lit(XcorrMaxLag))).as("lag"))
       .withColumn("dj", col("di") + col("lag"))
-      .join(xy.select(col("di").as("dj"), col("y")), Seq("dj"))
+      // the lagged side is calendar-sized at ANY corpus scale: broadcast
+      // beats the SortMergeJoin Spark picks off the unsized fan-out
+      .join(broadcast(xy.select(col("di").as("dj"), col("y"))), Seq("dj"))
       .groupBy("lag")
       .agg(count(lit(1)).as("n_days"),
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),

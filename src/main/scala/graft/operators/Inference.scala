@@ -1755,8 +1755,11 @@ object Inference {
       (col("ssb").cast("double") / lit(1.0e4)).as("ssb"),
       (col("ssw").cast("double") / lit(1.0e4)).as("ssw"),
       (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
-      ((col("ssb").cast("double") / (col("k") - 1).cast("double"))
-        / (col("ssw").cast("double") / (col("n") - col("k")).cast("double")))
+      // zero within-variance (all groups constant) leaves F undefined:
+      // NULL portably — ANSI Spark throws on the zero denominator
+      when(col("ssw") > 0,
+        (col("ssb").cast("double") / (col("k") - 1).cast("double"))
+          / (col("ssw").cast("double") / (col("n") - col("k")).cast("double")))
         .as(stat))
 
   /** SQL twin of [[fSelect]]. */
@@ -1765,9 +1768,10 @@ object Inference {
               CAST(CAST(ssb AS VARCHAR) AS DOUBLE) / 1.0e4 AS ssb,
               CAST(CAST(ssw AS VARCHAR) AS DOUBLE) / 1.0e4 AS ssw,
               k - 1 AS df1, n - k AS df2,
-              (CAST(CAST(ssb AS VARCHAR) AS DOUBLE) / CAST(k - 1 AS DOUBLE))
-                / (CAST(CAST(ssw AS VARCHAR) AS DOUBLE)
-                   / CAST(n - k AS DOUBLE)) AS $stat
+              CASE WHEN ssw > 0 THEN
+                (CAST(CAST(ssb AS VARCHAR) AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                  / (CAST(CAST(ssw AS VARCHAR) AS DOUBLE)
+                     / CAST(n - k AS DOUBLE)) END AS $stat
        FROM ss"""
 
   /** One-way ANOVA F — the parametric twin of [[kruskalWallis]] on the
@@ -2009,6 +2013,76 @@ object Inference {
        GROUP BY nation ORDER BY nation"""
   }
 
+  /** Seasonality STRENGTH of the weekly cycle — "how much of the
+    * daily-volume variance does day-of-week explain, after removing
+    * trend" (the variance-decomposition summary behind
+    * [[seasonalityDow]]'s per-day indices; STL's seasonal-strength
+    * statistic made exact). Each full-window day is detrended by the
+    * CENTERED 7-day total: det7 = 7·n(d) − Σ_{|k|≤3} n(d+k), an exact
+    * integer (no division, so no float trend estimate); the
+    * detrended values then one-way-ANOVA by phase (di mod 7) through
+    * the same exact [[fCore]] — strength = SSB/(SSB+SSW), F alongside.
+    * The windowed total is an explode(−3..3) EQUI-join against the
+    * broadcast calendar frame (the xcorr shape), never a window.
+    * Scale: |span|×7 fan-out over the checkpointed daily series —
+    * grows with observation time, never event volume. (round 6)
+    */
+  def seasonalityStrengthDow(s: SparkSession, dir: String): DataFrame =
+    seasonalityStrengthFrom(dailySeries(s, dir))
+
+  /** Core over any (di long, n long) series frame (spec hand-checks). */
+  private[operators] def seasonalityStrengthFrom(ser: DataFrame): DataFrame = {
+    val sum7 = ser
+      .select(col("di"), explode(sequence(lit(-3), lit(3))).as("off"))
+      .withColumn("dj", col("di") + col("off"))
+      .join(broadcast(ser.select(col("di").as("dj"), col("n").as("nb"))),
+        Seq("dj"))
+      .groupBy("di").agg(count(lit(1)).as("c7"), sum(col("nb")).as("s7"))
+      .filter(col("c7") === 7)
+    val det = ser.join(sum7, Seq("di"))
+      .select((col("di") % 7).as("grp"),
+        (lit(7) * col("n") - col("s7")).cast("decimal(38,0)").as("x"))
+    // a perfect weekly fit zeroes SSW (F undefined — NULL, not a
+    // double Infinity: ANSI Spark throws on the zero denominator and
+    // DuckDB would emit Inf, so NULL is the only portable verdict);
+    // likewise a flat series zeroes SSB+SSW
+    fCore(det).select(col("k"), col("n"),
+      col("ssb").cast("double").as("ssb"),
+      col("ssw").cast("double").as("ssw"),
+      (col("k") - 1).as("df1"), (col("n") - col("k")).as("df2"),
+      when(col("ssw") > 0,
+        (col("ssb").cast("double") / (col("k") - 1).cast("double"))
+          / (col("ssw").cast("double") / (col("n") - col("k")).cast("double")))
+        .as("f_stat"),
+      when(col("ssb") + col("ssw") > 0,
+        col("ssb").cast("double")
+          / (col("ssb").cast("double") + col("ssw").cast("double")))
+        .as("strength"))
+  }
+
+  val seasonalityStrengthDowSql: String =
+    s"""WITH $sqlDailySeries,
+       s7 AS (SELECT a.di, CAST(COUNT(*) AS BIGINT) AS c7,
+                     CAST(SUM(b.n) AS BIGINT) AS s7
+              FROM ser a JOIN ser b ON b.di BETWEEN a.di - 3 AND a.di + 3
+              GROUP BY 1),
+       ${sqlFCore(
+      """SELECT s.di % 7 AS grp, CAST(7 * s.n - x.s7 AS HUGEINT) AS x
+          FROM ser s JOIN s7 x ON s.di = x.di WHERE x.c7 = 7""")}
+       SELECT k, n,
+              CAST(CAST(ssb AS VARCHAR) AS DOUBLE) AS ssb,
+              CAST(CAST(ssw AS VARCHAR) AS DOUBLE) AS ssw,
+              k - 1 AS df1, n - k AS df2,
+              CASE WHEN ssw > 0 THEN
+                (CAST(CAST(ssb AS VARCHAR) AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                  / (CAST(CAST(ssw AS VARCHAR) AS DOUBLE)
+                     / CAST(n - k AS DOUBLE)) END AS f_stat,
+              CASE WHEN ssb + ssw > 0 THEN
+                CAST(CAST(ssb AS VARCHAR) AS DOUBLE)
+                  / (CAST(CAST(ssb AS VARCHAR) AS DOUBLE)
+                     + CAST(CAST(ssw AS VARCHAR) AS DOUBLE)) END AS strength
+       FROM ss"""
+
   /** Lags scanned by [[xcorrDailyLags]] (0..7: same-day through one
     * week of lead time). */
   val XcorrMaxLag = 7
@@ -2219,6 +2293,8 @@ object Inference {
     Q("mann_kendall_trend", Some(mannKendallTrendSql))(mannKendallTrend),
     Q("theil_sen_slope", Some(theilSenSlopeSql))(theilSenSlope),
     Q("pareto_coverage", Some(paretoCoverageSql))(paretoCoverage),
+    Q("seasonality_strength_dow",
+      Some(seasonalityStrengthDowSql))(seasonalityStrengthDow),
     Q("xcorr_daily_lags", Some(xcorrDailyLagsSql))(xcorrDailyLags),
     Q("forecast_seasonal_naive",
       Some(forecastSeasonalNaiveSql))(forecastSeasonalNaive),

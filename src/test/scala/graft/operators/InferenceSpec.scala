@@ -650,6 +650,24 @@ class InferenceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sae_naive") > 0L)
   }
 
+  test("seasonality strength: pure weekly cycle saturates at 1, period-2 noise doesn't") {
+    def ser(ns: Seq[Long]) =
+      ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("di", "n")
+        .localCheckpoint()
+    // exact period-7 pattern: detrended values are constant per phase
+    // => SSW = 0 => strength = SSB/(SSB+0) = 1.0 exactly
+    val weekly = Seq(1L, 5L, 9L, 2L, 7L, 4L, 8L)
+    val r7 = Inference.seasonalityStrengthFrom(
+      ser(Seq.fill(5)(weekly).flatten)).head
+    assert(r7.getAs[Double]("strength") === 1.0)
+    assert(r7.getAs[Long]("k") === 7L)
+    // alternating period-2 series: every mod-7 phase mixes the two
+    // detrended values, so day-of-week explains almost nothing
+    val alt = (0 until 35).map(i => if (i % 2 == 0) 10L else 0L)
+    val r2 = Inference.seasonalityStrengthFrom(ser(alt)).head
+    assert(r2.getAs[Double]("strength") < 0.2)
+  }
+
   test("cramers V: strong association on a full table, independence gives 0") {
     // [[9,1],[1,9]] (all cells observed — chi2's cell frame only holds
     // observed cells): exp=5 everywhere, chi2 = 4*16/5 = 12.8,

@@ -1168,6 +1168,76 @@ object Inference {
                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
        FROM m ORDER BY lag"""
 
+  /** Partial autocorrelation (PACF) of the daily series at lags 1..7 —
+    * the AR-order diagnostic next to [[acfDaily]] (ACF says "days
+    * correlate a week apart"; PACF says whether that is a REAL lag-7
+    * effect or echoes of shorter lags — the plot an ARIMA fitter reads
+    * first). Durbin-Levinson recursion over the exact-input ACF
+    * values: both engines' formula trees are GENERATED from the same
+    * loop, so every intermediate φ_{k,j} is built with identical
+    * operation order and the doubles stay bit-identical — the scalar
+    * recursion runs on a ONE-ROW frame, so there is no distributed
+    * float-order hazard at all. A degenerate unit-root denominator
+    * emits NULL portably. Scale: inherits acf_daily's span-sized
+    * machinery; the recursion itself is constant work. (round 6)
+    */
+  def pacfDaily(s: SparkSession, dir: String): DataFrame = {
+    val acf = acfDaily(s, dir)
+    val rCols = (1 to AcfMaxLag).map(l =>
+      max(when(col("lag") === l, col("r"))).as(s"r$l"))
+    var df = acf.agg(rCols.head, rCols.tail: _*)
+    // phi_k_j columns via Durbin-Levinson; identical loop generates
+    // the SQL twin below
+    df = df.withColumn("p_1_1", col("r1"))
+    for (k <- 2 to AcfMaxLag) {
+      val num = (1 until k).foldLeft(col(s"r$k")) { (acc, j) =>
+        acc - col(s"p_${k - 1}_$j") * col(s"r${k - j}")
+      }
+      val den = (1 until k).foldLeft(lit(1.0)) { (acc, j) =>
+        acc - col(s"p_${k - 1}_$j") * col(s"r$j")
+      }
+      df = df.withColumn(s"p_${k}_$k",
+        when(den =!= 0.0, num / den))
+      for (j <- 1 until k)
+        df = df.withColumn(s"p_${k}_$j",
+          col(s"p_${k - 1}_$j") - col(s"p_${k}_$k") * col(s"p_${k - 1}_${k - j}"))
+    }
+    df.selectExpr("stack(" + AcfMaxLag + ", " +
+      (1 to AcfMaxLag).map(k => s"${k}L, p_${k}_$k").mkString(", ") +
+      ") as (lag, pacf)")
+      .orderBy("lag")
+  }
+
+  val pacfDailySql: String = {
+    val levels = new StringBuilder
+    var prev = "lv1"
+    levels ++= s"""lv1 AS (SELECT *, r1 AS p_1_1 FROM rr)"""
+    for (k <- 2 to AcfMaxLag) {
+      val num = (1 until k).foldLeft(s"r$k") { (acc, j) =>
+        s"($acc - p_${k - 1}_$j * r${k - j})"
+      }
+      val den = (1 until k).foldLeft("1.0") { (acc, j) =>
+        s"($acc - p_${k - 1}_$j * r$j)"
+      }
+      val kk = s"lvk$k AS (SELECT *, CASE WHEN $den <> 0 THEN $num / $den END" +
+        s" AS p_${k}_$k FROM $prev)"
+      val js = (1 until k).map(j =>
+        s"p_${k - 1}_$j - p_${k}_$k * p_${k - 1}_${k - j} AS p_${k}_$j")
+      levels ++= s",\n       $kk,\n       lv$k AS (SELECT *, " +
+        js.mkString(", ") + s" FROM lvk$k)"
+      prev = s"lv$k"
+    }
+    s"""WITH acf AS (SELECT lag, r FROM ($acfDailySql)),
+       rr AS (SELECT ${(1 to AcfMaxLag).map(l =>
+      s"MAX(CASE WHEN lag = $l THEN r END) AS r$l").mkString(", ")}
+              FROM acf),
+       $levels
+       ${(1 to AcfMaxLag).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, p_${k}_$k AS pacf FROM $prev")
+      .mkString("\n       UNION ALL ")}
+       ORDER BY lag"""
+  }
+
   /** Gini coefficient of order revenue across customers, per nation —
     * the inequality measure next to [[hhiConcentration]]'s
     * concentration index (HHI asks "few big firms?", Gini asks "how
@@ -2286,6 +2356,7 @@ object Inference {
     Q("conversion_wilson_ci", Some(conversionWilsonCiSql))(conversionWilsonCi),
     Q("seasonality_dow", Some(seasonalityDowSql))(seasonalityDow),
     Q("acf_daily", Some(acfDailySql))(acfDaily),
+    Q("pacf_daily", Some(pacfDailySql))(pacfDaily),
     Q("gini_revenue", Some(giniRevenueSql))(giniRevenue),
     Q("cusum_changepoint", Some(cusumChangepointSql))(cusumChangepoint),
     Q("spearman_rho", Some(spearmanRhoSql))(spearmanRho),

@@ -1190,7 +1190,50 @@ object TextAnalysis {
        FROM db LEFT JOIN np ON db.bk = np.bk JOIN cum c ON db.bk = c.bk
        ORDER BY bucket"""
 
+  /** Per-source quality tier mix — the curation dashboard's first
+    * question ("which scrape is feeding me junk"): the oracled
+    * [[textQualityScore]] tiers joined back to provenance and
+    * pivoted to per-source good/ok/low counts with shares. One
+    * doc-cardinality join (doc_id-keyed, AQE-planned) + one
+    * source-cardinality aggregate on top of the quality scan; shares
+    * are single divisions of exact counts. (round 6)
+    */
+  def qualitySourceMix(s: SparkSession, dir: String): DataFrame =
+    textQualityScore(s, dir)
+      .select(col("doc_id"), col("quality"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") === "good", 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("quality") === "ok", 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("quality") === "low", 1L).otherwise(0L)).as("n_low"))
+      .select(col("source"), col("n_docs"), col("n_good"), col("n_ok"),
+        col("n_low"),
+        (col("n_good").cast("double") / col("n_docs").cast("double"))
+          .as("good_share"),
+        (col("n_low").cast("double") / col("n_docs").cast("double"))
+          .as("low_share"))
+      .orderBy("source")
+
+  val qualitySourceMixSql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM ($textQualityScoreSql))
+       SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN q.quality = 'good' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_good,
+              CAST(SUM(CASE WHEN q.quality = 'ok' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_ok,
+              CAST(SUM(CASE WHEN q.quality = 'low' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_low,
+              CAST(SUM(CASE WHEN q.quality = 'good' THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS good_share,
+              CAST(SUM(CASE WHEN q.quality = 'low' THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS low_share
+       FROM q JOIN documents d USING (doc_id)
+       GROUP BY d.source ORDER BY d.source"""
+
   def queries: Seq[Q] = Seq(
+    Q("quality_source_mix", Some(qualitySourceMixSql))(qualitySourceMix),
     Q("vocab_growth_curve", Some(vocabGrowthCurveSql))(vocabGrowthCurve),
     Q("readability_flesch", Some(readabilityFleschSql))(readabilityFlesch),
     Q("source_cosine_matrix", Some(sourceCosineMatrixSql))(sourceCosineMatrix),

@@ -650,6 +650,33 @@ class InferenceSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sae_naive") > 0L)
   }
 
+  test("pacf: lag-1 equals acf r1; full curve matches a scala Durbin-Levinson") {
+    val rs = Inference.acfDaily(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag").toInt -> r.getAs[Double]("r")).toMap
+    val out = Inference.pacfDaily(spark, sf).collect()
+      .map(r => r.getAs[Long]("lag").toInt -> r.getAs[Double]("pacf")).toMap
+    assert(out.keySet === (1 to Inference.AcfMaxLag).toSet)
+    assert(out(1) === rs(1))
+    // reference recursion with the SAME operation order as the operator
+    val phi = Array.ofDim[Double](Inference.AcfMaxLag + 1,
+      Inference.AcfMaxLag + 1)
+    phi(1)(1) = rs(1)
+    for (k <- 2 to Inference.AcfMaxLag) {
+      var num = rs(k); var den = 1.0
+      for (j <- 1 until k) {
+        num -= phi(k - 1)(j) * rs(k - j)
+        den -= phi(k - 1)(j) * rs(j)
+      }
+      phi(k)(k) = num / den
+      for (j <- 1 until k)
+        phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+    }
+    (1 to Inference.AcfMaxLag).foreach { k =>
+      assert(math.abs(out(k) - phi(k)(k)) < 1e-12, s"lag $k")
+      assert(math.abs(out(k)) <= 1.0 + 1e-9)
+    }
+  }
+
   test("seasonality strength: pure weekly cycle saturates at 1, period-2 noise doesn't") {
     def ser(ns: Seq[Long]) =
       ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("di", "n")

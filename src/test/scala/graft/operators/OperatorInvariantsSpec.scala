@@ -1298,6 +1298,20 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
   }
 
+  test("quality source mix: tiers partition each source's docs exactly") {
+    val rows = TextAnalysis.qualitySourceMix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_good") + r.getAs[Long]("n_ok")
+        + r.getAs[Long]("n_low") === r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("good_share") >= 0.0
+        && r.getAs[Double]("good_share") <= 1.0)
+    }
+    // totals reconcile with the oracled per-doc quality frame
+    val fromDocs = TextAnalysis.textQualityScore(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === fromDocs)
+  }
+
   test("source cosine: identical sources ~1, disjoint sources emit no pair") {
     val tmp = docsCorpus(Seq(
       (1L, "x x y", "a"), (2L, "x x y", "b"), (3L, "z z", "c"),

@@ -1002,7 +1002,70 @@ object Stats {
        FROM r CROSS JOIN tot t
        GROUP BY 1, t.ne ORDER BY decile"""
 
+  /** Order-fulfillment (ship) lag quartiles per priority — "does
+    * paying for urgency buy delivery time" (the operations twin of
+    * percentile_group's price quantiles): lag = ship − order date
+    * in integer days over the lineitem×orders join, quartiles by the
+    * same partitioned index-selection windows (index convention
+    * (p·(cnt+1)) div 4 — deterministic, no interpolation), mean from
+    * exact integer day sums. Scale: ONE fact×fact equi-join shuffle
+    * (the q12 shape — at 100 TB this is bucketed-layout territory,
+    * Warehouse.writeBucketed), then priority-partitioned windows.
+    * (round 6)
+    */
+  def fulfillmentLagQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_linenumber"))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(lower(trim(col("o_orderpriority"))).as("prio"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lag"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("prio"))
+      .orderBy(col("lag"), col("l_orderkey"), col("l_linenumber"))
+    val wn = Window.partitionBy(col("prio"))
+    t.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .groupBy("prio")
+      .agg(
+        max(when(col("rn") === expr("(cnt + 1) div 4"), col("lag"))).as("p25"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("lag"))).as("p50"),
+        max(when(col("rn") === expr("(3 * cnt + 3) div 4"), col("lag")))
+          .as("p75"),
+        max(col("cnt")).as("n"),
+        sum(col("lag")).as("lag_sum"))
+      .select(col("prio"), col("p25"), col("p50"), col("p75"), col("n"),
+        (col("lag_sum").cast("double") / col("n").cast("double"))
+          .as("mean_lag"))
+      .orderBy("prio")
+  }
+
+  val fulfillmentLagQuartilesSql: String =
+    """WITH t AS (SELECT lower(trim(o.o_orderpriority)) AS prio,
+                     CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                    CAST(l.l_shipdate AS DATE))
+                          AS BIGINT) AS lag,
+                     l.l_orderkey, l.l_linenumber
+                   FROM lineitem l JOIN orders o
+                     ON l.l_orderkey = o.o_orderkey),
+       r AS (SELECT prio, lag,
+               ROW_NUMBER() OVER (PARTITION BY prio
+                                  ORDER BY lag, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY prio) AS cnt
+             FROM t)
+       SELECT prio,
+              MAX(CASE WHEN rn = (cnt + 1) // 4 THEN lag END) AS p25,
+              MAX(CASE WHEN rn = (cnt + 1) // 2 THEN lag END) AS p50,
+              MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN lag END) AS p75,
+              CAST(MAX(cnt) AS BIGINT) AS n,
+              CAST(SUM(lag) AS DOUBLE) / CAST(MAX(cnt) AS DOUBLE) AS mean_lag
+       FROM r GROUP BY prio ORDER BY prio"""
+
   def queries: Seq[Q] = Seq(
+    Q("fulfillment_lag_quartiles",
+      Some(fulfillmentLagQuartilesSql))(fulfillmentLagQuartiles),
     Q("user_activity_deciles",
       Some(userActivityDecilesSql))(userActivityDeciles),
     Q("dau_new_returning", Some(dauNewReturningSql))(dauNewReturning),

@@ -1232,7 +1232,59 @@ object TextAnalysis {
        FROM q JOIN documents d USING (doc_id)
        GROUP BY d.source ORDER BY d.source"""
 
+  /** Vocabulary size for the OOV gate. */
+  val OovVocabK = 1000
+
+  /** Out-of-vocabulary rate per source — the tokenizer-coverage gate
+    * ("how much of each scrape falls outside the top-K vocabulary",
+    * the fragment/fertility early-warning next to
+    * [[tokenizerFertility]]): the top-[[OovVocabK]] tokens by corpus
+    * count (ties lexicographic) define the vocabulary; each source
+    * reports its token occurrences, OOV occurrences and the rate.
+    * Scale: ONE corpus scan compacts to the (source, token, count)
+    * frame (checkpointed — vocabulary selection and the coverage join
+    * both read it); top-K plans as TakeOrderedAndProject (per-partition
+    * top-K + driver merge, the sample_bottomk discipline) and
+    * broadcasts. (round 6)
+    */
+  def oovRateBySource(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the vocab top-K AND the coverage join
+    val vocab = cnt.groupBy("tok").agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(OovVocabK)
+      .select(col("tok"), lit(1L).as("inv"))
+    cnt.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("inv").isNull, col("c")).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+      .orderBy("source")
+  }
+
+  val oovRateBySourceSql: String =
+    s"""WITH cnt AS MATERIALIZED (
+         SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+         FROM (SELECT source, unnest(${sqlToks("text")}) AS tok
+               FROM documents)
+         GROUP BY 1, 2),
+       vocab AS (SELECT tok FROM (
+                   SELECT tok, CAST(SUM(c) AS BIGINT) AS n
+                   FROM cnt GROUP BY 1)
+                 ORDER BY n DESC, tok LIMIT $OovVocabK)
+       SELECT cnt.source, CAST(SUM(cnt.c) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN v.tok IS NULL THEN cnt.c ELSE 0 END)
+                   AS BIGINT) AS n_oov,
+              CAST(SUM(CASE WHEN v.tok IS NULL THEN cnt.c ELSE 0 END)
+                   AS DOUBLE) / CAST(SUM(cnt.c) AS DOUBLE) AS oov_rate
+       FROM cnt LEFT JOIN vocab v ON cnt.tok = v.tok
+       GROUP BY cnt.source ORDER BY cnt.source"""
+
   def queries: Seq[Q] = Seq(
+    Q("oov_rate_by_source", Some(oovRateBySourceSql))(oovRateBySource),
     Q("quality_source_mix", Some(qualitySourceMixSql))(qualitySourceMix),
     Q("vocab_growth_curve", Some(vocabGrowthCurveSql))(vocabGrowthCurve),
     Q("readability_flesch", Some(readabilityFleschSql))(readabilityFlesch),

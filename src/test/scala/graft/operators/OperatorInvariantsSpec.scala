@@ -1298,6 +1298,45 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.count())
   }
 
+  test("oov rate: planted rare-vocab source is fully OOV, frequent one covered") {
+    // 1000 frequent tokens (count 2) occupy the whole vocabulary;
+    // source b's 100 singletons all fall outside it
+    val aText = (0 until 1000).map(i => f"a$i%04d").mkString(" ")
+    val bText = (0 until 100).map(i => f"z$i%03d").mkString(" ")
+    val tmp = docsCorpus(Seq(
+      (1L, aText, "a"), (2L, aText, "a"), (3L, bText, "b")))
+    val out = TextAnalysis.oovRateBySource(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_rate")))).toMap
+    assert(out("a") === ((2000L, 0L, 0.0)))
+    assert(out("b") === ((100L, 100L, 1.0)))
+  }
+
+  test("fulfillment lag quartiles: ordered, bracketed, naive p50 cross-check") {
+    import graft.sources.Tables
+    val rows = Stats.fulfillmentLagQuartiles(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Long]("p25"), r.getAs[Long]("p50"),
+        r.getAs[Long]("p75"))
+      assert(p25 <= p50 && p50 <= p75)
+      val m = r.getAs[Double]("mean_lag")
+      assert(m > 0.0)
+    }
+    // naive p50 for one priority by the same index convention
+    val lags = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(lower(trim(col("o_orderpriority"))) === "1-urgent")
+      .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+        .cast("long").as("lag"))
+      .collect().map(_.getLong(0)).sorted
+    val p50 = lags((lags.length + 1) / 2 - 1)
+    assert(rows.find(_.getAs[String]("prio") == "1-urgent").get
+      .getAs[Long]("p50") === p50)
+  }
+
   test("quality source mix: tiers partition each source's docs exactly") {
     val rows = TextAnalysis.qualitySourceMix(spark, sf).collect()
     assert(rows.nonEmpty)

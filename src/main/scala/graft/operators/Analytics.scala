@@ -1719,6 +1719,74 @@ object Analytics {
                    AS VARCHAR) AS DOUBLE) AS cum_revenue
        FROM cell ORDER BY cohort_week, wk_off"""
 
+  /** Customer value-segment MIGRATION matrix — "are my best customers
+    * staying my best customers" (the churn-risk transition table next
+    * to [[rfmSegments]]' static cube): orders split at the midpoint
+    * date into two halves; each half ranks its customers into exact
+    * revenue quartiles via [[graft.functions.Keys.denseIds]] (grouped
+    * by half — the parallel rank, no global window) and the matrix
+    * counts (segment_h1 → segment_h2) transitions, with 0 = absent
+    * (acquired/churned rows live on the matrix edges). All revenue in
+    * exact DECIMAL; bucket arithmetic exact BIGINT. Scale: one
+    * (half, customer) aggregate, the two-phase rank, a ≤5×5 output.
+    * (round 6)
+    */
+  def customerValueMigration(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Keys
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+        decp(col("o_totalprice")).as("v"))
+    val b = o.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))")
+        .as("mid"))
+    val per = o.crossJoin(broadcast(b))
+      .select(col("o_custkey"),
+        when(col("d") <= col("mid"), 1L).otherwise(2L).as("h"), col("v"))
+      .groupBy("h", "o_custkey").agg(sum(col("v")).as("mon"))
+      .localCheckpoint() // feeds the rank AND the per-half sizes
+    val ranked = Keys.denseIds(per.select(col("h"), col("o_custkey"),
+      col("mon")), Seq("h"), Seq("mon", "o_custkey"), "rk")
+    val sizes = per.groupBy("h").agg(count(lit(1)).as("nh"))
+    val seg = ranked.join(broadcast(sizes), Seq("h"))
+      .select(col("h"), col("o_custkey"),
+        expr("1 + (4 * (CAST(rk AS BIGINT) - 1)) div nh").as("seg"))
+    seg.filter(col("h") === 1L)
+      .select(col("o_custkey"), col("seg").as("seg_h1"))
+      .join(seg.filter(col("h") === 2L)
+        .select(col("o_custkey"), col("seg").as("seg_h2")),
+        Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("seg_h1"), lit(0L)).as("seg_h1"),
+        coalesce(col("seg_h2"), lit(0L)).as("seg_h2"))
+      .groupBy("seg_h1", "seg_h2")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("seg_h1", "seg_h2")
+  }
+
+  val customerValueMigrationSql: String =
+    s"""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+                     ${sqlDecp("o_totalprice")} AS v
+                   FROM orders),
+       b AS (SELECT MIN(d) + (datediff('day', MIN(d), MAX(d)) // 2)
+                      * INTERVAL 1 DAY AS mid
+             FROM o),
+       per AS (SELECT CASE WHEN o.d <= b.mid THEN 1 ELSE 2 END AS h,
+                      o.o_custkey, SUM(o.v) AS mon
+               FROM o CROSS JOIN b GROUP BY 1, 2),
+       rk AS (SELECT h, o_custkey,
+                     ROW_NUMBER() OVER (PARTITION BY h
+                                        ORDER BY mon, o_custkey) AS rk,
+                     COUNT(*) OVER (PARTITION BY h) AS nh
+              FROM per),
+       seg AS (SELECT h, o_custkey,
+                      1 + (4 * (rk - 1)) // nh AS seg
+               FROM rk)
+       SELECT COALESCE(a.seg, 0) AS seg_h1, COALESCE(c.seg, 0) AS seg_h2,
+              CAST(COUNT(*) AS BIGINT) AS n_customers
+       FROM (SELECT o_custkey, seg FROM seg WHERE h = 1) a
+         FULL OUTER JOIN (SELECT o_custkey, seg FROM seg WHERE h = 2) c
+         ON a.o_custkey = c.o_custkey
+       GROUP BY 1, 2 ORDER BY seg_h1, seg_h2"""
+
   /** Sketch-algebra audience overlap: weekly |viewers ∩ purchasers|
     * estimated by HLL inclusion-exclusion — est(A) + est(B) -
     * est(A ∪ B), where the union sketch is a pure register-max of the
@@ -1894,6 +1962,8 @@ object Analytics {
     Q("funnel_conversion", Some(funnelConversionSql))(funnelConversion),
     Q("cohort_retention", Some(cohortRetentionSql))(cohortRetention),
     Q("cohort_ltv", Some(cohortLtvSql))(cohortLtv),
+    Q("customer_value_migration",
+      Some(customerValueMigrationSql))(customerValueMigration),
     Q("q3_top_revenue", Some(q3Sql), bench = true)(q3),
     Q("q5_region_revenue", Some(q5Sql), bench = true)(q5),
     Q("revenue_share", Some(revenueShareSql))(revenueShare),

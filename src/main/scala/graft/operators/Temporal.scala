@@ -922,7 +922,75 @@ object Temporal {
        FROM tri JOIN big ON t1 = b1 AND t2 = b2
        ORDER BY t1, t2, t3"""
 
+  /** Daily PEAK session concurrency — the capacity-planning sweep-line
+    * ("how many sessions were open at the worst moment of each day")
+    * over [[sessionize]]'s intervals: every session emits a +1 at its
+    * start and a −1 at its end; the running sum at any instant is the
+    * concurrency. The prefix sum is TWO-PHASE (day-partitioned window
+    * + carry-in offsets from an aggregates-only theta-join over the
+    * per-day delta totals — the cumulative_users discipline), so
+    * cross-midnight sessions carry exactly and no global window
+    * exists. Tie order at equal timestamps is (+1 before −1, then
+    * user, session): touching sessions count as concurrent —
+    * documented convention. Days with no session boundary emit no row
+    * (concurrency is constant across them). Scale: deltas are
+    * 2×sessions rows; everything after is day-partitioned or
+    * day-cardinality. (round 6)
+    */
+  def peakConcurrencyDaily(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(s, dir)
+      .select(col("user_id"), col("session_id"), col("start_us"),
+        col("end_us"))
+    val deltas = sess.select(col("user_id"), col("session_id"),
+        explode(array(
+          struct(col("start_us").as("t"), lit(1L).as("d")),
+          struct(col("end_us").as("t"), lit(-1L).as("d")))).as("e"))
+      .select(to_date(timestamp_micros(col("e.t"))).as("day"),
+        col("e.t").as("t"), col("e.d").as("d"),
+        col("user_id"), col("session_id"))
+      .localCheckpoint() // feeds the sweep AND the carry-in totals
+    val wd = Window.partitionBy(col("day"))
+      .orderBy(col("t"), col("d").desc, col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayTot = deltas.groupBy("day").agg(sum(col("d")).as("dt"))
+    val carry = dayTot.as("a")
+      .join(dayTot.as("b"), col("b.day") < col("a.day"), "left")
+      .groupBy(col("a.day").as("day"))
+      .agg(coalesce(sum(col("b.dt")), lit(0L)).as("carry"))
+    deltas.withColumn("c", sum(col("d")).over(wd))
+      .join(broadcast(carry), Seq("day"))
+      .groupBy("day")
+      .agg(max(col("c") + col("carry")).as("peak_concurrent"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_ends"))
+      .orderBy("day")
+  }
+
+  val peakConcurrencyDailySql: String =
+    s"""WITH sess AS (SELECT user_id, session_id, start_us, end_us
+             FROM ($sessionizeSql)),
+       deltas AS (
+         SELECT CAST(make_timestamp(t) AS DATE) AS day, t, d,
+                user_id, session_id
+         FROM (SELECT user_id, session_id, start_us AS t, 1 AS d FROM sess
+               UNION ALL
+               SELECT user_id, session_id, end_us AS t, -1 AS d FROM sess)),
+       run AS (SELECT day, d,
+                      CAST(SUM(CAST(d AS BIGINT)) OVER (
+                        ORDER BY t, d DESC, user_id, session_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c
+               FROM deltas)
+       SELECT day, CAST(MAX(c) AS BIGINT) AS peak_concurrent,
+              CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_starts,
+              CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_ends
+       FROM run GROUP BY day ORDER BY day"""
+
   def queries: Seq[Q] = Seq(
+    Q("peak_concurrency_daily",
+      Some(peakConcurrencyDailySql))(peakConcurrencyDaily),
     Q("event_trigrams", Some(eventTrigramsSql))(eventTrigrams),
     Q("ewma_smooth", Some(ewmaSmoothSql))(ewmaSmooth),
     Q("scd2_intervals", Some(scd2IntervalsSql))(scd2Intervals),

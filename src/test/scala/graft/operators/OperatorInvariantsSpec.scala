@@ -1337,6 +1337,42 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       .getAs[Long]("p50") === p50)
   }
 
+  test("peak concurrency: two overlapping sessions peak at 2 on a planted day") {
+    def at(minFromTen: Int): String = {
+      val m = minFromTen
+      f"2024-01-03 ${10 + m / 60}%02d:${m % 60}%02d:00"
+    }
+    // u1 session 10:00-11:00, u2 10:30-11:30 (15-min cadence keeps
+    // each one session under the 30-min gap), u3 a point at 12:00
+    val tmp = eventsCorpus(
+      (0 to 4).map(i => (10L + i, at(i * 15), 1L, "view", 1.0)) ++
+        (0 to 4).map(i => (20L + i, at(30 + i * 15), 2L, "view", 1.0)) ++
+        Seq((30L, at(120), 3L, "view", 1.0)))
+    val out = Temporal.peakConcurrencyDaily(spark, tmp).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("peak_concurrent") === 2L)
+    assert(out(0).getAs[Long]("n_starts") === 3L)
+    assert(out(0).getAs[Long]("n_ends") === 3L)
+    // corpus-scale invariants: starts and ends balance; peak >= 1
+    Temporal.peakConcurrencyDaily(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("peak_concurrent") >= 1L)
+    }
+  }
+
+  test("value migration: matrix partitions the union of both halves' customers") {
+    val rows = Analytics.customerValueMigration(spark, sf).collect()
+      .map(r => (r.getAs[Long]("seg_h1"), r.getAs[Long]("seg_h2"))
+        -> r.getAs[Long]("n_customers")).toMap
+    assert(rows.nonEmpty)
+    rows.keys.foreach { case (a, b) =>
+      assert(a >= 0L && a <= 4L && b >= 0L && b <= 4L)
+      assert(!(a == 0L && b == 0L), "a customer absent from both halves")
+    }
+    val allCust = graft.sources.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.values.sum === allCust)
+  }
+
   test("quality source mix: tiers partition each source's docs exactly") {
     val rows = TextAnalysis.qualitySourceMix(spark, sf).collect()
     assert(rows.nonEmpty)

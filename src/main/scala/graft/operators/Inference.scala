@@ -877,6 +877,56 @@ object Inference {
        FROM u CROSS JOIN t ORDER BY event_type"""
   }
 
+  /** Return rate per part brand with a Wilson 95% interval — the
+    * product-quality league table ("which brands come back", the
+    * [[conversionWilsonCi]] machinery pointed at the returns funnel):
+    * per brand, exact returned/total lineitem counts, the rate, and
+    * the same z-literal one-sqrt Wilson tree (the interval is what
+    * stops a 3-of-7 boutique brand from outranking a 3000-of-10000
+    * volume brand on a dashboard sort). Scale: part dim broadcasts
+    * into one lineitem scan; output is brand-cardinality. (round 6)
+    */
+  def returnRateBrandCi(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_returnflag"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("n_returned"))
+    val z = lit(WilsonZ.toDouble)
+    val n = col("n_items").cast("double")
+    val p = col("n_returned").cast("double") / n
+    val z2n = z * z / n
+    val center = (p + z2n / 2.0) / (lit(1.0) + z2n)
+    val half = (z / (lit(1.0) + z2n)) *
+      sqrt(p * (lit(1.0) - p) / n + z * z / (lit(4.0) * n * n))
+    g.select(col("brand"), col("n_items"), col("n_returned"),
+        p.as("return_rate"), (center - half).as("ci_lo"),
+        (center + half).as("ci_hi"))
+      .orderBy("brand")
+  }
+
+  val returnRateBrandCiSql: String = {
+    val z = s"CAST('$WilsonZ' AS DOUBLE)"
+    val n = "CAST(n_items AS DOUBLE)"
+    val p = s"(CAST(n_returned AS DOUBLE) / $n)"
+    val z2n = s"($z * $z / $n)"
+    val center = s"(($p + $z2n / 2.0) / (1.0 + $z2n))"
+    val half = s"(($z / (1.0 + $z2n)) * SQRT($p * (1.0 - $p) / $n + $z * $z / (4.0 * $n * $n)))"
+    s"""WITH g AS (SELECT p.p_brand AS brand,
+                CAST(COUNT(*) AS BIGINT) AS n_items,
+                CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_returned
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1)
+       SELECT brand, n_items, n_returned, $p AS return_rate,
+              $center - $half AS ci_lo, $center + $half AS ci_hi
+       FROM g ORDER BY brand"""
+  }
+
   /** Day-of-week seasonality index of event volume: mean daily count
     * per ISO weekday over the corpus's mean daily count. The index is
     * the cross-multiplied EXACT ratio (dow_sum * total_days) /
@@ -2354,6 +2404,7 @@ object Inference {
     Q("poisson_rate_test", Some(poissonRateTestSql))(poissonRateTest),
     Q("benford_digits", Some(benfordDigitsSql))(benfordDigits),
     Q("conversion_wilson_ci", Some(conversionWilsonCiSql))(conversionWilsonCi),
+    Q("return_rate_brand_ci", Some(returnRateBrandCiSql))(returnRateBrandCi),
     Q("seasonality_dow", Some(seasonalityDowSql))(seasonalityDow),
     Q("acf_daily", Some(acfDailySql))(acfDaily),
     Q("pacf_daily", Some(pacfDailySql))(pacfDaily),

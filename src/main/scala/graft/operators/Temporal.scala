@@ -988,7 +988,81 @@ object Temporal {
                 AS n_ends
        FROM run GROUP BY day ORDER BY day"""
 
+  /** Conversion-delay quartiles — the latency distribution behind
+    * [[timeToConvert]]'s per-user table ("how long from first view to
+    * first purchase", answered as p25/p50/p75 instead of a wall of
+    * rows). Quartiles select by the TWO-PHASE rank over hour-bucketed
+    * delays (bucket-partitioned row_number + aggregates-only offsets —
+    * the no-global-window discipline at user cardinality), index
+    * convention (p·(n+1)) div 4; the conversion rate rides the same
+    * pass. Seconds surface as one µs/1e6 division. (round 6)
+    */
+  def conversionDelayQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val t = timeToConvert(s, dir)
+      .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
+        col("converted"))
+      .localCheckpoint() // feeds the rank chain AND the totals
+    val conv = t.filter(col("converted"))
+      .select(col("user_id"),
+        (col("first_purchase_us") - col("first_view_us")).as("delay_us"))
+    val bucketed = conv.withColumn("bk", expr("delay_us div 3600000000L"))
+    val w = Window.partitionBy(col("bk"))
+      .orderBy(col("delay_us"), col("user_id"))
+    val bt = bucketed.groupBy("bk").agg(count(lit(1)).as("c"))
+    val off = bt.as("x").join(bt.as("y"), col("y.bk") < col("x.bk"), "left")
+      .groupBy(col("x.bk").as("bk"))
+      .agg(coalesce(sum(col("y.c")), lit(0L)).as("off"))
+    val ranked = bucketed
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(off), Seq("bk"))
+      .select(col("delay_us"), (col("rn") + col("off")).as("rk"))
+    val tot = t.agg(count(lit(1)).as("n_viewers"),
+      sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+    ranked.crossJoin(broadcast(tot))
+      .groupBy("n_viewers", "n_converted")
+      .agg(
+        max(when(col("rk") === expr("(n_converted + 1) div 4"),
+          col("delay_us"))).as("p25_us"),
+        max(when(col("rk") === expr("(n_converted + 1) div 2"),
+          col("delay_us"))).as("p50_us"),
+        max(when(col("rk") === expr("(3 * n_converted + 3) div 4"),
+          col("delay_us"))).as("p75_us"))
+      .select(col("n_viewers"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_viewers").cast("double"))
+          .as("conv_rate"),
+        (col("p25_us").cast("double") / lit(1.0e6)).as("p25_s"),
+        (col("p50_us").cast("double") / lit(1.0e6)).as("p50_s"),
+        (col("p75_us").cast("double") / lit(1.0e6)).as("p75_s"))
+  }
+
+  val conversionDelayQuartilesSql: String =
+    s"""WITH t AS (SELECT user_id, first_view_us, first_purchase_us, converted
+             FROM ($timeToConvertSql)),
+       conv AS (SELECT user_id,
+                       first_purchase_us - first_view_us AS delay_us
+                FROM t WHERE converted),
+       r AS (SELECT delay_us,
+               ROW_NUMBER() OVER (ORDER BY delay_us, user_id) AS rk
+             FROM conv),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+                      CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_converted
+               FROM t)
+       SELECT tot.n_viewers, tot.n_converted,
+              CAST(tot.n_converted AS DOUBLE)
+                / CAST(tot.n_viewers AS DOUBLE) AS conv_rate,
+              CAST(MAX(CASE WHEN rk = (n_converted + 1) // 4
+                            THEN delay_us END) AS DOUBLE) / 1.0e6 AS p25_s,
+              CAST(MAX(CASE WHEN rk = (n_converted + 1) // 2
+                            THEN delay_us END) AS DOUBLE) / 1.0e6 AS p50_s,
+              CAST(MAX(CASE WHEN rk = (3 * n_converted + 3) // 4
+                            THEN delay_us END) AS DOUBLE) / 1.0e6 AS p75_s
+       FROM r CROSS JOIN tot
+       GROUP BY tot.n_viewers, tot.n_converted"""
+
   def queries: Seq[Q] = Seq(
+    Q("conversion_delay_quartiles",
+      Some(conversionDelayQuartilesSql))(conversionDelayQuartiles),
     Q("peak_concurrency_daily",
       Some(peakConcurrencyDailySql))(peakConcurrencyDaily),
     Q("event_trigrams", Some(eventTrigramsSql))(eventTrigrams),

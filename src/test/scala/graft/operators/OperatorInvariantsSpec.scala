@@ -1337,6 +1337,23 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       .getAs[Long]("p50") === p50)
   }
 
+  test("return-rate CI brackets the rate; quartiles ordered and rate consistent") {
+    val rows = Inference.returnRateBrandCi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("return_rate"),
+        r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      assert(lo <= p && p <= hi)
+      assert(lo >= 0.0 && hi <= 1.0) // Wilson never leaves [0,1]
+      assert(r.getAs[Long]("n_returned") <= r.getAs[Long]("n_items"))
+    }
+    val q = Temporal.conversionDelayQuartiles(spark, sf).head
+    assert(q.getAs[Double]("p25_s") <= q.getAs[Double]("p50_s"))
+    assert(q.getAs[Double]("p50_s") <= q.getAs[Double]("p75_s"))
+    assert(q.getAs[Double]("conv_rate") ===
+      q.getAs[Long]("n_converted").toDouble / q.getAs[Long]("n_viewers"))
+  }
+
   test("peak concurrency: two overlapping sessions peak at 2 on a planted day") {
     def at(minFromTen: Int): String = {
       val m = minFromTen

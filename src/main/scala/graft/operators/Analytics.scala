@@ -1719,6 +1719,74 @@ object Analytics {
                    AS VARCHAR) AS DOUBLE) AS cum_revenue
        FROM cell ORDER BY cohort_week, wk_off"""
 
+  /** Brand basket-affinity lift — market-basket association rules at
+    * the BRAND level ("which brands sell together", the reference's
+    * skill_association shape pointed at the order basket): for every
+    * unordered brand pair, support, confidence and lift from exact
+    * order-set counts. The (order, brand) frame is DISTINCT-compacted
+    * before the pair self-join (baskets never blow up on quantity),
+    * pairs bound by brands² regardless of order volume, and the
+    * single-brand counts broadcast. One double division per measure.
+    * Scale: the order-key equi-join is the only corpus-shaped shuffle;
+    * AQE splits hot orders. (round 6)
+    */
+  def brandAffinityLift(s: SparkSession, dir: String): DataFrame = {
+    val ob = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand").as("brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("ok"), col("brand"))
+      .distinct()
+      .localCheckpoint() // feeds totals, singles AND the pair join
+    val nord = ob.agg(countDistinct(col("ok")).as("n"))
+    val singles = ob.groupBy("brand").agg(count(lit(1)).as("nb"))
+    val pairs = ob.as("a").join(ob.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(singles.select(col("brand").as("brand_a"),
+        col("nb").as("n_a"))), Seq("brand_a"))
+      .join(broadcast(singles.select(col("brand").as("brand_b"),
+        col("nb").as("n_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(nord))
+      .select(col("brand_a"), col("brand_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        (col("n_both").cast("double") / col("n").cast("double"))
+          .as("support"),
+        (col("n_both").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_both").cast("double") * col("n").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+  }
+
+  val brandAffinityLiftSql: String =
+    """WITH ob AS MATERIALIZED (
+         SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       nord AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM ob),
+       singles AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS nb
+                   FROM ob GROUP BY 1),
+       pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+                        CAST(COUNT(*) AS BIGINT) AS n_both
+                 FROM ob a JOIN ob b
+                   ON a.ok = b.ok AND a.brand < b.brand
+                 GROUP BY 1, 2)
+       SELECT p.brand_a, p.brand_b, p.n_both,
+              sa.nb AS n_a, sb.nb AS n_b,
+              CAST(p.n_both AS DOUBLE) / CAST(t.n AS DOUBLE) AS support,
+              CAST(p.n_both AS DOUBLE) / CAST(sa.nb AS DOUBLE) AS confidence,
+              (CAST(p.n_both AS DOUBLE) * CAST(t.n AS DOUBLE))
+                / (CAST(sa.nb AS DOUBLE) * CAST(sb.nb AS DOUBLE)) AS lift
+       FROM pairs p
+         JOIN singles sa ON p.brand_a = sa.brand
+         JOIN singles sb ON p.brand_b = sb.brand
+         CROSS JOIN nord t
+       ORDER BY lift DESC, brand_a, brand_b"""
+
   /** Customer value-segment MIGRATION matrix — "are my best customers
     * staying my best customers" (the churn-risk transition table next
     * to [[rfmSegments]]' static cube): orders split at the midpoint
@@ -1964,6 +2032,7 @@ object Analytics {
     Q("cohort_ltv", Some(cohortLtvSql))(cohortLtv),
     Q("customer_value_migration",
       Some(customerValueMigrationSql))(customerValueMigration),
+    Q("brand_affinity_lift", Some(brandAffinityLiftSql))(brandAffinityLift),
     Q("q3_top_revenue", Some(q3Sql), bench = true)(q3),
     Q("q5_region_revenue", Some(q5Sql), bench = true)(q5),
     Q("revenue_share", Some(revenueShareSql))(revenueShare),

@@ -840,7 +840,60 @@ object Similarity {
               CAST(t.nt AS DOUBLE) / CAST(t.kk * c.n_vecs AS DOUBLE) AS weight
        FROM counts c CROSS JOIN tot t ORDER BY cluster_id"""
 
+  /** Embedding norm health per label — the data-quality gate every
+    * vector store needs before similarity math means anything
+    * ("are there zero vectors, are norms collapsing or exploding per
+    * class"): squared norms as EXACT quantized-integer self-dots
+    * (the codegen'd LongDot — one map pass), min/max/zero-count over
+    * BIGINTs (order-free), mean squared norm as one division of an
+    * exact DECIMAL sum. Norms surface through sqrt of exact casts,
+    * de-quantized by the 2^20 scale. Scale: one scan, one
+    * label-cardinality aggregate — nothing else. (round 6)
+    */
+  def embeddingNormStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors._
+    val sq = Tables.embeddings(s, dir)
+      .select(col("label"), quantize(col("embedding")).as("q"))
+      .select(col("label"), dotQ(col("q"), col("q")).as("sq"))
+    sq.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("sq") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("sq")).as("mn"), max(col("sq")).as("mx"),
+        sum(col("sq")).cast("decimal(38,0)").as("ssum"))
+      .select(col("label").cast("long").as("label"), col("n_vectors"),
+        col("n_zero"),
+        (sqrt(col("mn").cast("double")) / lit(Scale.toDouble)).as("min_norm"),
+        (sqrt(col("mx").cast("double")) / lit(Scale.toDouble)).as("max_norm"),
+        ((col("ssum").cast("double") / col("n_vectors").cast("double"))
+          / (lit(Scale.toDouble) * lit(Scale.toDouble))).as("mean_sq_norm"))
+      .orderBy("label")
+  }
+
+  val embeddingNormStatsSql: String = {
+    import graft.functions.Vectors._
+    s"""WITH sq AS (
+         SELECT label, ${sqlDotQ("qv", "qv", Dim)} AS sq
+         FROM (SELECT label, ${sqlQuantize("embedding")} AS qv
+               FROM embeddings)),
+       g AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                    CAST(SUM(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_zero,
+                    CAST(MIN(sq) AS BIGINT) AS mn,
+                    CAST(MAX(sq) AS BIGINT) AS mx,
+                    SUM(CAST(sq AS HUGEINT)) AS ssum
+             FROM sq GROUP BY 1)
+       SELECT CAST(label AS BIGINT) AS label, n_vectors, n_zero,
+              sqrt(CAST(mn AS DOUBLE)) / ${Scale}.0 AS min_norm,
+              sqrt(CAST(mx AS DOUBLE)) / ${Scale}.0 AS max_norm,
+              (CAST(CAST(ssum AS VARCHAR) AS DOUBLE)
+                 / CAST(n_vectors AS DOUBLE))
+                / (${Scale}.0 * ${Scale}.0) AS mean_sq_norm
+       FROM g ORDER BY label"""
+  }
+
   def queries: Seq[Q] = Seq(
+    Q("embedding_norm_stats",
+      Some(embeddingNormStatsSql))(embeddingNormStats),
     Q("cluster_balance_weights",
       Some(clusterBalanceWeightsSql))(clusterBalanceWeights),
     Q("embedding_centroids", Some(embeddingCentroidsSql))(embeddingCentroids),

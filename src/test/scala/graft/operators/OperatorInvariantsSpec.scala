@@ -1337,6 +1337,36 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       .getAs[Long]("p50") === p50)
   }
 
+  test("embedding norm stats: bounds ordered, mean bracketed, zero count sane") {
+    val rows = Similarity.embeddingNormStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (mn, mx, msq) = (r.getAs[Double]("min_norm"),
+        r.getAs[Double]("max_norm"), r.getAs[Double]("mean_sq_norm"))
+      assert(mn <= mx)
+      assert(msq >= mn * mn - 1e-9 && msq <= mx * mx + 1e-9)
+      assert(r.getAs[Long]("n_zero") <= r.getAs[Long]("n_vectors"))
+      total += r.getAs[Long]("n_vectors")
+    }
+    assert(total === graft.sources.Tables.embeddings(spark, sf).count())
+  }
+
+  test("brand affinity: measures consistent, lift symmetric in the margins") {
+    val rows = Analytics.brandAffinityLift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, na, n2) = (r.getAs[Long]("n_both"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(nb <= na && nb <= n2)
+      assert(r.getAs[String]("brand_a") < r.getAs[String]("brand_b"))
+      assert(r.getAs[Double]("confidence") === nb.toDouble / na)
+      assert(r.getAs[Double]("support") > 0.0
+        && r.getAs[Double]("support") <= 1.0)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
   test("return-rate CI brackets the rate; quartiles ordered and rate consistent") {
     val rows = Inference.returnRateBrandCi(spark, sf).collect()
     assert(rows.nonEmpty)

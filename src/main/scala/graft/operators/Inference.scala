@@ -2000,7 +2000,7 @@ object Inference {
     runsFrom(dailySeries(s, dir))
 
   /** Core over any (di long, n long) series frame (spec hand-checks). */
-  private[operators] def runsFrom(ser: DataFrame): DataFrame = {
+  private[graft] def runsFrom(ser: DataFrame): DataFrame = {
     val vc = ser.groupBy("n").agg(count(lit(1)).as("c"))
     val cum = vc.as("x").join(vc.as("y"), col("y.n") <= col("x.n"))
       .groupBy(col("x.n").as("v")).agg(sum(col("y.c")).as("cum"))
@@ -2021,13 +2021,16 @@ object Inference {
         (col("days") - col("n1")).as("n_below"),
         (col("ch") + 1).as("runs"),
         (lit(2L) * col("n1") * (col("days") - col("n1"))).as("p2"))
+      // one-sided series (every day on one side of the median) has no
+      // runs variance: NULL, not a zero-division (the ANSI rule)
       .select(col("n_days"), col("n_above"), col("n_below"), col("runs"),
-        (((col("runs").cast("double")
-          - (lit(1.0) + col("p2").cast("double") / col("n_days").cast("double"))))
-          / sqrt(col("p2").cast("double")
-            * (col("p2") - col("n_days")).cast("double")
-            / (col("n_days").cast("double") * col("n_days").cast("double")
-              * (col("n_days") - 1).cast("double")))).as("z"))
+        when(col("p2") > 0,
+          ((col("runs").cast("double")
+            - (lit(1.0) + col("p2").cast("double") / col("n_days").cast("double"))))
+            / sqrt(col("p2").cast("double")
+              * (col("p2") - col("n_days")).cast("double")
+              / (col("n_days").cast("double") * col("n_days").cast("double")
+                * (col("n_days") - 1).cast("double")))).as("z"))
   }
 
   val runsTestSql: String =
@@ -2053,11 +2056,12 @@ object Inference {
                      2 * cn.n1 * (cn.days - cn.n1) AS p2
               FROM cn CROSS JOIN ch)
        SELECT n_days, n_above, n_below, runs,
-              (CAST(runs AS DOUBLE)
-               - (1.0 + CAST(p2 AS DOUBLE) / CAST(n_days AS DOUBLE)))
-                / sqrt(CAST(p2 AS DOUBLE) * CAST(p2 - n_days AS DOUBLE)
-                       / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
-                          * CAST(n_days - 1 AS DOUBLE))) AS z
+              CASE WHEN p2 > 0 THEN
+                (CAST(runs AS DOUBLE)
+                 - (1.0 + CAST(p2 AS DOUBLE) / CAST(n_days AS DOUBLE)))
+                  / sqrt(CAST(p2 AS DOUBLE) * CAST(p2 - n_days AS DOUBLE)
+                         / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                            * CAST(n_days - 1 AS DOUBLE))) END AS z
        FROM st"""
 
   /** Pareto coverage of customer revenue per nation — "how many

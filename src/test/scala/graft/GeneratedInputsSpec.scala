@@ -472,4 +472,77 @@ class GeneratedInputsSpec extends AnyFunSuite {
     }
   }
 
+  test("kruskal-wallis matches an exact-rational reference on generated groups") {
+    import graft.operators.Inference
+    val caseGen = for {
+      k <- Gen.choose(2, 4)
+      sizes <- Gen.listOfN(k, Gen.choose(2, 8))
+      vals <- Gen.sequence[List[List[Int]], List[Int]](
+        sizes.map(n => Gen.listOfN(n, Gen.choose(1, 5))))
+    } yield vals.zipWithIndex.flatMap { case (vs, g) =>
+      vs.map(v => (('a' + g).toChar.toString, v.toDouble))
+    }
+    sample(caseGen, 25).filter(_.nonEmpty).foreach { rows =>
+      // exact rational reference over BigDecimal-free arithmetic:
+      // tie-averaged ranks are halves, so double arithmetic is exact
+      // here (all quantities are small integers or exact halves)
+      val n = rows.length
+      val byVal = rows.map(_._2).groupBy(identity).view
+        .mapValues(_.size).toMap
+      val below = byVal.keys.map { v =>
+        v -> rows.count(_._2 < v)
+      }.toMap
+      val rank = byVal.keys.map { v =>
+        v -> (below(v) + (byVal(v) + 1) / 2.0)
+      }.toMap
+      val groups = rows.groupBy(_._1)
+      val hSum = groups.values.map { g =>
+        val r = g.map(x => rank(x._2)).sum
+        r * r / g.size
+      }.sum
+      val h = 12.0 / (n.toDouble * (n + 1)) * hSum - 3.0 * (n + 1)
+      val ties = byVal.values.map(t => t.toDouble * t * t - t).sum
+      val out = Inference.kruskalWallisFrom(rows.toDF("grp", "v")).head
+      val kk = groups.size
+      // operator floors Σ R2²/n in quarter-units: ≤ k quarter-units
+      val tol = 3.0 * kk / (n.toDouble * (n + 1)) + 1e-9
+      assert(math.abs(out.getAs[Double]("h") - h) <= tol,
+        s"H diverged on $rows")
+      if (ties == 0)
+        assert(math.abs(out.getAs[Double]("h_tie") - h) <= tol)
+      else {
+        val c = 1.0 - ties / (n.toDouble * n * n - n)
+        assert(math.abs(out.getAs[Double]("h_tie") - h / c)
+          <= tol / c + 1e-9, s"H_tie diverged on $rows")
+      }
+    }
+  }
+
+  test("runs test matches a sequential sweep on generated series") {
+    import graft.operators.Inference
+    val serGen = for {
+      n <- Gen.choose(5, 25)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 3L))
+    } yield vs
+    sample(serGen, 25).foreach { vs =>
+      val ser = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("di", "n").localCheckpoint()
+      val out = Inference.runsFrom(ser).head
+      val nd = vs.length
+      val med = vs.sorted.apply((nd + 1) / 2 - 1)
+      val ab = vs.map(_ > med)
+      val runs = 1 + ab.zip(ab.tail).count { case (a, b) => a != b }
+      val n1 = ab.count(identity)
+      assert(out.getAs[Long]("runs") === runs.toLong, s"runs on $vs")
+      assert(out.getAs[Long]("n_above") === n1.toLong)
+      val p2 = 2.0 * n1 * (nd - n1)
+      if (n1 == 0 || n1 == nd) assert(out.isNullAt(out.fieldIndex("z")))
+      else {
+        val z = (runs - (1.0 + p2 / nd)) /
+          math.sqrt(p2 * (p2 - nd) / (nd.toDouble * nd * (nd - 1)))
+        assert(math.abs(out.getAs[Double]("z") - z) < 1e-12, s"z on $vs")
+      }
+    }
+  }
+
 }

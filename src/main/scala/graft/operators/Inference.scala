@@ -605,18 +605,24 @@ object Inference {
           - (col("a") + col("b"))).as("t3t"))
       .groupBy("na", "nb")
       .agg(sum(col("u2")).as("u2a"), sum(col("t3t")).as("ties"))
+      // an empty cohort or an all-tied pool zeroes the variance: NULL z
+      // (the ANSI rule; ConstantCorpusSpec pins the class)
       .select(col("na").as("n_a"), col("nb").as("n_b"),
         (col("u2a").cast("double") / 2.0).as("u_a"),
         ((col("na") * col("nb")).cast("double")
           - col("u2a").cast("double") / 2.0).as("u_b"),
-        ((col("u2a").cast("double") / 2.0
-          - (col("na") * col("nb")).cast("double") / 2.0)
-          / sqrt(
-            (col("na") * col("nb")).cast("double") / 12.0
-              * (((col("na") + col("nb") + 1)).cast("double")
-                - col("ties").cast("double")
-                  / ((col("na") + col("nb")).cast("double")
-                    * (col("na") + col("nb") - 1).cast("double")))))
+        when(col("na") * col("nb") > 0 &&
+          (col("na") + col("nb")).cast("decimal(38,0)")
+            * (col("na") + col("nb")) * (col("na") + col("nb"))
+            - (col("na") + col("nb")) - col("ties") > 0,
+          (col("u2a").cast("double") / 2.0
+            - (col("na") * col("nb")).cast("double") / 2.0)
+            / sqrt(
+              (col("na") * col("nb")).cast("double") / 12.0
+                * (((col("na") + col("nb") + 1)).cast("double")
+                  - col("ties").cast("double")
+                    / ((col("na") + col("nb")).cast("double")
+                      * (col("na") + col("nb") - 1).cast("double")))))
           .as("z"))
   }
 
@@ -636,12 +642,15 @@ object Inference {
        SELECT na AS n_a, nb AS n_b,
               CAST(u2a AS DOUBLE) / 2.0 AS u_a,
               CAST(na * nb AS DOUBLE) - CAST(u2a AS DOUBLE) / 2.0 AS u_b,
-              (CAST(u2a AS DOUBLE) / 2.0 - CAST(na * nb AS DOUBLE) / 2.0)
-                / SQRT(CAST(na * nb AS DOUBLE) / 12.0
-                       * (CAST(na + nb + 1 AS DOUBLE)
-                          - CAST(ties AS DOUBLE)
-                            / (CAST(na + nb AS DOUBLE)
-                               * CAST(na + nb - 1 AS DOUBLE)))) AS z
+              CASE WHEN na * nb > 0 AND
+                        CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb)
+                          - (na + nb) - ties > 0 THEN
+                (CAST(u2a AS DOUBLE) / 2.0 - CAST(na * nb AS DOUBLE) / 2.0)
+                  / SQRT(CAST(na * nb AS DOUBLE) / 12.0
+                         * (CAST(na + nb + 1 AS DOUBLE)
+                            - CAST(ties AS DOUBLE)
+                              / (CAST(na + nb AS DOUBLE)
+                                 * CAST(na + nb - 1 AS DOUBLE)))) END AS z
        FROM agg"""
 
   /** Pairwise Welch's t-test of mean event value across event types —
@@ -666,24 +675,29 @@ object Inference {
         sum(col("x")).cast("double").as("s"),
         sum(col("x").cast("decimal(18,4)") * col("x").cast("decimal(18,4)"))
           .cast("double").as("ss"))
+      // a single-row group has no variance estimate: NULL v (and NULL
+      // t/df downstream) instead of a zero-division (the ANSI rule)
       .select(col("event_type"), col("n"), (col("s") / col("n")).as("m"),
-        ((col("ss") - col("s") * col("s") / col("n"))
-          / (col("n") - 1).cast("double")).as("v"))
+        when(col("n") > 1,
+          (col("ss") - col("s") * col("s") / col("n"))
+            / (col("n") - 1).cast("double")).as("v"))
     g.as("p").join(g.as("q"), col("p.event_type") < col("q.event_type"))
       .select(col("p.event_type").as("type_a"),
         col("q.event_type").as("type_b"),
         col("p.n").as("n_a"), col("q.n").as("n_b"),
         col("p.m").as("mean_a"), col("q.m").as("mean_b"),
-        ((col("p.m") - col("q.m"))
-          / sqrt(col("p.v") / col("p.n") + col("q.v") / col("q.n"))).as("t"),
+        when(col("p.v") / col("p.n") + col("q.v") / col("q.n") > 0,
+          (col("p.m") - col("q.m"))
+            / sqrt(col("p.v") / col("p.n") + col("q.v") / col("q.n"))).as("t"),
         // squares as explicit products: pow() is not required to be
         // correctly rounded and differs between Java and C libm
-        (((col("p.v") / col("p.n") + col("q.v") / col("q.n"))
-          * (col("p.v") / col("p.n") + col("q.v") / col("q.n")))
-          / ((col("p.v") / col("p.n")) * (col("p.v") / col("p.n"))
-            / (col("p.n") - 1)
-            + (col("q.v") / col("q.n")) * (col("q.v") / col("q.n"))
-              / (col("q.n") - 1)))
+        when(col("p.v") / col("p.n") + col("q.v") / col("q.n") > 0,
+          ((col("p.v") / col("p.n") + col("q.v") / col("q.n"))
+            * (col("p.v") / col("p.n") + col("q.v") / col("q.n")))
+            / ((col("p.v") / col("p.n")) * (col("p.v") / col("p.n"))
+              / (col("p.n") - 1)
+              + (col("q.v") / col("q.n")) * (col("q.v") / col("q.n"))
+                / (col("q.n") - 1)))
           .as("df"))
       .orderBy("type_a", "type_b")
   }
@@ -698,14 +712,17 @@ object Inference {
                      AS VARCHAR) AS DOUBLE) AS ss
          FROM events GROUP BY event_type),
        st AS (SELECT event_type, n, s / n AS m,
-                     (ss - s * s / n) / CAST(n - 1 AS DOUBLE) AS v
+                     CASE WHEN n > 1 THEN
+                       (ss - s * s / n) / CAST(n - 1 AS DOUBLE) END AS v
               FROM g)
        SELECT p.event_type AS type_a, q.event_type AS type_b,
               p.n AS n_a, q.n AS n_b, p.m AS mean_a, q.m AS mean_b,
-              (p.m - q.m) / SQRT(p.v / p.n + q.v / q.n) AS t,
-              ((p.v / p.n + q.v / q.n) * (p.v / p.n + q.v / q.n))
-                / ((p.v / p.n) * (p.v / p.n) / (p.n - 1)
-                   + (q.v / q.n) * (q.v / q.n) / (q.n - 1)) AS df
+              CASE WHEN p.v / p.n + q.v / q.n > 0 THEN
+                (p.m - q.m) / SQRT(p.v / p.n + q.v / q.n) END AS t,
+              CASE WHEN p.v / p.n + q.v / q.n > 0 THEN
+                ((p.v / p.n + q.v / q.n) * (p.v / p.n + q.v / q.n))
+                  / ((p.v / p.n) * (p.v / p.n) / (p.n - 1)
+                     + (q.v / q.n) * (q.v / q.n) / (q.n - 1)) END AS df
        FROM st p JOIN st q ON p.event_type < q.event_type
        ORDER BY type_a, type_b"""
   }
@@ -1386,11 +1403,14 @@ object Inference {
       .withColumn("d_abs", abs(col("d")))
       .orderBy(col("d_abs").desc, col("day"))
       .limit(1)
+      // a last-day argmax (e.g. a one-day corpus) has no post segment:
+      // NULL mean_post (the ANSI rule; ConstantCorpusSpec pins it)
       .select(col("day").as("changepoint_day"), col("t").as("t_index"),
         col("tt").as("n_days"), col("d_abs").as("d_num"),
         (col("ct").cast("double") / col("t").cast("double")).as("mean_pre"),
-        ((col("c") - col("ct")).cast("double")
-          / (col("tt") - col("t")).cast("double")).as("mean_post"))
+        when(col("tt") > col("t"),
+          (col("c") - col("ct")).cast("double")
+            / (col("tt") - col("t")).cast("double")).as("mean_post"))
   }
 
   val cusumChangepointSql: String =
@@ -1411,7 +1431,9 @@ object Inference {
        SELECT day AS changepoint_day, t AS t_index, tt AS n_days,
               ABS(tt * ct - t * c) AS d_num,
               CAST(ct AS DOUBLE) / CAST(t AS DOUBLE) AS mean_pre,
-              CAST(c - ct AS DOUBLE) / CAST(tt - t AS DOUBLE) AS mean_post
+              CASE WHEN tt > t THEN
+                CAST(c - ct AS DOUBLE) / CAST(tt - t AS DOUBLE) END
+                AS mean_post
        FROM cum CROSS JOIN tot
        ORDER BY ABS(tt * ct - t * c) DESC, day LIMIT 1"""
 
@@ -1542,10 +1564,13 @@ object Inference {
         sum(col("rx") * col("ry")).cast("double").as("sxy"),
         sum(col("rx") * col("rx")).cast("double").as("sxx"),
         sum(col("ry") * col("ry")).cast("double").as("syy"))
+      // all-tied x or y collapses a rank spread: NULL rho (ANSI rule)
       .select(col("n").cast("long").as("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))).as("rho"))
+        when((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("rho"))
   }
 
   val spearmanRhoSql: String = {
@@ -1569,8 +1594,9 @@ object Inference {
                     ${sqlDsum("ry * ry")} AS syy
              FROM j)
        SELECT CAST(n AS BIGINT) AS n,
-              (n * sxy - sx * sy)
-                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rho
+              CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+                (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS rho
        FROM m"""
   }
 
@@ -1794,7 +1820,10 @@ object Inference {
     g.crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
       .select(col("grp"), col("n_g"), col("r2_sum"), col("n"),
         (col("k") - 1).as("dof"), h.as("h"),
-        (h * (nnn.cast("double") / (nnn - col("ties")).cast("double")))
+        // every value tied zeroes the correction denominator: NULL
+        // (the ANSI rule; ConstantCorpusSpec pins the class)
+        when(nnn - col("ties") > 0,
+          h * (nnn.cast("double") / (nnn - col("ties")).cast("double")))
           .as("h_tie"))
       .orderBy("grp")
   }
@@ -1825,10 +1854,12 @@ object Inference {
               (3.0 * CAST(CAST(t.hq4 AS VARCHAR) AS DOUBLE)
                 / (CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE))
                 - 3.0 * CAST(t.n + 1 AS DOUBLE))
-                * (CAST(CAST(CAST(t.n AS HUGEINT) * t.n * t.n - t.n
-                              AS VARCHAR) AS DOUBLE)
-                   / CAST(CAST(CAST(t.n AS HUGEINT) * t.n * t.n - t.n
-                               - ti.ties AS VARCHAR) AS DOUBLE)) AS h_tie
+                * CASE WHEN CAST(t.n AS HUGEINT) * t.n * t.n - t.n
+                            - ti.ties > 0 THEN
+                    (CAST(CAST(CAST(t.n AS HUGEINT) * t.n * t.n - t.n
+                               AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(CAST(t.n AS HUGEINT) * t.n * t.n - t.n
+                                 - ti.ties AS VARCHAR) AS DOUBLE)) END AS h_tie
        FROM g CROSS JOIN tot t CROSS JOIN ties ti
        ORDER BY grp"""
 
@@ -2260,14 +2291,18 @@ object Inference {
         sum(dec(col("x")) * col("x")).cast("decimal(38,0)").as("sxx"),
         sum(dec(col("y")) * col("y")).cast("decimal(38,0)").as("syy"),
         sum(dec(col("x")) * col("y")).cast("decimal(38,0)").as("sxy"))
+      // a constant series (or a single overlapping day) zeroes a
+      // variance: NULL r (the ANSI rule; ConstantCorpusSpec pins it)
       .select(col("lag").cast("long").as("lag"), col("n_days"),
         col("sxy").cast("long").as("sxy"),
-        ((dec(col("n_days")) * col("sxy") - dec(col("sx")) * col("sy"))
-          .cast("double")
-          / sqrt((dec(col("n_days")) * col("sxx") - dec(col("sx")) * col("sx"))
+        when((dec(col("n_days")) * col("sxx") - dec(col("sx")) * col("sx"))
+          * (dec(col("n_days")) * col("syy") - dec(col("sy")) * col("sy")) > 0,
+          (dec(col("n_days")) * col("sxy") - dec(col("sx")) * col("sy"))
             .cast("double")
-            * (dec(col("n_days")) * col("syy") - dec(col("sy")) * col("sy"))
-              .cast("double"))).as("r"))
+            / sqrt((dec(col("n_days")) * col("sxx") - dec(col("sx")) * col("sx"))
+              .cast("double")
+              * (dec(col("n_days")) * col("syy") - dec(col("sy")) * col("sy"))
+                .cast("double"))).as("r"))
       .orderBy("lag")
   }
 
@@ -2301,13 +2336,17 @@ object Inference {
                     SUM(CAST(x AS HUGEINT) * y) AS sxy
              FROM lagged GROUP BY 1)
        SELECT lag, n_days, CAST(sxy AS BIGINT) AS sxy,
-              CAST(CAST(CAST(n_days AS HUGEINT) * sxy
-                        - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
-                / sqrt(CAST(CAST(CAST(n_days AS HUGEINT) * sxx
-                                 - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
-                       * CAST(CAST(CAST(n_days AS HUGEINT) * syy
-                                   - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
-                AS r
+              CASE WHEN (CAST(n_days AS HUGEINT) * sxx
+                         - CAST(sx AS HUGEINT) * sx)
+                        * (CAST(n_days AS HUGEINT) * syy
+                           - CAST(sy AS HUGEINT) * sy) > 0 THEN
+                CAST(CAST(CAST(n_days AS HUGEINT) * sxy
+                          - CAST(sx AS HUGEINT) * sy AS VARCHAR) AS DOUBLE)
+                  / sqrt(CAST(CAST(CAST(n_days AS HUGEINT) * sxx
+                                   - CAST(sx AS HUGEINT) * sx AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(CAST(n_days AS HUGEINT) * syy
+                                     - CAST(sy AS HUGEINT) * sy AS VARCHAR) AS DOUBLE))
+                END AS r
        FROM m ORDER BY lag"""
 
   /** Seasonal-naive forecast backtest per event type — the MASE-style

@@ -397,9 +397,12 @@ object Stats {
     val st = d.groupBy(col("event_type").as("et"))
       .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
         count(lit(1)).as("n"))
-    val z = (col("x").cast("double") - col("sx").cast("double") / col("n").cast("double")) /
-      sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
-        (col("n") * col("n")).cast("double"))
+    // a zero-variance series has no z scale: NULL z and NULL verdict
+    // (the ANSI rule; ConstantCorpusSpec pins the class)
+    val z = when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+      (col("x").cast("double") - col("sx").cast("double") / col("n").cast("double")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n") * col("n")).cast("double")))
     d.join(broadcast(st), col("event_type") === col("et"))
       .select(col("event_type"), col("day"), col("x"), z.as("z"))
       .withColumn("anomaly", abs(col("z")) >= 2.0)
@@ -415,9 +418,10 @@ object Stats {
                      CAST(COUNT(*) AS BIGINT) AS n
               FROM d GROUP BY 1),
        z AS (SELECT d.event_type, d.day, d.x,
-               (CAST(d.x AS DOUBLE) - CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE))
-                 / sqrt(CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE)
-                        / CAST(st.n * st.n AS DOUBLE)) AS z
+               CASE WHEN st.n * st.sxx - st.sx * st.sx > 0 THEN
+                 (CAST(d.x AS DOUBLE) - CAST(st.sx AS DOUBLE) / CAST(st.n AS DOUBLE))
+                   / sqrt(CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE)
+                          / CAST(st.n * st.n AS DOUBLE)) END AS z
              FROM d JOIN st ON d.event_type = st.event_type)
        SELECT event_type, day, x, z, (abs(z) >= 2.0) AS anomaly
        FROM z ORDER BY event_type, day"""
@@ -444,10 +448,14 @@ object Stats {
         sum(col("x") * col("y")).cast("double").as("sxy"),
         sum(col("x") * col("x")).cast("double").as("sxx"),
         sum(col("y") * col("y")).cast("double").as("syy"))
+    // constant x or y zeroes a variance: r undefined -> NULL in both
+    // engines (the ANSI rule; ConstantCorpusSpec pins the class)
     m.select(col("flag"), col("n").cast("long").as("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
+        when((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("r"))
       .orderBy("flag")
   }
 
@@ -467,8 +475,9 @@ object Stats {
                      ${sqlDsum(s"$yw * $yw")} AS syy
                    FROM lineitem GROUP BY 1)
        SELECT flag, CAST(n AS BIGINT) AS n,
-              (n * sxy - sx * sy)
-                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+              CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+                (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r
        FROM m ORDER BY flag"""
   }
 
@@ -812,11 +821,15 @@ object Stats {
       .withColumn("cov", col("nd") * col("sxy") - col("sx") * col("sy"))
       .withColumn("den", col("nd") * col("sxx") - col("sx") * col("sx"))
       .withColumn("vy", col("nd") * col("syy") - col("sy") * col("sy"))
+      // constant x (or y) zeroes den (or vy): NULL fit, never a
+      // zero-division (the ANSI rule)
       .select(col("prio"), col("n"),
-        (col("cov") / col("den")).as("slope"),
-        ((col("sy") - (col("cov") / col("den")) * col("sx")) / col("nd"))
+        when(col("den") =!= 0.0, col("cov") / col("den")).as("slope"),
+        when(col("den") =!= 0.0,
+          (col("sy") - (col("cov") / col("den")) * col("sx")) / col("nd"))
           .as("intercept"),
-        ((col("cov") * col("cov")) / (col("den") * col("vy"))).as("r2"))
+        when(col("den") * col("vy") =!= 0.0,
+          (col("cov") * col("cov")) / (col("den") * col("vy"))).as("r2"))
       .orderBy("prio")
   }
 
@@ -846,9 +859,11 @@ object Stats {
                nd * sxx - sx * sx AS den,
                nd * syy - sy * sy AS vy
              FROM f)
-       SELECT prio, n, cov / den AS slope,
-              (sy - (cov / den) * sx) / nd AS intercept,
-              (cov * cov) / (den * vy) AS r2
+       SELECT prio, n,
+              CASE WHEN den <> 0 THEN cov / den END AS slope,
+              CASE WHEN den <> 0 THEN (sy - (cov / den) * sx) / nd END
+                AS intercept,
+              CASE WHEN den * vy <> 0 THEN (cov * cov) / (den * vy) END AS r2
        FROM g ORDER BY prio"""
 
   /** Winsorized aggregates: per-group p05/p95 cutpoints by index

@@ -188,9 +188,12 @@ object Temporal {
       .withColumn("dur",
         coalesce(lead(col("t"), 1).over(w) - col("t"), lit(0L)))
       .groupBy("user_id")
+      // a single-instant user has zero span: NULL, not a zero-division
+      // (the ANSI rule — ConstantCorpusSpec pins the class)
       .agg(
-        (sum(col("v") * col("dur").cast("decimal(19,0)")).cast("double") /
-          sum(col("dur")).cast("double")).as("twa"),
+        when(sum(col("dur")) > 0,
+          sum(col("v") * col("dur").cast("decimal(19,0)")).cast("double") /
+            sum(col("dur")).cast("double")).as("twa"),
         sum(col("dur")).as("span_us"), count(lit(1)).as("n_events"))
       .orderBy("user_id")
   }
@@ -204,8 +207,9 @@ object Temporal {
                  ORDER BY t, event_id) - t, 0) AS dur
              FROM e)
        SELECT user_id,
-              CAST(CAST(SUM(v * CAST(dur AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
-                / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) AS twa,
+              CASE WHEN SUM(dur) > 0 THEN
+                CAST(CAST(SUM(v * CAST(dur AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) END AS twa,
               CAST(SUM(dur) AS BIGINT) AS span_us, COUNT(*) AS n_events
        FROM d GROUP BY user_id ORDER BY user_id"""
 

@@ -2032,7 +2032,7 @@ object Analytics {
     Q("cohort_ltv", Some(cohortLtvSql))(cohortLtv),
     Q("customer_value_migration",
       Some(customerValueMigrationSql))(customerValueMigration),
-    Q("brand_affinity_lift", Some(brandAffinityLiftSql))(brandAffinityLift),
+    Q("brand_affinity_lift", Some(brandAffinityLiftSql), bench = true)(brandAffinityLift),
     Q("q3_top_revenue", Some(q3Sql), bench = true)(q3),
     Q("q5_region_revenue", Some(q5Sql), bench = true)(q5),
     Q("revenue_share", Some(revenueShareSql))(revenueShare),

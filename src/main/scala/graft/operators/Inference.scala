@@ -2432,7 +2432,7 @@ object Inference {
   def queries: Seq[Q] = Seq(
     Q("chi2_independence", Some(chi2IndependenceSql))(chi2Independence),
     Q("cramers_v", Some(cramersVSql))(cramersV),
-    Q("kruskal_wallis", Some(kruskalWallisSql))(kruskalWallis),
+    Q("kruskal_wallis", Some(kruskalWallisSql), bench = true)(kruskalWallis),
     Q("anova_oneway", Some(anovaOnewaySql))(anovaOneway),
     Q("levene_brown_forsythe", Some(leveneBrownForsytheSql))(leveneBrownForsythe),
     Q("runs_test", Some(runsTestSql))(runsTest),

@@ -1288,7 +1288,7 @@ object TextAnalysis {
     Q("quality_source_mix", Some(qualitySourceMixSql))(qualitySourceMix),
     Q("vocab_growth_curve", Some(vocabGrowthCurveSql))(vocabGrowthCurve),
     Q("readability_flesch", Some(readabilityFleschSql))(readabilityFlesch),
-    Q("source_cosine_matrix", Some(sourceCosineMatrixSql))(sourceCosineMatrix),
+    Q("source_cosine_matrix", Some(sourceCosineMatrixSql), bench = true)(sourceCosineMatrix),
     Q("token_overlap_matrix", Some(tokenOverlapMatrixSql))(tokenOverlapMatrix),
     Q("bpe_train_merges", Some(bpeTrainMergesSql))(bpeTrainMerges),
     Q("bpe_encode_words", Some(bpeEncodeWordsSql))(bpeEncodeWords),

@@ -1384,6 +1384,26 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       q.getAs[Long]("n_converted").toDouble / q.getAs[Long]("n_viewers"))
   }
 
+  test("burstiness: clockwork ~ -1, planted bursts positive, bounds hold") {
+    def at(sec: Int) =
+      f"2024-01-03 ${10 + sec / 3600}%02d:${(sec / 60) % 60}%02d:${sec % 60}%02d"
+    // u1 'tick': perfectly periodic gaps (sigma=0 => B = -1 exactly);
+    // u2 'burst': many tiny gaps + one huge gap => sigma >> mean => B > 0
+    val tmp = eventsCorpus(
+      (0 to 10).map(i => (100L + i, at(i * 60), 1L, "tick", 1.0)) ++
+        ((0 to 9).map(i => (200L + i, at(i), 2L, "burst", 1.0)) :+
+          (210L, at(3000), 2L, "burst", 1.0)))
+    val out = Temporal.burstinessIndex(spark, tmp).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("tick").getAs[Double]("burstiness") === -1.0)
+    assert(out("tick").getAs[Double]("sigma_gap_us") === 0.0)
+    assert(out("burst").getAs[Double]("burstiness") > 0.3)
+    out.values.foreach { r =>
+      val b = r.getAs[Double]("burstiness")
+      assert(b >= -1.0 && b < 1.0)
+    }
+  }
+
   test("peak concurrency: two overlapping sessions peak at 2 on a planted day") {
     def at(minFromTen: Int): String = {
       val m = minFromTen

@@ -1643,6 +1643,83 @@ object Inference {
       .orderBy("b")
   }
 
+  /** Deterministic Poisson bootstrap of the MEDIAN order price — the
+    * order-statistic completion of [[bootstrapMeans]] (a mean's
+    * bootstrap is cheap sums; a median's needs per-resample ORDER
+    * STATISTICS, which is where naive bootstraps funnel into one task
+    * per resample). Same hash-derandomized Poisson(1) weights; each
+    * resample's weighted lower median is selected by cumulative weight
+    * over a TWO-PHASE rank partitioned on (resample, value-bucket) —
+    * B×buckets parallel windows plus an aggregates-only offsets join,
+    * so no resample ever sorts in a single task. The spread of the B
+    * medians is the robust-location uncertainty estimate. (round 6)
+    */
+  def bootstrapMedians(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val cases = PoissonCdfHex.zipWithIndex.reverse.foldLeft(
+      lit(PoissonCdfHex.size).cast("long")) { case (acc, (t, k)) =>
+      when(col("h") <= lit(t), k.toLong).otherwise(acc)
+    }
+    val wrows = Tables.orders(s, dir)
+      .select(col("o_orderkey"), decp(col("o_totalprice")).as("x"),
+        explode(sequence(lit(0), lit(BootstrapB - 1))).as("b"))
+      .withColumn("h",
+        substring(md5(concat_ws(":", col("o_orderkey"), col("b"))), 1, 4))
+      .withColumn("w", cases)
+      .filter(col("w") > 0)
+      .groupBy(col("b"), col("x")).agg(sum(col("w")).as("w"))
+      .localCheckpoint() // feeds the rank chain AND the totals
+    val bucketed = wrows
+      .withColumn("bk", expr(s"CAST(x AS BIGINT) div $RankBucket"))
+    val wLoc = Window.partitionBy(col("b"), col("bk")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bt = bucketed.groupBy("b", "bk").agg(sum(col("w")).as("t"))
+    val off = bt.as("p").join(bt.as("q"),
+        col("p.b") === col("q.b") && col("q.bk") < col("p.bk"), "left")
+      .groupBy(col("p.b").as("b"), col("p.bk").as("bk"))
+      .agg(coalesce(sum(col("q.t")), lit(0L)).as("off"))
+    val tot = wrows.groupBy("b").agg(sum(col("w")).as("n_eff"))
+    bucketed
+      .withColumn("cw", sum(col("w")).over(wLoc))
+      .join(broadcast(off), Seq("b", "bk"))
+      .join(broadcast(tot), Seq("b"))
+      .groupBy("b")
+      .agg(max(col("n_eff")).as("n_eff"),
+        min(when((col("cw") + col("off")) * 2 >= col("n_eff") + 1, col("x")))
+          .cast("double").as("median_price"))
+      .select(col("b").cast("long").as("b"), col("n_eff"),
+        col("median_price"))
+      .orderBy("b")
+  }
+
+  val bootstrapMediansSql: String = {
+    import graft.functions.Nums._
+    val whens = PoissonCdfHex.zipWithIndex
+      .map { case (t, k) => s"WHEN h <= '$t' THEN $k" }.mkString(" ")
+    s"""WITH fan AS (
+         SELECT o_orderkey, ${sqlDecp("o_totalprice")} AS x, b.b
+         FROM orders,
+              (SELECT UNNEST(generate_series(0, ${BootstrapB - 1})) AS b) b),
+       hw AS (SELECT b, x, CAST(SUM(w) AS BIGINT) AS w
+              FROM (SELECT b, x,
+                      CASE $whens ELSE ${PoissonCdfHex.size} END AS w
+                    FROM (SELECT b, x,
+                            substr(md5(o_orderkey || ':' || b), 1, 4) AS h
+                          FROM fan))
+              WHERE w > 0 GROUP BY b, x),
+       cum AS (SELECT b, x,
+                      CAST(SUM(w) OVER (PARTITION BY b ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cw
+               FROM hw),
+       tot AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff FROM hw GROUP BY b)
+       SELECT CAST(c.b AS BIGINT) AS b, t.n_eff,
+              CAST(MIN(CASE WHEN c.cw * 2 >= t.n_eff + 1 THEN c.x END)
+                   AS DOUBLE) AS median_price
+       FROM cum c JOIN tot t ON c.b = t.b
+       GROUP BY c.b, t.n_eff ORDER BY b"""
+  }
+
   val bootstrapMeansSql: String = {
     import graft.functions.Nums._
     val whens = PoissonCdfHex.zipWithIndex
@@ -2464,5 +2541,6 @@ object Inference {
     Q("forecast_seasonal_naive",
       Some(forecastSeasonalNaiveSql))(forecastSeasonalNaive),
     Q("bootstrap_means", Some(bootstrapMeansSql))(bootstrapMeans),
+    Q("bootstrap_medians", Some(bootstrapMediansSql))(bootstrapMedians),
     Q("odds_ratio_funnel", Some(oddsRatioFunnelSql))(oddsRatioFunnel))
 }

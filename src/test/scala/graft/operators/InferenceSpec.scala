@@ -586,6 +586,23 @@ class InferenceSpec extends AnyFunSuite {
       + 4.0 / math.sqrt(2000.0 / 900.0)) < 1e-12)
   }
 
+  test("bootstrap medians: B resamples bracketing the point median") {
+    import graft.sources.Tables
+    val out = Inference.bootstrapMedians(spark, sf).collect()
+    assert(out.length === Inference.BootstrapB)
+    // the point-estimate median by the same lower-median convention
+    val xs = Tables.orders(spark, sf)
+      .select(col("o_totalprice").cast("decimal(14,4)").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val point = xs((xs.length + 1) / 2 - 1)
+    val meds = out.map(_.getAs[Double]("median_price"))
+    // resample medians scatter AROUND the point estimate: it must fall
+    // inside their range, and they must not all collapse to one value
+    assert(meds.min <= point && point <= meds.max)
+    assert(meds.distinct.length > 1)
+    out.foreach(r => assert(r.getAs[Long]("n_eff") > 0L))
+  }
+
   test("pareto coverage: naive whale-curve cross-check per nation") {
     import graft.sources.Tables
     val out = Inference.paretoCoverage(spark, sf).collect()

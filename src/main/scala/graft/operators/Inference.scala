@@ -582,6 +582,53 @@ object Inference {
        FROM cc c CROSS JOIN tot t
        GROUP BY t.na, t.nb"""
 
+  /** Q-Q decile comparison of the two rank-test cohorts — the
+    * DISTRIBUTION TABLE a dashboard shows next to [[ksTest]]'s single
+    * D statistic ("where exactly do urgent and low-priority prices
+    * diverge"): for each decile 1..9, the smallest value whose
+    * cohort-cumulative count clears d/10 of the cohort (exact
+    * cross-multiplied compare ca·10 ≥ d·n — no float quantile), both
+    * cohorts side by side with the gap. Rides [[cumCounts]]'s
+    * two-phase prefix sums; the decile fan-out is 9 rows over the
+    * distinct-value frame. (round 6)
+    */
+  def qqDecileCompare(s: SparkSession, dir: String): DataFrame =
+    qqFrom(priceCohorts(s, dir))
+
+  /** Core over any per-distinct-value cohort frame (v, a, b). */
+  private[operators] def qqFrom(vals: DataFrame): DataFrame = {
+    val cc = cumCounts(vals)
+    val tot = vals.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    cc.crossJoin(broadcast(tot))
+      .select(col("v"), col("ca"), col("cb"), col("na"), col("nb"),
+        explode(sequence(lit(1), lit(9))).as("decile"))
+      .groupBy("decile")
+      .agg(min(when(col("ca") * 10 >= col("decile") * col("na"), col("v")))
+        .as("v_a"),
+        min(when(col("cb") * 10 >= col("decile") * col("nb"), col("v")))
+          .as("v_b"))
+      .select(col("decile").cast("long").as("decile"), col("v_a"),
+        col("v_b"), (col("v_b") - col("v_a")).as("gap"))
+      .orderBy("decile")
+  }
+
+  val qqDecileCompareSql: String =
+    s"""WITH vals AS ($rankCohortsSql),
+       cc AS (SELECT v, a, b,
+                     CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+                     CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS cb
+              FROM vals),
+       tot AS (SELECT MAX(ca) AS na, MAX(cb) AS nb FROM cc),
+       fan AS (SELECT c.v, c.ca, c.cb, t.na, t.nb, d.decile
+               FROM cc c CROSS JOIN tot t
+                 CROSS JOIN (SELECT UNNEST(generate_series(1, 9)) AS decile) d)
+       SELECT CAST(decile AS BIGINT) AS decile,
+              MIN(CASE WHEN ca * 10 >= decile * na THEN v END) AS v_a,
+              MIN(CASE WHEN cb * 10 >= decile * nb THEN v END) AS v_b,
+              MIN(CASE WHEN cb * 10 >= decile * nb THEN v END)
+                - MIN(CASE WHEN ca * 10 >= decile * na THEN v END) AS gap
+       FROM fan GROUP BY decile ORDER BY decile"""
+
   /** Mann-Whitney U (Wilcoxon rank-sum) with tie handling, same
     * cohorts as [[ksTest]]. 2*U_a = sum_v a_v * (2*(cb(v) - b_v) + b_v)
     * is an exact BIGINT (each A-observation contributes 2 per B below
@@ -2519,6 +2566,7 @@ object Inference {
     Q("link_prediction_ra", Some(linkPredictionRaSql), bench = true)(linkPredictionRa),
     Q("survival_hazard", Some(survivalHazardSql))(survivalHazard),
     Q("ks_test", Some(ksTestSql))(ksTest),
+    Q("qq_decile_compare", Some(qqDecileCompareSql))(qqDecileCompare),
     Q("mann_whitney_u", Some(mannWhitneyUSql))(mannWhitneyU),
     Q("ab_test_welch", Some(abTestWelchSql))(abTestWelch),
     Q("poisson_rate_test", Some(poissonRateTestSql))(poissonRateTest),

@@ -1120,7 +1120,43 @@ object Temporal {
        FROM g ORDER BY event_type"""
   }
 
+  /** Day-of-week × hour activity heatmap — the traffic-shape grid
+    * behind every "when are our users awake" dashboard (and the input
+    * a capacity planner eyeballs before trusting [[burstinessIndex]]'s
+    * scalar): per (ISO weekday, hour-of-day) cell, event count and the
+    * share of corpus events, one double division per cell. ISO weekday
+    * via weekday()+1 / isodow() because the engines' dayofweek()
+    * disagree on week start (the seasonality_dow lesson). Scale: one
+    * scan, one ≤168-row aggregate. (round 6)
+    */
+  def eventsDowHourHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy((expr("weekday(CAST(ts AS DATE))") + 1).as("iso_dow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = cells.agg(sum(col("n_events")).as("te"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("iso_dow").cast("long").as("iso_dow"), col("hour"),
+        col("n_events"),
+        (col("n_events").cast("double") / col("te").cast("double"))
+          .as("share"))
+      .orderBy("iso_dow", "hour")
+  }
+
+  val eventsDowHourHeatmapSql: String =
+    """WITH cells AS (SELECT isodow(CAST(ts AS DATE)) AS iso_dow,
+                            CAST(hour(ts) AS BIGINT) AS hour,
+                            CAST(COUNT(*) AS BIGINT) AS n_events
+                      FROM events GROUP BY 1, 2),
+       tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS te FROM cells)
+       SELECT CAST(iso_dow AS BIGINT) AS iso_dow, hour, n_events,
+              CAST(n_events AS DOUBLE) / CAST(te AS DOUBLE) AS share
+       FROM cells CROSS JOIN tot
+       ORDER BY iso_dow, hour"""
+
   def queries: Seq[Q] = Seq(
+    Q("events_dow_hour_heatmap",
+      Some(eventsDowHourHeatmapSql))(eventsDowHourHeatmap),
     Q("burstiness_index", Some(burstinessIndexSql))(burstinessIndex),
     Q("conversion_delay_quartiles",
       Some(conversionDelayQuartilesSql))(conversionDelayQuartiles),

@@ -586,6 +586,27 @@ class InferenceSpec extends AnyFunSuite {
       + 4.0 / math.sqrt(2000.0 / 900.0)) < 1e-12)
   }
 
+  test("qq deciles: monotone per cohort, hand-checked on constructed cohorts") {
+    // cohort a = 10..100 by 10 (n=10), cohort b = a + 100
+    val vals = ((1 to 10).map(i => (i * 10.0, 1L, 0L)) ++
+      (1 to 10).map(i => (i * 10.0 + 100.0, 0L, 1L))).toDF("v", "a", "b")
+      .localCheckpoint()
+    val out = Inference.qqFrom(vals).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Double]("v_a"), r.getAs[Double]("v_b"),
+          r.getAs[Double]("gap")))).toMap
+    (1 to 9).foreach { d =>
+      // decile d of 10 evenly spread values = the d-th value
+      assert(out(d.toLong) === ((d * 10.0, d * 10.0 + 100.0, 100.0)), s"d$d")
+    }
+    // corpus scale: both cohort curves are monotone in the decile
+    val real = Inference.qqDecileCompare(spark, sf).collect()
+    val (va, vb) = (real.map(_.getAs[Double]("v_a")),
+      real.map(_.getAs[Double]("v_b")))
+    assert(va.zip(va.tail).forall { case (x, y) => x <= y })
+    assert(vb.zip(vb.tail).forall { case (x, y) => x <= y })
+  }
+
   test("bootstrap medians: B resamples bracketing the point median") {
     import graft.sources.Tables
     val out = Inference.bootstrapMedians(spark, sf).collect()

@@ -1218,12 +1218,18 @@ object Dedup {
         sum(expr(
           "cast((cast(sz as decimal(38,0)) * (sz - 1)) / 2 as decimal(38,0))"))
           .cast("decimal(38,0)").as("cp"))
+      // cand_pairs surfaces as DOUBLE: the decimal pair mass passes
+      // BIGINT at ~4e9 docs, so a long cast would reintroduce the very
+      // overflow the decimal accumulator exists to avoid (ANSI Spark
+      // would throw, DuckDB's CAST errors); collision_rate is gated on
+      // n_docs > 1 (a band of singletons has no pair capacity — 0/0)
       .select(col("band_id").cast("long").as("band_id"), col("n_buckets"),
         col("n_docs"), col("n_singleton"), col("max_bucket"),
-        col("cp").cast("long").as("cand_pairs"),
-        (col("cp").cast("double")
-          / ((col("n_docs").cast("decimal(38,0)") * (col("n_docs") - 1)) / 2)
-            .cast("double")).as("collision_rate"))
+        col("cp").cast("double").as("cand_pairs"),
+        when(col("n_docs") > 1,
+          col("cp").cast("double")
+            / ((col("n_docs").cast("decimal(38,0)") * (col("n_docs") - 1)) / 2)
+              .cast("double")).as("collision_rate"))
       .orderBy("band_id")
   }
 
@@ -1237,12 +1243,13 @@ object Dedup {
               CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_singleton,
               CAST(MAX(sz) AS BIGINT) AS max_bucket,
-              CAST(SUM((CAST(sz AS HUGEINT) * (sz - 1)) // 2) AS BIGINT)
-                AS cand_pairs,
               CAST(CAST(SUM((CAST(sz AS HUGEINT) * (sz - 1)) // 2)
-                        AS VARCHAR) AS DOUBLE)
-                / CAST(CAST((CAST(SUM(sz) AS HUGEINT) * (SUM(sz) - 1)) // 2
-                            AS VARCHAR) AS DOUBLE) AS collision_rate
+                        AS VARCHAR) AS DOUBLE) AS cand_pairs,
+              CASE WHEN SUM(sz) > 1 THEN
+                CAST(CAST(SUM((CAST(sz AS HUGEINT) * (sz - 1)) // 2)
+                          AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST((CAST(SUM(sz) AS HUGEINT) * (SUM(sz) - 1)) // 2
+                              AS VARCHAR) AS DOUBLE) END AS collision_rate
        FROM b GROUP BY band_id ORDER BY band_id"""
 
   /** Near-dup cluster size distribution — the summary a dedup run is

@@ -603,9 +603,14 @@ object Inference {
       .select(col("v"), col("ca"), col("cb"), col("na"), col("nb"),
         explode(sequence(lit(1), lit(9))).as("decile"))
       .groupBy("decile")
-      .agg(min(when(col("ca") * 10 >= col("decile") * col("na"), col("v")))
+      // na > 0 / nb > 0 gates: an EMPTY cohort degenerates the compare
+      // to 0 >= 0 at every value and would report the global minimum as
+      // its "decile" — NULL is the only honest verdict (§7b rule)
+      .agg(min(when(col("na") > 0 &&
+          col("ca") * 10 >= col("decile") * col("na"), col("v")))
         .as("v_a"),
-        min(when(col("cb") * 10 >= col("decile") * col("nb"), col("v")))
+        min(when(col("nb") > 0 &&
+            col("cb") * 10 >= col("decile") * col("nb"), col("v")))
           .as("v_b"))
       .select(col("decile").cast("long").as("decile"), col("v_a"),
         col("v_b"), (col("v_b") - col("v_a")).as("gap"))
@@ -623,10 +628,13 @@ object Inference {
                FROM cc c CROSS JOIN tot t
                  CROSS JOIN (SELECT UNNEST(generate_series(1, 9)) AS decile) d)
        SELECT CAST(decile AS BIGINT) AS decile,
-              MIN(CASE WHEN ca * 10 >= decile * na THEN v END) AS v_a,
-              MIN(CASE WHEN cb * 10 >= decile * nb THEN v END) AS v_b,
-              MIN(CASE WHEN cb * 10 >= decile * nb THEN v END)
-                - MIN(CASE WHEN ca * 10 >= decile * na THEN v END) AS gap
+              MIN(CASE WHEN na > 0 AND ca * 10 >= decile * na THEN v END)
+                AS v_a,
+              MIN(CASE WHEN nb > 0 AND cb * 10 >= decile * nb THEN v END)
+                AS v_b,
+              MIN(CASE WHEN nb > 0 AND cb * 10 >= decile * nb THEN v END)
+                - MIN(CASE WHEN na > 0 AND ca * 10 >= decile * na THEN v END)
+                AS gap
        FROM fan GROUP BY decile ORDER BY decile"""
 
   /** Mann-Whitney U (Wilcoxon rank-sum) with tie handling, same
@@ -1695,7 +1703,9 @@ object Inference {
     * bootstrap is cheap sums; a median's needs per-resample ORDER
     * STATISTICS, which is where naive bootstraps funnel into one task
     * per resample). Same hash-derandomized Poisson(1) weights; each
-    * resample's weighted lower median is selected by cumulative weight
+    * resample's weighted UPPER median — the smallest x whose cumulative
+    * weight clears (n_eff+1)/2, i.e. for even n_eff=2m the (m+1)-th
+    * order statistic — is selected by cumulative weight
     * over a TWO-PHASE rank partitioned on (resample, value-bucket) —
     * B×buckets parallel windows plus an aggregates-only offsets join,
     * so no resample ever sorts in a single task. The spread of the B
@@ -2516,7 +2526,8 @@ object Inference {
           .as("mae_seasonal"),
         (col("sae_naive").cast("double") / col("n_days").cast("double"))
           .as("mae_naive"),
-        (col("sae_seasonal").cast("double") / col("sae_naive").cast("double"))
+        when(col("sae_naive") > 0,
+          col("sae_seasonal").cast("double") / col("sae_naive").cast("double"))
           .as("mase_like"))
       .orderBy("event_type")
   }
@@ -2545,8 +2556,9 @@ object Inference {
                 / CAST(COUNT(*) AS DOUBLE) AS mae_seasonal,
               CAST(SUM(abs(c.n - s1.n)) AS DOUBLE)
                 / CAST(COUNT(*) AS DOUBLE) AS mae_naive,
-              CAST(SUM(abs(c.n - s7.n)) AS DOUBLE)
-                / CAST(SUM(abs(c.n - s1.n)) AS DOUBLE) AS mase_like
+              CASE WHEN SUM(abs(c.n - s1.n)) > 0 THEN
+                CAST(SUM(abs(c.n - s7.n)) AS DOUBLE)
+                  / CAST(SUM(abs(c.n - s1.n)) AS DOUBLE) END AS mase_like
        FROM ser c
          JOIN ser s7 ON s7.event_type = c.event_type AND s7.di = c.di - 7
          JOIN ser s1 ON s1.event_type = c.event_type AND s1.di = c.di - 1

@@ -1024,7 +1024,9 @@ object TextAnalysis {
     * counted by replace-and-diff length arithmetic (codegen'd, no
     * UDF, identical in both engines). All three accumulate as exact
     * BIGINTs per source; the score is one double tree over the
-    * aggregate ratios. Scale: pure per-row projection + one k-row
+    * aggregate ratios, NULL for a source whose docs tokenize to zero
+    * words (the portable degenerate verdict — §7b zero-division rule).
+    * Scale: pure per-row projection + one k-row
     * aggregate — no shuffle but source partials. (round 6)
     */
   def readabilityFlesch(s: SparkSession, dir: String): DataFrame =
@@ -1039,11 +1041,12 @@ object TextAnalysis {
         sum(col("sen")).as("n_sentences"), sum(col("syl")).as("n_syllables"))
       .select(col("source"), col("n_docs"), col("n_words"),
         col("n_sentences"), col("n_syllables"),
-        (lit(206.835)
-          - lit(1.015) * (col("n_words").cast("double")
-            / col("n_sentences").cast("double"))
-          - lit(84.6) * (col("n_syllables").cast("double")
-            / col("n_words").cast("double"))).as("flesch"))
+        when(col("n_words") > 0,
+          lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double"))).as("flesch"))
       .orderBy("source")
 
   val readabilityFleschSql: String =
@@ -1061,11 +1064,12 @@ object TextAnalysis {
                       CAST(SUM(syl) AS BIGINT) AS n_syllables
                FROM perdoc GROUP BY 1)
        SELECT source, n_docs, n_words, n_sentences, n_syllables,
-              206.835
-                - 1.015 * (CAST(n_words AS DOUBLE)
-                           / CAST(n_sentences AS DOUBLE))
-                - 84.6 * (CAST(n_syllables AS DOUBLE)
-                          / CAST(n_words AS DOUBLE)) AS flesch
+              CASE WHEN n_words > 0 THEN
+                206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE)) END AS flesch
        FROM agg ORDER BY source"""
 
   /** Frequency-weighted cosine similarity between source unigram

@@ -1271,11 +1271,11 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_docs") === docs) // each doc hashes into each band
       val (nb, single, mx, cp) = (r.getAs[Long]("n_buckets"),
         r.getAs[Long]("n_singleton"), r.getAs[Long]("max_bucket"),
-        r.getAs[Long]("cand_pairs"))
+        r.getAs[Double]("cand_pairs")) // DOUBLE: pair mass outgrows long
       assert(single <= nb && mx >= 1L)
       // singletons contribute zero pairs; the max bucket alone bounds below
-      assert(cp >= mx * (mx - 1) / 2)
-      assert(cp <= (docs - single) * (docs - single - 1) / 2)
+      assert(cp >= (mx * (mx - 1) / 2).toDouble)
+      assert(cp <= ((docs - single) * (docs - single - 1) / 2).toDouble)
       val rate = r.getAs[Double]("collision_rate")
       assert(rate >= 0.0 && rate <= 1.0)
     }

@@ -67,9 +67,99 @@ object ManifestLog {
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(logVersionDir(path, v))
 
-  /** The raw action log (file-cardinality — the planning frame). */
-  def log(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"${logDir(path)}/v*")
+  private def checkpointRoot(path: String) = s"$path/_checkpoint"
+  private def checkpointDir(path: String, v: Long) =
+    s"${checkpointRoot(path)}/v$v"
+
+  /** Latest valid checkpoint version, 0 if none. One FS listing of the
+    * checkpoint root; a checkpoint is valid only once its committer
+    * `_SUCCESS` marker exists (a torn write — crash between task and
+    * job commit — can leave partial files without one, and must stay
+    * invisible).
+    */
+  def latestCheckpoint(s: SparkSession, path: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(checkpointRoot(path))
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0L
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(st => "^v(\\d+)$".r.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1).toLong))
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(checkpointDir(path, v), "_SUCCESS")))
+      .sorted.lastOption.getOrElse(0L)
+  }
+
+  /** The raw action log (file-cardinality — the planning frame).
+    *
+    * REPLAY COST is where a version-per-directory log dies at scale:
+    * the naive glob opens one parquet footer per committed version, so
+    * a table with 10^5 commits pays 10^5 opens on EVERY planning step.
+    * A [[checkpoint]] collapses that to one checkpoint file plus the
+    * tail of versions committed after it (Delta's `_last_checkpoint`
+    * design): this reader finds the latest checkpoint with one FS
+    * listing, lists the log root once for tail directories, and opens
+    * checkpoint + tail only. Checkpoint-free tables keep the plain
+    * glob (identical semantics, linear replay).
+    */
+  def log(s: SparkSession, path: String): DataFrame = {
+    val ck = latestCheckpoint(s, path)
+    if (ck == 0L) s.read.parquet(s"${logDir(path)}/v*")
+    else {
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(logDir(path))
+      val fs = root.getFileSystem(conf)
+      val tail =
+        if (!fs.exists(root)) Seq.empty[String]
+        else fs.listStatus(root).toSeq.filter(_.isDirectory)
+          .flatMap(st => "^v(\\d+)$".r.findFirstMatchIn(st.getPath.getName)
+            .map(_.group(1).toLong))
+          .filter(_ > ck)
+          .map(v => logVersionDir(path, v))
+      s.read.parquet((checkpointDir(path, ck) +: tail): _*)
+    }
+  }
+
+  /** Compact the log ≤ current version into ONE checkpoint parquet —
+    * full-fidelity (every add/remove/dv action row, so time travel,
+    * [[vacuumList]] and [[readChanges]] replay from it unchanged), not
+    * just the live file set. Returns the checkpointed version. Safe
+    * against concurrent COMMITS (they claim versions after the cut and
+    * land in the tail); single-flight vs other maintenance via the
+    * lock, since two checkpoint writers would race one output
+    * directory. After a checkpoint, [[vacuumLog]] may drop the covered
+    * per-version directories.
+    */
+  def checkpoint(s: SparkSession, path: String): Long =
+    withMaintenanceLock(s, path) {
+      val v0 = currentVersion(s, path)
+      if (v0 == 0L) return 0L
+      log(s, path).filter(col("version") <= v0)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(checkpointDir(path, v0))
+      v0
+    }
+
+  /** Physically delete log version directories a checkpoint fully
+    * covers (their every action row lives in the checkpoint — nothing
+    * is forfeit, unlike data [[vacuum]]'s retention trade). Returns
+    * how many directories went. Bounds the log listing: after
+    * `checkpoint(); vacuumLog()` the log root holds only the tail.
+    */
+  def vacuumLog(s: SparkSession, path: String): Int = {
+    val ck = latestCheckpoint(s, path)
+    if (ck == 0L) return 0
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(logDir(path))
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0
+    fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(st => "^v(\\d+)$".r.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1).toLong -> st.getPath))
+      .filter(_._1 <= ck)
+      .count { case (_, p) => fs.delete(p, true) }
+  }
 
   /** Session conf key bounding how many file names any driver-side
     * planning step may collect (default [[MaxPlannedFilesDefault]]).
@@ -417,6 +507,74 @@ object ManifestLog {
       path, v)
     v
   }
+
+  /** Coordinate resolution of the z-code: 16+16 interleaved bits. */
+  private val ZorderBits = 16
+
+  /** OPTIMIZE ZORDER BY (colA, colB): rewrite the live snapshot
+    * clustered by the Morton interleave of two stats-eligible columns
+    * ([[graft.functions.Zorder]]), into `nFiles` range-partitioned
+    * files. Each output file then occupies a LOCALITY BOX in
+    * (colA, colB) space, so the per-column min/max stats every add
+    * action carries turn [[scanColRanges]] box probes into genuine
+    * file skipping on BOTH dimensions at once — on a scattered layout
+    * (every file spanning both full ranges) those same stats prune
+    * nothing. This is [[compact]]'s transaction shape (remove all live
+    * files, add the rewrite; the CDF nets it to zero change rows) with
+    * a clustering layout instead of key order, i.e. Delta's
+    * `OPTIMIZE ... ZORDER BY`.
+    *
+    * Coordinates are scaled into [0, 2^16) from their global bounds —
+    * one aggregates-only driver read — in DECIMAL(38,0) so a
+    * full-BIGINT-range column cannot overflow the scale arithmetic.
+    */
+  def optimizeZorder(s: SparkSession, path: String, keyCol: String,
+      colA: String, colB: String, nFiles: Int): Long =
+    withMaintenanceLock(s, path) {
+      val v0 = currentVersion(s, path)
+      if (v0 == 0L) return 0L
+      val replaced = fileList(s, path, v0)
+      if (replaced.isEmpty) return v0
+      val data = applyDv(s, path, readData(s, replaced), v0)
+      def encOf(c: String) = {
+        val f = data.schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"z-order column '$c' not in the table schema"))
+        statsEnc(f.dataType).getOrElse(throw new IllegalArgumentException(
+          s"z-order column '$c' (${f.dataType}) has no stats encoding"))
+      }
+      val (encA, encB) = (encOf(colA), encOf(colB))
+      val b = data.agg(min(encA(col(colA))).as("loA"),
+          max(encA(col(colA))).as("hiA"),
+          min(encB(col(colB))).as("loB"),
+          max(encB(col(colB))).as("hiB")).head()
+      def bound(i: Int): Long = if (b.isNullAt(i)) 0L else b.getLong(i)
+      def scaled(enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+          c: String, lo: Long, hi: Long) = {
+        val span = math.max(hi - lo, 0L) + 1L // ≥ 1, degenerate col → 0
+        ((enc(col(c)).cast("decimal(38,0)") - lo)
+          * (1L << ZorderBits) / span).cast("long")
+      }
+      val v = claimVersion(s, path)
+      data
+        .withColumn("_z", graft.functions.Zorder.interleave(
+          scaled(encA, colA, bound(0), bound(1)),
+          scaled(encB, colB, bound(2), bound(3)),
+          ZorderBits))
+        .repartitionByRange(nFiles, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+        .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
+      val removes = log(s, path)
+        .filter(col("action") === "add" && col("file").isin(replaced: _*))
+        .select(lit(v).as("version"), lit("remove").as("action"),
+          col("file"), col("n_rows"), col("min_key"), col("max_key"),
+          col("bloom"), col("key_hll"), col("stats"),
+          lit(NoBatch).as("batch_id"))
+      writeActions(addActions(s, path, v, keyCol).unionByName(removes),
+        path, v)
+      v
+    }
 
   /** Manifest-pruned key DELETE — the right-to-be-forgotten path: drop
     * `keys` rows by rewriting ONLY the files whose [min_key, max_key]

@@ -470,4 +470,91 @@ class ManifestLogSpec extends AnyFunSuite {
     // and the next commit claims the next version without seeing them
     assert(ManifestLog.currentVersion(spark, path) === 1L)
   }
+
+  test("checkpoint collapses log replay; vacuumLog bounds the log root") {
+    import spark.implicits._
+    val path = freshTable()
+    // a history with every action kind: three commits, a DV delete,
+    // and a key rewrite — versions 1..5
+    (0 until 3).foreach { i =>
+      ManifestLog.commit(
+        (i * 100L until i * 100L + 100L).map(k => (k, s"p$k"))
+          .toDF("key", "payload").repartition(2), path, "key")
+    }
+    ManifestLog.deleteKeysDv(spark, path, "key", Seq(7L))
+    ManifestLog.deleteKeys(spark, path, "key", Seq(205L))
+    assert(ManifestLog.currentVersion(spark, path) === 5L)
+
+    def logRows() = ManifestLog.log(spark, path)
+      .select("version", "action", "file", "n_rows")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val preLog = logRows()
+    val preSnap = ManifestLog.snapshot(spark, path)
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    val preAsOf2 = ManifestLog.snapshot(spark, path, Some(2L))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+
+    assert(ManifestLog.checkpoint(spark, path) === 5L)
+    assert(ManifestLog.latestCheckpoint(spark, path) === 5L)
+    // full fidelity: the same action rows, now replayed from ONE file
+    assert(logRows() === preLog)
+    assert(ManifestLog.log(spark, path).inputFiles.length === 1)
+
+    // tail versions after the checkpoint read alongside it
+    ManifestLog.commit(
+      (500L until 520L).map(k => (k, s"p$k")).toDF("key", "payload"),
+      path, "key")
+    assert(ManifestLog.log(spark, path).inputFiles.length === 2)
+
+    // dropping the covered per-version dirs forfeits NOTHING: snapshot,
+    // time travel, point lookup, and the CDF all replay from checkpoint
+    assert(ManifestLog.vacuumLog(spark, path) === 5)
+    val logDirs = new java.io.File(s"$path/_log").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(logDirs === Set("v6"))
+    assert(ManifestLog.snapshot(spark, path).count() === preSnap.length + 20)
+    assert(ManifestLog.snapshot(spark, path, Some(2L))
+      .orderBy("key").collect().map(_.toSeq).toSeq === preAsOf2)
+    assert(ManifestLog.scanKeyPoint(spark, path, "key", 205L).count() === 0)
+    assert(ManifestLog.scanKeyPoint(spark, path, "key", 206L).count() === 1)
+    val cdf = ManifestLog.readChanges(spark, path, "key", 5L, 6L)
+    assert(cdf.filter(col(ManifestLog.ChangeTypeCol) === "insert")
+      .count() === 20)
+
+    // a second checkpoint supersedes the first and re-bounds the tail
+    assert(ManifestLog.checkpoint(spark, path) === 6L)
+    assert(ManifestLog.vacuumLog(spark, path) === 1)
+    assert(ManifestLog.log(spark, path).inputFiles.length === 1)
+    assert(ManifestLog.snapshot(spark, path).count() === preSnap.length + 20)
+  }
+
+  test("optimizeZorder: a scattered layout becomes box-prunable on both columns") {
+    import spark.implicits._
+    val path = freshTable()
+    // 20x20 grid of (a, b), committed ROUND-ROBIN: every file spans
+    // both full ranges, so per-column stats prune nothing
+    ManifestLog.commit(
+      (0L until 400L).map(k => (k, (k % 20L).toInt, (k / 20L).toInt))
+        .toDF("key", "a", "b").repartition(8), path, "key")
+    val preds = Map("a" -> (0L, 4L), "b" -> (0L, 4L))
+    val pre = ManifestLog.scanColRanges(spark, path, preds)
+    assert(pre.count() === 25)
+    assert(pre.inputFiles.length === 8, "scattered layout must not prune")
+    val preSnap = ManifestLog.snapshot(spark, path)
+      .orderBy("key").collect().map(_.toSeq).toSeq
+
+    val v = ManifestLog.optimizeZorder(spark, path, "key", "a", "b", 8)
+    assert(v === 2L)
+    // same table...
+    assert(ManifestLog.snapshot(spark, path)
+      .orderBy("key").collect().map(_.toSeq).toSeq === preSnap)
+    // ...and the box probe now opens a fraction of the files: the
+    // 5x5 corner box is 1/16 of z-space, so ≤ 2 of 8 range files
+    val post = ManifestLog.scanColRanges(spark, path, preds)
+    assert(post.count() === 25)
+    assert(post.inputFiles.length <= 2,
+      s"z-order kept ${post.inputFiles.length} of 8 files")
+    // an optimize is data-neutral: its CDF nets to zero change rows
+    assert(ManifestLog.readChanges(spark, path, "key", 1L, v).count() === 0)
+  }
 }

@@ -38,6 +38,146 @@ object Dedup {
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_copies
        FROM documents GROUP BY 1 ORDER BY h"""
 
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS fingerprinting scheme): word-k-gram width, window size w
+    * (any shared run of ≥ w + k − 1 tokens is GUARANTEED to share a
+    * fingerprint — the winnowing coverage theorem), the document-
+    * frequency cap that drops boilerplate fingerprints before the
+    * pair join, and the shared-fingerprint floor for reporting a pair.
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+  val WinnowMaxDf = 8
+  val WinnowMinShared = 2
+
+  /** The per-doc winnowing fingerprint set: md5 k-gram hashes, the
+    * minimum of every w-window kept, consecutive duplicates collapsed
+    * by DISTINCT (position is irrelevant once the SET is the output —
+    * with md5 hashes ties are negligible and the selected VALUES are
+    * convention-free, which is what keeps the two engines identical).
+    * Docs shorter than one window keep their global minimum (the
+    * clamped pos-0 window). Per-doc windows partition by doc_id —
+    * document-length-bounded, never corpus-bounded.
+    */
+  private def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    winnowFrom(Tables.documents(s, dir))
+
+  /** Core over any (doc_id, text) frame (spec hand-checks coverage). */
+  private[graft] def winnowFrom(docs: DataFrame): DataFrame = {
+    val shr = docs
+      .select(col("doc_id"),
+        posexplode(wordShingles(toks(col("text")), WinnowK))
+          .as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        substring(md5(col("sh")), 1, 16).as("h"))
+    val wWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    val nWin = Window.partitionBy("doc_id")
+    shr.withColumn("wmin", min(col("h")).over(wWin))
+      .withColumn("np", count(lit(1)).over(nWin))
+      .filter(col("pos") <= col("np") - WinnowW || col("pos") === 0)
+      .select(col("doc_id"), col("wmin").as("fp")).distinct()
+  }
+
+  /** DuckDB twin of [[winnowFingerprints]] as WITH-clause CTEs ending
+    * in `fp(doc_id, fp)`. */
+  private val sqlWinnowCtes: String = {
+    val (k, w) = (WinnowK, WinnowW)
+    s"""kg AS (SELECT doc_id, i - 1 AS pos,
+                      substr(md5(array_to_string(tk[i:i+${k - 1}], ' ')),
+                             1, 16) AS h,
+                      greatest(len(tk) - ${k - 1}, 1) AS np
+               FROM (SELECT doc_id, tk,
+                       unnest(generate_series(1,
+                         greatest(len(tk) - ${k - 1}, 1))) AS i
+                     FROM (SELECT doc_id, ${sqlToks("text")} AS tk
+                           FROM documents))),
+       wm AS (SELECT doc_id, pos, np,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)
+                       AS wmin
+              FROM kg),
+       fp AS (SELECT DISTINCT doc_id, wmin AS fp
+              FROM wm WHERE pos <= np - $w OR pos = 0)"""
+  }
+
+  /** Per-document winnowing fingerprint profile — the MOSS scheme's
+    * selection statistics (expected density 2/(w+1): a doc whose
+    * density is far off is pathological text, and the fingerprint
+    * count is the unit of work [[dedupWinnowing]] joins on). One
+    * per-row k-gram projection, doc-partitioned window minima, one
+    * doc-cardinality aggregate. (round 7)
+    */
+  def fingerprintWinnowing(s: SparkSession, dir: String): DataFrame = {
+    val nk = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(wordShingles(toks(col("text")), WinnowK)).cast("long")
+          .as("n_kgrams"))
+    val nf = winnowFingerprints(s, dir)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
+    nk.join(nf, Seq("doc_id")) // every doc yields ≥ 1 k-gram and ≥ 1 fp
+      .select(col("doc_id"), col("n_kgrams"), col("n_fingerprints"),
+        (col("n_fingerprints").cast("double")
+          / col("n_kgrams").cast("double")).as("density"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintWinnowingSql: String =
+    s"""WITH $sqlWinnowCtes,
+       nk AS (SELECT doc_id,
+                     CAST(greatest(len(${sqlToks("text")}) - ${WinnowK - 1},
+                                   1) AS BIGINT) AS n_kgrams
+              FROM documents),
+       nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints
+              FROM fp GROUP BY 1)
+       SELECT k.doc_id, k.n_kgrams, f.n_fingerprints,
+              CAST(f.n_fingerprints AS DOUBLE)
+                / CAST(k.n_kgrams AS DOUBLE) AS density
+       FROM nk k JOIN nf f ON k.doc_id = f.doc_id
+       ORDER BY k.doc_id"""
+
+  /** Winnowing-based near-dup candidate pairs — MOSS's second half:
+    * docs sharing ≥ [[WinnowMinShared]] selected fingerprints, via an
+    * equi-join on the fingerprint hash. Fingerprints with document
+    * frequency > [[WinnowMaxDf]] are dropped FIRST (boilerplate
+    * k-grams — the same rarest-first discipline as
+    * [[dedupPrefixFilter]]'s prefixes), so no fingerprint ever fans
+    * out more than C(maxDf, 2) pairs and the join is blocking-bounded,
+    * never corpus². The coverage theorem makes this a guarantee-backed
+    * blocking scheme: two docs sharing a run of ≥ w + k − 1 tokens
+    * share a fingerprint and WILL meet in the join (only the
+    * df-capped boilerplate escape hatch can suppress a pair, the
+    * documented trade). (round 7)
+    */
+  def dedupWinnowing(s: SparkSession, dir: String): DataFrame =
+    dedupWinnowingFrom(winnowFingerprints(s, dir))
+
+  /** Pair stage over any (doc_id, fp) fingerprint frame. */
+  private[graft] def dedupWinnowingFrom(fps: DataFrame): DataFrame = {
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, WinnowMaxDf))
+    val f2 = fps.join(rare.select("fp"), Seq("fp"))
+    f2.as("x").join(f2.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("a", "b")
+  }
+
+  val dedupWinnowingSql: String =
+    s"""WITH $sqlWinnowCtes,
+       rare AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fp
+                                GROUP BY 1)
+                WHERE df BETWEEN 2 AND $WinnowMaxDf),
+       f2 AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare r ON f.fp = r.fp)
+       SELECT x.doc_id AS a, y.doc_id AS b,
+              CAST(COUNT(*) AS BIGINT) AS n_shared
+       FROM f2 x JOIN f2 y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       GROUP BY 1, 2
+       HAVING COUNT(*) >= $WinnowMinShared
+       ORDER BY a, b"""
+
   // MinHash/LSH default parameters (SimilarityConfig.Default): 16 hashes
   // as 4 bands x 4 rows targets J >= ~0.5 candidates
   // (P(fire) = 1-(1-J^4)^4); verification keeps jac >= 0.5. Word-3-gram
@@ -1292,6 +1432,9 @@ object Dedup {
     Q("dedup_cluster_stats", Some(dedupClusterStatsSql))(dedupClusterStats),
     Q("lsh_bucket_stats", Some(lshBucketStatsSql))(lshBucketStats),
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
+    Q("fingerprint_winnowing", Some(fingerprintWinnowingSql))(
+      fingerprintWinnowing),
+    Q("dedup_winnowing", Some(dedupWinnowingSql))(dedupWinnowing),
     Q("dedup_substring_spans", Some(dedupSubstringSpansSql), bench = true)(
       dedupSubstringSpans),
     Q("strip_repeated_spans", Some(stripRepeatedSpansSql))(

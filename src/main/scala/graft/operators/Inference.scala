@@ -2229,6 +2229,119 @@ object Inference {
                             * CAST(n_days - 1 AS DOUBLE))) END AS z
        FROM st"""
 
+  /** Durbin-Watson statistic of the daily event-count series — the
+    * classic first-order serial-correlation diagnostic (d ≈ 2 means
+    * uncorrelated residuals, d → 0 positive streaking, d → 4
+    * oscillation), completing the dependence panel next to
+    * [[acfDaily]]'s per-lag correlations and [[runsTest]]'s sign
+    * streaks. For the mean-only model the residual differences equal
+    * the raw differences, so d = N·ΣΔ² / (N·Σn² − S²) is EXACT until
+    * one double division: Δ-squares and moment sums accumulate in
+    * DECIMAL(38,0)/HUGEINT (BIGINT squares saturate near daily
+    * volumes of ~3e9), and a constant series zeroes the variance
+    * denominator — NULL, the §7b rule. Scale: the adjacent-day join
+    * and both aggregates are |span|-sized — grows with observation
+    * time, never event volume. (round 7)
+    */
+  def durbinWatsonDaily(s: SparkSession, dir: String): DataFrame =
+    dwFrom(dailySeries(s, dir))
+
+  /** Core over any (di long, n long) series frame (spec hand-checks). */
+  private[graft] def dwFrom(ser: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val mom = ser.agg(count(lit(1)).as("n_days"),
+      sum(dec(col("n"))).cast("decimal(38,0)").as("sn"),
+      sum(dec(col("n")) * col("n")).cast("decimal(38,0)").as("sn2"))
+    val ds = ser.as("a").join(ser.as("b"), col("b.di") === col("a.di") + 1)
+      .agg(coalesce(sum(dec(col("b.n") - col("a.n"))
+          * (col("b.n") - col("a.n"))),
+        lit(0).cast("decimal(38,0)")).cast("decimal(38,0)").as("sd2"))
+    mom.crossJoin(ds)
+      .select(col("n_days"),
+        when(dec(col("n_days")) * col("sn2") - col("sn") * col("sn") > 0,
+          (col("sd2") * col("n_days")).cast("double")
+            / (dec(col("n_days")) * col("sn2") - col("sn") * col("sn"))
+              .cast("double")).as("dw"))
+  }
+
+  val durbinWatsonDailySql: String =
+    s"""WITH $sqlDailySeries,
+       mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                      SUM(CAST(n AS HUGEINT)) AS sn,
+                      SUM(CAST(n AS HUGEINT) * n) AS sn2
+               FROM ser),
+       ds AS (SELECT COALESCE(SUM(CAST(b.n - a.n AS HUGEINT) * (b.n - a.n)),
+                              CAST(0 AS HUGEINT)) AS sd2
+              FROM ser a JOIN ser b ON b.di = a.di + 1)
+       SELECT m.n_days,
+              CASE WHEN CAST(m.n_days AS HUGEINT) * m.sn2 - m.sn * m.sn > 0
+                THEN CAST(CAST(d.sd2 * m.n_days AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(CAST(m.n_days AS HUGEINT) * m.sn2
+                              - m.sn * m.sn AS VARCHAR) AS DOUBLE)
+              END AS dw
+       FROM mom m CROSS JOIN ds d"""
+
+  /** Cochran's Q over the users × event-types presence matrix — "do
+    * the k event types reach DIFFERENT fractions of the user base",
+    * the k-sample test for matched BINARY outcomes (the binary sibling
+    * of [[kruskalWallis]]' rank test; McNemar's k=2 generalization).
+    * With x_{u,t} = 1 iff user u ever fired type t:
+    * Q = (k−1)·(k·ΣC_t² − S²) / (k·S − ΣR_u²) — column sums C_t, row
+    * sums R_u, total S, ALL exact BIGINT/DECIMAL(38,0) (the squares
+    * pass BIGINT near 3e9 users), one double division. All-zero or
+    * all-one user rows cancel algebraically, so only observed
+    * (user, type) pairs are ever materialized; a degenerate matrix
+    * (k = 1, or every user firing every type) zeroes the denominator
+    * — NULL (§7b; ConstantCorpusSpec's one-type corpus hits k = 1).
+    * Scale: one distinct-agg over events; row sums are
+    * user-cardinality aggregates, everything after is k-row. (round 7)
+    */
+  def cochranQ(s: SparkSession, dir: String): DataFrame =
+    cochranFrom(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint()) // compact presence frame feeds three branches
+
+  /** Core over any distinct (user_id, event_type) presence frame. */
+  private[graft] def cochranFrom(pres: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val colS = pres.groupBy("event_type").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("c")).as("s"),
+        sum(dec(col("c")) * col("c")).cast("decimal(38,0)").as("sc2"))
+    val rowS = pres.groupBy("user_id").agg(count(lit(1)).as("r"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(dec(col("r")) * col("r")).cast("decimal(38,0)").as("sr2"))
+    colS.crossJoin(rowS)
+      .select(col("k"), col("n_users"), col("s").as("n_present"),
+        when(dec(col("k")) * col("s") - col("sr2") > 0,
+          ((col("k") - 1) * (dec(col("k")) * col("sc2")
+            - dec(col("s")) * col("s"))).cast("double")
+            / (dec(col("k")) * col("s") - col("sr2")).cast("double"))
+          .as("q_stat"))
+  }
+
+  val cochranQSql: String =
+    """WITH pres AS MATERIALIZED (
+         SELECT DISTINCT user_id, event_type FROM events),
+       cs AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                     CAST(SUM(c) AS BIGINT) AS s,
+                     SUM(CAST(c AS HUGEINT) * c) AS sc2
+              FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM pres GROUP BY 1)),
+       rs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                     SUM(CAST(r AS HUGEINT) * r) AS sr2
+              FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r
+                    FROM pres GROUP BY 1))
+       SELECT c.k, r.n_users, c.s AS n_present,
+              CASE WHEN CAST(c.k AS HUGEINT) * c.s - r.sr2 > 0 THEN
+                CAST(CAST((c.k - 1) * (CAST(c.k AS HUGEINT) * c.sc2
+                          - CAST(c.s AS HUGEINT) * c.s) AS VARCHAR)
+                     AS DOUBLE)
+                  / CAST(CAST(CAST(c.k AS HUGEINT) * c.s - r.sr2
+                              AS VARCHAR) AS DOUBLE)
+              END AS q_stat
+       FROM cs c CROSS JOIN rs r"""
+
   /** Pareto coverage of customer revenue per nation — "how many
     * customers do 80% of the business" (the whale-curve operator next
     * to [[giniRevenue]]'s whole-curve skew and [[hhiConcentration]]'s
@@ -2572,6 +2685,8 @@ object Inference {
     Q("anova_oneway", Some(anovaOnewaySql))(anovaOneway),
     Q("levene_brown_forsythe", Some(leveneBrownForsytheSql))(leveneBrownForsythe),
     Q("runs_test", Some(runsTestSql))(runsTest),
+    Q("durbin_watson_daily", Some(durbinWatsonDailySql))(durbinWatsonDaily),
+    Q("cochran_q", Some(cochranQSql))(cochranQ),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
     Q("diversity_simpson", Some(diversitySimpsonSql))(diversitySimpson),
     Q("markov_stationary", Some(markovStationarySql))(markovStationary),

@@ -285,6 +285,19 @@ object TextAnalysis {
     s"len(list_filter(list_distinct(tk), t -> list_contains($arr, t)))"
   }
 
+  /** The priority-ordered argmax over the four `*_hits` columns —
+    * shared by [[langIdNgram]]'s confusion matrix and [[cohenKappa]]'s
+    * agreement scalar so the two keys can never disagree on what the
+    * classifier predicted. */
+  private def predLangCase: Column =
+    when(col("en_hits") >= greatest(col("fr_hits"), col("de_hits"),
+      col("es_hits")) && col("en_hits") > 0, "en")
+      .when(col("fr_hits") >= greatest(col("de_hits"), col("es_hits")) &&
+        col("fr_hits") > 0, "fr")
+      .when(col("de_hits") >= col("es_hits") && col("de_hits") > 0, "de")
+      .when(col("es_hits") > 0, "es")
+      .otherwise("und")
+
   /** Language-ID heuristic: distinct stopword hits per language,
     * priority-ordered argmax, confusion summary against the labeled
     * `lang` column.
@@ -298,14 +311,7 @@ object TextAnalysis {
         hitCount(tk, Stop(2)._2).as("de_hits"),
         hitCount(tk, Stop(3)._2).as("es_hits"))
     hits.select(col("lang"), col("en_hits"), col("fr_hits"),
-        col("de_hits"), col("es_hits"),
-        when(col("en_hits") >= greatest(col("fr_hits"), col("de_hits"),
-          col("es_hits")) && col("en_hits") > 0, "en")
-          .when(col("fr_hits") >= greatest(col("de_hits"), col("es_hits")) &&
-            col("fr_hits") > 0, "fr")
-          .when(col("de_hits") >= col("es_hits") && col("de_hits") > 0, "de")
-          .when(col("es_hits") > 0, "es")
-          .otherwise("und").as("pred_lang"))
+        col("de_hits"), col("es_hits"), predLangCase.as("pred_lang"))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("en_hits")).as("sum_en_hits"))
       .orderBy("lang", "pred_lang")
@@ -330,6 +336,152 @@ object TextAnalysis {
        SELECT lang, pred_lang, COUNT(*) AS n_docs,
               CAST(SUM(en_hits) AS BIGINT) AS sum_en_hits
        FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""
+
+  /** The shared hits→prediction CTE pair for the DuckDB twins of
+    * [[langIdNgram]] and [[cohenKappa]]. */
+  private def sqlLangPredCtes: String =
+    s"""hits AS (
+         SELECT doc_id, lang,
+           ${sqlHitCount(Stop(0)._2)} AS en_hits,
+           ${sqlHitCount(Stop(1)._2)} AS fr_hits,
+           ${sqlHitCount(Stop(2)._2)} AS de_hits,
+           ${sqlHitCount(Stop(3)._2)} AS es_hits
+         FROM (SELECT doc_id, lang, ${sqlToks("text")} AS tk FROM documents)),
+       pred AS (
+         SELECT lang,
+           CASE WHEN en_hits >= greatest(fr_hits, de_hits, es_hits) AND en_hits > 0 THEN 'en'
+                WHEN fr_hits >= greatest(de_hits, es_hits) AND fr_hits > 0 THEN 'fr'
+                WHEN de_hits >= es_hits AND de_hits > 0 THEN 'de'
+                WHEN es_hits > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+         FROM hits)"""
+
+  /** Cohen's kappa of the [[langIdNgram]] classifier against the
+    * labeled `lang` column — chance-corrected agreement, the one-number
+    * answer "is this classifier better than marginal guessing" that
+    * raw accuracy cannot give under class imbalance (a corpus that is
+    * 90% English hands any constant-'en' rule 90% accuracy and kappa
+    * 0). κ = (N·D − E) / (N² − E) with D the diagonal count and
+    * E = Σ_c row_c·col_c, all exact BIGINT/DECIMAL(38,0) (N² and the
+    * marginal products pass BIGINT near N ~ 3e9 docs), one double
+    * division at the surface; a degenerate table with all mass in one
+    * agreeing cell has pe = 1 and no chance correction — NULL kappa
+    * (the §7b zero-division rule; ConstantCorpusSpec exercises exactly
+    * that corpus). Scale: rides the same one-scan hit projection as
+    * lang_id; everything after the (lang, pred) cell aggregate is
+    * classes²-cardinality. (round 7)
+    */
+  def cohenKappa(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val tk = toks(col("text"))
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"),
+        hitCount(tk, Stop(0)._2).as("en_hits"),
+        hitCount(tk, Stop(1)._2).as("fr_hits"),
+        hitCount(tk, Stop(2)._2).as("de_hits"),
+        hitCount(tk, Stop(3)._2).as("es_hits"))
+      .select(col("lang"), predLangCase.as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // classes²-row frame feeds four branches
+    val rowsM = cells.groupBy(col("lang").as("cls"))
+      .agg(sum(col("n")).as("rn"))
+    val colsM = cells.groupBy(col("pred_lang").as("cls"))
+      .agg(sum(col("n")).as("cn"))
+    val e = rowsM.join(colsM, Seq("cls"), "full_outer")
+      .agg(sum(dec(coalesce(col("rn"), lit(0L)))
+        * coalesce(col("cn"), lit(0L))).cast("decimal(38,0)").as("e"))
+    val d = cells.filter(col("lang") === col("pred_lang"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("d"))
+    val t = cells.agg(sum(col("n")).as("nn"))
+    t.crossJoin(d).crossJoin(e)
+      .select(col("nn").as("n_docs"), col("d").as("n_agree"),
+        (col("d").cast("double") / col("nn").cast("double")).as("po"),
+        (col("e").cast("double")
+          / (dec(col("nn")) * col("nn")).cast("double")).as("pe"),
+        when(dec(col("nn")) * col("nn") - col("e") > 0,
+          (dec(col("nn")) * col("d") - col("e")).cast("double")
+            / (dec(col("nn")) * col("nn") - col("e")).cast("double"))
+          .as("kappa"))
+  }
+
+  val cohenKappaSql: String =
+    s"""WITH $sqlLangPredCtes,
+       cells AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM pred GROUP BY 1, 2),
+       rs AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS rn
+              FROM cells GROUP BY 1),
+       cs AS (SELECT pred_lang AS cls, CAST(SUM(n) AS BIGINT) AS cn
+              FROM cells GROUP BY 1),
+       e AS (SELECT SUM(CAST(COALESCE(rn, 0) AS HUGEINT)
+                        * COALESCE(cn, 0)) AS e
+             FROM rs FULL OUTER JOIN cs USING (cls)),
+       d AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS d
+             FROM cells WHERE lang = pred_lang),
+       t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells)
+       SELECT t.nn AS n_docs, d.d AS n_agree,
+              CAST(d.d AS DOUBLE) / CAST(t.nn AS DOUBLE) AS po,
+              CAST(CAST(e.e AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(CAST(t.nn AS HUGEINT) * t.nn AS VARCHAR)
+                       AS DOUBLE) AS pe,
+              CASE WHEN CAST(t.nn AS HUGEINT) * t.nn - e.e > 0 THEN
+                CAST(CAST(CAST(t.nn AS HUGEINT) * d.d - e.e AS VARCHAR)
+                     AS DOUBLE)
+                  / CAST(CAST(CAST(t.nn AS HUGEINT) * t.nn - e.e AS VARCHAR)
+                         AS DOUBLE) END AS kappa
+       FROM t CROSS JOIN d CROSS JOIN e"""
+
+  /** Word-k-gram width for [[ngramNovelty]]. */
+  val NoveltyWidth = 3
+
+  /** N-gram novelty per source — how much of each source's k-gram mass
+    * is seen there FIRST (corpus-order first occurrence by doc_id):
+    * the diversity-vs-redundancy signal a data mixer reads next to
+    * [[vocabGrowthCurve]] (vocab growth counts first occurrences of
+    * single tokens corpus-wide; this attributes first occurrences of
+    * phrases to the source that contributed them — a source whose
+    * docs mostly re-state earlier phrasing scores low and earns a
+    * smaller mixing weight). Per distinct (doc, k-gram): novel iff
+    * doc_id = min doc_id over the k-gram; exact BIGINT counts, one
+    * double division per source. Scale: one corpus scan explodes to
+    * the distinct (doc, k-gram) frame; the first-doc frame is
+    * vocabulary-cardinality; output is source-cardinality. (round 7)
+    */
+  def ngramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(
+          wordShingles(toks(col("text")), NoveltyWidth))).as("sh"))
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("sh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("source"), col("n_ngrams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_ngrams").cast("double"))
+          .as("novelty_rate"))
+      .orderBy("source")
+  }
+
+  val ngramNoveltySql: String = {
+    val k = NoveltyWidth
+    s"""WITH sh AS (
+         SELECT DISTINCT doc_id, source,
+                array_to_string(tk[i:i+${k - 1}], ' ') AS sh
+         FROM (SELECT doc_id, source, tk,
+                 unnest(generate_series(1, greatest(len(tk) - ${k - 1}, 1)))
+                   AS i
+               FROM (SELECT doc_id, source, ${sqlToks("text")} AS tk
+                     FROM documents))),
+       fst AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+       SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+              CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_novel,
+              CAST(SUM(CASE WHEN s.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+       FROM sh s JOIN fst f ON s.sh = f.sh
+       GROUP BY s.source ORDER BY s.source"""
+  }
 
   /** Per-document quality scoring: token count, stopword ratio, mean
     * token length, bucket label. Integer counts; ratios divided once at
@@ -1310,6 +1462,8 @@ object TextAnalysis {
     Q("skill_cooccurrence", Some(skillCooccurrenceSql))(skillCooccurrence),
     Q("top_skills_per_sector", Some(topSkillsPerSectorSql))(topSkillsPerSector),
     Q("lang_id_ngram", Some(langIdNgramSql))(langIdNgram),
+    Q("cohen_kappa", Some(cohenKappaSql))(cohenKappa),
+    Q("ngram_novelty", Some(ngramNoveltySql))(ngramNovelty),
     Q("text_quality_score", Some(textQualityScoreSql))(textQualityScore),
     Q("quality_repetition", Some(qualityRepetitionSql))(qualityRepetition),
     Q("token_count", Some(tokenCountSql))(tokenCount),

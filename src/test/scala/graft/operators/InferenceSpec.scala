@@ -586,6 +586,52 @@ class InferenceSpec extends AnyFunSuite {
       + 4.0 / math.sqrt(2000.0 / 900.0)) < 1e-12)
   }
 
+  test("durbin-watson: hand-computed oscillation; constant series is NULL") {
+    def ser(ns: Seq[Long]) =
+      ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("di", "n")
+        .localCheckpoint()
+    // n = 1,2,1,2,1: deltas ±1 so ΣΔ² = 4; N=5, Σn=7, Σn²=11
+    // dw = 5·4 / (5·11 − 49) = 20/6 (> 2: oscillating, as built)
+    val osc = Inference.dwFrom(ser(Seq(1L, 2L, 1L, 2L, 1L))).head
+    assert(osc.getAs[Long]("n_days") === 5L)
+    assert(osc.getAs[Double]("dw") === 20.0 / 6.0)
+    // a smooth ramp has tiny ΣΔ² relative to variance: dw → 0 side
+    val ramp = Inference.dwFrom(ser((1L to 20L))).head
+    assert(ramp.getAs[Double]("dw") < 1.0)
+    // constant series: zero variance denominator → NULL, not a throw
+    val const = Inference.dwFrom(ser(Seq(5L, 5L, 5L))).head
+    assert(const.isNullAt(const.fieldIndex("dw")))
+    // corpus scale: d lands in [0, 4]
+    val real = Inference.durbinWatsonDaily(spark, sf).head
+    val d = real.getAs[Double]("dw")
+    assert(d >= 0.0 && d <= 4.0)
+  }
+
+  test("cochran Q: hand-computed presence matrix; saturated matrix is NULL") {
+    def pres(rows: Seq[(Long, String)]) =
+      rows.toDF("user_id", "event_type").localCheckpoint()
+    // u1:{A,B} u2:{A} u3:{A,B,C} → k=3, S=6, ΣC²=14, ΣR²=14
+    // Q = 2·(42−36)/(18−14) = 3
+    val q = Inference.cochranFrom(pres(Seq(
+      1L -> "A", 1L -> "B", 2L -> "A",
+      3L -> "A", 3L -> "B", 3L -> "C"))).head
+    assert(q.getAs[Long]("k") === 3L)
+    assert(q.getAs[Long]("n_users") === 3L)
+    assert(q.getAs[Long]("n_present") === 6L)
+    assert(q.getAs[Double]("q_stat") === 3.0)
+    // every user fired every type: zero denominator → NULL
+    val sat = Inference.cochranFrom(pres(
+      for (u <- 1L to 3L; t <- Seq("A", "B")) yield u -> t)).head
+    assert(sat.isNullAt(sat.fieldIndex("q_stat")))
+    // k = 1 degenerates the numerator's (k−1) AND the denominator
+    val one = Inference.cochranFrom(pres(Seq(1L -> "A", 2L -> "A"))).head
+    assert(one.isNullAt(one.fieldIndex("q_stat")))
+    // corpus scale: Q is nonnegative when defined
+    val real = Inference.cochranQ(spark, sf).head
+    if (!real.isNullAt(real.fieldIndex("q_stat")))
+      assert(real.getAs[Double]("q_stat") >= 0.0)
+  }
+
   test("qq deciles: monotone per cohort, hand-checked on constructed cohorts") {
     // cohort a = 10..100 by 10 (n=10), cohort b = a + 100
     val vals = ((1 to 10).map(i => (i * 10.0, 1L, 0L)) ++

@@ -18,6 +18,71 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(total === docs)
   }
 
+  test("winnowing: coverage guarantee meets shared runs; corpus stats bounded") {
+    import spark.implicits._
+    // two docs sharing a 16-token run (≫ w+k−1 = 6) with different
+    // surroundings MUST share fingerprints and meet in the pair stage
+    val run = (1 to 16).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $run"),
+      (2L, s"b1 b2 b3 b4 b5 b6 $run b7 b8"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")).toDF("doc_id", "text")
+      .localCheckpoint()
+    val pairs = Dedup.dedupWinnowingFrom(Dedup.winnowFrom(docs)).collect()
+    assert(pairs.length === 1)
+    assert((pairs.head.getAs[Long]("a"), pairs.head.getAs[Long]("b")) ===
+      ((1L, 2L)))
+    assert(pairs.head.getAs[Long]("n_shared") >= Dedup.WinnowMinShared)
+    // a doc shorter than one window still fingerprints (global min)
+    val short = Dedup.winnowFrom(Seq((9L, "t1 t2")).toDF("doc_id", "text"))
+    assert(short.count() === 1)
+    // corpus profile: selection is a subset of the k-gram positions and
+    // the expected-density 2/(w+1) heuristic is the right order
+    val prof = Dedup.fingerprintWinnowing(spark, sf).collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      val (nk, nf) = (r.getAs[Long]("n_kgrams"),
+        r.getAs[Long]("n_fingerprints"))
+      assert(nf >= 1L && nf <= nk)
+      assert(r.getAs[Double]("density") === nf.toDouble / nk.toDouble)
+    }
+    val meanDensity = prof.map(_.getAs[Double]("density")).sum / prof.length
+    assert(meanDensity > 0.1 && meanDensity <= 1.0)
+  }
+
+  test("ngram novelty: novel mass = distinct k-gram vocabulary, rates in (0,1]") {
+    import graft.functions.Text
+    val rows = TextAnalysis.ngramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("novelty_rate")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_ngrams"))
+    }
+    // each distinct k-gram's first occurrence is counted exactly once
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(explode(array_distinct(Text.wordShingles(
+        Text.toks(col("text")), TextAnalysis.NoveltyWidth))).as("sh"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum === vocab)
+  }
+
+  test("cohen kappa agrees with lang_id_ngram's confusion diagonal") {
+    val conf = TextAnalysis.langIdNgram(spark, sf).collect()
+    val diag = conf.filter(r =>
+      r.getAs[String]("lang") === r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n_docs")).sum
+    val total = conf.map(_.getAs[Long]("n_docs")).sum
+    val k = TextAnalysis.cohenKappa(spark, sf).head
+    assert(k.getAs[Long]("n_agree") === diag)
+    assert(k.getAs[Long]("n_docs") === total)
+    val (po, pe) = (k.getAs[Double]("po"), k.getAs[Double]("pe"))
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    // kappa ≤ 1 always; equals (po−pe)/(1−pe) up to float re-association
+    assert(math.abs(k.getAs[Double]("kappa") - (po - pe) / (1.0 - pe))
+      < 1e-12)
+  }
+
   test("dedup_minhash_lsh pairs are ordered, verified above tau") {
     val rows = Dedup.dedupMinhashLsh(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -352,6 +352,84 @@ object Graph {
        SELECT skill, dist FROM d$BfsIters ORDER BY dist, skill"""
   }
 
+  /** Exact reciprocal scale for [[harmonicCentrality]]: LCM(1..4), so
+    * 1/dist contributions (dist ≤ [[BfsIters]]) are the integers
+    * 12, 6, 4, 3 and the centrality sum is exact until one division. */
+  val HarmScale = 12L
+
+  /** Harmonic centrality of every skill within [[BfsIters]] hops —
+    * the closeness-family centrality that handles DISCONNECTED graphs
+    * (unreachable nodes contribute 0, not ∞, so no component hack):
+    * C_H(u) = Σ_{v≠u reachable} 1/d(u, v). ALL-SOURCE bounded BFS:
+    * the [[bfsCore]] relaxation keyed by (root, node) — every node
+    * seeds itself at distance 0, [[BfsIters]] synchronous min-distance
+    * sweeps with the same per-super-step localCheckpoint lineage
+    * discipline. Reciprocals ride the exact [[HarmScale]] lattice
+    * (12 div d), so per-node sums are exact BIGINTs and the engines
+    * cannot drift by summation order; one double division at the
+    * surface. Scale: the distance frame is ≤ nodes×nodes — the skill
+    * graph is VOCABULARY-cardinality, so like [[triangleCount]] this
+    * is bounded by vocab², never by corpus size; each sweep is one
+    * frontier-edge equi-join. (round 7)
+    */
+  def harmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint()
+    val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
+      .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
+    harmonicFrom(e)
+  }
+
+  /** Core over any directed (src, dst) edge frame (spec hand-checks
+    * a constructed path graph). */
+  private[graft] def harmonicFrom(e: DataFrame): DataFrame = {
+    var d = e.select(col("src").as("root"), col("src").as("skill"))
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+    for (_ <- 1 to BfsIters) {
+      val relaxed = d.join(e, d("skill") === e("src"))
+        .select(col("root"), col("dst").as("skill"),
+          (col("dist") + lit(1L)).as("dist"))
+      d = d.union(relaxed)
+        .groupBy("root", "skill")
+        .agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    d.filter(col("dist") > 0)
+      .groupBy(col("root").as("skill"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr(s"$HarmScale div dist")).as("harm_num"))
+      .select(col("skill"), col("n_reached"), col("harm_num"),
+        (col("harm_num").cast("double") / HarmScale.toDouble)
+          .as("harmonic"))
+      .orderBy("skill")
+  }
+
+  val harmonicCentralitySql: String = {
+    def sweep(prev: String, k: Int): String =
+      s"""d$k AS (SELECT root, skill, CAST(MIN(dist) AS BIGINT) AS dist
+             FROM (
+               SELECT root, skill, dist FROM $prev
+               UNION ALL
+               SELECT p.root, e.dst AS skill, p.dist + 1 AS dist
+               FROM $prev p JOIN e ON e.src = p.skill)
+             GROUP BY 1, 2)"""
+    s"""WITH cooc AS (SELECT skill_a, skill_b
+             FROM (${TextAnalysis.skillCooccurrenceSql})),
+       e AS (SELECT skill_a AS src, skill_b AS dst FROM cooc
+             UNION ALL
+             SELECT skill_b AS src, skill_a AS dst FROM cooc),
+       d0 AS (SELECT DISTINCT src AS root, src AS skill,
+                     CAST(0 AS BIGINT) AS dist FROM e),
+       ${(1 to BfsIters).map(k => sweep(s"d${k - 1}", k)).mkString(",\n       ")}
+       SELECT root AS skill, CAST(COUNT(*) AS BIGINT) AS n_reached,
+              CAST(SUM($HarmScale // dist) AS BIGINT) AS harm_num,
+              CAST(SUM($HarmScale // dist) AS DOUBLE) / $HarmScale.0
+                AS harmonic
+       FROM d$BfsIters WHERE dist > 0
+       GROUP BY root ORDER BY skill"""
+  }
+
   /** Newman modularity of the [[labelPropagation]] partition over the
     * skill co-occurrence graph — the standard "did community detection
     * find real structure" audit. Per community c:
@@ -729,5 +807,7 @@ object Graph {
     Q("label_propagation", Some(labelPropagationSql))(labelPropagation),
     Q("graph_modularity", Some(graphModularitySql))(graphModularity),
     Q("graph_bfs_hops", Some(bfsHopsSql))(bfsHops),
+    Q("harmonic_centrality", Some(harmonicCentralitySql))(
+      harmonicCentrality),
     Q("triangle_count", Some(triangleCountSql))(triangleCount))
 }

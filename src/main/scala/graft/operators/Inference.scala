@@ -2281,6 +2281,74 @@ object Inference {
               END AS dw
        FROM mom m CROSS JOIN ds d"""
 
+  /** Robust anomaly days via the MODIFIED z-score (Iglewicz-Hoaglin
+    * 0.6745·|x−med|/MAD > 3.5) — the outlier gate that survives what
+    * breaks [[graft.operators.Stats.anomalyZscore]]'s mean/σ version:
+    * one huge day inflates σ and hides itself, while median and MAD
+    * have a 50% breakdown point. The flag itself needs NO floats:
+    * 0.6745·dev/mad > 3.5 ⇔ 1349·dev > 7000·mad on exact BIGINTs, so
+    * a day cannot flip across engines by a rounding ulp; both medians
+    * come from the value-count aggregate (aggregates-only cumulative
+    * join — never a global sort), and the reported mod_z is display
+    * only (NULL when MAD = 0, where the flag degenerates to "any
+    * deviation", the documented Iglewicz-Hoaglin edge). Every day is
+    * emitted with its flag (the [[graft.operators.Stats.anomalyZscore]]
+    * output convention — a quiet series reports itself quiet, not
+    * empty). Scale: |span|-sized series, value-cardinality median
+    * frames. (round 7)
+    */
+  def anomalyMadDays(s: SparkSession, dir: String): DataFrame =
+    madFrom(dailySeries(s, dir))
+
+  /** Core over any (di long, n long) series frame (spec hand-checks). */
+  private[graft] def madFrom(ser: DataFrame): DataFrame = {
+    def med(df: DataFrame, c: String): DataFrame = {
+      val vc = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val cum = vc.as("x").join(vc.as("y"), col("y.v") <= col("x.v"))
+        .groupBy(col("x.v").as("v")).agg(sum(col("y.cnt")).as("cum"))
+      val nd = df.agg(count(lit(1)).as("nd"))
+      cum.crossJoin(broadcast(nd))
+        .agg(min(when(col("cum") >= expr("(nd + 1) div 2"), col("v")))
+          .as("m"))
+    }
+    val dev = ser.crossJoin(broadcast(med(ser, "n")))
+      .select(col("di"), col("n"), col("m").as("med"),
+        abs(col("n") - col("m")).as("dev"))
+      .localCheckpoint() // feeds the MAD median AND the flag column
+    dev.crossJoin(broadcast(med(dev, "dev").select(col("m").as("mad"))))
+      .select(col("di"), col("n"), col("med"), col("dev"), col("mad"),
+        (col("dev") * 1349 > col("mad") * 7000).as("is_anomaly"),
+        when(col("mad") > 0, lit(0.6745) * col("dev").cast("double")
+          / col("mad").cast("double")).as("mod_z"))
+      .orderBy("di")
+  }
+
+  val anomalyMadDaysSql: String = {
+    def med(rel: String, c: String, out: String) =
+      s"""${out}_vc AS (SELECT $c AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+                        FROM $rel GROUP BY 1),
+       ${out}_cum AS (SELECT x.v, CAST(SUM(y.cnt) AS BIGINT) AS cum
+                      FROM ${out}_vc x JOIN ${out}_vc y ON y.v <= x.v
+                      GROUP BY 1),
+       ${out}_nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM $rel),
+       $out AS (SELECT MIN(CASE WHEN c.cum >= (d.nd + 1) // 2
+                                THEN c.v END) AS m
+                FROM ${out}_cum c CROSS JOIN ${out}_nd d)"""
+    s"""WITH $sqlDailySeries,
+       ${med("ser", "n", "m1")},
+       dev AS MATERIALIZED (
+         SELECT s.di, s.n, m.m AS med, abs(s.n - m.m) AS dev
+         FROM ser s CROSS JOIN m1 m),
+       ${med("dev", "dev", "m2")}
+       SELECT d.di, d.n, d.med, d.dev, m.m AS mad,
+              (d.dev * 1349 > m.m * 7000) AS is_anomaly,
+              CASE WHEN m.m > 0 THEN
+                0.6745 * CAST(d.dev AS DOUBLE) / CAST(m.m AS DOUBLE)
+              END AS mod_z
+       FROM dev d CROSS JOIN m2 m
+       ORDER BY d.di"""
+  }
+
   /** Cochran's Q over the users × event-types presence matrix — "do
     * the k event types reach DIFFERENT fractions of the user base",
     * the k-sample test for matched BINARY outcomes (the binary sibling
@@ -2687,6 +2755,7 @@ object Inference {
     Q("runs_test", Some(runsTestSql))(runsTest),
     Q("durbin_watson_daily", Some(durbinWatsonDailySql))(durbinWatsonDaily),
     Q("cochran_q", Some(cochranQSql))(cochranQ),
+    Q("anomaly_mad_days", Some(anomalyMadDaysSql))(anomalyMadDays),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
     Q("diversity_simpson", Some(diversitySimpsonSql))(diversitySimpson),
     Q("markov_stationary", Some(markovStationarySql))(markovStationary),

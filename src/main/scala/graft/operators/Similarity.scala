@@ -167,6 +167,58 @@ object Similarity {
                 ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
        FROM scored QUALIFY rank <= $TopK ORDER BY q_id, rank"""
 
+  /** Hard negatives kept per anchor. */
+  private val HardNegK = 3
+
+  /** Hard-negative mining for contrastive training — per anchor, the
+    * most-similar corpus vectors with a DIFFERENT label, found inside
+    * the anchor's sign-LSH bucket (the negatives that actually teach:
+    * random negatives are trivially separable, and the "hard" ones
+    * live exactly where an ANN index puts near neighbors — mining
+    * rides the same bucket join as [[annTopkLsh]], so it scales the
+    * same way: bucket fan-in, never corpus², recall traded exactly as
+    * the index trades it, exact quantized cosine inside the bucket).
+    * [[graft.operators.Curation.contrastivePairs]] builds the RANDOM
+    * negative set; this is its curriculum-hardening sibling. Query set
+    * capped like every ANN key; output ≤ |Q|·k rows. (round 7)
+    */
+  def hardNegativesLsh(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val c = bucketsOf(quantized(s, dir)).join(lab, Seq("vec_id"))
+    val q = c.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("label").as("q_label"),
+        col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    broadcast(q)
+      .join(c, col("q_bucket") === col("bucket") &&
+        col("q_label") =!= col("label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        cosineQ(dotQ(col("q_qv"), col("qv")), col("q_nn"), col("nn"))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .orderBy("q_id", "rank")
+  }
+
+  val hardNegativesLshSql: String =
+    s"""WITH $sqlQuant,
+       $sqlPlanes,
+       $sqlBuckets,
+       corp AS (SELECT quant.vec_id, qv, nn, bucket, e.label
+                FROM quant JOIN buck ON quant.vec_id = buck.vec_id
+                  JOIN embeddings e ON quant.vec_id = e.vec_id),
+       scored AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+                    c.vec_id AS vec_id, c.label,
+                    ${sqlCosineQ(sqlDotQ("q.qv", "c.qv", Dim), "q.nn", "c.nn")} AS cos_sim
+                  FROM corp q JOIN corp c ON ${sqlQueryPred("q")}
+                   AND q.bucket = c.bucket AND q.label <> c.label)
+       SELECT q_id, q_label, vec_id, label, cos_sim,
+              CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+       FROM scored QUALIFY rank <= $HardNegK ORDER BY q_id, rank"""
+
   /** Index-quality evaluation: recall@k of the sign-LSH index against
     * the exact brute-force baseline, per query. The operator a real ANN
     * deployment runs continuously (on a sampled query set) to catch
@@ -902,6 +954,7 @@ object Similarity {
     Q("knn_confusion_matrix", Some(knnConfusionMatrixSql))(knnConfusionMatrix),
     Q("ann_topk_bruteforce", Some(annTopkBruteforceSql), bench = true)(annTopkBruteforce),
     Q("ann_topk_lsh", Some(annTopkLshSql))(annTopkLsh),
+    Q("hard_negatives_lsh", Some(hardNegativesLshSql))(hardNegativesLsh),
     Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf),
     Q("ann_topk_pq", Some(annTopkPqSql))(annTopkPq),
     Q("ann_topk_ivfpq", Some(annTopkIvfPqSql))(annTopkIvfPq),

@@ -659,6 +659,81 @@ object Temporal {
        FROM fvn LEFT JOIN fp ON fvn.user_id = fp.user_id
        ORDER BY fvn.user_id"""
 
+  /** Conversion window for [[funnelWindowed]]: 72 h in microseconds. */
+  val ConvWindowUs = 72L * 3600L * 1000000L
+
+  /** Windowed conversion rate per acquisition-week cohort — the
+    * product question [[timeToConvert]]'s per-user delays roll up to:
+    * "of the users who first VIEWED in week w, what share PURCHASED
+    * within 72 h" (an unbounded conversion definition inflates early
+    * cohorts — they've simply had more time; the fixed window makes
+    * cohorts comparable, the standard growth-accounting trick). Rides
+    * timeToConvert's first-view/first-purchase-after-view aggregates;
+    * the cohort week is an exact integer `days-since-first-view-day
+    * div 7` (engine-portable — no date_trunc week-start convention
+    * risk), conversion the exact integer compare delay ≤ window.
+    * Scale: two user-cardinality aggregates + one week-cardinality
+    * roll-up, one division per row. (round 7)
+    */
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val fv = e.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("t")))
+        .as("first_view_us"))
+      .filter(col("first_view_us").isNotNull)
+    val fp = e.filter(col("event_type") === "purchase")
+      .join(fv, Seq("user_id"))
+      .filter(col("t") >= col("first_view_us"))
+      .groupBy("user_id")
+      .agg(min(col("t")).as("first_purchase_us"))
+    val lo = fv.agg(min(col("first_view_us")).as("lo"))
+    fv.join(fp, Seq("user_id"), "left")
+      .crossJoin(broadcast(lo))
+      .select(
+        expr("((first_view_us - lo) div 86400000000) div 7").as("week"),
+        (col("first_purchase_us").isNotNull &&
+          col("first_purchase_us") - col("first_view_us") <= ConvWindowUs)
+          .cast("long").as("conv"))
+      .groupBy("week")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_converted"))
+      .select(col("week"), col("n_users"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_users").cast("double"))
+          .as("conv_rate"))
+      .orderBy("week")
+  }
+
+  val funnelWindowedSql: String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                   FROM events),
+       fv AS (SELECT user_id,
+                MIN(CASE WHEN event_type = 'view' THEN t END)
+                  AS first_view_us
+              FROM e GROUP BY user_id),
+       fvn AS (SELECT * FROM fv WHERE first_view_us IS NOT NULL),
+       fp AS (SELECT e.user_id, MIN(e.t) AS first_purchase_us
+              FROM e JOIN fvn ON e.user_id = fvn.user_id
+              WHERE e.event_type = 'purchase'
+                AND e.t >= fvn.first_view_us
+              GROUP BY e.user_id),
+       lo AS (SELECT MIN(first_view_us) AS lo FROM fvn),
+       flags AS (SELECT
+                   ((fvn.first_view_us - l.lo) // 86400000000) // 7
+                     AS week,
+                   CASE WHEN fp.first_purchase_us IS NOT NULL
+                         AND fp.first_purchase_us - fvn.first_view_us
+                             <= $ConvWindowUs
+                        THEN 1 ELSE 0 END AS conv
+                 FROM fvn LEFT JOIN fp ON fvn.user_id = fp.user_id
+                   CROSS JOIN lo l)
+       SELECT CAST(week AS BIGINT) AS week,
+              CAST(COUNT(*) AS BIGINT) AS n_users,
+              CAST(SUM(conv) AS BIGINT) AS n_converted,
+              CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS conv_rate
+       FROM flags GROUP BY week ORDER BY week"""
+
   /** Longest consecutive-day activity streak per user — gaps-and-
     * islands on the DISTINCT (user, day) frame (never raw events): a
     * run of consecutive days keeps `day_idx - row_number` constant, so
@@ -1180,6 +1255,7 @@ object Temporal {
     Q("interarrival_stats", Some(interarrivalStatsSql))(interarrivalStats),
     Q("interval_union_length", Some(intervalUnionLengthSql))(intervalUnionLength),
     Q("time_to_convert", Some(timeToConvertSql))(timeToConvert),
+    Q("funnel_windowed", Some(funnelWindowedSql))(funnelWindowed),
     Q("top_event_paths", Some(topEventPathsSql))(topEventPaths),
     Q("event_transitions", Some(eventTransitionsSql))(eventTransitions),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly))

@@ -293,6 +293,34 @@ class ChunkGraphSpec extends AnyFunSuite {
     assert(out("n4") === 4L)
   }
 
+  test("harmonic centrality: exact LCM-lattice sums on a path graph") {
+    import spark.implicits._
+    // path a-b-c-d: C_H(a) = 1/1 + 1/2 + 1/3 = 22/12; interior
+    // b: 1 + 1 + 1/2 = 30/12 — ends score lower than the middle
+    val undirected = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    val e = (undirected ++ undirected.map(_.swap)).toDF("src", "dst")
+    val out = Graph.harmonicFrom(e).collect()
+      .map(r => r.getAs[String]("skill") ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Long]("harm_num"),
+          r.getAs[Double]("harmonic")))).toMap
+    assert(out("a") === ((3L, 22L, 22.0 / 12.0)))
+    assert(out("d") === ((3L, 22L, 22.0 / 12.0)))
+    assert(out("b") === ((3L, 30L, 30.0 / 12.0)))
+    assert(out("c") === ((3L, 30L, 30.0 / 12.0)))
+    // disconnected pair: unreachable nodes contribute 0, no sentinel
+    val e2 = Seq("a" -> "b", "b" -> "a", "x" -> "y", "y" -> "x")
+      .toDF("src", "dst")
+    val out2 = Graph.harmonicFrom(e2).collect()
+      .map(r => r.getAs[String]("skill") -> r.getAs[Long]("n_reached"))
+      .toMap
+    assert(out2.values.toSet === Set(1L))
+    // corpus scale: every node reaches at least one neighbor
+    val real = Graph.harmonicCentrality(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getAs[Long]("n_reached") >= 1L &&
+      r.getAs[Long]("harm_num") >= Graph.HarmScale / Graph.BfsIters))
+  }
+
   test("label_propagation: every node labeled, labels are node names, deterministic") {
     val out = Graph.labelPropagation(spark, sf).collect()
     assert(out.nonEmpty)

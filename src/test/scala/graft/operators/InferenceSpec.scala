@@ -632,6 +632,35 @@ class InferenceSpec extends AnyFunSuite {
       assert(real.getAs[Double]("q_stat") >= 0.0)
   }
 
+  test("anomaly MAD: exact integer flag, hand-checked spike; MAD=0 edge") {
+    def ser(ns: Seq[Long]) =
+      ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("di", "n")
+        .localCheckpoint()
+    // 1..9 then a 100 spike: med = 5 (lower), MAD = 2 (5th of the
+    // sorted devs 0,1,1,2,2,3,3,4,4,95); only the spike clears
+    // 1349·dev > 7000·2; mod_z = 0.6745·95/2
+    val out = Inference.madFrom(ser((1L to 9L) :+ 100L)).collect()
+    assert(out.length === 10)
+    val flagged = out.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.length === 1)
+    val r = flagged.head
+    assert((r.getAs[Long]("di"), r.getAs[Long]("n"), r.getAs[Long]("med"),
+      r.getAs[Long]("dev"), r.getAs[Long]("mad")) ===
+      ((9L, 100L, 5L, 95L, 2L)))
+    assert(r.getAs[Double]("mod_z") === 0.6745 * 95.0 / 2.0)
+    // MAD = 0 (majority-constant series): any deviation flags, score
+    // NULL — the documented Iglewicz-Hoaglin degenerate
+    val z = Inference.madFrom(ser(Seq(10L, 10L, 10L, 10L, 11L))).collect()
+      .filter(_.getAs[Boolean]("is_anomaly"))
+    assert(z.length === 1)
+    assert(z.head.getAs[Long]("dev") === 1L)
+    assert(z.head.isNullAt(z.head.fieldIndex("mod_z")))
+    // a constant series reports itself quiet, not empty
+    val c = Inference.madFrom(ser(Seq(7L, 7L, 7L))).collect()
+    assert(c.length === 3)
+    assert(c.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
+
   test("qq deciles: monotone per cohort, hand-checked on constructed cohorts") {
     // cohort a = 10..100 by 10 (n=10), cohort b = a + 100
     val vals = ((1 to 10).map(i => (i * 10.0, 1L, 0L)) ++

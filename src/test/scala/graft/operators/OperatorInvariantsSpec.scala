@@ -83,6 +83,44 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       < 1e-12)
   }
 
+  test("hard negatives: labels differ, ranked within bucket, ≤ k per anchor") {
+    val rows = Similarity.hardNegativesLsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("q_label") !== r.getAs[Int]("label"))
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 3)
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // per anchor: ranks are 1..m without gaps and similarity descends
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ===
+        (1 to sorted.length).toSeq)
+      val sims = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+  }
+
+  test("funnel windowed: cohorts partition converting-view users, rates in [0,1]") {
+    val rows = Temporal.funnelWindowed(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (u, c) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_converted"))
+      assert(c >= 0L && c <= u)
+      assert(r.getAs[Double]("conv_rate") === c.toDouble / u.toDouble)
+    }
+    // cohort weeks partition exactly the users who ever viewed
+    val viewers = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === viewers)
+    // windowed conversions are a subset of unbounded conversions
+    val unbounded = Temporal.timeToConvert(spark, sf)
+      .filter(col("converted")).count()
+    assert(rows.map(_.getAs[Long]("n_converted")).sum <= unbounded)
+  }
+
   test("dedup_minhash_lsh pairs are ordered, verified above tau") {
     val rows = Dedup.dedupMinhashLsh(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -192,6 +192,26 @@ object ManifestLog {
     files
   }
 
+  /** The LIVE add actions of an action window: latest action wins per
+    * file. The naive `adds ANTI-JOIN removes` liveness breaks the
+    * moment a file is ever RE-ADDED — [[restore]] re-publishes old
+    * files by identity, giving a file the history add@v1, remove@v3,
+    * add@v7, where the file-only anti-join would kill both adds. Here
+    * an add row survives iff it is NEWER than the file's latest remove
+    * (Delta's log replay reconciles per-path by action order the same
+    * way). For never-re-added files this degenerates to exactly the
+    * old anti-join. Also the canonical source of `removes` rows for
+    * rewrite commits: live rows are unique per file by construction.
+    */
+  private def liveAdds(actions: DataFrame): DataFrame = {
+    val lastRm = actions.filter(col("action") === "remove")
+      .groupBy("file").agg(max(col("version")).as("_rm_v"))
+    actions.filter(col("action") === "add")
+      .join(lastRm, Seq("file"), "left")
+      .filter(col("_rm_v").isNull || col("version") > col("_rm_v"))
+      .drop("_rm_v")
+  }
+
   /** Open log-named data files with union-by-name schema merging —
     * the reader side of SCHEMA EVOLUTION: a later commit may add
     * columns, and a snapshot spanning old and new files surfaces the
@@ -440,9 +460,7 @@ object ManifestLog {
     val v0 = currentVersion(s, path)
     if (v0 == 0L || keys.isEmpty) return v0
     val actions = log(s, path).filter(col("version") <= v0)
-    val files = collectFiles(s, actions.filter(col("action") === "add")
-      .join(actions.filter(col("action") === "remove").select(col("file")),
-        Seq("file"), "left_anti")
+    val files = collectFiles(s, liveAdds(actions)
       .filter(keys.map(k => col("min_key") <= k && col("max_key") >= k)
         .reduce(_ || _)))
     if (files.isEmpty) return v0
@@ -498,8 +516,8 @@ object ManifestLog {
       .sortWithinPartitions(col(keyCol))
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
-    val removes = log(s, path)
-      .filter(col("action") === "add" && col("file").isin(replaced: _*))
+    val removes = liveAdds(log(s, path).filter(col("version") <= v0))
+      .filter(col("file").isin(replaced: _*))
       .select(lit(v).as("version"), lit("remove").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
         col("key_hll"), col("stats"), lit(NoBatch).as("batch_id"))
@@ -565,8 +583,8 @@ object ManifestLog {
         .sortWithinPartitions(col("_z"))
         .drop("_z")
         .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
-      val removes = log(s, path)
-        .filter(col("action") === "add" && col("file").isin(replaced: _*))
+      val removes = liveAdds(log(s, path).filter(col("version") <= v0))
+        .filter(col("file").isin(replaced: _*))
         .select(lit(v).as("version"), lit("remove").as("action"),
           col("file"), col("n_rows"), col("min_key"), col("max_key"),
           col("bloom"), col("key_hll"), col("stats"),
@@ -590,11 +608,7 @@ object ManifestLog {
       keys: Seq[Long]): Long = withMaintenanceLock(s, path) {
     val v0 = currentVersion(s, path)
     if (v0 == 0L || keys.isEmpty) return v0
-    val affected = log(s, path).filter(col("version") <= v0)
-      .filter(col("action") === "add")
-      .join(log(s, path).filter(col("version") <= v0)
-        .filter(col("action") === "remove").select(col("file")),
-        Seq("file"), "left_anti")
+    val affected = liveAdds(log(s, path).filter(col("version") <= v0))
       .filter(keys.map(k => col("min_key") <= k && col("max_key") >= k)
         .reduce(_ || _))
     val files = collectFiles(s, affected)
@@ -653,9 +667,7 @@ object ManifestLog {
           "keys; a corpus-sized restatement is a rewrite, not a merge")
       if (keys.isEmpty) return v0
       val actions = log(s, path).filter(col("version") <= v0)
-      val affected = actions.filter(col("action") === "add")
-        .join(actions.filter(col("action") === "remove").select(col("file")),
-          Seq("file"), "left_anti")
+      val affected = liveAdds(actions)
         .filter(keys.map(k => col("min_key") <= k && col("max_key") >= k)
           .reduce(_ || _))
       val files = collectFiles(s, affected)
@@ -684,10 +696,20 @@ object ManifestLog {
     * RETAIN). Planning is file-cardinality log work, driver-side like
     * [[fileList]].
     */
-  def vacuumList(s: SparkSession, path: String, horizon: Long): Seq[String] =
-    collectFiles(s, log(s, path)
-      .filter(col("action") === "remove" && col("version") <= horizon)
-      .select("file").distinct())
+  def vacuumList(s: SparkSession, path: String, horizon: Long): Seq[String] = {
+    val l = log(s, path)
+    val la = l.filter(col("action") === "add")
+      .groupBy("file").agg(max(col("version")).as("_a"))
+    val lr = l.filter(col("action") === "remove")
+      .groupBy("file").agg(max(col("version")).as("_r"))
+    // deletable iff the file's LATEST action is a remove at <= horizon:
+    // a [[restore]]'s re-add (add newer than the old remove) revives
+    // the file, so the old remove alone must never doom it
+    collectFiles(s, lr.join(la, Seq("file"), "left")
+      .filter(col("_r") <= horizon &&
+        (col("_a").isNull || col("_a") < col("_r")))
+      .select("file"))
+  }
 
   /** Physically delete the [[vacuumList]] files; returns how many went.
     * Deletion is idempotent (a re-run after a partial crash re-deletes
@@ -702,6 +724,99 @@ object ManifestLog {
     }
   }
 
+  /** RESTORE TABLE TO VERSION — Delta's RESTORE as one commit, (almost)
+    * zero data I/O: files live at `toV` but not now RE-PUBLISH by
+    * identity (their original add rows copied into the new version —
+    * no bytes move), files live now but not at `toV` get removes, and
+    * files in both stay untouched. The one honest exception: a file
+    * live at `toV` that a LATER deletion vector touched cannot
+    * re-publish by identity (the DV would keep applying at the new
+    * version and under-report the old rows), so exactly those files
+    * REWRITE through the `toV` view into fresh bytes — bounded by the
+    * post-toV DV footprint, never the table. Liveness survives the
+    * re-add because [[liveAdds]] resolves per-file action order, and
+    * [[vacuumList]] never dooms a revived file by its old remove.
+    * The restore version's CDF ([[readChanges]]) is exactly the undo
+    * delta between the two snapshots. Returns the new version (no-op
+    * when restoring to the current one).
+    */
+  def restore(s: SparkSession, path: String, keyCol: String,
+      toV: Long): Long = withMaintenanceLock(s, path) {
+    val v0 = currentVersion(s, path)
+    require(toV >= 1L && toV <= v0,
+      s"restore target $toV outside the committed range [1, $v0]")
+    if (toV == v0) return v0
+    val oldLive = fileList(s, path, toV)
+    val curLive = fileList(s, path, v0).toSet
+    // files whose rows-at-toV a post-toV DV has since bitten: identity
+    // re-publish would under-report them, so they materialize instead
+    val dvVs = log(s, path)
+      .filter(col("action") === "dv" &&
+        col("version") > toV && col("version") <= v0)
+      .select("version").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val dirty: Set[String] =
+      if (dvVs.isEmpty) Set.empty
+      else collectFiles(s,
+        s.read.parquet(dvVs.map(v => dvDir(path, v)): _*)
+          .select("file").distinct()).toSet.intersect(oldLive.toSet)
+    val keepIdentity = oldLive.filterNot(f => dirty(f) || curLive(f))
+    val v = claimVersion(s, path)
+    val rewrittenAdds: Option[DataFrame] =
+      if (dirty.isEmpty) None
+      else {
+        applyDv(s, path, readData(s, dirty.toSeq), toV)
+          .write.mode(SaveMode.Overwrite).parquet(dataDir(path, v))
+        Some(addActions(s, path, v, keyCol))
+      }
+    val actions0 = log(s, path).filter(col("version") <= v0)
+    val republished = liveAdds(log(s, path).filter(col("version") <= toV))
+      .filter(col("file").isin(keepIdentity: _*))
+      .select(lit(v).as("version"), lit("add").as("action"), col("file"),
+        col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
+        col("key_hll"), col("stats"), lit(NoBatch).as("batch_id"))
+    // retire: files live now but not at toV, AND still-live dirty files
+    // (their materialized rewrite replaces them — leaving the original
+    // live would double-count its rows)
+    val doomed = (curLive -- oldLive.toSet) ++ dirty.intersect(curLive)
+    val removes = liveAdds(actions0)
+      .filter(col("file").isin(doomed.toSeq: _*))
+      .select(lit(v).as("version"), lit("remove").as("action"), col("file"),
+        col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
+        col("key_hll"), col("stats"), lit(NoBatch).as("batch_id"))
+    val adds = rewrittenAdds.fold(republished)(republished.unionByName(_))
+    writeActions(adds.unionByName(removes), path, v)
+    v
+  }
+
+  /** DESCRIBE HISTORY straight from the log — per committed version:
+    * action counts, manifest-level row deltas, the streaming batch id
+    * if the commit was transactional, and an operation classification
+    * inferred from the action mix (append / rewrite / delete /
+    * delete_dv — a rewrite is any adds+removes commit: compaction,
+    * z-order, key delete, merge, restore). Pure log aggregation,
+    * version-cardinality output, zero data I/O.
+    */
+  def describeHistory(s: SparkSession, path: String): DataFrame =
+    log(s, path).groupBy("version")
+      .agg(
+        sum(when(col("action") === "add", 1L).otherwise(0L)).as("n_adds"),
+        sum(when(col("action") === "remove", 1L).otherwise(0L))
+          .as("n_removes"),
+        sum(when(col("action") === "dv", 1L).otherwise(0L)).as("n_dvs"),
+        coalesce(sum(when(col("action") === "add", col("n_rows"))), lit(0L))
+          .as("rows_added"),
+        coalesce(sum(when(col("action") === "remove", col("n_rows"))),
+          lit(0L)).as("rows_removed"),
+        max(when(col("batch_id") =!= NoBatch, col("batch_id")))
+          .as("batch_id"))
+      .withColumn("operation",
+        when(col("n_dvs") > 0, "delete_dv")
+          .when(col("n_adds") > 0 && col("n_removes") > 0, "rewrite")
+          .when(col("n_adds") > 0, "append")
+          .otherwise("delete"))
+      .orderBy("version")
+
   /** The file list a reader at `asOf` opens, optionally pruned by a
     * key-range probe against the manifest bounds (skip iff
     * max_key < lo OR min_key > hi — the Iceberg/Delta test). Driver-side
@@ -712,11 +827,9 @@ object ManifestLog {
       keyRange: Option[(Long, Long)] = None,
       colRanges: Map[String, (Long, Long)] = Map.empty): Seq[String] = {
     val actions = log(s, path).filter(col("version") <= asOf)
-    // live at asOf = added and not since removed (a file is immutable,
-    // so one add and at most one remove ever exist for it)
-    val live = actions.filter(col("action") === "add")
-      .join(actions.filter(col("action") === "remove").select(col("file")),
-        Seq("file"), "left_anti")
+    // live at asOf: the file's latest action at or before asOf is an
+    // add ([[liveAdds]] — re-adds from a restore resolve correctly)
+    val live = liveAdds(actions)
     val keyKept = keyRange match {
       case Some((lo, hi)) =>
         live.filter(!(col("max_key") < lo || col("min_key") > hi))
@@ -811,9 +924,7 @@ object ManifestLog {
       asOf: Option[Long] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(s, path))
     val actions = log(s, path).filter(col("version") <= v)
-    actions.filter(col("action") === "add")
-      .join(actions.filter(col("action") === "remove").select(col("file")),
-        Seq("file"), "left_anti")
+    liveAdds(actions)
       .agg(count(lit(1)).as("n_files"),
         sum(col("n_rows")).as("n_rows"),
         min(col("min_key")).as("min_key"),
@@ -951,9 +1062,7 @@ object ManifestLog {
       key: Long, asOf: Option[Long] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion(s, path))
     val actions = log(s, path).filter(col("version") <= v)
-    val files = collectFiles(s, actions.filter(col("action") === "add")
-      .join(actions.filter(col("action") === "remove").select(col("file")),
-        Seq("file"), "left_anti")
+    val files = collectFiles(s, liveAdds(actions)
       .filter(col("min_key") <= key && col("max_key") >= key &&
         expr(s"graft_bloom_contains(bloom, CAST(${key}L AS STRING))")))
     if (files.isEmpty) s.emptyDataFrame

@@ -528,6 +528,78 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.snapshot(spark, path).count() === preSnap.length + 20)
   }
 
+  test("restore: zero-copy rollback, undo CDF, vacuum respects revival") {
+    import spark.implicits._
+    val path = freshTable()
+    ManifestLog.commit(
+      (0L until 100L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartition(4), path, "key")
+    ManifestLog.commit(
+      (100L until 150L).map(k => (k, s"p$k")).toDF("key", "payload"),
+      path, "key")
+    val snap2 = ManifestLog.snapshot(spark, path, Some(2L))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    ManifestLog.deleteKeys(spark, path, "key", Seq(50L))
+    assert(ManifestLog.snapshot(spark, path).count() === 149)
+
+    val v = ManifestLog.restore(spark, path, "key", 2L)
+    assert(v === 4L)
+    // the old snapshot is current again — from the ORIGINAL bytes
+    assert(ManifestLog.snapshot(spark, path)
+      .orderBy("key").collect().map(_.toSeq).toSeq === snap2)
+    assert(ManifestLog.fileList(spark, path, 4L).toSet ===
+      ManifestLog.fileList(spark, path, 2L).toSet)
+    // the restore's CDF is the UNDO delta: key 50 comes back
+    val cdf = ManifestLog.readChanges(spark, path, "key", 3L, 4L)
+    val ins = cdf.filter(col(ManifestLog.ChangeTypeCol) === "insert")
+      .collect()
+    assert(ins.map(_.getAs[Long]("key")).toSeq === Seq(50L))
+    // history classifies the commits from the log alone
+    val hist = ManifestLog.describeHistory(spark, path).collect()
+      .map(r => r.getAs[Long]("version") -> r.getAs[String]("operation"))
+      .toMap
+    assert(hist === Map(1L -> "append", 2L -> "append",
+      3L -> "rewrite", 4L -> "rewrite"))
+    // vacuum must not doom the revived file by its OLD remove: after a
+    // full-horizon vacuum the restored snapshot still reads complete
+    ManifestLog.vacuum(spark, path, 4L)
+    assert(ManifestLog.snapshot(spark, path).count() === 150)
+    assert(ManifestLog.snapshot(spark, path)
+      .filter(col("key") === 50L).count() === 1)
+  }
+
+  test("restore materializes only files a post-target DV has bitten") {
+    import spark.implicits._
+    val path = freshTable()
+    ManifestLog.commit(
+      (0L until 50L).map(k => (k, s"p$k")).toDF("key", "payload")
+        .repartitionByRange(2, col("key")), path, "key")
+    val v1Files = ManifestLog.fileList(spark, path, 1L).toSet
+    ManifestLog.deleteKeysDv(spark, path, "key", Seq(7L))
+    ManifestLog.commit(
+      (100L until 110L).map(k => (k, s"p$k")).toDF("key", "payload"),
+      path, "key")
+    assert(ManifestLog.snapshot(spark, path).count() === 59)
+
+    val v = ManifestLog.restore(spark, path, "key", 1L)
+    // key 7 resurrects; the later commit's rows retire
+    val snap = ManifestLog.snapshot(spark, path)
+    assert(snap.count() === 50)
+    assert(snap.filter(col("key") === 7L).count() === 1)
+    assert(snap.filter(col("key") >= 100L).count() === 0)
+    assert(ManifestLog.snapshot(spark, path)
+      .orderBy("key").collect().map(_.toSeq).toSeq ===
+      ManifestLog.snapshot(spark, path, Some(1L))
+        .orderBy("key").collect().map(_.toSeq).toSeq)
+    // only the DV-bitten file was rewritten: the clean v1 file keeps
+    // its identity, the dirty one's replacement lives in the restore
+    // version's data directory
+    val now = ManifestLog.fileList(spark, path, v).toSet
+    val kept = now.intersect(v1Files)
+    assert(kept.size === 1)
+    assert((now -- kept).forall(_.contains(s"/data/v$v/")))
+  }
+
   test("optimizeZorder: a scattered layout becomes box-prunable on both columns") {
     import spark.implicits._
     val path = freshTable()

@@ -1153,6 +1153,86 @@ object Analytics {
        COUNT(*) AS n_events, ${sqlDsum(sqlDecp("value"))} AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Demand MOMENTUM per part brand — the reference's "skill trend"
+    * dashboard shape (which skills are rising month over month,
+    * pipline.py's enriched feed charted in Superset) re-expressed on
+    * the dated star: per brand, the exact least-squares slope of
+    * monthly ordered quantity over a ZERO-FILLED month spine (a brand
+    * absent from a month genuinely sold nothing that month — skipping
+    * the zeros biases every slope upward). Month index is exact
+    * integer year·12+month; moments follow the
+    * [[graft.operators.Stats.regressionSlope]] discipline — decimal/
+    * integer sums surfaced as doubles, one identical tree both
+    * engines, NULL slope when the spine has one month (ConstantCorpus'
+    * single-date orders). Scale: one lineitem×orders shuffle with the
+    * part dim broadcast; the spine is months×brands-bounded; output
+    * brand-cardinality. (round 7)
+    */
+  def brandDemandMomentum(s: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.orders(s, dir).select(col("o_orderkey"),
+      (year(to_date(col("o_orderdate"))) * 12
+        + month(to_date(col("o_orderdate"))) - 1).cast("long").as("ym"))
+    val parts = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val monthly = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"), col("ym"))
+      .agg(sum(decp(col("l_quantity"))).cast("decimal(14,4)").as("qty"))
+    val months = ords.select("ym").distinct()
+    val brands = parts.select(col("p_brand").as("brand")).distinct()
+    val m0 = months.agg(min(col("ym")).as("m0"))
+    months.crossJoin(broadcast(brands)).crossJoin(broadcast(m0))
+      .join(monthly, Seq("brand", "ym"), "left")
+      .select(col("brand"), (col("ym") - col("m0")).as("x"),
+        coalesce(col("qty"), lit(0).cast("decimal(14,4)")).as("y"))
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        dsum(col("y")).as("sy"),
+        dsum(decp(col("x")) * col("y")).as("sxy"))
+      .withColumn("nd", col("n_months").cast("double"))
+      .withColumn("den", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .select(col("brand"), col("n_months"), col("sy").as("total_qty"),
+        when(col("den") =!= 0.0,
+          (col("nd") * col("sxy") - col("sx") * col("sy")) / col("den"))
+          .as("slope"))
+      .orderBy("brand")
+  }
+
+  val brandDemandMomentumSql: String =
+    s"""WITH ords AS (SELECT o_orderkey,
+                CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                     AS BIGINT) AS ym
+              FROM orders),
+       monthly AS (SELECT p.p_brand AS brand, o.ym,
+                CAST(SUM(${sqlDecp("l.l_quantity")}) AS DECIMAL(14,4)) AS qty
+              FROM lineitem l
+                JOIN ords o ON l.l_orderkey = o.o_orderkey
+                JOIN part p ON l.l_partkey = p.p_partkey
+              GROUP BY 1, 2),
+       months AS (SELECT DISTINCT ym FROM ords),
+       brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+       m0 AS (SELECT MIN(ym) AS m0 FROM months),
+       z AS (SELECT b.brand, mo.ym - m.m0 AS x,
+                COALESCE(q.qty, CAST(0 AS DECIMAL(14,4))) AS y
+             FROM months mo CROSS JOIN brands b CROSS JOIN m0 m
+               LEFT JOIN monthly q ON b.brand = q.brand AND mo.ym = q.ym),
+       agg AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_months,
+                CAST(SUM(x) AS DOUBLE) AS sx,
+                CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                ${sqlDsum("y")} AS sy,
+                ${sqlDsum(s"${sqlDecp("x")} * y")} AS sxy
+             FROM z GROUP BY 1)
+       SELECT brand, n_months, sy AS total_qty,
+              CASE WHEN CAST(n_months AS DOUBLE) * sxx - sx * sx <> 0.0
+                THEN (CAST(n_months AS DOUBLE) * sxy - sx * sy)
+                  / (CAST(n_months AS DOUBLE) * sxx - sx * sx)
+              END AS slope
+       FROM agg ORDER BY brand"""
+
   /** Reference dashboard: top companies by offer volume/value -> customer
     * ranking with a window over the aggregate (rank is deterministic:
     * exact-decimal total + key tiebreak).
@@ -2057,6 +2137,8 @@ object Analytics {
     Q("q20_dominant_supplier", Some(q20DominantSupplierSql))(q20DominantSupplier),
     Q("rfm_segments", Some(rfmSegmentsSql))(rfmSegments),
     Q("offers_per_source_month", Some(perSourceMonthSql))(perSourceMonth),
+    Q("brand_demand_momentum", Some(brandDemandMomentumSql))(
+      brandDemandMomentum),
     Q("company_ranking", Some(companyRankingSql), bench = true)(companyRanking),
     Q("window_running", Some(windowRunningSql), bench = true)(windowRunning),
     Q("rollup_agg", Some(rollupAggSql))(rollupAgg),

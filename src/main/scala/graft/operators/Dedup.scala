@@ -1434,7 +1434,8 @@ object Dedup {
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
     Q("fingerprint_winnowing", Some(fingerprintWinnowingSql))(
       fingerprintWinnowing),
-    Q("dedup_winnowing", Some(dedupWinnowingSql))(dedupWinnowing),
+    Q("dedup_winnowing", Some(dedupWinnowingSql), bench = true)(
+      dedupWinnowing),
     Q("dedup_substring_spans", Some(dedupSubstringSpansSql), bench = true)(
       dedupSubstringSpans),
     Q("strip_repeated_spans", Some(stripRepeatedSpansSql))(

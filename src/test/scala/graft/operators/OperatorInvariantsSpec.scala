@@ -83,6 +83,24 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       < 1e-12)
   }
 
+  test("brand momentum: full spine per brand, mass preserved, slopes finite") {
+    val rows = Analytics.brandDemandMomentum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the zero-filled spine gives every brand the same month count ≥ 2
+    val monthCounts = rows.map(_.getAs[Long]("n_months")).toSet
+    assert(monthCounts.size === 1 && monthCounts.head >= 2L)
+    // zero-filling adds zeros only: total mass equals the raw corpus sum
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .agg(sum(col("l_quantity").cast("decimal(14,4)")).cast("double"))
+      .head.getDouble(0)
+    val total = rows.map(_.getAs[Double]("total_qty")).sum
+    assert(math.abs(total - direct) / direct < 1e-9)
+    rows.foreach { r =>
+      val sl = r.getAs[Double]("slope")
+      assert(!sl.isNaN && !sl.isInfinite)
+    }
+  }
+
   test("hard negatives: labels differ, ranked within bucket, ≤ k per anchor") {
     val rows = Similarity.hardNegativesLsh(spark, sf).collect()
     assert(rows.nonEmpty)

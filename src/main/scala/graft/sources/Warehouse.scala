@@ -261,4 +261,80 @@ object Warehouse {
       .orc(path)
 
   def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  /** TYPE-2 slowly-changing dimension upsert — the history-keeping
+    * sibling of [[upsertDim]]'s type-1 get-or-create (the reference
+    * overwrites dim attributes in place; a type-2 dim is what lets a
+    * fact row join the attributes that were TRUE AT LOAD TIME —
+    * Kimball's SCD2). Each natural key carries versioned rows
+    * `(idCol, naturalKey, attrs..., valid_from, valid_to, is_current)`;
+    * per batch at `batchTs`:
+    *   - unseen natural key → one new OPEN row (fresh surrogate id);
+    *   - attribute change → the current row CLOSES (valid_to =
+    *     batchTs, is_current = false) and a new open row appends;
+    *   - identical attributes → untouched (a replayed batch is a
+    *     no-op, so the sink is idempotent per (batch, ts)).
+    *
+    * The dim lives in a [[ManifestLog]] table keyed by the surrogate
+    * id, and the whole batch lands as ONE [[ManifestLog.merge]] commit
+    * (closures are id-matched updates, new versions are id-unmatched
+    * inserts) — atomic, time-travelable, and the commit's change feed
+    * is exactly the SCD2 delta. Surrogate ids stay dense via
+    * [[graft.functions.Keys.denseIds]] offset past the stored maximum.
+    * Scale: the merge rewrites only id-bearing files (manifest-pruned);
+    * everything else is batch-cardinality. Returns the new version.
+    */
+  def upsertDimScd2(batch: DataFrame, path: String, naturalKey: String,
+      idCol: String, batchTs: Long): Long = {
+    val s = batch.sparkSession
+    val attrCols = batch.columns.filterNot(_ == naturalKey).toSeq
+    val incoming = batch.dropDuplicates(naturalKey)
+    val existing =
+      if (ManifestLog.currentVersion(s, path) == 0L) None
+      else Some(ManifestLog.snapshot(s, path))
+    val current = existing.map(_.filter(col("is_current")))
+    val attrsEqual = attrCols
+      .map(c => col(c) <=> col(s"__new_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val renamed = incoming.select(
+      col(naturalKey).as("__new_key") +:
+        attrCols.map(c => col(c).as(s"__new_$c")): _*)
+    // rows whose attributes CHANGED: close them at batchTs
+    val closures = current.map(_
+      .join(renamed, col(naturalKey) === col("__new_key"))
+      .filter(!attrsEqual)
+      .select(Seq(col(idCol), col(naturalKey)) ++
+        attrCols.map(col) ++ Seq(col("valid_from"),
+          lit(batchTs).as("valid_to"), lit(false).as("is_current")): _*))
+    // natural keys needing a fresh OPEN row: new keys + changed keys
+    val openKeys = current match {
+      case None => incoming
+      case Some(cur) =>
+        val unchanged = cur.select(col(naturalKey).as("__new_key") +:
+          attrCols.map(c => col(c).as(s"__new_$c")): _*)
+        incoming.join(unchanged,
+          col(naturalKey) === col("__new_key") && attrsEqual, "left_anti")
+    }
+    val maxId = existing.map(_.agg(max(col(idCol)))
+      .head.getAs[java.lang.Long](0)).map(Option(_)).flatten
+      .map(_.longValue).getOrElse(0L)
+    val opened = graft.functions.Keys
+      .denseIds(openKeys, Nil, naturalKey +: attrCols, idCol)
+      .withColumn(idCol, col(idCol).cast("long") + maxId)
+      .select(Seq(col(idCol), col(naturalKey)) ++
+        attrCols.map(col) ++ Seq(lit(batchTs).as("valid_from"),
+          lit(null).cast("long").as("valid_to"),
+          lit(true).as("is_current")): _*)
+    val delta = closures.fold(opened)(_.unionByName(opened))
+    if (delta.isEmpty) ManifestLog.currentVersion(s, path)
+    else ManifestLog.merge(delta, path, idCol)
+  }
+
+  /** The dimension AS OF `ts`: each natural key's row whose validity
+    * interval covers ts — the join a fact load at ts performs to pick
+    * up period-correct attributes. */
+  def dimAsOf(s: SparkSession, path: String, ts: Long): DataFrame =
+    ManifestLog.snapshot(s, path)
+      .filter(col("valid_from") <= ts &&
+        (col("valid_to").isNull || col("valid_to") > ts))
 }

@@ -302,4 +302,52 @@ class LakeWarehouseSpec extends AnyFunSuite {
       .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
     assert(aggregated(Some("eu")) === 30.0 && aggregated(None) === 30.0)
   }
+
+  test("SCD2 dim: change closes the old row, as-of joins read period truth") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("scd2_dim").toString + "/dim"
+    // batch 1 at ts=100: two companies
+    Warehouse.upsertDimScd2(
+      Seq(("acme", "tech"), ("byte", "media")).toDF("company", "sector"),
+      path, "company", "id_company", 100L)
+    val d1 = ManifestLog.snapshot(spark, path).collect()
+    assert(d1.length === 2)
+    assert(d1.forall(_.getAs[Boolean]("is_current")))
+    assert(d1.forall(r => r.isNullAt(r.fieldIndex("valid_to"))))
+
+    // batch 2 at ts=200: acme changes sector, cogs is new, byte is same
+    Warehouse.upsertDimScd2(
+      Seq(("acme", "finance"), ("byte", "media"), ("cogs", "retail"))
+        .toDF("company", "sector"),
+      path, "company", "id_company", 200L)
+    val d2 = ManifestLog.snapshot(spark, path).collect()
+    assert(d2.length === 4) // acme x2, byte x1, cogs x1
+    assert(d2.count(_.getAs[Boolean]("is_current")) === 3)
+    val acme = d2.filter(_.getAs[String]("company") === "acme")
+      .sortBy(_.getAs[Long]("valid_from"))
+    assert(acme.map(_.getAs[String]("sector")).toSeq ===
+      Seq("tech", "finance"))
+    assert(acme.head.getAs[Long]("valid_to") === 200L)
+    assert(!acme.head.getAs[Boolean]("is_current"))
+    // surrogate ids are unique across ALL versions
+    assert(d2.map(_.getAs[Long]("id_company")).distinct.length === 4)
+
+    // as-of reads resolve period-correct attributes
+    def sectorAt(ts: Long) = Warehouse.dimAsOf(spark, path, ts)
+      .filter(col("company") === "acme").collect()
+    assert(sectorAt(150L).map(_.getAs[String]("sector")).toSeq ===
+      Seq("tech"))
+    assert(sectorAt(250L).map(_.getAs[String]("sector")).toSeq ===
+      Seq("finance"))
+    assert(Warehouse.dimAsOf(spark, path, 50L).count() === 0)
+
+    // a replayed batch is a no-op: nothing changed, no new version
+    val v2 = ManifestLog.currentVersion(spark, path)
+    val v3 = Warehouse.upsertDimScd2(
+      Seq(("acme", "finance"), ("byte", "media"), ("cogs", "retail"))
+        .toDF("company", "sector"),
+      path, "company", "id_company", 200L)
+    assert(v3 === v2)
+    assert(ManifestLog.snapshot(spark, path).count() === 4)
+  }
 }

@@ -95,6 +95,56 @@ object Curation {
     * decision. Pure projection; reasons make the drop set explainable
     * (what a 100 TB curation run must log to be debuggable).
     */
+  /** Substring blocklist — boilerplate/spam markers a web-corpus
+    * curation pass routes on (the list is a config in real
+    * deployments; a deterministic constant here so the oracle can
+    * verify routing mechanics). Substring match by design: conservative
+    * recall beats word-boundary precision at the routing stage, and
+    * flagged docs get human-reviewable hit counts, not silent drops.
+    */
+  val Blocklist: Seq[String] = Seq(
+    "click here", "buy now", "subscribe", "lorem ipsum", "free trial")
+
+  /** Blocklist routing report per source — the spam/boilerplate gate
+    * next to [[qualityFilterReasons]]' heuristic thresholds: per doc,
+    * how many blocklist phrases occur (codegen'd `instr` over
+    * lowercased text — no regex, no UDF); per source, the docs-flagged
+    * rate the curation dashboard watches per scrape feed. Exact counts,
+    * one division. Scale: pure map-side projection, source-cardinality
+    * output. (round 7)
+    */
+  def blocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val hits = Blocklist
+      .map(p => when(instr(lower(col("text")), p) > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(s, dir)
+      .select(col("source"), hits.as("n_hits"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_hits")).as("total_hits"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        col("total_hits"),
+        (col("n_flagged").cast("double") / col("n_docs").cast("double"))
+          .as("flag_rate"))
+      .orderBy("source")
+  }
+
+  val blocklistFilterSql: String = {
+    val hits = Blocklist
+      .map(p => s"CASE WHEN position('$p' IN lower(text)) > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT source, CAST($hits AS BIGINT) AS n_hits
+                   FROM documents)
+       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_flagged,
+              CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+              CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE) AS flag_rate
+       FROM d GROUP BY source ORDER BY source"""
+  }
+
   def qualityFilterReasons(s: SparkSession, dir: String): DataFrame = {
     val tk = toks(col("text"))
     val en = TextAnalysis.Stop(0)._2
@@ -1181,6 +1231,7 @@ object Curation {
 
   def queries: Seq[Q] = Seq(
     Q("negative_samples", Some(negativeSamplesSql))(negativeSamples),
+    Q("blocklist_filter", Some(blocklistFilterSql))(blocklistFilter),
     Q("dataset_kfold", Some(datasetKfoldSql))(datasetKfold),
     Q("negative_samples_keyed",
       Some(negativeSamplesKeyedSql))(negativeSamplesKeyed),

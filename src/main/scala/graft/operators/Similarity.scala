@@ -262,6 +262,67 @@ object Similarity {
        FROM qs LEFT JOIN inter USING (q_id) ORDER BY q_id"""
   }
 
+  /** Recall gate for [[hardNegativesLsh]] against the EXACT top-k
+    * different-label neighbors (the same drift-monitor discipline as
+    * [[annRecallLsh]] — an approximate miner that silently loses its
+    * hard negatives trains on easy ones, which is invisible without
+    * this number). Exact truth is brute force over the capped query
+    * set, O(|Q|·N); cost bounded by the monitored key's own baseline.
+    * (round 7)
+    */
+  def hardNegativesRecall(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val c = quantized(s, dir).join(lab, Seq("vec_id"))
+    val q = c.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+        col("nn").as("q_nn"), col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = broadcast(q).join(c, col("q_label") =!= col("label"))
+      .select(col("q_id"), col("vec_id"),
+        cosineQ(dotQ(col("q_qv"), col("qv")), col("q_nn"), col("nn"))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .select("q_id", "vec_id")
+    val mined = hardNegativesLsh(s, dir).select("q_id", "vec_id")
+    val inter = exact.join(mined, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    exact.select("q_id").distinct()
+      .join(inter, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / HardNegK)
+          .as("recall"))
+      .orderBy("q_id")
+  }
+
+  val hardNegativesRecallSql: String = {
+    def ranked(rel: String, extraPred: String) =
+      s"""SELECT q_id, vec_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     ${sqlCosineQ(sqlDotQ("q.qv", "c.qv", Dim), "q.nn", "c.nn")} DESC,
+                     c.vec_id) AS r
+            FROM $rel q JOIN $rel c ON ${sqlQueryPred("q")}$extraPred
+             AND q.label <> c.label) WHERE r <= $HardNegK"""
+    s"""WITH $sqlQuant,
+       $sqlPlanes,
+       $sqlBuckets,
+       lq AS (SELECT quant.vec_id, qv, nn, e.label
+              FROM quant JOIN embeddings e ON quant.vec_id = e.vec_id),
+       corp AS (SELECT lq.vec_id, qv, nn, label, bucket
+                FROM lq JOIN buck ON lq.vec_id = buck.vec_id),
+       bf AS (${ranked("lq", "")}),
+       mined AS (${ranked("corp", " AND q.bucket = c.bucket")}),
+       inter AS (SELECT q_id, COUNT(*) AS n_hit
+                 FROM bf JOIN mined USING (q_id, vec_id) GROUP BY q_id),
+       qs AS (SELECT DISTINCT q_id FROM bf)
+       SELECT qs.q_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+              CAST(COALESCE(n_hit, 0) AS DOUBLE) / $HardNegK AS recall
+       FROM qs LEFT JOIN inter USING (q_id) ORDER BY q_id"""
+  }
+
   // IVF defaults (SimilarityConfig.Default): a corpus-INDEPENDENT
   // centroid count (the broadcast and the assignment cost stay bounded
   // no matter how large the corpus grows), refined by exact-integer
@@ -955,6 +1016,8 @@ object Similarity {
     Q("ann_topk_bruteforce", Some(annTopkBruteforceSql), bench = true)(annTopkBruteforce),
     Q("ann_topk_lsh", Some(annTopkLshSql))(annTopkLsh),
     Q("hard_negatives_lsh", Some(hardNegativesLshSql))(hardNegativesLsh),
+    Q("hard_negatives_recall", Some(hardNegativesRecallSql))(
+      hardNegativesRecall),
     Q("ann_topk_ivf", Some(annTopkIvfSql))(annTopkIvf),
     Q("ann_topk_pq", Some(annTopkPqSql))(annTopkPq),
     Q("ann_topk_ivfpq", Some(annTopkIvfPqSql))(annTopkIvfPq),

@@ -545,4 +545,141 @@ class GeneratedInputsSpec extends AnyFunSuite {
     }
   }
 
+  test("MAD anomaly flags match a sequential median/MAD sweep on generated series") {
+    import graft.operators.Inference
+    val serGen = for {
+      n <- Gen.choose(3, 20)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 30L))
+    } yield vs
+    sample(serGen, 25).foreach { vs =>
+      val ser = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("di", "n").localCheckpoint()
+      def lowerMed(xs: Seq[Long]): Long = xs.sorted.apply((xs.length + 1) / 2 - 1)
+      val med = lowerMed(vs)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = lowerMed(devs)
+      val out = Inference.madFrom(ser).collect().sortBy(_.getAs[Long]("di"))
+      assert(out.length === vs.length, s"rows on $vs")
+      out.zip(vs).zip(devs).foreach { case ((r, v), dv) =>
+        assert(r.getAs[Long]("med") === med, s"med on $vs")
+        assert(r.getAs[Long]("mad") === mad, s"mad on $vs")
+        assert(r.getAs[Long]("dev") === dv)
+        assert(r.getAs[Boolean]("is_anomaly") === (dv * 1349 > mad * 7000),
+          s"flag on $vs at $v")
+        if (mad > 0)
+          assert(r.getAs[Double]("mod_z") === 0.6745 * dv.toDouble / mad.toDouble)
+        else assert(r.isNullAt(r.fieldIndex("mod_z")))
+      }
+    }
+  }
+
+  test("Durbin-Watson matches the exact rational on generated series") {
+    import graft.operators.Inference
+    val serGen = for {
+      n <- Gen.choose(2, 15)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield vs
+    sample(serGen, 25).foreach { vs =>
+      val ser = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("di", "n").localCheckpoint()
+      val out = Inference.dwFrom(ser).head
+      val n = vs.length.toLong
+      val sd2 = vs.zip(vs.tail).map { case (a, b) => (b - a) * (b - a) }.sum
+      val den = n * vs.map(v => v * v).sum - vs.sum * vs.sum
+      assert(out.getAs[Long]("n_days") === n)
+      if (den <= 0) assert(out.isNullAt(out.fieldIndex("dw")), s"on $vs")
+      else assert(out.getAs[Double]("dw") ===
+        (sd2 * n).toDouble / den.toDouble, s"dw on $vs")
+    }
+  }
+
+  test("Cochran Q matches the closed form on generated presence matrices") {
+    import graft.operators.Inference
+    val presGen = for {
+      u <- Gen.choose(2, 8)
+      k <- Gen.choose(1, 4)
+      pairs <- Gen.listOfN(u * k, Gen.choose(0, 99)).map(_.zipWithIndex
+        .collect { case (r, i) if r < 45 => (i / k + 1).toLong -> s"t${i % k}" })
+    } yield pairs.distinct
+    sample(presGen, 25).filter(_.nonEmpty).foreach { pairs =>
+      val out = Inference.cochranFrom(
+        pairs.toDF("user_id", "event_type").localCheckpoint()).head
+      val k = pairs.map(_._2).distinct.length.toLong
+      val cs = pairs.groupBy(_._2).values.map(_.length.toLong)
+      val rs = pairs.groupBy(_._1).values.map(_.length.toLong)
+      val s0 = pairs.length.toLong
+      val den = k * s0 - rs.map(r => r * r).sum
+      assert(out.getAs[Long]("k") === k)
+      assert(out.getAs[Long]("n_present") === s0)
+      if (den <= 0) assert(out.isNullAt(out.fieldIndex("q_stat")),
+        s"on $pairs")
+      else assert(out.getAs[Double]("q_stat") ===
+        ((k - 1) * (k * cs.map(c => c * c).sum - s0 * s0)).toDouble
+          / den.toDouble, s"Q on $pairs")
+    }
+  }
+
+  test("harmonic centrality matches per-node BFS on generated graphs") {
+    import graft.operators.Graph
+    val edgeGen = for {
+      n <- Gen.choose(2, 8)
+      m <- Gen.choose(1, 12)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+      } yield (s"v$a", s"v$b"))
+    } yield es.filter(e => e._1 != e._2).distinct
+    sample(edgeGen, 20).filter(_.nonEmpty).foreach { und =>
+      val sym = (und ++ und.map(_.swap)).distinct
+      val e = sym.toDF("src", "dst").localCheckpoint()
+      val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = sym.map(_._1).distinct
+      def bfs(root: String): Map[String, Int] = {
+        var dist = Map(root -> 0); var frontier = Set(root)
+        for (d <- 1 to Graph.BfsIters) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+            .filterNot(dist.contains)
+          dist ++= frontier.map(_ -> d); if (frontier.isEmpty) ()
+        }
+        dist - root
+      }
+      val out = Graph.harmonicFrom(e).collect()
+        .map(r => r.getAs[String]("skill") ->
+          ((r.getAs[Long]("n_reached"), r.getAs[Long]("harm_num")))).toMap
+      nodes.foreach { v =>
+        val d = bfs(v)
+        val expected = (d.size.toLong,
+          d.values.map(Graph.HarmScale / _.toLong).sum)
+        assert(out(v) === expected, s"node $v of $sym")
+      }
+    }
+  }
+
+  test("winnowing fingerprints match a sequential sweep on generated token docs") {
+    import graft.operators.Dedup
+    val docGen = for {
+      n <- Gen.choose(1, 30)
+      ts <- Gen.listOfN(n, Gen.choose(0, 6).map(i => s"w$i"))
+    } yield ts
+    val docs = sample(docGen, 30).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+    val out = Dedup.winnowFrom(docs.toDF("doc_id", "text")).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[String]("fp")).toSet }
+    def md5hex16(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 16)
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val kgrams =
+        if (toks.length < Dedup.WinnowK) Seq(toks.mkString(" "))
+        else toks.sliding(Dedup.WinnowK).map(_.mkString(" ")).toSeq
+      val hs = kgrams.map(md5hex16)
+      val n = hs.length
+      val expected = (0 to math.max(n - Dedup.WinnowW, 0))
+        .map(i => hs.slice(i, math.min(i + Dedup.WinnowW, n)).min).toSet
+      assert(out(id) === expected, s"doc $id: '$text'")
+    }
+  }
+
 }

@@ -64,6 +64,15 @@ object Multimodal {
       lit("FFC0001108"), beHex16(h), beHex16(w),
       lit("03011100021101031101")))
 
+  /** A minimal valid WAV: RIFF/WAVE with a LIST chunk FIRST (exercises
+    * the chunk walk's skip-by-size), then the 16-byte PCM `fmt `
+    * chunk carrying channels and sample rate. */
+  def wavBytes(rate: Column, channels: Column): Column =
+    unhex(concat(lit("52494646"), lit("28000000"), lit("57415645"),
+      lit("4C495354"), lit("04000000"), lit("494E464F"),
+      lit("666D7420"), lit("10000000"), lit("0100"), leHex16(channels),
+      leHex32(rate), lit("00000000"), lit("0400"), lit("1000")))
+
   /** Construct one real media header per document (format and
     * dimensions derived deterministically from doc_id), then DECODE it
     * with the pure-JVM header parser and emit the parsed metadata —
@@ -75,20 +84,26 @@ object Multimodal {
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val w = (pmod(col("doc_id") * 37, lit(2000)) + 16).cast("int")
     val h = (pmod(col("doc_id") * 91, lit(1200)) + 16).cast("int")
+    val rate = (pmod(col("doc_id") * 53, lit(40000)) + 8000).cast("int")
+    val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
     Tables.documents(s, dir)
       .select(col("doc_id"), w.as("w0"), h.as("h0"),
-        pmod(col("doc_id"), lit(4)).as("kind_id"))
+        rate.as("r0"), ch.as("c0"),
+        pmod(col("doc_id"), lit(5)).as("kind_id"))
       .withColumn("media",
         when(col("kind_id") === 0, pngBytes(col("w0"), col("h0")))
           .when(col("kind_id") === 1, gifBytes(col("w0"), col("h0")))
           .when(col("kind_id") === 2, bmpBytes(col("w0"), col("h0")))
-          .otherwise(jpegBytes(col("w0"), col("h0"))))
+          .when(col("kind_id") === 3, jpegBytes(col("w0"), col("h0")))
+          .otherwise(wavBytes(col("r0"), col("c0"))))
       .withColumn("m", expr("graft_media_meta(media)"))
       .select(col("doc_id"),
         length(col("media")).as("n_bytes"),
         col("m.codec").as("codec"),
         col("m.width").as("width"),
-        col("m.height").as("height"))
+        col("m.height").as("height"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.channels").as("channels"))
       .orderBy("doc_id")
   }
 

@@ -27,7 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    height/width are big-endian u16 at segment offsets 5/7 —
   *    dimensions are NOT at a fixed offset in JPEG, so the walk skips
   *    each segment by its declared length, exactly what every real
-  *    decoder's header pass does.
+  *    decoder's header pass does;
+  *  - '''WAV''' (RIFF/WAVE): chunk walk to the `fmt ` chunk —
+  *    channels le-u16 / sample rate le-u32; the audio modality's
+  *    metadata (dimensions stay null, the struct spans modalities).
   *
   * Anything else — truncated headers included — returns NULL, never a
   * guess. The expression replaces the earlier arithmetic decode stub:
@@ -44,8 +47,12 @@ object MediaHeader {
   val FnName = "graft_media_meta"
 
   /** Driver/executor-side parse result (the expression emits the same
-    * fields as an InternalRow struct). */
-  final case class Parsed(codec: String, width: Int, height: Int)
+    * fields as an InternalRow struct). Image formats carry dimensions
+    * and null audio fields; audio formats the reverse — the one struct
+    * spans modalities the way a real media catalog column does. */
+  final case class Parsed(codec: String, width: java.lang.Integer,
+    height: java.lang.Integer, sampleRate: java.lang.Integer = null,
+    channels: java.lang.Integer = null)
 
   def parse(b: Array[Byte]): Parsed = {
     if (b == null) return null
@@ -72,6 +79,28 @@ object MediaHeader {
         return Parsed("bmp", leI32(18), math.abs(leI32(22)))
       if (dib == 12)
         return Parsed("bmp", leU16(18), leU16(20))
+      return null
+    }
+
+    // WAV (RIFF/WAVE, the canonical PCM container): chunk walk from
+    // offset 12 — [id u32][size le-u32][payload, word-aligned] — to the
+    // 'fmt ' chunk, whose channels (le-u16 at +2) and sample rate
+    // (le-u32 at +4) are the audio metadata a catalog keeps.
+    if (b.length >= 12 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' &&
+      u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' &&
+      u8(11) == 'E') {
+      var i = 12
+      while (i + 8 <= b.length) {
+        val isFmt = u8(i) == 'f' && u8(i + 1) == 'm' && u8(i + 2) == 't' &&
+          u8(i + 3) == ' '
+        val size = leI32(i + 4)
+        if (size < 0) return null
+        if (isFmt) {
+          if (size < 16 || i + 16 > b.length) return null
+          return Parsed("wav", null, null, leI32(i + 12), leU16(i + 10))
+        }
+        i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      }
       return null
     }
 
@@ -107,8 +136,10 @@ object MediaHeader {
 
   val OutType: StructType = StructType(Seq(
     StructField("codec", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)))
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true)))
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -131,7 +162,8 @@ case class MediaMetaExpr(child: Expression)
     val p = MediaHeader.parse(v.asInstanceOf[Array[Byte]])
     if (p == null) null
     else new GenericInternalRow(Array[Any](
-      UTF8String.fromString(p.codec), p.width, p.height))
+      UTF8String.fromString(p.codec), p.width, p.height,
+      p.sampleRate, p.channels))
   }
 
   override protected def withNewChildInternal(

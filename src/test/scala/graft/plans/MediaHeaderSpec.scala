@@ -122,7 +122,9 @@ class MediaHeaderSpec extends AnyFunSuite {
       hexBytes("474946383961 4001 C800 F70000"),
       hexBytes("424D 00000000 00000000 36000000 28000000 00040000 00030000 0100 1800"),
       hexBytes("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 0000" +
-        "FFC0 0011 08 01E0 0280 03 011100 021101 031101"))
+        "FFC0 0011 08 01E0 0280 03 011100 021101 031101"),
+      hexBytes("52494646 28000000 57415645 4C495354 04000000 494E464F" +
+        "666D7420 10000000 0100 0200 44AC0000 00000000 0400 1000"))
     valid.foreach { v =>
       (0 to v.length).foreach(k => MediaHeader.parse(v.take(k)))
       (0 until 200).foreach { _ =>
@@ -133,17 +135,51 @@ class MediaHeaderSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal_meta: every row's parsed dims equal the constructed ones") {
+  test("golden WAV: fmt chunk behind a skipped LIST; truncations refuse") {
+    // RIFF/WAVE, LIST(4) first, then PCM fmt: 2 ch, 44100 Hz
+    val wav = hexBytes("52494646 28000000 57415645" +
+      "4C495354 04000000 494E464F" +
+      "666D7420 10000000 0100 0200 44AC0000 00000000 0400 1000")
+    assert(MediaHeader.parse(wav) ===
+      MediaHeader.Parsed("wav", null, null, 44100, 2))
+    // fmt directly at offset 12 (no leading chunk)
+    assert(MediaHeader.parse(hexBytes(
+      "52494646 24000000 57415645 666D7420 10000000 0100 0100 80BB0000" +
+        "00000000 0200 1000")) ===
+      MediaHeader.Parsed("wav", null, null, 48000, 1))
+    // RIFF but not WAVE refuses; WAVE with no fmt chunk refuses;
+    // truncated mid-fmt refuses
+    assert(MediaHeader.parse(hexBytes("52494646 08000000 41564920")) === null)
+    assert(MediaHeader.parse(hexBytes(
+      "52494646 0C000000 57415645 64617461 00000000")) === null)
+    assert(MediaHeader.parse(hexBytes(
+      "52494646 24000000 57415645 666D7420 10000000 0100")) === null)
+  }
+
+  test("multimodal_meta: every row's parsed metadata equals the constructed one") {
     val out = Multimodal.multimodalMeta(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      val expectCodec = (id % 4) match {
-        case 0 => "png"; case 1 => "gif"; case 2 => "bmp"; case _ => "jpeg"
+      val expectCodec = (id % 5) match {
+        case 0 => "png"; case 1 => "gif"; case 2 => "bmp"; case 3 => "jpeg"
+        case _ => "wav"
       }
       assert(r.getAs[String]("codec") === expectCodec)
-      assert(r.getAs[Int]("width") === (id * 37) % 2000 + 16)
-      assert(r.getAs[Int]("height") === (id * 91) % 1200 + 16)
+      if (expectCodec == "wav") {
+        assert(r.isNullAt(r.fieldIndex("width")))
+        assert(r.isNullAt(r.fieldIndex("height")))
+        assert(r.getAs[Int]("sample_rate") === (id * 53) % 40000 + 8000)
+        assert(r.getAs[Int]("channels") === id % 2 + 1)
+      } else {
+        assert(r.getAs[Int]("width") === (id * 37) % 2000 + 16)
+        assert(r.getAs[Int]("height") === (id * 91) % 1200 + 16)
+        assert(r.isNullAt(r.fieldIndex("sample_rate")))
+        assert(r.isNullAt(r.fieldIndex("channels")))
+      }
     }
+    // all five modalities actually occur
+    assert(out.map(_.getAs[String]("codec")).toSet ===
+      Set("png", "gif", "bmp", "jpeg", "wav"))
   }
 }

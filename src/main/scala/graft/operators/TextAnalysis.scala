@@ -433,6 +433,81 @@ object TextAnalysis {
   /** Word-k-gram width for [[ngramNovelty]]. */
   val NoveltyWidth = 3
 
+  /** Support floor / output cap for [[collocationLift]]. */
+  val CollocMinCount = 5
+  val CollocTopK = 50
+
+  /** Collocation mining by LIFT — PMI's log-free monotone twin
+    * (log is transcendental and engine-unportable; lift = P(ab) /
+    * P(a)P(b) ranks identically since log is monotone): which adjacent
+    * word pairs co-occur far above chance — the multi-word-expression
+    * detector next to [[topBigrams]]' raw counts (raw counts surface
+    * "of the"; lift surfaces genuine collocations) and
+    * [[skillAssociation]]'s doc-level lift. Exact arithmetic: lift =
+    * cb·N_uni² / (N_bi·c_a·c_b) in DECIMAL(38,0)/HUGEINT (N_uni² passes
+    * BIGINT near 3e9 tokens), one division; support floor ≥
+    * [[CollocMinCount]], deterministic top-[[CollocTopK]] by (lift
+    * desc, pair) — identical doubles make the cut identical. Scale:
+    * two token-cardinality aggregates, joins on the vocab frames,
+    * top-k planned as TakeOrderedAndProject. (round 7)
+    */
+  def collocationLift(s: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val docs = Tables.documents(s, dir)
+    val uni = docs.select(explode(toks(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+      .localCheckpoint() // feeds the total AND both pair-side joins
+    val nu = uni.agg(sum(col("cu")).as("nu"))
+    val biAll = docs
+      .select(explode(wordShingles(toks(col("text")), 2)).as("sh"))
+      .filter(instr(col("sh"), " ") > 0) // 1-token docs yield no pair
+      .groupBy("sh").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // feeds the total AND the supported slice
+    val nb = biAll.agg(sum(col("cb")).as("nb"))
+    biAll.filter(col("cb") >= CollocMinCount)
+      .select(substring_index(col("sh"), " ", 1).as("a"),
+        substring_index(col("sh"), " ", -1).as("b"), col("cb"))
+      .join(uni.select(col("tok").as("a"), col("cu").as("ca")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("cu").as("cbt")), Seq("b"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("cb").as("n_pair"),
+        col("ca"), col("cbt").as("cb_tok"),
+        ((dec(col("cb")) * col("nu") * col("nu")).cast("double")
+          / (dec(col("nb")) * col("ca") * col("cbt")).cast("double"))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(CollocTopK)
+  }
+
+  val collocationLiftSql: String =
+    s"""WITH uni AS MATERIALIZED (
+         SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu
+         FROM (SELECT unnest(${sqlToks("text")}) AS tok FROM documents)
+         GROUP BY 1),
+       nu AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM uni),
+       biall AS MATERIALIZED (
+         SELECT sh, CAST(COUNT(*) AS BIGINT) AS cb
+         FROM (SELECT array_to_string(tk[i:i+1], ' ') AS sh
+               FROM (SELECT tk,
+                       unnest(generate_series(1, greatest(len(tk) - 1, 1)))
+                         AS i
+                     FROM (SELECT ${sqlToks("text")} AS tk FROM documents)))
+         WHERE position(' ' IN sh) > 0
+         GROUP BY 1),
+       nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS nb FROM biall)
+       SELECT split_part(sh, ' ', 1) AS a, split_part(sh, ' ', 2) AS b,
+              s.cb AS n_pair, ua.cu AS ca, ub.cu AS cb_tok,
+              CAST(CAST(CAST(s.cb AS HUGEINT) * n.nu * n.nu AS VARCHAR)
+                   AS DOUBLE)
+                / CAST(CAST(CAST(t.nb AS HUGEINT) * ua.cu * ub.cu
+                            AS VARCHAR) AS DOUBLE) AS lift
+       FROM biall s
+         JOIN uni ua ON split_part(s.sh, ' ', 1) = ua.tok
+         JOIN uni ub ON split_part(s.sh, ' ', 2) = ub.tok
+         CROSS JOIN nu n CROSS JOIN nb t
+       WHERE s.cb >= $CollocMinCount
+       ORDER BY lift DESC, a, b LIMIT $CollocTopK"""
+
   /** N-gram novelty per source — how much of each source's k-gram mass
     * is seen there FIRST (corpus-order first occurrence by doc_id):
     * the diversity-vs-redundancy signal a data mixer reads next to
@@ -1464,6 +1539,7 @@ object TextAnalysis {
     Q("lang_id_ngram", Some(langIdNgramSql))(langIdNgram),
     Q("cohen_kappa", Some(cohenKappaSql))(cohenKappa),
     Q("ngram_novelty", Some(ngramNoveltySql))(ngramNovelty),
+    Q("collocation_lift", Some(collocationLiftSql))(collocationLift),
     Q("text_quality_score", Some(textQualityScoreSql))(textQualityScore),
     Q("quality_repetition", Some(qualityRepetitionSql))(qualityRepetition),
     Q("token_count", Some(tokenCountSql))(tokenCount),

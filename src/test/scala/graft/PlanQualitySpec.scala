@@ -84,6 +84,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("collocation_lift: top-k plans as TakeOrderedAndProject, no global sort") {
+    val p = plan(TextAnalysis.collocationLift(spark, sf))
+    // the deterministic top-50 must fold per-partition then merge on
+    // the driver — a global Sort before the limit would single-task
+    // the vocabulary at corpus scale
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("dedup_winnowing: fingerprint equi-join, no unbounded product") {
+    val p = plan(operators.Dedup.dedupWinnowing(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // windows partition per document, never one global task
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"),
+      p.take(2000))
+  }
+
+  test("brand_demand_momentum: part dim broadcast into the fact join") {
+    val p = plan(Analytics.brandDemandMomentum(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("hard_negatives_lsh: bucket equi-join like the index it mines from") {
+    val p = plan(Similarity.hardNegativesLsh(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("lsh_bucket_stats: one corpus scan, aggregation-only after the signatures") {
     val df = operators.Dedup.lshBucketStats(spark, sf)
     val p = plan(df)
@@ -116,6 +146,9 @@ class PlanQualitySpec extends AnyFunSuite {
     "dedup_embedding_recall", "ann_topk_bruteforce", "ann_topk_lsh",
     "ann_topk_ivf", "ann_topk_ivfpq", "ann_recall_lsh", "ann_recall_ivf",
     "ann_recall_pq", "gap_fill_ffill",
+    // exact different-label truth for the hard-negative miner: the same
+    // hard-capped query broadcast as ann_topk_bruteforce, O(|Q| * N)
+    "hard_negatives_recall",
     // corpus x broadcast K=16 centroid argmax (the IVF assignment
     // shape, N x K by construction); the PAIR search itself is the
     // (cluster, bucket) equi-join, never a product

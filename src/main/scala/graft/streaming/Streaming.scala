@@ -327,6 +327,71 @@ object Streaming {
       .groupBy(col("user_id"))
       .agg(min(unix_micros(col("ts"))).as("first_us"))
 
+  case class FunnelState(firstView: Long, done: Boolean)
+  case class FunnelHit(user_id: Long, first_view_us: Long,
+    purchase_us: Long, delay_us: Long)
+
+  /** Streaming windowed-funnel detector — the stateful twin of
+    * `funnel_windowed`'s batch flags: per user, ONE row the moment a
+    * purchase lands within [[graft.operators.Temporal.ConvWindowUs]]
+    * of their first view (Append mode — the conversion is final on
+    * emit; the first eligible purchase is by construction the minimum
+    * one, so stream and batch agree on the row). Keyed state is two
+    * numbers per user (first view + done flag) — O(users), the
+    * irreducible exact-funnel state, bounded in production by a
+    * state-TTL on dormant users. Within a micro-batch events process
+    * in event-time order, so intra-batch disorder is handled exactly;
+    * a purchase arriving in an EARLIER batch than a retro-dated view
+    * is the documented residual trade (the batch key re-derives truth
+    * offline — the streaming row is the low-latency signal).
+    */
+  def funnelStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val W = graft.operators.Temporal.ConvWindowUs
+    def step(u: Long, rows: Iterator[(Long, String, java.time.Instant)],
+        state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+      var st = state.getOption.getOrElse(FunnelState(Long.MaxValue, false))
+      if (st.done) return Iterator.empty
+      val evs = rows.map { case (_, tpe, t) =>
+        (tpe, t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      }.toSeq.sortBy(_._2)
+      var out: Option[FunnelHit] = None
+      evs.foreach { case (tpe, t) =>
+        if (tpe == "view" && t < st.firstView)
+          st = st.copy(firstView = t)
+        else if (tpe == "purchase" && !st.done &&
+          st.firstView != Long.MaxValue && t >= st.firstView &&
+          t - st.firstView <= W) {
+          out = Some(FunnelHit(u, st.firstView, t, t - st.firstView))
+          st = st.copy(done = true)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+    eventsStream(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .as[(Long, String, java.time.Instant)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(step)
+      .toDF()
+  }
+
+  /** Batch twin of [[funnelStream]]: users whose first purchase at or
+    * after their first view landed within the window. */
+  def funnelBatch(s: SparkSession, dir: String): DataFrame = {
+    val W = graft.operators.Temporal.ConvWindowUs
+    graft.operators.Temporal.timeToConvert(s, dir)
+      .filter(col("converted") &&
+        col("first_purchase_us") - col("first_view_us") <= W)
+      .select(col("user_id"), col("first_view_us"),
+        col("first_purchase_us").as("purchase_us"),
+        (col("first_purchase_us") - col("first_view_us")).as("delay_us"))
+  }
+
   /** Drive a streaming DF to completion against an in-memory sink and
     * return the materialized table (test/dev harness; production would
     * `writeStream` to files/Kafka with the same plan).

@@ -151,6 +151,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toMap === batch)
   }
 
+  test("streaming funnel emits each conversion once, matching the batch window") {
+    val out = Streaming.runToMemory(
+      Streaming.funnelStream(spark, sf), "funnel_stream").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("first_view_us"), r.getAs[Long]("purchase_us"),
+          r.getAs[Long]("delay_us"))))
+    assert(out.nonEmpty, "no conversions detected")
+    // exactly-once per user, delays inside the window, purchase ≥ view
+    assert(out.map(_._1).distinct.length === out.length)
+    out.foreach { case (_, (v, p, d)) =>
+      assert(p >= v && d === p - v)
+      assert(d <= graft.operators.Temporal.ConvWindowUs)
+    }
+    val batch = Streaming.funnelBatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("first_view_us"), r.getAs[Long]("purchase_us"),
+          r.getAs[Long]("delay_us")))).toMap
+    assert(out.toMap === batch)
+  }
+
   test("streaming top-k sketch windows equal the batch sketch") {
     val streamed = Streaming.runToMemory(
       Streaming.topkStream(spark, sf), "topk_stream").collect()

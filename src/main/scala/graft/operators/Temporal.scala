@@ -831,6 +831,83 @@ object Temporal {
        event_type, COUNT(*) AS n_events, ${sqlDsum(sqlDecp("value"))} AS sum_value
        FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
 
+  /** SLO burn-rate panel over the error stream — the Google-SRE
+    * multi-window alert input ("is this hour burning error budget
+    * faster than the daily baseline"): per hour on the ZERO-FILLED
+    * hour spine, the hour's error share, the trailing-24h share (an
+    * hour-index self-join over the |span|×24 window — aggregates only,
+    * no global window), and the burn ratio hour/day. Exact integer
+    * counts, three guarded divisions (an hour or a day with no events
+    * — or no errors in the long window — yields NULL, never a fake 0
+    * or an ANSI throw). Scale: one events scan compacts to hour
+    * cells; everything after is |span|-sized. (round 7)
+    */
+  def sloBurnRate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        (col("event_type") === "error").as("err"))
+    val cells = ev.groupBy("h")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("err"), 1L).otherwise(0L)).as("ne"))
+    val bounds = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val z = broadcast(bounds)
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"), col("lo"))
+      .join(cells, Seq("h"), "left")
+      .select(col("h"), col("lo"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("ne"), lit(0L)).as("ne"))
+      .localCheckpoint() // |span|-sized; feeds both sides of the window
+    z.as("a").join(z.as("b"),
+        col("b.h") >= col("a.h") - 23 && col("b.h") <= col("a.h"))
+      .groupBy(col("a.h").as("h"), col("a.lo").as("lo"),
+        col("a.n").as("n"), col("a.ne").as("n_err"))
+      .agg(sum(col("b.n")).as("n_24h"), sum(col("b.ne")).as("err_24h"))
+      .select((col("h") - col("lo")).as("hour_idx"), col("n"),
+        col("n_err"), col("n_24h"), col("err_24h"),
+        when(col("n") > 0,
+          col("n_err").cast("double") / col("n").cast("double"))
+          .as("rate_1h"),
+        when(col("n_24h") > 0,
+          col("err_24h").cast("double") / col("n_24h").cast("double"))
+          .as("rate_24h"),
+        when(col("n") > 0 && col("err_24h") > 0,
+          (col("n_err").cast("double") / col("n").cast("double"))
+            / (col("err_24h").cast("double") / col("n_24h").cast("double")))
+          .as("burn_ratio"))
+      .orderBy("hour_idx")
+  }
+
+  val sloBurnRateSql: String =
+    """WITH ev AS (SELECT epoch_us(ts) // 3600000000 AS h,
+                          (event_type = 'error') AS err
+                   FROM events),
+       cells AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN err THEN 1 ELSE 0 END)
+                             AS BIGINT) AS ne
+                 FROM ev GROUP BY 1),
+       bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+       z AS MATERIALIZED (
+         SELECT s.h, b.lo, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+                CAST(COALESCE(c.ne, 0) AS BIGINT) AS ne
+         FROM (SELECT unnest(generate_series(lo, hi)) AS h FROM bounds) s
+           CROSS JOIN bounds b
+           LEFT JOIN cells c ON s.h = c.h),
+       w AS (SELECT a.h, a.lo, a.n, a.ne,
+                    CAST(SUM(b.n) AS BIGINT) AS n_24h,
+                    CAST(SUM(b.ne) AS BIGINT) AS err_24h
+             FROM z a JOIN z b ON b.h >= a.h - 23 AND b.h <= a.h
+             GROUP BY 1, 2, 3, 4)
+       SELECT h - lo AS hour_idx, n, ne AS n_err, n_24h, err_24h,
+              CASE WHEN n > 0 THEN
+                CAST(ne AS DOUBLE) / CAST(n AS DOUBLE) END AS rate_1h,
+              CASE WHEN n_24h > 0 THEN
+                CAST(err_24h AS DOUBLE) / CAST(n_24h AS DOUBLE)
+              END AS rate_24h,
+              CASE WHEN n > 0 AND err_24h > 0 THEN
+                (CAST(ne AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(err_24h AS DOUBLE) / CAST(n_24h AS DOUBLE))
+              END AS burn_ratio
+       FROM w ORDER BY hour_idx"""
+
   /** SCD2 interval build (gaps-and-islands): collapse each user's
     * consecutive same-event_type runs into validity intervals with
     * the warehouse's slowly-changing-dimension-type-2 contract —
@@ -1258,5 +1335,6 @@ object Temporal {
     Q("funnel_windowed", Some(funnelWindowedSql))(funnelWindowed),
     Q("top_event_paths", Some(topEventPathsSql))(topEventPaths),
     Q("event_transitions", Some(eventTransitionsSql))(eventTransitions),
-    Q("events_hourly", Some(eventsHourlySql))(eventsHourly))
+    Q("events_hourly", Some(eventsHourlySql))(eventsHourly),
+    Q("slo_burn_rate", Some(sloBurnRateSql))(sloBurnRate))
 }

@@ -779,6 +779,73 @@ object Curation {
     * source-sized reduce. Division happens once per source at the very
     * end. (round 5)
     */
+  /** Pairwise two-sample KS distance between per-source DOC-LENGTH
+    * distributions — the drift MATRIX completing the corpus-similarity
+    * panel ([[sourceDivergenceTv]] weighs token-mass drift vs the
+    * corpus, `source_cosine_matrix` the vocabulary angle; this asks
+    * whether two scrape feeds even produce the same SHAPE of document,
+    * the first thing that silently changes when a site redesigns).
+    * D = max over the union value grid of |F_a − F_b|, evaluated
+    * exactly: per-source step CDFs on the shared n_chars grid via an
+    * aggregates-only ≤-join (the [[graft.operators.Inference.ksTest]]
+    * discipline), the max of |ca·nb − cb·na| in exact BIGINTs, one
+    * division per pair. Scale: cells are sources×lengths-bounded, the
+    * grid sources×values, pairs sources²; nothing corpus-sized ever
+    * joins. (round 7)
+    */
+  def ksSourceMatrix(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // sources×lengths; feeds grid, totals, values
+    val vals = cells.select("v").distinct()
+    val srcs = cells.select("source").distinct()
+    val grid = vals.crossJoin(srcs)
+      .join(cells.select(col("source").as("cs"), col("v").as("cv"),
+          col("c")),
+        col("cs") === col("source") && col("cv") <= col("v"), "left")
+      .groupBy("source", "v")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("cum"))
+    val tots = cells.groupBy("source").agg(sum(col("c")).as("n"))
+    val g = grid.join(broadcast(tots), Seq("source"))
+    g.as("a").join(g.as("b"),
+        col("a.v") === col("b.v") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")))
+        .as("d_num"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        (col("d_num").cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("d_stat"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val ksSourceMatrixSql: String =
+    """WITH cells AS MATERIALIZED (
+         SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+         FROM documents GROUP BY 1, 2),
+       vals AS (SELECT DISTINCT v FROM cells),
+       srcs AS (SELECT DISTINCT source FROM cells),
+       grid AS (SELECT g.source, g.v,
+                       CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS cum
+                FROM (SELECT s.source, v.v
+                      FROM vals v CROSS JOIN srcs s) g
+                  LEFT JOIN cells c
+                    ON c.source = g.source AND c.v <= g.v
+                GROUP BY 1, 2),
+       tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                FROM cells GROUP BY 1),
+       g AS (SELECT grid.source, grid.v, grid.cum, t.n
+             FROM grid JOIN tots t ON grid.source = t.source)
+       SELECT a.source AS source_a, b.source AS source_b,
+              a.n AS n_a, b.n AS n_b,
+              CAST(MAX(ABS(a.cum * b.n - b.cum * a.n)) AS DOUBLE)
+                / CAST(a.n * b.n AS DOUBLE) AS d_stat
+       FROM g a JOIN g b ON a.v = b.v AND a.source < b.source
+       GROUP BY 1, 2, 3, 4
+       ORDER BY source_a, source_b"""
+
   def sourceDivergenceTv(s: SparkSession, dir: String): DataFrame = {
     val st = Tables.documents(s, dir)
       .select(col("source"), explode(toks(col("text"))).as("tok"))
@@ -1232,6 +1299,7 @@ object Curation {
   def queries: Seq[Q] = Seq(
     Q("negative_samples", Some(negativeSamplesSql))(negativeSamples),
     Q("blocklist_filter", Some(blocklistFilterSql))(blocklistFilter),
+    Q("ks_source_matrix", Some(ksSourceMatrixSql))(ksSourceMatrix),
     Q("dataset_kfold", Some(datasetKfoldSql))(datasetKfold),
     Q("negative_samples_keyed",
       Some(negativeSamplesKeyedSql))(negativeSamplesKeyed),

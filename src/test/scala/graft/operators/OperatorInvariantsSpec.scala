@@ -83,6 +83,34 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       < 1e-12)
   }
 
+  test("ks source matrix: all pairs present, one pair equals a direct sweep") {
+    val rows = Curation.ksSourceMatrix(spark, sf).collect()
+    val nSources = graft.sources.Tables.documents(spark, sf)
+      .select("source").distinct().count().toInt
+    assert(rows.length === nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("d_stat")
+      assert(d >= 0.0 && d <= 1.0)
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+    // exactness: recompute the first pair's D from raw lengths
+    val first = rows.head
+    val (sa, sb) = (first.getAs[String]("source_a"),
+      first.getAs[String]("source_b"))
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .filter(col("source").isin(sa, sb))
+      .select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val (la, lb) = (lens.filter(_._1 == sa).map(_._2).sorted,
+      lens.filter(_._1 == sb).map(_._2).sorted)
+    val union = (la ++ lb).distinct.sorted
+    val dNum = union.map(v =>
+      math.abs(la.count(_ <= v).toLong * lb.length -
+        lb.count(_ <= v).toLong * la.length)).max
+    assert(first.getAs[Double]("d_stat") ===
+      dNum.toDouble / (la.length.toLong * lb.length).toDouble)
+  }
+
   test("brand momentum: full spine per brand, mass preserved, slopes finite") {
     val rows = Analytics.brandDemandMomentum(spark, sf).collect()
     assert(rows.nonEmpty)

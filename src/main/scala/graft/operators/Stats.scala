@@ -481,6 +481,105 @@ object Stats {
        FROM m ORDER BY flag"""
   }
 
+  /** First-order PARTIAL correlation of quantity and line price
+    * CONTROLLING for discount, per return flag — the confounder check
+    * [[corrExact]] cannot make ("quantity and price correlate; is that
+    * just the discount policy moving both?"):
+    * r_xy·z = (r_xy − r_xz·r_zy) / √((1−r_xz²)(1−r_zy²)), all three
+    * Pearson r's from ONE scan's exact decimal moments (the corrExact
+    * arithmetic tripled), the composition one identical double tree in
+    * both engines. Any zero variance or a perfectly-confounded control
+    * (|r·z| = 1) leaves the statistic undefined — NULL, the §7b rule
+    * (ConstantCorpusSpec drives exactly that corpus). Scale: one
+    * lineitem scan, flag-cardinality aggregate, all map-side partials.
+    * (round 7)
+    */
+  def partialCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val x = decp(col("l_quantity"))
+    val y = decp(col("l_extendedprice"))
+    val z = decp(col("l_discount"))
+    val m = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"), x.as("x"), y.as("y"),
+        z.as("z"))
+      .groupBy("flag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("z")).cast("double").as("sz"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("z")).cast("double").as("sxz"),
+        sum(col("y") * col("z")).cast("double").as("syz"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("z") * col("z")).cast("double").as("szz"))
+    // staged selects: each division appears EXACTLY ONCE inside its own
+    // guard — repeated r subtrees would be CSE-hoisted out of the
+    // CaseWhen by codegen and evaluated unconditionally, throwing
+    // DIVIDE_BY_ZERO on a zero-variance group under ANSI
+    val v = m.select(col("flag"), col("n"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).as("vx"),
+      (col("n") * col("syy") - col("sy") * col("sy")).as("vy"),
+      (col("n") * col("szz") - col("sz") * col("sz")).as("vz"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).as("cxy"),
+      (col("n") * col("sxz") - col("sx") * col("sz")).as("cxz"),
+      (col("n") * col("syz") - col("sy") * col("sz")).as("czy"))
+    val rs = v.select(col("flag"), col("n"),
+      when(col("vx") > 0 && col("vy") > 0 && col("vz") > 0,
+        col("cxy") / sqrt(col("vx") * col("vy"))).as("r_xy"),
+      when(col("vx") > 0 && col("vy") > 0 && col("vz") > 0,
+        col("cxz") / sqrt(col("vx") * col("vz"))).as("r_xz"),
+      when(col("vx") > 0 && col("vy") > 0 && col("vz") > 0,
+        col("czy") / sqrt(col("vy") * col("vz"))).as("r_zy"))
+    rs.select(col("flag"), col("n").cast("long").as("n"),
+        col("r_xy"), col("r_xz"), col("r_zy"),
+        when(col("r_xy").isNotNull &&
+          (lit(1.0) - col("r_xz") * col("r_xz"))
+            * (lit(1.0) - col("r_zy") * col("r_zy")) > 0,
+          (col("r_xy") - col("r_xz") * col("r_zy")) /
+            sqrt((lit(1.0) - col("r_xz") * col("r_xz"))
+              * (lit(1.0) - col("r_zy") * col("r_zy"))))
+          .as("r_partial"))
+      .orderBy("flag")
+  }
+
+  val partialCorrelationSql: String = {
+    val x = sqlDecp("l_quantity")
+    val y = sqlDecp("l_extendedprice")
+    val z = sqlDecp("l_discount")
+    // the corrExact widening: force int128 decimal products in DuckDB
+    val xw = "CAST(l_quantity AS DECIMAL(19,4))"
+    val yw = "CAST(l_extendedprice AS DECIMAL(19,4))"
+    val zw = "CAST(l_discount AS DECIMAL(19,4))"
+    def r(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      s"((n * $sab - $sa * $sb) / sqrt((n * $saa - $sa * $sa) * (n * $sbb - $sb * $sb)))"
+    val rxy = r("sxy", "sx", "sy", "sxx", "syy")
+    val rxz = r("sxz", "sx", "sz", "sxx", "szz")
+    val rzy = r("syz", "sy", "sz", "syy", "szz")
+    val defined = "(n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0" +
+      " AND (n * szz - sz * sz) > 0"
+    s"""WITH m AS (SELECT l_returnflag AS flag,
+                     CAST(COUNT(*) AS DOUBLE) AS n,
+                     ${sqlDsum(x)} AS sx, ${sqlDsum(y)} AS sy,
+                     ${sqlDsum(z)} AS sz,
+                     ${sqlDsum(s"$xw * $yw")} AS sxy,
+                     ${sqlDsum(s"$xw * $zw")} AS sxz,
+                     ${sqlDsum(s"$yw * $zw")} AS syz,
+                     ${sqlDsum(s"$xw * $xw")} AS sxx,
+                     ${sqlDsum(s"$yw * $yw")} AS syy,
+                     ${sqlDsum(s"$zw * $zw")} AS szz
+                   FROM lineitem GROUP BY 1)
+       SELECT flag, CAST(n AS BIGINT) AS n,
+              CASE WHEN $defined THEN $rxy END AS r_xy,
+              CASE WHEN $defined THEN $rxz END AS r_xz,
+              CASE WHEN $defined THEN $rzy END AS r_zy,
+              CASE WHEN $defined
+                    AND (1.0 - $rxz * $rxz) * (1.0 - $rzy * $rzy) > 0 THEN
+                ($rxy - $rxz * $rzy)
+                  / sqrt((1.0 - $rxz * $rxz) * (1.0 - $rzy * $rzy))
+              END AS r_partial
+       FROM m ORDER BY flag"""
+  }
+
   /** Rank-function window suite per market segment: ntile quartile,
     * percent_rank, cume_dist over customers by balance. Every window
     * orders with a unique tie-break (custkey) — without it percent_rank
@@ -1095,6 +1194,8 @@ object Stats {
     Q("window_value_suite", Some(windowValueSuiteSql))(windowValueSuite),
     Q("mad_per_group", Some(madPerGroupSql))(madPerGroup),
     Q("corr_exact", Some(corrExactSql))(corrExact),
+    Q("partial_correlation", Some(partialCorrelationSql))(
+      partialCorrelation),
     Q("window_rank_suite", Some(windowRankSuiteSql))(windowRankSuite),
     Q("histogram_equidepth", Some(histogramEquidepthSql))(histogramEquidepth),
     Q("histogram_bins", Some(histogramBinsSql))(histogramBins),

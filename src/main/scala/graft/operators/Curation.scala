@@ -808,16 +808,20 @@ object Curation {
       .agg(coalesce(sum(col("c")), lit(0L)).as("cum"))
     val tots = cells.groupBy("source").agg(sum(col("c")).as("n"))
     val g = grid.join(broadcast(tots), Seq("source"))
+    // cross-products in DECIMAL(38,0)/HUGEINT: cum·n passes BIGINT once
+    // two sources hold ~3e9 docs each (the same widening cochranFrom
+    // and dwFrom apply; Spark would wrap silently, DuckDB would error)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     g.as("a").join(g.as("b"),
         col("a.v") === col("b.v") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"),
         col("b.source").as("source_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .agg(max(abs(col("a.cum") * col("b.n") - col("b.cum") * col("a.n")))
-        .as("d_num"))
+      .agg(max(abs(dec(col("a.cum")) * col("b.n")
+        - dec(col("b.cum")) * col("a.n"))).as("d_num"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         (col("d_num").cast("double")
-          / (col("n_a") * col("n_b")).cast("double")).as("d_stat"))
+          / (dec(col("n_a")) * col("n_b")).cast("double")).as("d_stat"))
       .orderBy("source_a", "source_b")
   }
 
@@ -840,8 +844,11 @@ object Curation {
              FROM grid JOIN tots t ON grid.source = t.source)
        SELECT a.source AS source_a, b.source AS source_b,
               a.n AS n_a, b.n AS n_b,
-              CAST(MAX(ABS(a.cum * b.n - b.cum * a.n)) AS DOUBLE)
-                / CAST(a.n * b.n AS DOUBLE) AS d_stat
+              CAST(CAST(MAX(ABS(CAST(a.cum AS HUGEINT) * b.n
+                                - CAST(b.cum AS HUGEINT) * a.n))
+                        AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(CAST(a.n AS HUGEINT) * b.n AS VARCHAR)
+                       AS DOUBLE) AS d_stat
        FROM g a JOIN g b ON a.v = b.v AND a.source < b.source
        GROUP BY 1, 2, 3, 4
        ORDER BY source_a, source_b"""

@@ -623,7 +623,13 @@ object Temporal {
     * No windows at all — two user-cardinality aggregations and one
     * key join; honest NULLs for non-converts. (round 4)
     */
-  def timeToConvert(s: SparkSession, dir: String): DataFrame = {
+  /** Shared per-user (first_view_us, first_purchase_us) frame — ONE
+    * definition of "first view" and "first purchase at-or-after it"
+    * for [[timeToConvert]], [[funnelWindowed]] and (via the former)
+    * the delay quartiles, so a change to the conversion rule can never
+    * silently diverge the keys. */
+  private[graft] def firstViewPurchase(s: SparkSession,
+      dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
     val fv = e.groupBy("user_id")
@@ -635,15 +641,12 @@ object Temporal {
       .groupBy("user_id")
       .agg(min(col("t")).as("first_purchase_us"))
     fv.join(fp, Seq("user_id"), "left")
-      .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
-        (((col("first_purchase_us") - col("first_view_us")).cast("double")) /
-          lit(1000000.0)).as("delay_s"),
-        col("first_purchase_us").isNotNull.as("converted"))
-      .orderBy("user_id")
   }
 
-  val timeToConvertSql: String =
-    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+  /** DuckDB twin of [[firstViewPurchase]] as WITH-clause CTEs ending in
+    * `fvn` (viewers) and `fp` (their first eligible purchase). */
+  private val sqlFirstViewPurchaseCtes: String =
+    """e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
        fv AS (SELECT user_id,
                 MIN(CASE WHEN event_type = 'view' THEN t END) AS first_view_us
               FROM e GROUP BY user_id),
@@ -651,7 +654,18 @@ object Temporal {
        fp AS (SELECT e.user_id, MIN(e.t) AS first_purchase_us
               FROM e JOIN fvn ON e.user_id = fvn.user_id
               WHERE e.event_type = 'purchase' AND e.t >= fvn.first_view_us
-              GROUP BY e.user_id)
+              GROUP BY e.user_id)"""
+
+  def timeToConvert(s: SparkSession, dir: String): DataFrame =
+    firstViewPurchase(s, dir)
+      .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
+        (((col("first_purchase_us") - col("first_view_us")).cast("double")) /
+          lit(1000000.0)).as("delay_s"),
+        col("first_purchase_us").isNotNull.as("converted"))
+      .orderBy("user_id")
+
+  val timeToConvertSql: String =
+    s"""WITH $sqlFirstViewPurchaseCtes
        SELECT fvn.user_id, fvn.first_view_us, fp.first_purchase_us,
               CAST(fp.first_purchase_us - fvn.first_view_us AS DOUBLE)
                 / 1000000.0 AS delay_s,
@@ -676,21 +690,9 @@ object Temporal {
     * roll-up, one division per row. (round 7)
     */
   def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("t"))
-    val fv = e.groupBy("user_id")
-      .agg(min(when(col("event_type") === "view", col("t")))
-        .as("first_view_us"))
-      .filter(col("first_view_us").isNotNull)
-    val fp = e.filter(col("event_type") === "purchase")
-      .join(fv, Seq("user_id"))
-      .filter(col("t") >= col("first_view_us"))
-      .groupBy("user_id")
-      .agg(min(col("t")).as("first_purchase_us"))
-    val lo = fv.agg(min(col("first_view_us")).as("lo"))
-    fv.join(fp, Seq("user_id"), "left")
-      .crossJoin(broadcast(lo))
+    val fvp = firstViewPurchase(s, dir)
+    val lo = fvp.agg(min(col("first_view_us")).as("lo"))
+    fvp.crossJoin(broadcast(lo))
       .select(
         expr("((first_view_us - lo) div 86400000000) div 7").as("week"),
         (col("first_purchase_us").isNotNull &&
@@ -705,18 +707,7 @@ object Temporal {
   }
 
   val funnelWindowedSql: String =
-    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
-                   FROM events),
-       fv AS (SELECT user_id,
-                MIN(CASE WHEN event_type = 'view' THEN t END)
-                  AS first_view_us
-              FROM e GROUP BY user_id),
-       fvn AS (SELECT * FROM fv WHERE first_view_us IS NOT NULL),
-       fp AS (SELECT e.user_id, MIN(e.t) AS first_purchase_us
-              FROM e JOIN fvn ON e.user_id = fvn.user_id
-              WHERE e.event_type = 'purchase'
-                AND e.t >= fvn.first_view_us
-              GROUP BY e.user_id),
+    s"""WITH $sqlFirstViewPurchaseCtes,
        lo AS (SELECT MIN(first_view_us) AS lo FROM fvn),
        flags AS (SELECT
                    ((fvn.first_view_us - l.lo) // 86400000000) // 7

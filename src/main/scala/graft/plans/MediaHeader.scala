@@ -99,6 +99,11 @@ object MediaHeader {
           if (size < 16 || i + 16 > b.length) return null
           return Parsed("wav", null, null, leI32(i + 12), leU16(i + 10))
         }
+        // a declared size past the buffer can't precede an in-bounds
+        // fmt chunk — refuse, and never let the Int advance overflow
+        // (a hostile 0x7FFFFFF0 size would wrap i negative and index
+        // out of bounds instead of returning null)
+        if (size > b.length - i - 8) return null
         i += 8 + size + (size & 1) // RIFF chunks are word-aligned
       }
       return null

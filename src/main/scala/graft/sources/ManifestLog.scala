@@ -135,6 +135,12 @@ object ManifestLog {
     withMaintenanceLock(s, path) {
       val v0 = currentVersion(s, path)
       if (v0 == 0L) return 0L
+      // idempotent: a checkpoint at the current version already holds
+      // every action ≤ v0 — and rewriting it would Overwrite the very
+      // path log() is reading (Spark refuses; and if the per-version
+      // dirs were already vacuumed, a torn overwrite of the SOLE log
+      // copy would lose the table)
+      if (latestCheckpoint(s, path) == v0) return v0
       log(s, path).filter(col("version") <= v0)
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(checkpointDir(path, v0))

@@ -154,6 +154,10 @@ class MediaHeaderSpec extends AnyFunSuite {
       "52494646 0C000000 57415645 64617461 00000000")) === null)
     assert(MediaHeader.parse(hexBytes(
       "52494646 24000000 57415645 666D7420 10000000 0100")) === null)
+    // hostile declared chunk size near Int.MaxValue: must refuse, not
+    // wrap the walk index negative and index out of bounds
+    assert(MediaHeader.parse(hexBytes(
+      "52494646 24000000 57415645 64617461 F0FFFF7F")) === null)
   }
 
   test("multimodal_meta: every row's parsed metadata equals the constructed one") {

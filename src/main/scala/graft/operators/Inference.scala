@@ -2410,6 +2410,145 @@ object Inference {
               END AS q_stat
        FROM cs c CROSS JOIN rs r"""
 
+  /** Global Lorenz curve in deciles — the 10-point inequality TABLE
+    * behind [[giniRevenue]]'s scalar ("the bottom 60% of customers
+    * hold 31% of revenue"): customers rank by exact DECIMAL revenue
+    * ascending via the TWO-PHASE bucketed rank (revenue-quanta
+    * partitioned row_number + aggregates-only offsets — a GLOBAL
+    * curve, so the per-nation window gini rides is unavailable and a
+    * global window is banned), each customer's first covering decile
+    * comes from the exact integer cut r ≤ (d·N) div 10, and decile
+    * cumulative shares are suffix sums over a ≤10-row frame. Exact
+    * decimal revenue mass until one division per decile; decile 10
+    * closes at exactly 1.0. Scale: customer-cardinality aggregates,
+    * buckets² offset join, 10-row output. (round 7)
+    */
+  def lorenzDeciles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val rev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(decp(col("o_totalprice"))).cast("decimal(18,4)").as("rev"))
+      .select(col("o_custkey").as("ck"), col("rev"),
+        (col("rev") * 10000).cast("long").as("q"))
+      .localCheckpoint() // customer-sized; feeds rank chain AND totals
+    val bucketed = rev.withColumn("bk", expr(s"q div $RankBucket"))
+    val wLoc = Window.partitionBy("bk").orderBy(col("q"), col("ck"))
+    val bt = bucketed.groupBy("bk").agg(count(lit(1)).as("t"))
+    val off = bt.as("p").join(bt.as("r"), col("r.bk") < col("p.bk"), "left")
+      .groupBy(col("p.bk").as("bk"))
+      .agg(coalesce(sum(col("r.t")), lit(0L)).as("off"))
+    val tot = rev.agg(count(lit(1)).as("nc"),
+      sum(col("rev")).cast("decimal(38,4)").as("trev"))
+    val dmin = (1 to 10).foldRight(lit(10L): org.apache.spark.sql.Column) {
+      (d, acc) =>
+        when(expr(s"($d * nc) div 10") >= col("r"), d.toLong).otherwise(acc)
+    }
+    val perD = bucketed.withColumn("rn", row_number().over(wLoc))
+      .join(broadcast(off), Seq("bk"))
+      .select(col("rev"), (col("rn") + col("off")).as("r"))
+      .crossJoin(broadcast(tot))
+      .select(col("rev"), dmin.as("d"))
+      .groupBy("d")
+      .agg(sum(col("rev")).cast("decimal(38,4)").as("srev"))
+    tot.select(explode(sequence(lit(1L), lit(10L))).as("decile"),
+        col("nc"), col("trev"))
+      .join(perD, col("d") <= col("decile"), "left")
+      .groupBy("decile", "nc", "trev")
+      .agg(coalesce(sum(col("srev")), lit(0).cast("decimal(38,4)"))
+        .cast("decimal(38,4)").as("cum"))
+      .select(col("decile"), expr("(decile * nc) div 10").as("n_cust_cum"),
+        (col("cum").cast("double") / col("trev").cast("double"))
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
+  val lorenzDecilesSql: String = {
+    import graft.functions.Nums._
+    s"""WITH rev AS (
+         SELECT o_custkey AS ck,
+                CAST(SUM(${sqlDecp("o_totalprice")}) AS DECIMAL(18,4)) AS rev
+         FROM orders GROUP BY 1),
+       ranked AS (SELECT rev,
+                         CAST(ROW_NUMBER() OVER (ORDER BY rev, ck)
+                              AS BIGINT) AS r
+                  FROM rev),
+       tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+                      CAST(SUM(rev) AS DECIMAL(38,4)) AS trev
+               FROM rev),
+       fan AS (SELECT d.decile, t.nc, t.trev,
+                      CAST(SUM(CASE WHEN rk.r <= (d.decile * t.nc) // 10
+                                    THEN rk.rev END) AS DECIMAL(38,4))
+                        AS cum
+               FROM ranked rk CROSS JOIN tot t
+                 CROSS JOIN (SELECT unnest(generate_series(1, 10))
+                               AS decile) d
+               GROUP BY 1, 2, 3)
+       SELECT CAST(decile AS BIGINT) AS decile,
+              (decile * nc) // 10 AS n_cust_cum,
+              CAST(CAST(COALESCE(cum, 0) AS VARCHAR) AS DOUBLE)
+                / CAST(CAST(trev AS VARCHAR) AS DOUBLE) AS cum_share
+       FROM fan ORDER BY decile"""
+  }
+
+  /** McNemar's paired test on the purchase flag across the two halves
+    * of the observation span — "did conversion CHANGE for the same
+    * users" (the matched-pairs k=2 slice of [[cochranQ]], with the
+    * continuity correction the general test lacks): per user, x =
+    * purchased in the first half, y = in the second (half boundary =
+    * exact integer midpoint of the event-time span); only the
+    * discordant counts b = (1,0), c = (0,1) matter, and
+    * χ²_cc = (max(|b−c|−1, 0))² / (b+c) is exact until one division —
+    * NULL when no user changed (b+c = 0; ConstantCorpusSpec's
+    * one-instant corpus). Scale: one scan, user-cardinality flag
+    * aggregate, 1-row output. (round 7)
+    */
+  def mcnemarTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+    val mid = ev.agg(expr("(min(t) + max(t)) div 2").as("mid"))
+    val flags = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("t") <= col("mid"), 1L).otherwise(0L)).as("x"),
+        max(when(col("event_type") === "purchase" &&
+          col("t") > col("mid"), 1L).otherwise(0L)).as("y"))
+    flags.agg(count(lit(1)).as("n_users"),
+        sum(when(col("x") === 1 && col("y") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("x") === 0 && col("y") === 1, 1L).otherwise(0L))
+          .as("c"))
+      .select(col("n_users"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          (greatest(abs(col("b") - col("c")) - 1, lit(0L))
+            * greatest(abs(col("b") - col("c")) - 1, lit(0L)))
+            .cast("double") / (col("b") + col("c")).cast("double"))
+          .as("chi2_cc"))
+  }
+
+  val mcnemarTestSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                  FROM events),
+       mid AS (SELECT (MIN(t) + MAX(t)) // 2 AS mid FROM e),
+       flags AS (SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND t <= m.mid
+                            THEN 1 ELSE 0 END) AS x,
+                   MAX(CASE WHEN event_type = 'purchase' AND t > m.mid
+                            THEN 1 ELSE 0 END) AS y
+                 FROM e CROSS JOIN mid m GROUP BY user_id),
+       agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                      CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS b,
+                      CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS c
+               FROM flags)
+       SELECT n_users, b, c,
+              CASE WHEN b + c > 0 THEN
+                CAST(greatest(abs(b - c) - 1, 0)
+                     * greatest(abs(b - c) - 1, 0) AS DOUBLE)
+                  / CAST(b + c AS DOUBLE) END AS chi2_cc
+       FROM agg"""
+
   /** Pareto coverage of customer revenue per nation — "how many
     * customers do 80% of the business" (the whale-curve operator next
     * to [[giniRevenue]]'s whole-curve skew and [[hhiConcentration]]'s
@@ -2756,6 +2895,8 @@ object Inference {
     Q("durbin_watson_daily", Some(durbinWatsonDailySql))(durbinWatsonDaily),
     Q("cochran_q", Some(cochranQSql))(cochranQ),
     Q("anomaly_mad_days", Some(anomalyMadDaysSql))(anomalyMadDays),
+    Q("lorenz_deciles", Some(lorenzDecilesSql))(lorenzDeciles),
+    Q("mcnemar_test", Some(mcnemarTestSql))(mcnemarTest),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
     Q("diversity_simpson", Some(diversitySimpsonSql))(diversitySimpson),
     Q("markov_stationary", Some(markovStationarySql))(markovStationary),

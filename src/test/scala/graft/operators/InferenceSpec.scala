@@ -632,6 +632,40 @@ class InferenceSpec extends AnyFunSuite {
       assert(real.getAs[Double]("q_stat") >= 0.0)
   }
 
+  test("lorenz deciles: monotone, under the equality line, closes at 1.0") {
+    import graft.sources.Tables
+    val rows = Inference.lorenzDeciles(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq === (1L to 10L))
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    // revenue sorted ascending: the curve sits on or under equality
+    rows.foreach(r => assert(r.getAs[Double]("cum_share") <=
+      r.getAs[Long]("decile") / 10.0 + 1e-12))
+    assert(shares.last === 1.0)
+    // exact recompute of decile 4 from raw revenues
+    val revs = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(14,4)"))
+        .cast("decimal(18,4)").as("rev"))
+      .collect().map(r => r.getDecimal(1)).sortBy(d => BigDecimal(d))
+    val cut = (4 * revs.length) / 10
+    val expected = revs.take(cut).map(BigDecimal(_)).sum.toDouble /
+      revs.map(BigDecimal(_)).sum.toDouble
+    assert(math.abs(rows(3).getAs[Double]("cum_share") - expected) < 1e-12)
+    assert(rows(3).getAs[Long]("n_cust_cum") === cut.toLong)
+  }
+
+  test("mcnemar: discordants bounded, statistic consistent with b and c") {
+    val r = Inference.mcnemarTest(spark, sf).head
+    val (n, b, c) = (r.getAs[Long]("n_users"), r.getAs[Long]("b"),
+      r.getAs[Long]("c"))
+    assert(b >= 0L && c >= 0L && b + c <= n)
+    if (b + c > 0) {
+      val num = math.max(math.abs(b - c) - 1, 0L)
+      assert(r.getAs[Double]("chi2_cc") ===
+        (num * num).toDouble / (b + c).toDouble)
+    } else assert(r.isNullAt(r.fieldIndex("chi2_cc")))
+  }
+
   test("anomaly MAD: exact integer flag, hand-checked spike; MAD=0 edge") {
     def ser(ns: Seq[Long]) =
       ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("di", "n")

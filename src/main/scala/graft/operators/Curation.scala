@@ -779,6 +779,60 @@ object Curation {
     * source-sized reduce. Division happens once per source at the very
     * end. (round 5)
     */
+  /** Quantile normalization of doc length ACROSS sources — the
+    * batch-effect correction the [[ksSourceMatrix]] drift report calls
+    * for ("source B's documents run long because of its scraper, not
+    * its content — map every source onto the pooled distribution
+    * before length-sensitive downstream steps"): each doc maps to the
+    * GLOBAL value at its within-source quantile, rank-exactly —
+    * r_global = max((r_source·N) div n_s, 1), both ranks from
+    * [[graft.functions.Keys.denseIds]]' two-phase bucketed rank
+    * (deterministic doc_id tie-break, no global window), the mapping
+    * one equi-join on the computed target rank. Pure integer
+    * arithmetic — no interpolation ambiguity for the oracle to
+    * disagree on. Scale: two denseIds passes + one rank equi-join,
+    * all corpus-row-cardinality with aggregate-sized sides broadcast.
+    * (round 7)
+    */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Keys
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val rs = Keys.denseIds(d, Seq("source"), Seq("n_chars", "doc_id"), "r")
+    val g = Keys.denseIds(
+      d.select(col("n_chars").as("g_chars"), col("doc_id").as("g_doc")),
+      Nil, Seq("g_chars", "g_doc"), "rg")
+    val ns = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val nt = d.agg(count(lit(1)).as("nt"))
+    rs.join(broadcast(ns), Seq("source")).crossJoin(broadcast(nt))
+      .withColumn("rt",
+        greatest(expr("(CAST(r AS BIGINT) * nt) div n_s"), lit(1L)))
+      .join(g.select(col("rg").cast("long").as("rt"), col("g_chars")),
+        Seq("rt"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("g_chars").as("normalized_chars"))
+      .orderBy("doc_id")
+  }
+
+  val quantileNormalizeSql: String =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+       rs AS (SELECT doc_id, source, n_chars,
+                CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY n_chars, doc_id) AS BIGINT) AS r
+              FROM d),
+       g AS (SELECT n_chars AS g_chars,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id)
+                    AS BIGINT) AS rg
+             FROM d),
+       ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+              FROM d GROUP BY 1),
+       t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM d)
+       SELECT rs.doc_id, rs.source, rs.n_chars,
+              g.g_chars AS normalized_chars
+       FROM rs JOIN ns ON rs.source = ns.source CROSS JOIN t
+         JOIN g ON g.rg = greatest((rs.r * t.nt) // ns.n_s, 1)
+       ORDER BY rs.doc_id"""
+
   /** Pairwise two-sample KS distance between per-source DOC-LENGTH
     * distributions — the drift MATRIX completing the corpus-similarity
     * panel ([[sourceDivergenceTv]] weighs token-mass drift vs the
@@ -1307,6 +1361,7 @@ object Curation {
     Q("negative_samples", Some(negativeSamplesSql))(negativeSamples),
     Q("blocklist_filter", Some(blocklistFilterSql))(blocklistFilter),
     Q("ks_source_matrix", Some(ksSourceMatrixSql))(ksSourceMatrix),
+    Q("quantile_normalize", Some(quantileNormalizeSql))(quantileNormalize),
     Q("dataset_kfold", Some(datasetKfoldSql))(datasetKfold),
     Q("negative_samples_keyed",
       Some(negativeSamplesKeyedSql))(negativeSamplesKeyed),

@@ -720,22 +720,27 @@ object Inference {
   def abTestWelch(s: SparkSession, dir: String): DataFrame =
     welchFrom(Tables.events(s, dir).select(col("event_type"), col("value")))
 
-  /** Core over any (event_type, value double) frame. */
-  def welchFrom(ev: DataFrame): DataFrame = {
+  /** Per-type exact moments (n, mean, sample variance) — ONE
+    * definition shared by [[welchFrom]] and [[cohensD]] so the two
+    * keys can never disagree on the variance convention. A single-row
+    * group has no variance estimate: NULL v (the ANSI rule). */
+  private def momentsByType(ev: DataFrame): DataFrame = {
     import graft.functions.Nums._
-    val g = ev
-      .select(col("event_type"), decp(col("value")).as("x"))
+    ev.select(col("event_type"), decp(col("value")).as("x"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("x")).cast("double").as("s"),
         sum(col("x").cast("decimal(18,4)") * col("x").cast("decimal(18,4)"))
           .cast("double").as("ss"))
-      // a single-row group has no variance estimate: NULL v (and NULL
-      // t/df downstream) instead of a zero-division (the ANSI rule)
       .select(col("event_type"), col("n"), (col("s") / col("n")).as("m"),
         when(col("n") > 1,
           (col("ss") - col("s") * col("s") / col("n"))
             / (col("n") - 1).cast("double")).as("v"))
+  }
+
+  /** Core over any (event_type, value double) frame. */
+  def welchFrom(ev: DataFrame): DataFrame = {
+    val g = momentsByType(ev)
     g.as("p").join(g.as("q"), col("p.event_type") < col("q.event_type"))
       .select(col("p.event_type").as("type_a"),
         col("q.event_type").as("type_b"),
@@ -780,6 +785,74 @@ object Inference {
                      + (q.v / q.n) * (q.v / q.n) / (q.n - 1)) END AS df
        FROM st p JOIN st q ON p.event_type < q.event_type
        ORDER BY type_a, type_b"""
+  }
+
+  /** Cohen's d (+ Hedges' g small-sample correction) for every event-
+    * type value pair — the EFFECT-SIZE column next to
+    * [[abTestWelch]]'s significance ("the t says the means differ; d
+    * says whether anyone should care" — with millions of events every
+    * trivial difference is 'significant'): pooled-SD standardized mean
+    * difference from the SAME [[momentsByType]] frame as the t test,
+    * d = (m_a − m_b)/√(((n_a−1)v_a + (n_b−1)v_b)/(n_a+n_b−2)),
+    * g = d·(1 − 3/(4(n_a+n_b)−9)). Staged selects keep the guarded
+    * division single-use (the CSE rule); degenerate pairs (pooled
+    * variance 0, or too few rows) emit NULL. Scale: one scan, k-row
+    * moments, k² pairs. (round 7)
+    */
+  def cohensD(s: SparkSession, dir: String): DataFrame = {
+    val g = momentsByType(
+      Tables.events(s, dir).select(col("event_type"), col("value")))
+    val pairs = g.as("p")
+      .join(g.as("q"), col("p.event_type") < col("q.event_type"))
+      .select(col("p.event_type").as("type_a"),
+        col("q.event_type").as("type_b"),
+        col("p.n").as("n_a"), col("q.n").as("n_b"),
+        col("p.m").as("mean_a"), col("q.m").as("mean_b"),
+        when(col("p.n") + col("q.n") > 2,
+          ((col("p.n") - 1).cast("double") * col("p.v")
+            + (col("q.n") - 1).cast("double") * col("q.v"))
+            / (col("p.n") + col("q.n") - 2).cast("double")).as("pooled_v"))
+    pairs
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        when(col("pooled_v") > 0,
+          (col("mean_a") - col("mean_b")) / sqrt(col("pooled_v")))
+          .as("d"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("d"),
+        (col("d") * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * (col("n_a") + col("n_b")).cast("double") - 9.0)))
+          .as("hedges_g"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val cohensDSql: String = {
+    import graft.functions.Nums._
+    val pooled = "((CAST(p.n - 1 AS DOUBLE) * p.v" +
+      " + CAST(q.n - 1 AS DOUBLE) * q.v) / CAST(p.n + q.n - 2 AS DOUBLE))"
+    s"""WITH g AS (
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                ${sqlDsum(sqlDecp("value"))} AS s,
+                CAST(CAST(SUM(CAST(${sqlDecp("value")} AS DECIMAL(18,4))
+                              * CAST(${sqlDecp("value")} AS DECIMAL(18,4)))
+                     AS VARCHAR) AS DOUBLE) AS ss
+         FROM events GROUP BY event_type),
+       st AS (SELECT event_type, n, s / n AS m,
+                     CASE WHEN n > 1 THEN
+                       (ss - s * s / n) / CAST(n - 1 AS DOUBLE) END AS v
+              FROM g),
+       pr AS (SELECT p.event_type AS type_a, q.event_type AS type_b,
+                     p.n AS n_a, q.n AS n_b, p.m AS mean_a, q.m AS mean_b,
+                     CASE WHEN p.n + q.n > 2 THEN $pooled END AS pooled_v
+              FROM st p JOIN st q ON p.event_type < q.event_type),
+       dd AS (SELECT type_a, type_b, n_a, n_b, mean_a, mean_b,
+                     CASE WHEN pooled_v > 0 THEN
+                       (mean_a - mean_b) / SQRT(pooled_v) END AS d
+              FROM pr)
+       SELECT type_a, type_b, n_a, n_b, mean_a, mean_b, d,
+              d * (1.0 - 3.0
+                   / (4.0 * CAST(n_a + n_b AS DOUBLE) - 9.0)) AS hedges_g
+       FROM dd ORDER BY type_a, type_b"""
   }
 
   /** Two-sample Poisson RATE test across event types — the
@@ -2906,6 +2979,7 @@ object Inference {
     Q("qq_decile_compare", Some(qqDecileCompareSql))(qqDecileCompare),
     Q("mann_whitney_u", Some(mannWhitneyUSql))(mannWhitneyU),
     Q("ab_test_welch", Some(abTestWelchSql))(abTestWelch),
+    Q("cohens_d", Some(cohensDSql))(cohensD),
     Q("poisson_rate_test", Some(poissonRateTestSql))(poissonRateTest),
     Q("benford_digits", Some(benfordDigitsSql))(benfordDigits),
     Q("conversion_wilson_ci", Some(conversionWilsonCiSql))(conversionWilsonCi),

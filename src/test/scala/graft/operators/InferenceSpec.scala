@@ -632,6 +632,41 @@ class InferenceSpec extends AnyFunSuite {
       assert(real.getAs[Double]("q_stat") >= 0.0)
   }
 
+  test("cohens d: sign follows the means, Hedges shrinks toward zero") {
+    val rows = Inference.cohensD(spark, sf).collect()
+    val k = graft.sources.Tables.events(spark, sf)
+      .select("event_type").distinct().count().toInt
+    assert(rows.length === k * (k - 1) / 2)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("d"))) {
+        val d = r.getAs[Double]("d")
+        val dm = r.getAs[Double]("mean_a") - r.getAs[Double]("mean_b")
+        assert(math.signum(d) === math.signum(dm))
+        val g = r.getAs[Double]("hedges_g")
+        assert(math.abs(g) <= math.abs(d)) // the correction only shrinks
+        assert(math.signum(g) === math.signum(d) || g === 0.0)
+      }
+    }
+  }
+
+  test("quantile normalize: order-preserving, every source tops at the global max") {
+    import graft.sources.Tables
+    val rows = Curation.quantileNormalize(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length === docs.toInt) // every doc mapped exactly once
+    val globalMax = Tables.documents(spark, sf)
+      .agg(max(col("n_chars"))).head.getLong(0)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      // within a source, the mapping preserves the length order
+      val sorted = rs.sortBy(r =>
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      val norm = sorted.map(_.getAs[Long]("normalized_chars")).toSeq
+      assert(norm === norm.sorted, s"non-monotone mapping for $src")
+      // the source's top quantile maps to the global maximum
+      assert(norm.last === globalMax, s"$src top != global max")
+    }
+  }
+
   test("lorenz deciles: monotone, under the equality line, closes at 1.0") {
     import graft.sources.Tables
     val rows = Inference.lorenzDeciles(spark, sf).collect()

@@ -807,7 +807,7 @@ object Graph {
     Q("label_propagation", Some(labelPropagationSql))(labelPropagation),
     Q("graph_modularity", Some(graphModularitySql))(graphModularity),
     Q("graph_bfs_hops", Some(bfsHopsSql))(bfsHops),
-    Q("harmonic_centrality", Some(harmonicCentralitySql))(
+    Q("harmonic_centrality", Some(harmonicCentralitySql), bench = true)(
       harmonicCentrality),
     Q("triangle_count", Some(triangleCountSql))(triangleCount))
 }

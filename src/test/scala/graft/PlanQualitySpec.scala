@@ -165,6 +165,8 @@ class PlanQualitySpec extends AnyFunSuite {
     // fact x broadcast 1-ROW bloom blob (an aggregate) — N x 1 by
     // construction; the product exists precisely to avoid a shuffle
     "bloom_join_prune",
+    // events x broadcast 1-ROW span midpoint — the same N x 1 shape
+    "mcnemar_test",
     // aggregation over knn_label_vote's output — inherits its product
     "knn_confusion_matrix")
 

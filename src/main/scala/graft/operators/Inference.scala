@@ -648,6 +648,54 @@ object Inference {
   def mannWhitneyU(s: SparkSession, dir: String): DataFrame =
     mannWhitneyFrom(priceCohorts(s, dir))
 
+  /** Cliff's delta for the two rank-test cohorts — the NONPARAMETRIC
+    * effect size next to [[mannWhitneyU]]'s significance (and the
+    * rank-based sibling of [[cohensD]]: no variance assumption, robust
+    * to the heavy-tailed prices the mean-based d is not): δ =
+    * P(X>Y) − P(X<Y) = 2U_a/(n_a·n_b) − 1 ∈ [−1, 1], computed EXACTLY
+    * from the same doubled-U integer the U test accumulates — zero new
+    * scan cost, one division, the product widened to DECIMAL(38,0)
+    * (n_a·n_b passes BIGINT at ~3e9 rows per cohort). An empty cohort
+    * leaves δ undefined — NULL (§7b). (round 7)
+    */
+  def cliffsDelta(s: SparkSession, dir: String): DataFrame =
+    cliffsFrom(priceCohorts(s, dir))
+
+  /** Core over any per-distinct-value cohort frame (v, a, b). */
+  private[graft] def cliffsFrom(vals: DataFrame): DataFrame = {
+    val cc = cumCounts(vals)
+    val tot = vals.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    cc.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        (col("a") * (lit(2L) * (col("cb") - col("b")) + col("b"))).as("u2"))
+      .groupBy("na", "nb")
+      .agg(sum(col("u2")).as("u2a"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") * col("nb") > 0,
+          col("u2a").cast("double")
+            / (col("na").cast("decimal(38,0)") * col("nb")).cast("double")
+            - lit(1.0)).as("delta"))
+  }
+
+  val cliffsDeltaSql: String =
+    s"""WITH vals AS ($rankCohortsSql),
+       cc AS (SELECT v, a, b,
+                     CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+                     CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS cb
+              FROM vals),
+       tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                      CAST(SUM(b) AS BIGINT) AS nb FROM vals),
+       agg AS (SELECT t.na, t.nb,
+                      CAST(SUM(c.a * (2 * (c.cb - c.b) + c.b)) AS BIGINT)
+                        AS u2a
+               FROM cc c CROSS JOIN tot t GROUP BY t.na, t.nb)
+       SELECT na AS n_a, nb AS n_b,
+              CASE WHEN na * nb > 0 THEN
+                CAST(u2a AS DOUBLE)
+                  / CAST(CAST(CAST(na AS HUGEINT) * nb AS VARCHAR)
+                         AS DOUBLE) - 1.0 END AS delta
+       FROM agg"""
+
   /** Core over any per-distinct-value cohort frame (v, a, b). */
   def mannWhitneyFrom(vals: DataFrame): DataFrame = {
     val cc = cumCounts(vals)
@@ -2970,6 +3018,7 @@ object Inference {
     Q("anomaly_mad_days", Some(anomalyMadDaysSql))(anomalyMadDays),
     Q("lorenz_deciles", Some(lorenzDecilesSql))(lorenzDeciles),
     Q("mcnemar_test", Some(mcnemarTestSql))(mcnemarTest),
+    Q("cliffs_delta", Some(cliffsDeltaSql))(cliffsDelta),
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
     Q("diversity_simpson", Some(diversitySimpsonSql))(diversitySimpson),
     Q("markov_stationary", Some(markovStationarySql))(markovStationary),

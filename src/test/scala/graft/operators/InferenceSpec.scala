@@ -632,6 +632,30 @@ class InferenceSpec extends AnyFunSuite {
       assert(real.getAs[Double]("q_stat") >= 0.0)
   }
 
+  test("cliffs delta: hand-checked dominance endpoints and tie midpoint") {
+    def vals(rows: Seq[(Double, Long, Long)]) =
+      rows.toDF("v", "a", "b").localCheckpoint()
+    // a entirely below b → δ = −1; entirely above → +1; pure tie → 0
+    assert(Inference.cliffsFrom(vals(Seq((1.0, 1L, 0L), (2.0, 1L, 0L),
+      (3.0, 0L, 1L)))).head.getAs[Double]("delta") === -1.0)
+    assert(Inference.cliffsFrom(vals(Seq((1.0, 0L, 1L), (2.0, 0L, 1L),
+      (3.0, 1L, 0L)))).head.getAs[Double]("delta") === 1.0)
+    assert(Inference.cliffsFrom(vals(Seq((5.0, 1L, 1L))))
+      .head.getAs[Double]("delta") === 0.0)
+    // empty cohort: undefined, NULL
+    val e = Inference.cliffsFrom(vals(Seq((1.0, 1L, 0L)))).head
+    assert(e.isNullAt(e.fieldIndex("delta")))
+    // corpus scale: δ ∈ [−1, 1] and consistent with U's direction
+    val real = Inference.cliffsDelta(spark, sf).head
+    val d = real.getAs[Double]("delta")
+    assert(d >= -1.0 && d <= 1.0)
+    val u = Inference.mannWhitneyU(spark, sf).head
+    val uA = u.getAs[Double]("u_a")
+    val expected = 2.0 * uA / (u.getAs[Long]("n_a").toDouble *
+      u.getAs[Long]("n_b").toDouble) - 1.0
+    assert(math.abs(d - expected) < 1e-12)
+  }
+
   test("cohens d: sign follows the means, Hedges shrinks toward zero") {
     val rows = Inference.cohensD(spark, sf).collect()
     val k = graft.sources.Tables.events(spark, sf)

@@ -1180,9 +1180,16 @@ object Analytics {
       .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand").as("brand"), col("ym"))
       .agg(sum(decp(col("l_quantity"))).cast("decimal(14,4)").as("qty"))
-    val months = ords.select("ym").distinct()
+    // Spine from the CALENDAR range sequence(min, max), not distinct
+    // observed months: a month with no orders at all must still appear
+    // (as zeros) or indices compress across the gap and every slope
+    // regains the upward bias zero-filling exists to prevent — the
+    // sloBurnRate/dailySeries zero-fill discipline.
+    val bounds = ords.agg(min(col("ym")).as("m0"), max(col("ym")).as("m1"))
+    val months = bounds
+      .select(explode(sequence(col("m0"), col("m1"))).as("ym"))
     val brands = parts.select(col("p_brand").as("brand")).distinct()
-    val m0 = months.agg(min(col("ym")).as("m0"))
+    val m0 = bounds.select("m0")
     months.crossJoin(broadcast(brands)).crossJoin(broadcast(m0))
       .join(monthly, Seq("brand", "ym"), "left")
       .select(col("brand"), (col("ym") - col("m0")).as("x"),
@@ -1213,9 +1220,10 @@ object Analytics {
                 JOIN ords o ON l.l_orderkey = o.o_orderkey
                 JOIN part p ON l.l_partkey = p.p_partkey
               GROUP BY 1, 2),
-       months AS (SELECT DISTINCT ym FROM ords),
+       bounds AS (SELECT MIN(ym) AS m0, MAX(ym) AS m1 FROM ords),
+       months AS (SELECT UNNEST(generate_series(m0, m1)) AS ym FROM bounds),
        brands AS (SELECT DISTINCT p_brand AS brand FROM part),
-       m0 AS (SELECT MIN(ym) AS m0 FROM months),
+       m0 AS (SELECT m0 FROM bounds),
        z AS (SELECT b.brand, mo.ym - m.m0 AS x,
                 COALESCE(q.qty, CAST(0 AS DECIMAL(14,4))) AS y
              FROM months mo CROSS JOIN brands b CROSS JOIN m0 m

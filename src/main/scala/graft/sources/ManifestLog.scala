@@ -77,18 +77,22 @@ object ManifestLog {
     * job commit — can leave partial files without one, and must stay
     * invisible).
     */
-  def latestCheckpoint(s: SparkSession, path: String): Long = {
+  def latestCheckpoint(s: SparkSession, path: String): Long =
+    validCheckpoints(s, path).lastOption.getOrElse(0L)
+
+  /** All validated checkpoint versions, ascending (one FS listing). */
+  private def validCheckpoints(s: SparkSession, path: String): Seq[Long] = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(checkpointRoot(path))
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return 0L
+    if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).toSeq
       .filter(_.isDirectory)
       .flatMap(st => "^v(\\d+)$".r.findFirstMatchIn(st.getPath.getName)
         .map(_.group(1).toLong))
       .filter(v => fs.exists(
         new org.apache.hadoop.fs.Path(checkpointDir(path, v), "_SUCCESS")))
-      .sorted.lastOption.getOrElse(0L)
+      .sorted
   }
 
   /** The raw action log (file-cardinality — the planning frame).
@@ -147,25 +151,48 @@ object ManifestLog {
       v0
     }
 
-  /** Physically delete log version directories a checkpoint fully
-    * covers (their every action row lives in the checkpoint — nothing
-    * is forfeit, unlike data [[vacuum]]'s retention trade). Returns
-    * how many directories went. Bounds the log listing: after
-    * `checkpoint(); vacuumLog()` the log root holds only the tail.
+  /** Physically delete log version directories the PREVIOUS checkpoint
+    * fully covers, plus checkpoint directories superseded twice over
+    * (nothing is forfeit, unlike data [[vacuum]]'s retention trade).
+    * Returns how many directories went (log + checkpoint).
+    *
+    * RETENTION is one checkpoint generation (Delta's retention-window
+    * discipline, keyed by checkpoint lineage instead of wall-clock): a
+    * concurrent reader snapshots its plan as "checkpoint C + tail > C"
+    * where C is AT WORST the previous validated checkpoint (or no
+    * checkpoint at all on a never-checkpointed table, where it globs
+    * every v* dir — which is why a table's FIRST vacuumLog, with no
+    * previous generation, deletes nothing). So this keeps (a) every
+    * log dir newer than the previous checkpoint and (b) the previous
+    * and latest checkpoint dirs; it deletes log dirs ≤ previous and
+    * checkpoints < previous — directories no reader admitted since the
+    * latest checkpoint validated can still reference. Runs under the
+    * maintenance lock so two vacuums (or a vacuum and a checkpoint)
+    * never interleave their listings. Bounds BOTH roots: after
+    * `checkpoint(); …; checkpoint(); vacuumLog()` the log root holds
+    * only the tail and _checkpoint holds two generations.
     */
-  def vacuumLog(s: SparkSession, path: String): Int = {
-    val ck = latestCheckpoint(s, path)
-    if (ck == 0L) return 0
-    val conf = s.sparkContext.hadoopConfiguration
-    val root = new org.apache.hadoop.fs.Path(logDir(path))
-    val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return 0
-    fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .flatMap(st => "^v(\\d+)$".r.findFirstMatchIn(st.getPath.getName)
-        .map(_.group(1).toLong -> st.getPath))
-      .filter(_._1 <= ck)
-      .count { case (_, p) => fs.delete(p, true) }
-  }
+  def vacuumLog(s: SparkSession, path: String): Int =
+    withMaintenanceLock(s, path) {
+      val cks = validCheckpoints(s, path)
+      if (cks.isEmpty) return 0
+      val prev = cks.dropRight(1).lastOption.getOrElse(0L)
+      if (prev == 0L) return 0
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(logDir(path))
+      val fs = root.getFileSystem(conf)
+      val logGone =
+        if (!fs.exists(root)) 0
+        else fs.listStatus(root).toSeq.filter(_.isDirectory)
+          .flatMap(st => "^v(\\d+)$".r.findFirstMatchIn(st.getPath.getName)
+            .map(_.group(1).toLong -> st.getPath))
+          .filter(_._1 <= prev)
+          .count { case (_, p) => fs.delete(p, true) }
+      val ckGone = cks.filter(_ < prev).count { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(checkpointDir(path, v)), true)
+      }
+      logGone + ckGone
+    }
 
   /** Session conf key bounding how many file names any driver-side
     * planning step may collect (default [[MaxPlannedFilesDefault]]).
@@ -575,9 +602,15 @@ object ManifestLog {
       def bound(i: Int): Long = if (b.isNullAt(i)) 0L else b.getLong(i)
       def scaled(enc: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
           c: String, lo: Long, hi: Long) = {
-        val span = math.max(hi - lo, 0L) + 1L // ≥ 1, degenerate col → 0
+        // Span in BigInt: hi − lo on a full-BIGINT-range column (e.g.
+        // hash-valued longs spanning ±2^62) wraps negative in Long
+        // arithmetic, which would collapse the span to 1 and overflow
+        // the scaled cast. BigInt keeps the whole pipeline exact; the
+        // span is then fed to the decimal division as a literal.
+        val span = (BigInt(hi) - BigInt(lo) + 1).max(BigInt(1))
         ((enc(col(c)).cast("decimal(38,0)") - lo)
-          * (1L << ZorderBits) / span).cast("long")
+          * (1L << ZorderBits)
+          / lit(span.toString).cast("decimal(38,0)")).cast("long")
       }
       val v = claimVersion(s, path)
       data

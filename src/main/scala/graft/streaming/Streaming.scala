@@ -353,9 +353,14 @@ object Streaming {
         state: GroupState[FunnelState]): Iterator[FunnelHit] = {
       var st = state.getOption.getOrElse(FunnelState(Long.MaxValue, false))
       if (st.done) return Iterator.empty
+      // Tie-break same-microsecond events with view BEFORE purchase:
+      // the batch twin counts a purchase at t >= first_view inclusive,
+      // so a view/purchase pair sharing an instant must convert here
+      // too — timestamp-only ordering could process purchase first and
+      // silently miss it.
       val evs = rows.map { case (_, tpe, t) =>
         (tpe, t.getEpochSecond * 1000000L + t.getNano / 1000L)
-      }.toSeq.sortBy(_._2)
+      }.toSeq.sortBy(e => (e._2, if (e._1 == "view") 0 else 1))
       var out: Option[FunnelHit] = None
       evs.foreach { case (tpe, t) =>
         if (tpe == "view" && t < st.firstView)

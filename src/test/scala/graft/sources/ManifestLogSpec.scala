@@ -506,12 +506,22 @@ class ManifestLogSpec extends AnyFunSuite {
       path, "key")
     assert(ManifestLog.log(spark, path).inputFiles.length === 2)
 
-    // dropping the covered per-version dirs forfeits NOTHING: snapshot,
+    // RETENTION: with only one checkpoint generation there is no safe
+    // delete set (a reader that resolved "no checkpoint" may be mid-glob
+    // over every v* dir), so the first vacuumLog is a no-op
+    assert(ManifestLog.vacuumLog(spark, path) === 0)
+    assert(new java.io.File(s"$path/_log").listFiles()
+      .count(_.isDirectory) === 6)
+
+    // a second checkpoint makes v5 the PREVIOUS generation; vacuumLog
+    // now drops the dirs it covers — and forfeits NOTHING: snapshot,
     // time travel, point lookup, and the CDF all replay from checkpoint
+    assert(ManifestLog.checkpoint(spark, path) === 6L)
     assert(ManifestLog.vacuumLog(spark, path) === 5)
     val logDirs = new java.io.File(s"$path/_log").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet
-    assert(logDirs === Set("v6"))
+    assert(logDirs === Set("v6")) // newer than prev ck 5 → retained
+    assert(ManifestLog.log(spark, path).inputFiles.length === 1)
     assert(ManifestLog.snapshot(spark, path).count() === preSnap.length + 20)
     assert(ManifestLog.snapshot(spark, path, Some(2L))
       .orderBy("key").collect().map(_.toSeq).toSeq === preAsOf2)
@@ -521,11 +531,17 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(cdf.filter(col(ManifestLog.ChangeTypeCol) === "insert")
       .count() === 20)
 
-    // a second checkpoint supersedes the first and re-bounds the tail
-    assert(ManifestLog.checkpoint(spark, path) === 6L)
-    assert(ManifestLog.vacuumLog(spark, path) === 1)
+    // a third generation: vacuumLog drops the v6 log dir AND the twice-
+    // superseded v5 checkpoint dir, keeping two checkpoint generations
+    ManifestLog.commit(
+      (600L until 610L).map(k => (k, s"p$k")).toDF("key", "payload"),
+      path, "key")
+    assert(ManifestLog.checkpoint(spark, path) === 7L)
+    assert(ManifestLog.vacuumLog(spark, path) === 2)
+    assert(new java.io.File(s"$path/_checkpoint").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet === Set("v6", "v7"))
     assert(ManifestLog.log(spark, path).inputFiles.length === 1)
-    assert(ManifestLog.snapshot(spark, path).count() === preSnap.length + 20)
+    assert(ManifestLog.snapshot(spark, path).count() === preSnap.length + 30)
   }
 
   test("restore: zero-copy rollback, undo CDF, vacuum respects revival") {
@@ -628,5 +644,37 @@ class ManifestLogSpec extends AnyFunSuite {
       s"z-order kept ${post.inputFiles.length} of 8 files")
     // an optimize is data-neutral: its CDF nets to zero change rows
     assert(ManifestLog.readChanges(spark, path, "key", 1L, v).count() === 0)
+  }
+
+  test("optimizeZorder survives a full-BIGINT-range column (span > Long.MaxValue)") {
+    import spark.implicits._
+    val path = freshTable()
+    // hash-valued longs spanning more than Long.MaxValue: hi − lo wraps
+    // negative in Long arithmetic, which used to collapse the span to 1
+    // and null every z-code through decimal overflow (BigInt span fix)
+    val aMin = -(3L << 60)
+    val aMax = 3L << 61
+    assert(BigInt(aMax) - BigInt(aMin) > BigInt(Long.MaxValue))
+    val step = (BigInt(aMax) - BigInt(aMin)) / 63
+    val rows = (0L until 64L).map { k =>
+      (k, (BigInt(aMin) + BigInt(k) * step).toLong, (k * 37L) % 64L)
+    }
+    ManifestLog.commit(rows.toDF("key", "a", "b").repartition(4),
+      path, "key")
+    val preSnap = ManifestLog.snapshot(spark, path)
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    val v = ManifestLog.optimizeZorder(spark, path, "key", "a", "b", 4)
+    assert(v === 2L)
+    // data-neutral and the clustered layout actually separated the `a`
+    // range — each output file covers a fraction of it, so a low-end
+    // probe prunes (null z-codes would have collapsed all clustering)
+    assert(ManifestLog.snapshot(spark, path)
+      .orderBy("key").collect().map(_.toSeq).toSeq === preSnap)
+    val aCut = (BigInt(aMin) + (BigInt(aMax) - BigInt(aMin)) / 8).toLong
+    val probe = ManifestLog.scanColRanges(spark, path,
+      Map("a" -> (aMin, aCut)))
+    assert(probe.count() === rows.count(_._2 <= aCut))
+    assert(probe.inputFiles.length < 4,
+      s"full-range column kept ${probe.inputFiles.length} of 4 files")
   }
 }

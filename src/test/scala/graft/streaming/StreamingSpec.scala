@@ -171,6 +171,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toMap === batch)
   }
 
+  test("streaming funnel converts a same-instant view+purchase pair (tie-break)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    // a single-instant corpus: the batch twin counts purchase at
+    // t >= first_view INCLUSIVE, so the stream must too — and with the
+    // purchase row written BEFORE the view row, a timestamp-only sort
+    // would process purchase first and miss the conversion
+    val t0 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z"))
+    val t1 = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:01Z"))
+    val rows = Seq(
+      (1L, "purchase", t0), (1L, "view", t0), // tie → must convert, delay 0
+      (2L, "purchase", t0), (2L, "view", t1)  // purchase strictly first → no
+    ).toDF("user_id", "event_type", "ts")
+    val dir = Files.createTempDirectory("graft_funnel_tie").toString
+    val tmp = Files.createTempDirectory("graft_funnel_tie_w").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(f.toPath, Paths.get(dir, "events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val out = Streaming.runToMemory(
+      Streaming.funnelStream(spark, dir), "funnel_tie_stream").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("delay_us")).toMap
+    assert(out === Map(1L -> 0L))
+  }
+
   test("streaming top-k sketch windows equal the batch sketch") {
     val streamed = Streaming.runToMemory(
       Streaming.topkStream(spark, sf), "topk_stream").collect()

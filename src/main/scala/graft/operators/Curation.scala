@@ -840,13 +840,29 @@ object Curation {
     * whether two scrape feeds even produce the same SHAPE of document,
     * the first thing that silently changes when a site redesigns).
     * D = max over the union value grid of |F_a − F_b|, evaluated
-    * exactly: per-source step CDFs on the shared n_chars grid via an
-    * aggregates-only ≤-join (the [[graft.operators.Inference.ksTest]]
-    * discipline), the max of |ca·nb − cb·na| in exact BIGINTs, one
-    * division per pair. Scale: cells are sources×lengths-bounded, the
-    * grid sources×values, pairs sources²; nothing corpus-sized ever
-    * joins. (round 7)
+    * exactly: per-source step CDFs on the shared n_chars grid via a
+    * SOURCE-PARTITIONED two-phase prefix sum (the
+    * [[graft.operators.Inference.cumCounts]] discipline, generalized to
+    * a partition key: per-(source, length-bucket) windows + an
+    * aggregates-only bucket-offset self-join — LINEAR in grid size, vs
+    * the ≤-join formulation whose each grid row rescans all of its
+    * source's cells, O(values²) per source once distinct doc lengths
+    * reach 1e5-1e6), then the max of |ca·nb − cb·na| in exact BIGINTs,
+    * one division per pair. Scale: cells are sources×lengths-bounded,
+    * the grid sources×values, offsets sources×buckets (bucket count
+    * scales with the VALUE RANGE, never rows), pairs sources²; nothing
+    * corpus-sized ever joins and no range join touches the values
+    * frame (PlanQualitySpec pins both). (round 7; CDF linearized
+    * round 8)
     */
+  /** Length-bucket width for [[ksSourceMatrix]]'s two-phase prefix
+    * sums (chars): bucket count scales with the doc-length RANGE (a
+    * 1e6-char ceiling is ~1e3 buckets), so the per-(source, bucket)
+    * windows stay balanced and the offsets self-join stays tiny at any
+    * corpus size — [[graft.operators.Inference.RankBucket]]'s rule at
+    * doc-length scale. */
+  val KsLenBucket = 1024L
+
   def ksSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.documents(s, dir)
       .groupBy(col("source"), col("n_chars").as("v"))
@@ -854,12 +870,28 @@ object Curation {
       .localCheckpoint() // sources×lengths; feeds grid, totals, values
     val vals = cells.select("v").distinct()
     val srcs = cells.select("source").distinct()
-    val grid = vals.crossJoin(srcs)
-      .join(cells.select(col("source").as("cs"), col("v").as("cv"),
-          col("c")),
-        col("cs") === col("source") && col("cv") <= col("v"), "left")
-      .groupBy("source", "v")
-      .agg(coalesce(sum(col("c")), lit(0L)).as("cum"))
+    // dense (source, v) grid: observed count at the source's own
+    // lengths, 0 at every other source's — the step-CDF carrier
+    val grid0 = vals.crossJoin(srcs)
+      .join(cells, Seq("source", "v"), "left")
+      .select(col("source"), col("v"),
+        coalesce(col("c"), lit(0L)).as("c0"))
+    // phase 1: running sum inside each (source, length-bucket) window;
+    // phase 2: add the bucket offset (sum of all LOWER buckets of the
+    // same source) from an aggregates-only self-join, broadcast back
+    val bucketed = grid0.withColumn("bk", expr(s"v div $KsLenBucket"))
+    val w = Window.partitionBy(col("source"), col("bk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bt = bucketed.groupBy("source", "bk").agg(sum(col("c0")).as("t"))
+    val off = bt.as("x")
+      .join(bt.as("y"), col("y.source") === col("x.source")
+        && col("y.bk") < col("x.bk"), "left")
+      .groupBy(col("x.source").as("source"), col("x.bk").as("bk"))
+      .agg(coalesce(sum(col("y.t")), lit(0L)).as("off"))
+    val grid = bucketed
+      .withColumn("cw", sum(col("c0")).over(w))
+      .join(broadcast(off), Seq("source", "bk"))
+      .select(col("source"), col("v"), (col("cw") + col("off")).as("cum"))
     val tots = cells.groupBy("source").agg(sum(col("c")).as("n"))
     val g = grid.join(broadcast(tots), Seq("source"))
     // cross-products in DECIMAL(38,0)/HUGEINT: cum·n passes BIGINT once

@@ -102,6 +102,42 @@ class PlanQualitySpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("ks_source_matrix: linear CDFs — no range join over the values frame") {
+    val df = operators.Curation.ksSourceMatrix(spark, sf)
+    val p = plan(df)
+    // the per-source step CDFs must come from the two-phase prefix sum
+    // (per-(source, bucket) windows + aggregates-only offsets), never a
+    // cv <= v join that rescans a source's cells per grid row. The one
+    // product is the values×sources grid cross — both sides aggregates
+    // (the registry guard's bounded shape), which the residual check
+    // below keeps honest
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    df.queryExecution.sparkPlan.foreach {
+      case j: BroadcastNestedLoopJoinExec => j.children.foreach { c =>
+        assert(c.find(_.isInstanceOf[BaseAggregateExec]).nonEmpty,
+          s"non-aggregate product side:\n$c")
+      }
+      case _ =>
+    }
+    // no join anywhere carries a <= residual (the old CDF formulation's
+    // cv <= v rescan); the only non-equi conditions left are the strict
+    // < of the bucket-offset and source-pair joins, both over
+    // aggregate-compacted sides
+    import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual
+    df.queryExecution.optimizedPlan.foreach {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.foreach(c => assert(
+          c.collect { case e: LessThanOrEqual => e }.isEmpty,
+          s"<= residual in join condition: $c"))
+      case _ =>
+    }
+    // windows partition per (source, bucket), never one global task
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"),
+      p.take(2000))
+  }
+
   test("brand_demand_momentum: part dim broadcast into the fact join") {
     val p = plan(Analytics.brandDemandMomentum(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -825,13 +825,18 @@ object Temporal {
   /** SLO burn-rate panel over the error stream — the Google-SRE
     * multi-window alert input ("is this hour burning error budget
     * faster than the daily baseline"): per hour on the ZERO-FILLED
-    * hour spine, the hour's error share, the trailing-24h share (an
-    * hour-index self-join over the |span|×24 window — aggregates only,
-    * no global window), and the burn ratio hour/day. Exact integer
-    * counts, three guarded divisions (an hour or a day with no events
-    * — or no errors in the long window — yields NULL, never a fake 0
-    * or an ANSI throw). Scale: one events scan compacts to hour
-    * cells; everything after is |span|-sized. (round 7)
+    * hour spine, the hour's error share, the trailing-24h share (a
+    * DAY-BUCKET equi-join: any trailing-24h window spans at most the
+    * hour's own day bucket and the previous one, so side a explodes
+    * its two candidate buckets and joins side b on the bucket KEY,
+    * band filter as residual — ≤ 48-row fan-in per hour, |span|×48
+    * total scan work, where the raw band condition alone planned as a
+    * |span|² BroadcastNestedLoopJoin scan), and the burn ratio
+    * hour/day. Exact integer counts, three guarded divisions (an hour
+    * or a day with no events — or no errors in the long window —
+    * yields NULL, never a fake 0 or an ANSI throw). Scale: one events
+    * scan compacts to hour cells; everything after is |span|-sized.
+    * (round 7; equi-keyed round 8)
     */
   def sloBurnRate(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -847,11 +852,14 @@ object Temporal {
       .select(col("h"), col("lo"), coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("ne"), lit(0L)).as("ne"))
       .localCheckpoint() // |span|-sized; feeds both sides of the window
-    z.as("a").join(z.as("b"),
-        col("b.h") >= col("a.h") - 23 && col("b.h") <= col("a.h"))
-      .groupBy(col("a.h").as("h"), col("a.lo").as("lo"),
-        col("a.n").as("n"), col("a.ne").as("n_err"))
-      .agg(sum(col("b.n")).as("n_24h"), sum(col("b.ne")).as("err_24h"))
+    val a = z.withColumn("bd",
+      explode(array(expr("h div 24"), expr("h div 24 - 1"))))
+    val b = z.select(col("h").as("bh"), col("n").as("bn"),
+      col("ne").as("bne"), expr("h div 24").as("bd"))
+    a.join(b, Seq("bd"))
+      .filter(col("bh") >= col("h") - 23 && col("bh") <= col("h"))
+      .groupBy(col("h"), col("lo"), col("n"), col("ne").as("n_err"))
+      .agg(sum(col("bn")).as("n_24h"), sum(col("bne")).as("err_24h"))
       .select((col("h") - col("lo")).as("hour_idx"), col("n"),
         col("n_err"), col("n_24h"), col("err_24h"),
         when(col("n") > 0,

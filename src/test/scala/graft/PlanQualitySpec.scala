@@ -138,6 +138,14 @@ class PlanQualitySpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("slo_burn_rate: trailing-24h window rides a day-bucket equi-join") {
+    val p = plan(operators.Temporal.sloBurnRate(spark, sf))
+    // the band self-join must key on the exploded day bucket (≤ 48-row
+    // fan-in per hour), never scan |span|² via a nested-loop band
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("brand_demand_momentum: part dim broadcast into the fact join") {
     val p = plan(Analytics.brandDemandMomentum(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

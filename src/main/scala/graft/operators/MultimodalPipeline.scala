@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
 final case class MediaRow(doc_id: Long, media: Array[Byte], kind: String)
 
 /** Typed decode output — codec from the REAL header parse
-  * ("unknown" + stub dims when the bytes are no known container). */
+  * ("unknown" + stub dims when the bytes are no known container).
+  * Carries the full modality-spanning field set of
+  * [[graft.plans.MediaHeader.Parsed]]: images fill width/height, audio
+  * fills sample_rate/channels, video fills width/height/duration_ms —
+  * the typed path surfaces exactly what the SQL surface
+  * ([[Multimodal.multimodalMeta]]) does. */
 final case class DecodedMeta(doc_id: Long, kind: String, n_bytes: Int,
-    checksum: Long, width: Int, height: Int, codec: String)
+    checksum: Long, width: Int, height: Int, codec: String,
+    sample_rate: Option[Int] = None, channels: Option[Int] = None,
+    duration_ms: Option[Long] = None)
 
 /** The partition-parallel decode pipeline behind
   * [[Multimodal.multimodalMeta]]'s SQL surface: a typed
@@ -41,7 +48,13 @@ object MultimodalPipeline {
       while (i < n) { ck = ck * 31L + (r.media(i) & 0xff); i += 1 }
       val p = graft.plans.MediaHeader.parse(r.media)
       if (p != null)
-        DecodedMeta(r.doc_id, r.kind, n, ck, p.width, p.height, p.codec)
+        DecodedMeta(r.doc_id, r.kind, n, ck,
+          if (p.width == null) 0 else p.width.intValue,
+          if (p.height == null) 0 else p.height.intValue,
+          p.codec,
+          Option(p.sampleRate).map(_.intValue),
+          Option(p.channels).map(_.intValue),
+          Option(p.durationMs).map(_.longValue))
       else // not a known container: stub dims, honestly labeled
         DecodedMeta(r.doc_id, r.kind, n, ck,
           n % 640 + 16, (n * 7) % 480 + 16, "unknown")
@@ -49,27 +62,34 @@ object MultimodalPipeline {
   }
 
   /** Media routing: image docs carry one of the four REAL container
-    * headers (round-robin by doc_id), "video" docs a GIF container
-    * (the animated-capable format here), "audio" docs opaque
-    * unparseable bytes — exercising both the real parse and the
-    * fallback through the same typed path.
+    * headers (round-robin by doc_id), "audio" docs a real RIFF/WAVE
+    * header (sample_rate/channels parse back), "video" docs a real MP4
+    * moov (dims + duration_ms parse back), "opaque" docs unparseable
+    * text bytes — exercising the real parse of every modality AND the
+    * honest fallback through the same typed path.
     */
   def decode(s: SparkSession, dir: String): Dataset[DecodedMeta] = {
     import s.implicits._
     val w = (pmod(col("doc_id") * 37, lit(2000)) + 16).cast("int")
     val h = (pmod(col("doc_id") * 91, lit(1200)) + 16).cast("int")
-    val kindId = pmod(col("doc_id"), lit(3))
-    val codecPick = pmod(col("doc_id"), lit(4))
+    val rate = (pmod(col("doc_id") * 53, lit(40000)) + 8000).cast("int")
+    val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+    val dur = (pmod(col("doc_id") * 29, lit(600000)) + 1000).cast("int")
+    val kindId = pmod(col("doc_id"), lit(4))
+    // image docs are doc_id ≡ 0 (mod 4): pick among the four image
+    // codecs by the next two bits so all four actually occur
+    val codecPick = pmod(expr("doc_id div 4"), lit(4))
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        when(kindId === 1, encode(col("text"), "UTF-8"))
-          .when(kindId === 2, Multimodal.gifBytes(w, h))
+        when(kindId === 1, Multimodal.wavBytes(rate, ch))
+          .when(kindId === 2, Multimodal.mp4Bytes(w, h, dur))
+          .when(kindId === 3, encode(col("text"), "UTF-8"))
           .otherwise(when(codecPick === 0, Multimodal.pngBytes(w, h))
             .when(codecPick === 1, Multimodal.gifBytes(w, h))
             .when(codecPick === 2, Multimodal.bmpBytes(w, h))
             .otherwise(Multimodal.jpegBytes(w, h))).as("media"),
         when(kindId === 0, "image").when(kindId === 1, "audio")
-          .otherwise("video").as("kind"))
+          .when(kindId === 2, "video").otherwise("opaque").as("kind"))
       .as[MediaRow]
       .mapPartitions(decodePartition)
   }

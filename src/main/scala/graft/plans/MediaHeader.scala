@@ -30,7 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    decoder's header pass does;
   *  - '''WAV''' (RIFF/WAVE): chunk walk to the `fmt ` chunk —
   *    channels le-u16 / sample rate le-u32; the audio modality's
-  *    metadata (dimensions stay null, the struct spans modalities).
+  *    metadata (dimensions stay null, the struct spans modalities);
+  *  - '''MP4''' (ISO-BMFF, ISO 14496-12): size-prefixed box walk —
+  *    `moov/mvhd` timescale+duration → duration_ms, the first
+  *    `moov/trak/tkhd` with nonzero 16.16 fixed-point dims → the video
+  *    track's width/height (audio tracks carry zeros and are passed
+  *    over); 64-bit largesize and run-to-end boxes handled, all
+  *    cursors Long so hostile sizes cannot wrap the walk.
   *
   * Anything else — truncated headers included — returns NULL, never a
   * guess. The expression replaces the earlier arithmetic decode stub:
@@ -48,11 +54,13 @@ object MediaHeader {
 
   /** Driver/executor-side parse result (the expression emits the same
     * fields as an InternalRow struct). Image formats carry dimensions
-    * and null audio fields; audio formats the reverse — the one struct
-    * spans modalities the way a real media catalog column does. */
+    * and null audio/duration fields; audio formats the reverse; video
+    * (MP4) carries dimensions AND duration — the one struct spans
+    * modalities the way a real media catalog column does. */
   final case class Parsed(codec: String, width: java.lang.Integer,
     height: java.lang.Integer, sampleRate: java.lang.Integer = null,
-    channels: java.lang.Integer = null)
+    channels: java.lang.Integer = null,
+    durationMs: java.lang.Long = null)
 
   def parse(b: Array[Byte]): Parsed = {
     if (b == null) return null
@@ -109,6 +117,108 @@ object MediaHeader {
       return null
     }
 
+    // MP4 / ISO-BMFF (ISO 14496-12): size-prefixed box walk. Every box
+    // is [size be-u32][4cc type]; size == 1 → a 64-bit largesize
+    // follows the type; size == 0 → the box runs to end of buffer. The
+    // catalog metadata lives under moov: mvhd carries
+    // timescale + movie duration (→ duration_ms), each trak's tkhd its
+    // 16.16 fixed-point presentation width/height (zero on non-visual
+    // tracks — the first nonzero pair is the video track). Structural
+    // violations — a size < 8, a box past the buffer, a truncated
+    // mvhd/tkhd, no moov in range — refuse with null, never a guess;
+    // all cursors are Longs so a hostile 32/64-bit size cannot wrap
+    // the walk index.
+    if (b.length >= 12 && u8(4) == 'f' && u8(5) == 't' && u8(6) == 'y' &&
+      u8(7) == 'p') {
+      def beU32L(i: Int): Long = beI32(i) & 0xffffffffL
+      def beU64(i: Int): Long = (beU32L(i) << 32) | beU32L(i + 4)
+      def is4cc(i: Long, t: String): Boolean =
+        u8(i.toInt) == t.charAt(0) && u8(i.toInt + 1) == t.charAt(1) &&
+          u8(i.toInt + 2) == t.charAt(2) && u8(i.toInt + 3) == t.charAt(3)
+      // Find box `t` in [from, until); -1 on clean miss, -2 on a
+      // structural violation (which must refuse the whole parse).
+      // Returns the box START (header included); payloadOf gives the
+      // payload offset past the 8/16-byte header.
+      def findBox(t: String, from: Long, until: Long): Long = {
+        var i = from
+        while (i + 8 <= until) {
+          val s0 = beU32L(i.toInt)
+          val end =
+            if (s0 == 0L) until
+            else if (s0 == 1L) {
+              if (i + 16 > until) return -2L
+              val ls = beU64(i.toInt + 8)
+              if (ls < 16L) return -2L
+              i + ls
+            } else if (s0 < 8L) return -2L
+            else i + s0
+          if (end > until || end <= i) return -2L
+          if (is4cc(i + 4, t)) return i
+          i = end
+        }
+        -1L
+      }
+      def payloadOf(box: Long): Long =
+        if (beU32L(box.toInt) == 1L) box + 16 else box + 8
+      def boxEnd(box: Long, until: Long): Long = {
+        val s0 = beU32L(box.toInt)
+        if (s0 == 0L) until
+        else if (s0 == 1L) box + beU64(box.toInt + 8)
+        else box + s0
+      }
+
+      val moov = findBox("moov", 0L, b.length.toLong)
+      if (moov < 0L) return null // truncated or moov-free: no metadata
+      val mEnd = boxEnd(moov, b.length.toLong)
+      val mPay = payloadOf(moov)
+
+      // mvhd → duration_ms
+      var durMs: java.lang.Long = null
+      val mvhd = findBox("mvhd", mPay, mEnd)
+      if (mvhd == -2L) return null
+      if (mvhd >= 0L) {
+        val p = payloadOf(mvhd)
+        if (p + 4 > mEnd) return null
+        val ver = u8(p.toInt)
+        val (tsOff, durLen) = if (ver == 1) (p + 20, 8) else (p + 12, 4)
+        if (tsOff + 4 + durLen > mEnd) return null
+        val timescale = beU32L(tsOff.toInt)
+        val dur = if (durLen == 8) beU64(tsOff.toInt + 4)
+          else beU32L(tsOff.toInt + 4)
+        // semantic refusals stay field-local: timescale 0 or a
+        // duration that cannot scale to ms in a Long yields a null
+        // duration, not a failed parse
+        if (timescale > 0L && dur >= 0L && dur <= Long.MaxValue / 1000L)
+          durMs = java.lang.Long.valueOf(dur * 1000L / timescale)
+      }
+
+      // first trak whose tkhd carries nonzero 16.16 dims = video track
+      var w: java.lang.Integer = null
+      var h: java.lang.Integer = null
+      var cur = mPay
+      while (cur >= 0L && w == null) {
+        val trak = findBox("trak", cur, mEnd)
+        if (trak == -2L) return null
+        if (trak < 0L) cur = -1L
+        else {
+          val tEnd = boxEnd(trak, mEnd)
+          val tkhd = findBox("tkhd", payloadOf(trak), tEnd)
+          if (tkhd == -2L) return null
+          if (tkhd >= 0L) {
+            val p = payloadOf(tkhd)
+            if (p + 4 > tEnd) return null
+            val dimOff = if (u8(p.toInt) == 1) p + 88 else p + 76
+            if (dimOff + 8 > tEnd) return null
+            val tw = (beU32L(dimOff.toInt) >>> 16).toInt
+            val th = (beU32L(dimOff.toInt + 4) >>> 16).toInt
+            if (tw > 0 && th > 0) { w = tw; h = th }
+          }
+          cur = tEnd
+        }
+      }
+      return Parsed("mp4", w, h, null, null, durMs)
+    }
+
     if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
       // JPEG marker walk: SOI consumed; segments are FF <marker>
       // [len-u16 payload] except standalone markers (TEM, RSTn, EOI)
@@ -144,7 +254,8 @@ object MediaHeader {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("sample_rate", IntegerType, nullable = true),
-    StructField("channels", IntegerType, nullable = true)))
+    StructField("channels", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -168,7 +279,7 @@ case class MediaMetaExpr(child: Expression)
     if (p == null) null
     else new GenericInternalRow(Array[Any](
       UTF8String.fromString(p.codec), p.width, p.height,
-      p.sampleRate, p.channels))
+      p.sampleRate, p.channels, p.durationMs))
   }
 
   override protected def withNewChildInternal(

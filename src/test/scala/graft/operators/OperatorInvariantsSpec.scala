@@ -1087,18 +1087,29 @@ class OperatorInvariantsSpec extends AnyFunSuite {
         case "image" => // REAL header round trip through the parser
           assert(Set("png", "gif", "bmp", "jpeg").contains(m.codec))
           assert(m.width === w0 && m.height === h0)
-        case "video" => // GIF container, real logical-screen parse
-          assert(m.codec === "gif")
+          assert(m.sample_rate.isEmpty && m.channels.isEmpty &&
+            m.duration_ms.isEmpty)
+        case "audio" => // RIFF/WAVE fmt chunk, real audio metadata
+          assert(m.codec === "wav")
+          assert(m.width === 0 && m.height === 0)
+          assert(m.sample_rate.contains(((m.doc_id * 53) % 40000 + 8000).toInt))
+          assert(m.channels.contains((m.doc_id % 2 + 1).toInt))
+          assert(m.duration_ms.isEmpty)
+        case "video" => // MP4 moov walk: dims AND duration parse back
+          assert(m.codec === "mp4")
           assert(m.width === w0 && m.height === h0)
-        case "audio" => // opaque bytes: honest fallback, stub dims
+          assert(m.duration_ms.contains((m.doc_id * 29) % 600000 + 1000))
+          assert(m.sample_rate.isEmpty && m.channels.isEmpty)
+        case "opaque" => // text bytes: honest fallback, stub dims
           assert(m.codec === "unknown")
           assert(m.width >= 16 && m.width < 656)
           assert(m.height >= 16 && m.height < 496)
       }
     }
+    assert(a.map(_.kind).toSet === Set("image", "audio", "video", "opaque"))
     // checksum must match a reference reimplementation for an opaque
     // (text-bytes) row, where media == UTF-8(text)
-    val au = a.find(_.kind == "audio").get
+    val au = a.find(_.kind == "opaque").get
     val doc0 = graft.sources.Tables.documents(spark, sf)
       .filter(col("doc_id") === au.doc_id).head.getAs[String]("text")
     val expect = doc0.getBytes("UTF-8").foldLeft(0L)((s, x) => s * 31L + (x & 0xff))

@@ -99,6 +99,19 @@ class MediaHeaderSpec extends AnyFunSuite {
         assert(r.getInt(4) === r.getInt(1), s"$codec height round trip")
       }
     }
+    // mp4: dims AND duration round-trip through the expression
+    val mp4 = df.withColumn("d", (col("id") * 7919 + 42).cast("int"))
+      .withColumn("media", Multimodal.mp4Bytes(col("w"), col("h"), col("d")))
+      .withColumn("m", expr("graft_media_meta(media)"))
+      .select(col("w"), col("h"), col("d"), col("m.codec"),
+        col("m.width"), col("m.height"), col("m.duration_ms"))
+      .collect()
+    mp4.foreach { r =>
+      assert(r.getString(3) === "mp4")
+      assert(r.getInt(4) === r.getInt(0))
+      assert(r.getInt(5) === r.getInt(1))
+      assert(r.getLong(6) === r.getInt(2).toLong) // timescale 1000
+    }
     // null media -> null struct through the expression
     val n = Seq(1L).toDF("id")
       .withColumn("media", lit(null).cast("binary"))
@@ -124,7 +137,8 @@ class MediaHeaderSpec extends AnyFunSuite {
       hexBytes("FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 0000" +
         "FFC0 0011 08 01E0 0280 03 011100 021101 031101"),
       hexBytes("52494646 28000000 57415645 4C495354 04000000 494E464F" +
-        "666D7420 10000000 0100 0200 44AC0000 00000000 0400 1000"))
+        "666D7420 10000000 0100 0200 44AC0000 00000000 0400 1000"),
+      hexBytes(Ftyp + "000000D8 6D6F6F76" + MvhdV0 + TrakVideo))
     valid.foreach { v =>
       (0 to v.length).foreach(k => MediaHeader.parse(v.take(k)))
       (0 until 200).foreach { _ =>
@@ -160,14 +174,74 @@ class MediaHeaderSpec extends AnyFunSuite {
       "52494646 24000000 57415645 64617461 F0FFFF7F")) === null)
   }
 
+  private val Mtx =
+    "000100000000000000000000000000000001000000000000000000000000000040000000"
+  private val Pred24 = "0" * 48
+  // mvhd v0: timescale 600, duration 3000 ticks -> 5000 ms
+  private val MvhdV0 = "0000006C 6D766864 00000000 00000000 00000000" +
+    "00000258 00000BB8 00010000 0100 0000 0000000000000000" +
+    Mtx + Pred24 + "00000002"
+  // tkhd v0: 640x360 as 16.16 fixed point
+  private val TkhdVideo = "0000005C 746B6864 00000007 00000000 00000000" +
+    "00000001 00000000 00000000 0000000000000000 0000 0000 0000 0000" +
+    Mtx + "02800000 01680000"
+  private val TrakVideo = "00000064 7472616B" + TkhdVideo
+  private val Ftyp = "00000010 66747970 69736F6D 00000000"
+
+  test("golden MP4: ftyp + moov/mvhd/trak/tkhd box walk") {
+    val mp4 = hexBytes(Ftyp + "000000D8 6D6F6F76" + MvhdV0 + TrakVideo)
+    assert(MediaHeader.parse(mp4) ===
+      MediaHeader.Parsed("mp4", 640, 360, null, null, 5000L))
+    // version-1 mvhd: 64-bit duration at its shifted offsets
+    // (timescale 90000, duration 90000 ticks -> 1000 ms)
+    val mvhdV1 = "00000078 6D766864 01000000 0000000000000000" +
+      "0000000000000000 00015F90 0000000000015F90 00010000 0100 0000" +
+      "0000000000000000" + Mtx + Pred24 + "00000002"
+    val mp4v1 = hexBytes(Ftyp + "000000E4 6D6F6F76" + mvhdV1 + TrakVideo)
+    assert(MediaHeader.parse(mp4v1) ===
+      MediaHeader.Parsed("mp4", 640, 360, null, null, 1000L))
+    // 64-bit largesize moov (size field 1): same content, same answer
+    val mp4big = hexBytes(Ftyp +
+      "00000001 6D6F6F76 00000000000000E0" + MvhdV0 + TrakVideo)
+    assert(MediaHeader.parse(mp4big) ===
+      MediaHeader.Parsed("mp4", 640, 360, null, null, 5000L))
+    // audio-only mp4: tkhd dims are zero -> null dims, duration kept
+    val tkhdAudio = "0000005C 746B6864 00000007 00000000 00000000" +
+      "00000001 00000000 00000000 0000000000000000 0000 0000 0100 0000" +
+      Mtx + "00000000 00000000"
+    val mp4audio = hexBytes(Ftyp + "000000D8 6D6F6F76" + MvhdV0 +
+      "00000064 7472616B" + tkhdAudio)
+    assert(MediaHeader.parse(mp4audio) ===
+      MediaHeader.Parsed("mp4", null, null, null, null, 5000L))
+  }
+
+  test("MP4 refusals: truncation, hostile sizes, missing moov") {
+    // ftyp alone: no moov in range
+    assert(MediaHeader.parse(hexBytes(Ftyp)) === null)
+    // moov truncated mid-mvhd
+    assert(MediaHeader.parse(hexBytes(
+      Ftyp + "000000D8 6D6F6F76 0000006C 6D766864 0000")) === null)
+    // a child box size < 8 inside moov
+    assert(MediaHeader.parse(hexBytes(
+      Ftyp + "00000010 6D6F6F76 00000005 6D766864")) === null)
+    // a declared box size past the buffer
+    assert(MediaHeader.parse(hexBytes(
+      Ftyp + "7FFFFFF0 6D6F6F76" + MvhdV0)) === null)
+    // timescale 0 is a semantic refusal: codec parses, duration null
+    val zeroTs = MvhdV0.replace("00000258", "00000000")
+    assert(MediaHeader.parse(hexBytes(
+      Ftyp + "000000D8 6D6F6F76" + zeroTs + TrakVideo)) ===
+      MediaHeader.Parsed("mp4", 640, 360, null, null, null))
+  }
+
   test("multimodal_meta: every row's parsed metadata equals the constructed one") {
     val out = Multimodal.multimodalMeta(spark, sf).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      val expectCodec = (id % 5) match {
+      val expectCodec = (id % 6) match {
         case 0 => "png"; case 1 => "gif"; case 2 => "bmp"; case 3 => "jpeg"
-        case _ => "wav"
+        case 4 => "wav"; case _ => "mp4"
       }
       assert(r.getAs[String]("codec") === expectCodec)
       if (expectCodec == "wav") {
@@ -175,15 +249,19 @@ class MediaHeaderSpec extends AnyFunSuite {
         assert(r.isNullAt(r.fieldIndex("height")))
         assert(r.getAs[Int]("sample_rate") === (id * 53) % 40000 + 8000)
         assert(r.getAs[Int]("channels") === id % 2 + 1)
+        assert(r.isNullAt(r.fieldIndex("duration_ms")))
       } else {
         assert(r.getAs[Int]("width") === (id * 37) % 2000 + 16)
         assert(r.getAs[Int]("height") === (id * 91) % 1200 + 16)
         assert(r.isNullAt(r.fieldIndex("sample_rate")))
         assert(r.isNullAt(r.fieldIndex("channels")))
+        if (expectCodec == "mp4")
+          assert(r.getAs[Long]("duration_ms") === (id * 29) % 600000 + 1000)
+        else assert(r.isNullAt(r.fieldIndex("duration_ms")))
       }
     }
-    // all five modalities actually occur
+    // all six modalities actually occur
     assert(out.map(_.getAs[String]("codec")).toSet ===
-      Set("png", "gif", "bmp", "jpeg", "wav"))
+      Set("png", "gif", "bmp", "jpeg", "wav", "mp4"))
   }
 }

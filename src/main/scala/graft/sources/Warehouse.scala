@@ -330,6 +330,36 @@ object Warehouse {
     else ManifestLog.merge(delta, path, idCol)
   }
 
+  /** SCD2 soft-DELETE — the delete half of a CDF-driven SCD2 mirror
+    * ([[upsertDimScd2]] handles inserts and updates; a source DELETE
+    * must CLOSE the key's current row, never drop its history —
+    * Kimball's type-2 delete): every natural key in `keys` with a
+    * current row closes at `batchTs` (valid_to = batchTs, is_current =
+    * false), landing as one [[ManifestLog.merge]] commit of id-matched
+    * updates. Keys without a current row are ignored, so a replayed
+    * batch is a no-op — idempotent per (batch, ts) like the upsert.
+    * Returns the new version (or the current one when nothing closes).
+    */
+  def closeDimScd2(keys: DataFrame, path: String, naturalKey: String,
+      idCol: String, batchTs: Long): Long = {
+    val s = keys.sparkSession
+    val v0 = ManifestLog.currentVersion(s, path)
+    if (v0 == 0L) return 0L
+    val snap = ManifestLog.snapshot(s, path)
+    val attrCols = snap.columns.filterNot(c => c == idCol ||
+      c == naturalKey || c == "valid_from" || c == "valid_to" ||
+      c == "is_current").toSeq
+    val kk = keys.select(col(naturalKey).as("__del_key"))
+      .dropDuplicates("__del_key")
+    val closures = snap.filter(col("is_current"))
+      .join(kk, col(naturalKey) === col("__del_key"))
+      .select(Seq(col(idCol), col(naturalKey)) ++
+        attrCols.map(col) ++ Seq(col("valid_from"),
+          lit(batchTs).as("valid_to"), lit(false).as("is_current")): _*)
+    if (closures.isEmpty) v0
+    else ManifestLog.merge(closures, path, idCol)
+  }
+
   /** The dimension AS OF `ts`: each natural key's row whose validity
     * interval covers ts — the join a fact load at ts performs to pick
     * up period-correct attributes. */

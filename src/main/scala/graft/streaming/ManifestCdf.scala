@@ -104,4 +104,52 @@ object ManifestCdf {
         ()
       }
     }
+
+  /** CDF-driven TYPE-2 dimension mirror — the consumer that keeps an
+    * SCD2 dim ([[graft.sources.Warehouse.upsertDimScd2]] /
+    * [[graft.sources.Warehouse.closeDimScd2]]) in lock-step with a
+    * manifest table, version by version: for each source version v the
+    * TOUCHED natural keys (any change type — insert, update, delete,
+    * and the deletes a RESTORE's undo delta emits) are re-resolved
+    * against the source snapshot AS OF v; keys still alive upsert
+    * their as-of attributes (batchTs = v, so dim validity intervals
+    * speak source-version time and [[graft.sources.Warehouse.dimAsOf]]
+    * answers "what did this key look like at source version t"), keys
+    * with no remaining row close. Resolving against the snapshot
+    * rather than folding change rows makes one rule cover all four
+    * cases — including a restore, which replays as "reverted keys
+    * upsert their old attributes, restore-removed keys close",
+    * exactly the undo the dim needs. A key with multiple live rows
+    * resolves deterministically (struct-max over the attributes).
+    * Idempotent per version (both dim writes are), so the
+    * crash-between-handler-and-marker replay is a no-op. Scale: per
+    * version the work is touched-key-cardinality joins plus one
+    * manifest-planned snapshot read; the dim merge rewrites only
+    * id-bearing files.
+    */
+  def mirrorDimScd2(s: SparkSession, srcPath: String, keyCol: String,
+      naturalKey: String, attrCols: Seq[String], dimPath: String,
+      idCol: String, checkpoint: String): Seq[Long] =
+    pump(s, srcPath, keyCol, checkpoint) { (changes, v) =>
+      if (!changes.isEmpty) {
+        import org.apache.spark.sql.functions.{col, max, struct}
+        val touched = changes.select(col(naturalKey)).distinct()
+        val snapAtV = ManifestLog.snapshot(s, srcPath, Some(v))
+          .groupBy(col(naturalKey))
+          .agg(max(struct(attrCols.map(col): _*)).as("__a"))
+          .select(col(naturalKey) +: attrCols.map(c => col(s"__a.$c")): _*)
+        val alive = touched.join(snapAtV, Seq(naturalKey))
+        val gone = touched.join(snapAtV, Seq(naturalKey), "left_anti")
+        if (!alive.isEmpty) {
+          graft.sources.Warehouse.upsertDimScd2(
+            alive, dimPath, naturalKey, idCol, v)
+          ()
+        }
+        if (!gone.isEmpty) {
+          graft.sources.Warehouse.closeDimScd2(
+            gone, dimPath, naturalKey, idCol, v)
+          ()
+        }
+      }
+    }
 }

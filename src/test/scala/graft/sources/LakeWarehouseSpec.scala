@@ -350,4 +350,111 @@ class LakeWarehouseSpec extends AnyFunSuite {
     assert(v3 === v2)
     assert(ManifestLog.snapshot(spark, path).count() === 4)
   }
+
+  test("closeDimScd2: a deleted key's row closes, history survives, replay is a no-op") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("scd2_close").toString + "/dim"
+    Warehouse.upsertDimScd2(
+      Seq(("acme", "tech"), ("byte", "media")).toDF("company", "sector"),
+      path, "company", "id_company", 100L)
+    Warehouse.closeDimScd2(Seq("acme").toDF("company"), path,
+      "company", "id_company", 150L)
+    val d = ManifestLog.snapshot(spark, path).collect()
+    assert(d.length === 2) // history retained, nothing dropped
+    val acme = d.find(_.getAs[String]("company") === "acme").get
+    assert(!acme.getAs[Boolean]("is_current"))
+    assert(acme.getAs[Long]("valid_to") === 150L)
+    assert(d.find(_.getAs[String]("company") === "byte").get
+      .getAs[Boolean]("is_current"))
+    assert(Warehouse.dimAsOf(spark, path, 120L).count() === 2)
+    assert(Warehouse.dimAsOf(spark, path, 200L).count() === 1)
+    // replay: acme is no longer current, so the close is a no-op; an
+    // unknown key is ignored too
+    val v0 = ManifestLog.currentVersion(spark, path)
+    assert(Warehouse.closeDimScd2(Seq("acme", "ghost").toDF("company"),
+      path, "company", "id_company", 150L) === v0)
+  }
+
+  test("lakehouse loop composed: publish -> CDF -> SCD2 mirror; RESTORE replays the undo") {
+    // VERDICT r7 Next #5: every part existed — this drives the chain:
+    // streaming JSON publish into the manifest table, the CDF consumer
+    // mirroring each version into a TYPE-2 dim (upsert half + close
+    // half), a crash replay between handler and marker, then a RESTORE
+    // on the source whose undo delta must replay into a dimension that
+    // reverts changed keys and closes restore-removed ones — with the
+    // full pre-restore history intact underneath.
+    def offer(url: String, via: String): String =
+      s"""{"job_url":"$url","titre":"t","via":"$via","publication_date":"2024-03-05","description":"hash join data","contrat":"CDI","companie":"Acme","niveau_etudes":"Master","niveau_experience":"junior"}"""
+    val lake = Files.createTempDirectory("graft_e2e_lake").toString
+    val ckpt = Files.createTempDirectory("graft_e2e_ckpt").toString
+    val root = Files.createTempDirectory("graft_e2e_tbl").toString
+    val src = root + "/offers"
+    val dim = root + "/dim_offer"
+    val cdfCkpt = root + "/cdf_ckpt"
+    def sync() = graft.streaming.ManifestCdf.mirrorDimScd2(spark, src,
+      "offer_key", "job_url", Seq("via"), dim, "id_offer", cdfCkpt)
+    def dimRows() = ManifestLog.snapshot(spark, dim).collect()
+      .map(r => (r.getAs[String]("job_url"), r.getAs[String]("via"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue),
+        r.getAs[Boolean]("is_current"))).sortBy(t => (t._1, t._3)).toSeq
+
+    // wave 1 -> source v1; mirror opens two dim rows at ts=1
+    val w1 = new java.io.PrintWriter(s"$lake/b1.jsonl")
+    w1.println(offer("u1", "alpha")); w1.println(offer("u2", "beta"))
+    w1.close()
+    graft.streaming.StreamingPipeline.runOnceManifest(spark, lake, src, ckpt)
+    assert(sync() === Seq(1L))
+    assert(dimRows() === Seq(
+      ("u1", "alpha", 1L, None, true), ("u2", "beta", 1L, None, true)))
+
+    // wave 2: u1 changes via, u3 arrives -> source v2; the mirror
+    // closes u1's old row at ts=2 and opens the new truth
+    val w2 = new java.io.PrintWriter(s"$lake/b2.jsonl")
+    w2.println(offer("u1", "delta")); w2.println(offer("u3", "gamma"))
+    w2.close()
+    graft.streaming.StreamingPipeline.runOnceManifest(spark, lake, src, ckpt)
+    assert(sync() === Seq(2L))
+    val afterV2 = Seq(
+      ("u1", "alpha", 1L, Some(2L), false), ("u1", "delta", 2L, None, true),
+      ("u2", "beta", 1L, None, true), ("u3", "gamma", 2L, None, true))
+    assert(dimRows() === afterV2)
+
+    // crash between handler and marker: drop v2's marker and re-pump —
+    // the replayed version must leave the dim byte-identical
+    assert(new java.io.File(s"$cdfCkpt/v2").delete(),
+      "test harness: simulate crash before the marker landed")
+    val dimV = ManifestLog.currentVersion(spark, dim)
+    assert(sync() === Seq(2L))
+    assert(dimRows() === afterV2)
+    assert(ManifestLog.currentVersion(spark, dim) === dimV,
+      "replay must not commit a new dim version")
+
+    // RESTORE the source to v1 -> v3 is the undo delta; the mirror
+    // replays it: u1 reverts to alpha (new open row — the revert is
+    // itself history), u3 closes, u2 untouched
+    ManifestLog.restore(spark, src, "offer_key", 1L)
+    assert(sync() === Seq(3L))
+    assert(dimRows() === Seq(
+      ("u1", "alpha", 1L, Some(2L), false),
+      ("u1", "delta", 2L, Some(3L), false),
+      ("u1", "alpha", 3L, None, true),
+      ("u2", "beta", 1L, None, true), ("u3", "gamma", 2L, Some(3L), false)))
+
+    // the source really is back at v1...
+    val now = ManifestLog.snapshot(spark, src)
+      .select("job_url", "via").collect().map(_.toSeq).toSet
+    val atV1 = ManifestLog.snapshot(spark, src, Some(1L))
+      .select("job_url", "via").collect().map(_.toSeq).toSet
+    assert(now === atV1)
+    // ...and period reads answer each era correctly: version-1 truth,
+    // version-2 truth, and the post-restore truth
+    def asOf(ts: Long) = Warehouse.dimAsOf(spark, dim, ts).collect()
+      .map(r => r.getAs[String]("job_url") -> r.getAs[String]("via")).toMap
+    assert(asOf(1L) === Map("u1" -> "alpha", "u2" -> "beta"))
+    assert(asOf(2L) === Map("u1" -> "delta", "u2" -> "beta", "u3" -> "gamma"))
+    assert(asOf(3L) === Map("u1" -> "alpha", "u2" -> "beta"))
+    // idle pump: nothing new
+    assert(sync().isEmpty)
+  }
 }

@@ -833,6 +833,14 @@ object Curation {
          JOIN g ON g.rg = greatest((rs.r * t.nt) // ns.n_s, 1)
        ORDER BY rs.doc_id"""
 
+  /** Length-bucket width for [[ksSourceMatrix]]'s two-phase prefix
+    * sums (chars): bucket count scales with the doc-length RANGE (a
+    * 1e6-char ceiling is ~1e3 buckets), so the per-(source, bucket)
+    * windows stay balanced and the offsets self-join stays tiny at any
+    * corpus size — [[graft.operators.Inference.RankBucket]]'s rule at
+    * doc-length scale. */
+  val KsLenBucket = 1024L
+
   /** Pairwise two-sample KS distance between per-source DOC-LENGTH
     * distributions — the drift MATRIX completing the corpus-similarity
     * panel ([[sourceDivergenceTv]] weighs token-mass drift vs the
@@ -855,14 +863,6 @@ object Curation {
     * frame (PlanQualitySpec pins both). (round 7; CDF linearized
     * round 8)
     */
-  /** Length-bucket width for [[ksSourceMatrix]]'s two-phase prefix
-    * sums (chars): bucket count scales with the doc-length RANGE (a
-    * 1e6-char ceiling is ~1e3 buckets), so the per-(source, bucket)
-    * windows stay balanced and the offsets self-join stays tiny at any
-    * corpus size — [[graft.operators.Inference.RankBucket]]'s rule at
-    * doc-length scale. */
-  val KsLenBucket = 1024L
-
   def ksSourceMatrix(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.documents(s, dir)
       .groupBy(col("source"), col("n_chars").as("v"))

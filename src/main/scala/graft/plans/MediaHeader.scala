@@ -178,10 +178,14 @@ object MediaHeader {
       if (mvhd == -2L) return null
       if (mvhd >= 0L) {
         val p = payloadOf(mvhd)
-        if (p + 4 > mEnd) return null
+        // field reads bound by the box's OWN declared end, not the
+        // parent's: an undersized mvhd must refuse, never decode the
+        // next sibling's bytes as timescale/duration
+        val me = boxEnd(mvhd, mEnd)
+        if (p + 4 > me) return null
         val ver = u8(p.toInt)
         val (tsOff, durLen) = if (ver == 1) (p + 20, 8) else (p + 12, 4)
-        if (tsOff + 4 + durLen > mEnd) return null
+        if (tsOff + 4 + durLen > me) return null
         val timescale = beU32L(tsOff.toInt)
         val dur = if (durLen == 8) beU64(tsOff.toInt + 4)
           else beU32L(tsOff.toInt + 4)
@@ -206,9 +210,10 @@ object MediaHeader {
           if (tkhd == -2L) return null
           if (tkhd >= 0L) {
             val p = payloadOf(tkhd)
-            if (p + 4 > tEnd) return null
+            val te = boxEnd(tkhd, tEnd) // own end, same rule as mvhd
+            if (p + 4 > te) return null
             val dimOff = if (u8(p.toInt) == 1) p + 88 else p + 76
-            if (dimOff + 8 > tEnd) return null
+            if (dimOff + 8 > te) return null
             val tw = (beU32L(dimOff.toInt) >>> 16).toInt
             val th = (beU32L(dimOff.toInt + 4) >>> 16).toInt
             if (tw > 0 && th > 0) { w = tw; h = th }

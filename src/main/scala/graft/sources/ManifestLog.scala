@@ -188,9 +188,18 @@ object ManifestLog {
             .map(_.group(1).toLong -> st.getPath))
           .filter(_._1 <= prev)
           .count { case (_, p) => fs.delete(p, true) }
-      val ckGone = cks.filter(_ < prev).count { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(checkpointDir(path, v)), true)
-      }
+      // checkpoint dirs below the previous generation go by RAW listing,
+      // not validCheckpoints: a torn checkpoint (crash before _SUCCESS)
+      // is invisible to readers by construction, so filtering on the
+      // marker here would leak every torn dir forever
+      val ckRoot = new org.apache.hadoop.fs.Path(checkpointRoot(path))
+      val ckGone =
+        if (!fs.exists(ckRoot)) 0
+        else fs.listStatus(ckRoot).toSeq.filter(_.isDirectory)
+          .flatMap(st => "^v(\\d+)$".r.findFirstMatchIn(st.getPath.getName)
+            .map(_.group(1).toLong -> st.getPath))
+          .filter(_._1 < prev)
+          .count { case (_, p) => fs.delete(p, true) }
       logGone + ckGone
     }
 
@@ -608,9 +617,16 @@ object ManifestLog {
         // the scaled cast. BigInt keeps the whole pipeline exact; the
         // span is then fed to the decimal division as a literal.
         val span = (BigInt(hi) - BigInt(lo) + 1).max(BigInt(1))
-        ((enc(col(c)).cast("decimal(38,0)") - lo)
+        // least(): decimal division rounds HALF_UP at scale 6 before the
+        // long cast truncates, so for spans ≥ ~1.3e11 the column max's
+        // quotient 2^16·(1 − 1/span) rounds UP to exactly 2^16 — one
+        // past the bit budget, which interleave's 16-bit masking would
+        // wrap to z-contribution 0 (max-valued rows clustering with the
+        // column minimum). Clamp to the top coordinate instead.
+        least(((enc(col(c)).cast("decimal(38,0)") - lo)
           * (1L << ZorderBits)
-          / lit(span.toString).cast("decimal(38,0)")).cast("long")
+          / lit(span.toString).cast("decimal(38,0)")).cast("long"),
+          lit((1L << ZorderBits) - 1L))
       }
       val v = claimVersion(s, path)
       data

@@ -138,8 +138,13 @@ object ManifestCdf {
           .groupBy(col(naturalKey))
           .agg(max(struct(attrCols.map(col): _*)).as("__a"))
           .select(col(naturalKey) +: attrCols.map(c => col(s"__a.$c")): _*)
-        val alive = touched.join(snapAtV, Seq(naturalKey))
+        // compact key-cardinality frames, each consumed twice (isEmpty
+        // probe + the dim write) — localCheckpoint so the per-version
+        // snapshot read and the touched-keys join run ONCE, not once
+        // per downstream action (the tf/cells checkpoint rule)
+        val alive = touched.join(snapAtV, Seq(naturalKey)).localCheckpoint()
         val gone = touched.join(snapAtV, Seq(naturalKey), "left_anti")
+          .localCheckpoint()
         if (!alive.isEmpty) {
           graft.sources.Warehouse.upsertDimScd2(
             alive, dimPath, naturalKey, idCol, v)

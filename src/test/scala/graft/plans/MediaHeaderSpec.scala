@@ -227,6 +227,17 @@ class MediaHeaderSpec extends AnyFunSuite {
     // a declared box size past the buffer
     assert(MediaHeader.parse(hexBytes(
       Ftyp + "7FFFFFF0 6D6F6F76" + MvhdV0)) === null)
+    // an UNDERSIZED mvhd (declared size 16: room for version+creation
+    // only) must refuse — reading on would decode the next sibling's
+    // bytes as timescale/duration
+    assert(MediaHeader.parse(hexBytes(
+      Ftyp + "0000007C 6D6F6F76 00000010 6D766864 00000000 00000000" +
+        TrakVideo)) === null)
+    // same rule for an undersized tkhd: dims must not come from bytes
+    // past the box's own declared end
+    assert(MediaHeader.parse(hexBytes(
+      Ftyp + "0000008C 6D6F6F76" + MvhdV0 +
+        "00000018 7472616B 00000010 746B6864 00000007 00000000")) === null)
     // timescale 0 is a semantic refusal: codec parses, duration null
     val zeroTs = MvhdV0.replace("00000258", "00000000")
     assert(MediaHeader.parse(hexBytes(

@@ -531,13 +531,19 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(cdf.filter(col(ManifestLog.ChangeTypeCol) === "insert")
       .count() === 20)
 
-    // a third generation: vacuumLog drops the v6 log dir AND the twice-
-    // superseded v5 checkpoint dir, keeping two checkpoint generations
+    // a TORN checkpoint (crash before _SUCCESS): invisible to readers,
+    // but vacuumLog must still reclaim it once it falls below the
+    // previous generation — filtering on the marker would leak it forever
+    assert(new java.io.File(s"$path/_checkpoint/v3").mkdirs())
+
+    // a third generation: vacuumLog drops the v6 log dir, the twice-
+    // superseded v5 checkpoint dir AND the torn v3 dir, keeping two
+    // checkpoint generations
     ManifestLog.commit(
       (600L until 610L).map(k => (k, s"p$k")).toDF("key", "payload"),
       path, "key")
     assert(ManifestLog.checkpoint(spark, path) === 7L)
-    assert(ManifestLog.vacuumLog(spark, path) === 2)
+    assert(ManifestLog.vacuumLog(spark, path) === 3)
     assert(new java.io.File(s"$path/_checkpoint").listFiles()
       .filter(_.isDirectory).map(_.getName).toSet === Set("v6", "v7"))
     assert(ManifestLog.log(spark, path).inputFiles.length === 1)
@@ -676,5 +682,29 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(probe.count() === rows.count(_._2 <= aCut))
     assert(probe.inputFiles.length < 4,
       s"full-range column kept ${probe.inputFiles.length} of 4 files")
+  }
+
+  test("optimizeZorder clamps the top coordinate: the column MAX clusters high, not low") {
+    import spark.implicits._
+    val path = freshTable()
+    // two a-values spanning > Long.MaxValue: decimal HALF_UP rounding
+    // puts the max's scaled quotient at exactly 2^16, which unclamped
+    // wraps through interleave's 16-bit mask to z-contribution 0 — the
+    // max rows would then be INSEPARABLE from the min rows and a
+    // max-point probe would open every file. b is held constant so the
+    // z-order is driven by a alone (b's bits interleave one position
+    // higher and would otherwise dominate the split).
+    val aMin = -(3L << 60)
+    val aMax = 3L << 61
+    val rows = (0L until 64L).map(k =>
+      (k, if (k % 2 == 0) aMin else aMax, 0L))
+    ManifestLog.commit(rows.toDF("key", "a", "b").repartition(4),
+      path, "key")
+    assert(ManifestLog.optimizeZorder(spark, path, "key", "a", "b", 2) === 2L)
+    val probe = ManifestLog.scanColRanges(spark, path,
+      Map("a" -> (aMax, aMax)))
+    assert(probe.count() === 32)
+    assert(probe.inputFiles.length === 1,
+      s"max-valued rows mixed into ${probe.inputFiles.length} files")
   }
 }

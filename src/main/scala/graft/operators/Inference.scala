@@ -696,6 +696,68 @@ object Inference {
                          AS DOUBLE) - 1.0 END AS delta
        FROM agg"""
 
+  /** Two-sample Cramér–von Mises statistic for the [[ksTest]] cohorts
+    * — the INTEGRATED distribution-gap test next to KS's single
+    * worst-point D (KS sees one sharp divergence; CvM sees a small gap
+    * that persists across the whole price range, the shape drift KS
+    * under-weights): T = n_a·n_b/N² · Σ over pooled observations of
+    * (F_a − F_b)², which over grouped counts is the EXACT integer
+    * S = Σ_v (a_v+b_v)·(ca·nb − cb·na)² divided once by N²·n_a·n_b
+    * (N = n_a+n_b). S accumulates in DECIMAL(38,0)/HUGEINT — exact to
+    * cohort sizes ~3·10⁹ per side, the [[ksSourceMatrix]] widening rule
+    * — and the division is one double over exact casts, so the value
+    * cannot be float-order-perturbed. Rides [[cumCounts]]'s two-phase
+    * prefix sums: the scan aggregates to distinct prices first and
+    * everything downstream is |distinct values|-sized. An empty cohort
+    * leaves T undefined — NULL (§7b rule). (round 8)
+    */
+  def cvmTest(s: SparkSession, dir: String): DataFrame =
+    cvmFrom(priceCohorts(s, dir))
+
+  /** Core over any per-distinct-value cohort frame (v, a, b). */
+  private[graft] def cvmFrom(vals: DataFrame): DataFrame = {
+    val cc = cumCounts(vals)
+    val tot = vals.agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    cc.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        // d = ca·nb − cb·na stays BIGINT to ~3e9-per-cohort (the ks_test
+        // bound); the square widens through DECIMAL(38,0)
+        ((col("a") + col("b"))
+          * ((col("ca") * col("nb") - col("cb") * col("na"))
+            .cast("decimal(38,0)")
+            * (col("ca") * col("nb") - col("cb") * col("na")))).as("sq"))
+      .groupBy("na", "nb")
+      .agg(sum(col("sq")).as("s_num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("s_num").cast("double").as("t_num"),
+        when(col("na") * col("nb") > 0,
+          col("s_num").cast("double")
+            / ((col("na") + col("nb")).cast("decimal(38,0)")
+              * (col("na") + col("nb")) * col("na") * col("nb"))
+              .cast("double")).as("t_stat"))
+  }
+
+  val cvmTestSql: String =
+    s"""WITH vals AS ($rankCohortsSql),
+       cc AS (SELECT v, a, b,
+                     CAST(SUM(a) OVER (ORDER BY v) AS BIGINT) AS ca,
+                     CAST(SUM(b) OVER (ORDER BY v) AS BIGINT) AS cb
+              FROM vals),
+       tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                      CAST(SUM(b) AS BIGINT) AS nb FROM vals),
+       agg AS (SELECT t.na, t.nb,
+                      SUM((c.a + c.b)
+                          * (CAST(c.ca * t.nb - c.cb * t.na AS HUGEINT)
+                             * (c.ca * t.nb - c.cb * t.na))) AS s_num
+               FROM cc c CROSS JOIN tot t GROUP BY t.na, t.nb)
+       SELECT na AS n_a, nb AS n_b,
+              CAST(CAST(s_num AS VARCHAR) AS DOUBLE) AS t_num,
+              CASE WHEN na * nb > 0 THEN
+                CAST(CAST(s_num AS VARCHAR) AS DOUBLE)
+                  / CAST(CAST(CAST(na + nb AS HUGEINT) * (na + nb) * na * nb
+                              AS VARCHAR) AS DOUBLE) END AS t_stat
+       FROM agg"""
+
   /** Core over any per-distinct-value cohort frame (v, a, b). */
   def mannWhitneyFrom(vals: DataFrame): DataFrame = {
     val cc = cumCounts(vals)

@@ -2112,6 +2112,182 @@ object Analytics {
       .orderBy("week", "event_type")
   }
 
+  /** ABC inventory classification per brand — the assortment cut every
+    * merchandising dashboard runs above [[Inference.paretoCoverage]]'s
+    * scalar ("which parts are the A items"): parts rank by revenue
+    * within their brand, the running share assigns A (first 80% of
+    * brand revenue), B (to 95%), C (rest) — boundaries compared as
+    * exact integer-scaled decimals (cum·5 vs tot·4, cum·20 vs tot·19;
+    * no float thresholds), revenue sums exact DECIMAL. Output is the
+    * brand × class rollup. Scale: one lineitem scan → (brand, part)
+    * aggregate; windows partition per brand — never global. (round 9)
+    */
+  def abcClassification(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val li = Tables.lineitem(s, dir)
+    val rev = li
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(decp(col("l_extendedprice"))
+        * decf(lit(1.0) - col("l_discount"))).as("rev"))
+    val wc = Window.partitionBy(col("p_brand"))
+      .orderBy(col("rev").desc, col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("p_brand"))
+    rev
+      .withColumn("cum", sum(col("rev")).over(wc))
+      .withColumn("tot", sum(col("rev")).over(wt))
+      .withColumn("abc_class",
+        when(col("cum") * 5 <= col("tot") * 4, "A")
+          .when(col("cum") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("p_brand"), col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("class_rev"))
+      .select(col("p_brand"), col("abc_class"), col("n_parts"),
+        col("class_rev").cast("double").as("class_rev"))
+      .orderBy("p_brand", "abc_class")
+  }
+
+  val abcClassificationSql: String = {
+    import graft.functions.Nums._
+    s"""WITH rev AS (
+         SELECT p.p_brand, l.l_partkey,
+                SUM(${sqlDecp("l.l_extendedprice")}
+                  * ${sqlDecf("1.0 - l.l_discount")}) AS rev
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2),
+       r AS (SELECT p_brand, rev,
+               SUM(CAST(rev AS DECIMAL(38,8))) OVER (
+                 PARTITION BY p_brand
+                 ORDER BY rev DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               SUM(CAST(rev AS DECIMAL(38,8))) OVER (
+                 PARTITION BY p_brand) AS tot
+             FROM rev)
+       SELECT p_brand,
+              CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                   WHEN cum * 20 <= tot * 19 THEN 'B'
+                   ELSE 'C' END AS abc_class,
+              CAST(COUNT(*) AS BIGINT) AS n_parts,
+              ${graft.functions.Nums.sqlDsum("CAST(rev AS DECIMAL(38,8))")}
+                AS class_rev
+       FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  /** Monthly customer churn/retention panel — the subscription-style
+    * lifecycle read over order activity ([[Stats]]' DAU machinery at
+    * month grain, with the churn complement a weekly dashboard cannot
+    * see): per month on the complete month spine, active customers,
+    * retained (also active the previous month — one equi-self-join of
+    * the distinct (customer, month) frame on customer + month−1),
+    * churned (previous month's active minus retained), and the two
+    * rates as guarded double divisions against the previous month's
+    * base. Months as (y, m) from an exact integer month index. Scale:
+    * one orders scan → distinct (customer, month) → month-keyed
+    * aggregates; the spine is calendar-bounded. (round 9)
+    */
+  def monthlyChurn(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cm = o.select(col("o_custkey").as("c"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi"))
+      .distinct()
+      .localCheckpoint() // cust×months; feeds active, both join sides
+    val spine = cm.agg(min(col("mi")).as("lo"), max(col("mi")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("mi"))
+    val active = cm.groupBy("mi").agg(count(lit(1)).as("active"))
+    val retained = cm.as("a")
+      .join(cm.as("b"),
+        col("b.c") === col("a.c") && col("b.mi") === col("a.mi") - 1)
+      .groupBy(col("a.mi").as("mi"))
+      .agg(count(lit(1)).as("retained"))
+    broadcast(spine)
+      .join(active, Seq("mi"), "left")
+      .join(retained, Seq("mi"), "left")
+      .join(active.select(col("mi").as("pmi"), col("active").as("prev_active")),
+        col("pmi") === col("mi") - 1, "left")
+      .select((col("mi") / 12).cast("long").as("y"),
+        (col("mi") % 12 + 1).cast("long").as("m"),
+        coalesce(col("active"), lit(0L)).as("active"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("prev_active"), lit(0L)).as("prev_active"))
+      .select(col("y"), col("m"), col("active"), col("retained"),
+        (col("prev_active") - col("retained")).as("churned"),
+        when(col("prev_active") > 0,
+          col("retained").cast("double") / col("prev_active").cast("double"))
+          .as("retention_rate"),
+        when(col("prev_active") > 0,
+          (col("prev_active") - col("retained")).cast("double")
+            / col("prev_active").cast("double")).as("churn_rate"))
+      .orderBy("y", "m")
+  }
+
+  val monthlyChurnSql: String =
+    """WITH cm AS MATERIALIZED (
+         SELECT DISTINCT o_custkey AS c,
+                CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                  AS BIGINT) AS mi
+         FROM orders),
+       bounds AS (SELECT MIN(mi) AS lo, MAX(mi) AS hi FROM cm),
+       spine AS (SELECT UNNEST(generate_series(lo, hi)) AS mi FROM bounds),
+       act AS (SELECT mi, CAST(COUNT(*) AS BIGINT) AS active
+               FROM cm GROUP BY 1),
+       ret AS (SELECT a.mi, CAST(COUNT(*) AS BIGINT) AS retained
+               FROM cm a JOIN cm b ON b.c = a.c AND b.mi = a.mi - 1
+               GROUP BY 1),
+       z AS (SELECT s.mi,
+                    COALESCE(act.active, 0) AS active,
+                    COALESCE(ret.retained, 0) AS retained,
+                    COALESCE(p.active, 0) AS prev_active
+             FROM spine s
+               LEFT JOIN act ON act.mi = s.mi
+               LEFT JOIN ret ON ret.mi = s.mi
+               LEFT JOIN act p ON p.mi = s.mi - 1)
+       SELECT CAST(mi // 12 AS BIGINT) AS y,
+              CAST(mi % 12 + 1 AS BIGINT) AS m,
+              active, retained,
+              prev_active - retained AS churned,
+              CASE WHEN prev_active > 0 THEN
+                CAST(retained AS DOUBLE) / CAST(prev_active AS DOUBLE)
+              END AS retention_rate,
+              CASE WHEN prev_active > 0 THEN
+                CAST(prev_active - retained AS DOUBLE)
+                  / CAST(prev_active AS DOUBLE)
+              END AS churn_rate
+       FROM z ORDER BY y, m"""
+
+  /** Order basket-size distribution — "how many items does an order
+    * carry" as a histogram with shares ([[q13]] counts ORDERS per
+    * customer; this counts ITEMS per order, the fulfillment-cost
+    * shape): lineitems per order, then counts-of-counts with the share
+    * as one double division against the order total. Scale: one
+    * lineitem scan → per-order counts (map-side partial) → a
+    * basket-size-bounded rollup. (round 9)
+    */
+  def basketProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val per = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+    val hist = per.groupBy("n_items").agg(count(lit(1)).as("n_orders"))
+    val tot = hist.agg(sum(col("n_orders")).as("t"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("n_items"), col("n_orders"),
+        (col("n_orders").cast("double") / col("t").cast("double"))
+          .as("share"))
+      .orderBy("n_items")
+  }
+
+  val basketProfileSql: String =
+    """WITH per AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+                    FROM lineitem GROUP BY 1),
+       hist AS (SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders
+                FROM per GROUP BY 1),
+       tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS t FROM hist)
+       SELECT n_items, n_orders,
+              CAST(n_orders AS DOUBLE) / CAST(t AS DOUBLE) AS share
+       FROM hist CROSS JOIN tot ORDER BY n_items"""
+
   def queries: Seq[Q] = Seq(
     Q("q1_agg", Some(q1Sql), bench = true)(q1),
     Q("big_orders_having", Some(bigOrdersSql))(bigOrders),
@@ -2166,5 +2342,8 @@ object Analytics {
     Q("bloom_join_prune", Some(bloomJoinPruneSql))(bloomJoinPrune),
     Q("full_outer_reconcile", Some(fullOuterReconcileSql))(fullOuterReconcile),
     Q("join_size_estimate", None)(joinSizeEstimate),
-    Q("hll_intersect_users", None)(hllIntersectUsers))
+    Q("hll_intersect_users", None)(hllIntersectUsers),
+    Q("abc_classification", Some(abcClassificationSql))(abcClassification),
+    Q("monthly_churn", Some(monthlyChurnSql))(monthlyChurn),
+    Q("basket_profile", Some(basketProfileSql))(basketProfile))
 }

@@ -38,6 +38,32 @@ object Dedup {
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, COUNT(*) AS n_copies
        FROM documents GROUP BY 1 ORDER BY h"""
 
+  /** Token-sort exact dedup — [[dedupExactHash]] on the SORTED token
+    * multiset instead of the byte stream: catches duplicates whose
+    * sentences or list items were reordered by a template engine
+    * (byte-identical content in a different order — zero edit overlap
+    * for the exact hash, trivially caught here) while staying exactly
+    * as cheap: one per-row sort+join+md5 projection (all codegen
+    * built-ins — no shingling, no pair join), one hash-keyed
+    * aggregate with min-id survivor. The ordering the two engines
+    * share is binary/lexicographic on ASCII tokens — the same
+    * contract every md5 string key here already rides. Scale:
+    * identical to dedup_exact_hash — map-side projection, one
+    * shuffle on the 32-hex key. (round 9)
+    */
+  def dedupTokenSort(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(toks(col("text"))), " ")).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("h")
+
+  val dedupTokenSortSql: String =
+    s"""SELECT md5(array_to_string(list_sort(${sqlToks("text")}), ' ')) AS h,
+              min(doc_id) AS keep_id, COUNT(*) AS n_copies
+       FROM documents GROUP BY 1 ORDER BY h"""
+
   /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
     * the MOSS fingerprinting scheme): word-k-gram width, window size w
     * (any shared run of ≥ w + k − 1 tokens is GUARANTEED to share a
@@ -1432,6 +1458,7 @@ object Dedup {
     Q("dedup_cluster_stats", Some(dedupClusterStatsSql))(dedupClusterStats),
     Q("lsh_bucket_stats", Some(lshBucketStatsSql))(lshBucketStats),
     Q("dedup_exact_hash", Some(dedupExactHashSql))(dedupExactHash),
+    Q("dedup_token_sort", Some(dedupTokenSortSql))(dedupTokenSort),
     Q("fingerprint_winnowing", Some(fingerprintWinnowingSql))(
       fingerprintWinnowing),
     Q("dedup_winnowing", Some(dedupWinnowingSql), bench = true)(

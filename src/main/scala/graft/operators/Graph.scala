@@ -794,6 +794,66 @@ object Graph {
                JOIN deg dy ON cn.y = dy.z
        ORDER BY jaccard DESC, skill_a, skill_b"""
 
+  /** Weakly-connected components of the skill graph — the structural
+    * partition under every other key here ("is this one job market or
+    * several disconnected ones"; [[labelPropagation]] finds dense
+    * communities WITHIN a component — this finds the components):
+    * min-label propagation to convergence (the
+    * [[Dedup.dedupClusters]] machinery on the vocab graph — each sweep
+    * one |E| equi-join + a min-agg, state |V|-bounded, localCheckpoint
+    * per sweep cuts lineage), component labeled by its
+    * lexicographically-least skill, size attached by one broadcast
+    * self-aggregate. Sweep count is the component diameter — bounded
+    * by the vocab graph's size, never the corpus. (round 9)
+    */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+      .select(col("skill_a"), col("skill_b"))
+      .localCheckpoint()
+    val edges = cooc
+      .union(cooc.select(col("skill_b"), col("skill_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("l"))
+      val next = labels.union(prop)
+        .groupBy("v").agg(min(col("l")).as("l"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("l", "l0"), "v")
+        .filter(col("l") =!= col("l0")).count()
+      labels = next
+    }
+    val sizes = labels.groupBy("l").agg(count(lit(1)).as("comp_size"))
+    labels.join(broadcast(sizes), Seq("l"))
+      .select(col("v").as("skill"), col("l").as("component_id"),
+        col("comp_size"))
+      .orderBy("skill")
+  }
+
+  val graphComponentsSql: String =
+    s"""WITH RECURSIVE cooc AS (
+         SELECT skill_a, skill_b
+         FROM (${TextAnalysis.skillCooccurrenceSql})),
+       verts AS (SELECT skill_a AS v FROM cooc
+                 UNION SELECT skill_b FROM cooc),
+       edges AS (SELECT skill_a AS a, skill_b AS b FROM cooc
+                 UNION SELECT skill_b, skill_a FROM cooc),
+       reach(v, l) AS (
+         SELECT v, v FROM verts
+         UNION
+         SELECT e.b, r.l FROM reach r JOIN edges e ON r.v = e.a),
+       comp AS (SELECT v, min(l) AS component_id FROM reach GROUP BY v),
+       sz AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS comp_size
+              FROM comp GROUP BY 1)
+       SELECT c.v AS skill, c.component_id, s.comp_size
+       FROM comp c JOIN sz s ON c.component_id = s.component_id
+       ORDER BY skill"""
+
   def queries: Seq[Q] = Seq(
     Q("clustering_coefficient",
       Some(clusteringCoefficientSql))(clusteringCoefficient),
@@ -809,5 +869,6 @@ object Graph {
     Q("graph_bfs_hops", Some(bfsHopsSql))(bfsHops),
     Q("harmonic_centrality", Some(harmonicCentralitySql), bench = true)(
       harmonicCentrality),
-    Q("triangle_count", Some(triangleCountSql))(triangleCount))
+    Q("triangle_count", Some(triangleCountSql))(triangleCount),
+    Q("graph_components", Some(graphComponentsSql))(graphComponents))
 }

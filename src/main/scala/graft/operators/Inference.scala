@@ -3068,6 +3068,451 @@ object Inference {
        GROUP BY c.event_type
        ORDER BY c.event_type"""
 
+  /** Seasonal Mann-Kendall trend test of the daily event-count series
+    * — [[mannKendallTrend]]'s strong-seasonality sibling (Hirsch-Slack:
+    * when weekly cycle dominates, plain MK's cross-weekday pairs drown
+    * a real drift in seasonal noise; comparing only LIKE weekdays
+    * removes the cycle without modeling it): the zero-filled daily
+    * series splits into its 7 ISO-weekday subseries, S and the
+    * tie-corrected var18 compute per subseries exactly as in plain MK
+    * (all integer arithmetic), and the seasonal statistic is their sum
+    * (subseries are independent under H0, variances add). Per-dow rows
+    * surface the weekday detail; the summed s/var18/z repeat on each
+    * row (a 7-row frame, duplication harmless). z is structurally
+    * guarded: s_total != 0 implies an untied pair in some subseries,
+    * hence var_total > 0 — same shape as [[mannKendallFrom]]. Scale:
+    * pairs are (span/7)² × 7 ≈ span²/7 — calendar-bounded, never
+    * corpus-bounded; everything else is 7-row aggregates. (round 9)
+    */
+  def seasonalMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val ser = broadcast(spine).join(daily, Seq("day"), "left")
+      .select((expr("weekday(day)") + 1).as("iso_dow"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint() // span-sized; feeds pairs both sides + ties
+    val sStat = ser.as("a").join(ser.as("b"),
+        col("b.iso_dow") === col("a.iso_dow") && col("b.day") > col("a.day"))
+      .groupBy(col("a.iso_dow").as("iso_dow"))
+      .agg(sum(signum((col("b.n") - col("a.n")).cast("double"))
+        .cast("long")).as("s_stat"))
+    val nD = ser.groupBy("iso_dow").agg(count(lit(1)).as("nd"))
+    val ties = ser.groupBy(col("iso_dow"), col("n"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("iso_dow")
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tsum"))
+    val perDow = nD.join(sStat, Seq("iso_dow")).join(ties, Seq("iso_dow"))
+      .select(col("iso_dow"), col("nd").as("n_days"), col("s_stat"),
+        (col("nd") * (col("nd") - 1) * (col("nd") * 2 + 5) - col("tsum"))
+          .as("var18"))
+    val tot = perDow.agg(sum(col("s_stat")).as("s_tot"),
+      sum(col("var18")).as("var_tot"))
+    perDow.crossJoin(broadcast(tot))
+      .select(col("iso_dow"), col("n_days"), col("s_stat"), col("var18"),
+        col("s_tot").as("s_seasonal"), col("var_tot").as("var18_seasonal"),
+        when(col("s_tot") > 0,
+          (col("s_tot") - 1).cast("double")
+            / sqrt(col("var_tot").cast("double") / lit(18.0e0)))
+          .when(col("s_tot") < 0,
+            (col("s_tot") + 1).cast("double")
+              / sqrt(col("var_tot").cast("double") / lit(18.0e0)))
+          .otherwise(lit(0.0e0)).as("z_seasonal"))
+      .orderBy("iso_dow")
+  }
+
+  val seasonalMannKendallSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events GROUP BY 1),
+       bounds AS (SELECT CAST(MIN(ts) AS DATE) AS lo,
+                         CAST(MAX(ts) AS DATE) AS hi FROM events),
+       spine AS (SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY))::DATE AS day
+                 FROM bounds),
+       ser AS MATERIALIZED (
+         SELECT CAST(isodow(s.day) AS INT) AS iso_dow, s.day,
+                CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+         FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       st AS (SELECT a.iso_dow,
+                     CAST(SUM(CAST(sign(b.n - a.n) AS BIGINT)) AS BIGINT)
+                       AS s_stat
+              FROM ser a JOIN ser b
+                ON b.iso_dow = a.iso_dow AND b.day > a.day
+              GROUP BY 1),
+       nd AS (SELECT iso_dow, CAST(COUNT(*) AS BIGINT) AS nd
+              FROM ser GROUP BY 1),
+       ti AS (SELECT iso_dow,
+                     CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+              FROM (SELECT iso_dow, CAST(COUNT(*) AS BIGINT) AS t
+                    FROM ser GROUP BY iso_dow, n)
+              GROUP BY 1),
+       pd AS (SELECT nd.iso_dow, nd.nd AS n_days, st.s_stat,
+                     nd.nd * (nd.nd - 1) * (2 * nd.nd + 5) - ti.tsum
+                       AS var18
+              FROM nd JOIN st ON st.iso_dow = nd.iso_dow
+                      JOIN ti ON ti.iso_dow = nd.iso_dow),
+       tt AS (SELECT CAST(SUM(s_stat) AS BIGINT) AS s_tot,
+                     CAST(SUM(var18) AS BIGINT) AS var_tot FROM pd)
+       SELECT iso_dow, n_days, s_stat, var18,
+              s_tot AS s_seasonal, var_tot AS var18_seasonal,
+              CASE WHEN s_tot > 0 THEN
+                     CAST(s_tot - 1 AS DOUBLE)
+                       / sqrt(CAST(var_tot AS DOUBLE) / 18.0)
+                   WHEN s_tot < 0 THEN
+                     CAST(s_tot + 1 AS DOUBLE)
+                       / sqrt(CAST(var_tot AS DOUBLE) / 18.0)
+                   ELSE 0.0 END AS z_seasonal
+       FROM pd CROSS JOIN tt
+       ORDER BY iso_dow"""
+
+  /** Fixed-point scale for [[ljungBox]]'s per-lag terms (1.0 == 10^9:
+    * each term is rho² / (T−k) <= 1, so the scaled running sum stays
+    * under 10^9 · maxlag — far inside BIGINT; num² and a·b peak near
+    * 10^27 for daily volumes up to ~10^6, inside DECIMAL(38,0)/HUGEINT
+    * with ten digits of headroom). */
+  val LbScale = 1000000000L
+
+  /** Ljung-Box portmanteau statistic of the daily series at lags 1..7
+    * — the "is there ANY autocorrelation left" gate next to
+    * [[acfDaily]]'s per-lag picture (the standard residual-whiteness
+    * check an ARIMA fitter reports): Q(m) = T(T+2) Σ_{k<=m}
+    * rho_k²/(T−k), cumulative per lag. rho² needs NO sqrt — it is
+    * num²/(a·b) over the same exact decimal moments acf feeds its
+    * sqrt, so each term floors to a fixed-point BIGINT
+    * ((num²·scale) div (a·b·(T−k)) — the [[Chi2Scale]] discipline) and
+    * the cumulative sum is an exact integer window sum; one double
+    * multiply/divide at the very end. A zero-variance lag (a·b = 0)
+    * contributes NULL and is skipped by SUM in both engines — the same
+    * verdict acf's rho gives it. Scale: inherits acf's span-sized pair
+    * machinery; everything after is maxlag rows. (round 9)
+    */
+  def ljungBox(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val filled = broadcast(spine).join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint() // feeds pairs both sides + the T scalar
+    val lagged = filled.select(col("day").as("lday"), col("n").as("y"))
+    val pairs = filled
+      .select(col("day"), col("n").as("x"),
+        explode(sequence(lit(1), lit(AcfMaxLag))).as("lag"))
+      .withColumn("mday", expr("date_add(day, lag)"))
+      .join(lagged, col("mday") === col("lday"))
+      .select(col("lag"), col("x").cast("decimal(19,0)").as("x"),
+        col("y").cast("decimal(19,0)").as("y"))
+    val m = pairs.groupBy("lag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+    val tot = filled.agg(count(lit(1)).as("t"))
+    val terms = m.crossJoin(broadcast(tot))
+      .select(col("lag"), col("cnt"), col("t"),
+        (col("cnt") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("cnt") * col("sxx") - col("sx") * col("sx")).as("aa"),
+        (col("cnt") * col("syy") - col("sy") * col("sy")).as("bb"))
+      .select(col("lag"), col("cnt"), col("t"),
+        when(col("aa") * col("bb") > 0,
+          expr(s"(num * num * ${LbScale}L) div (aa * bb * (t - lag))"))
+          .as("term"))
+    // cumulative Q per lag WITHOUT a window (the pacf precedent: both
+    // engines' formula trees are GENERATED from the same loop over a
+    // ONE-ROW frame — a running-sum window here would be the global
+    // single-task window the registry guard forbids, and maxlag is a
+    // compile-time 7): pivot terms to columns, emit one struct per m
+    val aggCols = max(col("t")).as("t") +:
+      (1 to AcfMaxLag).map(k =>
+        max(when(col("lag") === k, col("term"))).as(s"t$k"))
+    val one = terms.agg(aggCols.head, aggCols.tail: _*)
+    val rows = (1 to AcfMaxLag).map { m =>
+      val ts = (1 to m).map(k => col(s"t$k"))
+      // q_m is NULL only when every contributing lag degenerated;
+      // otherwise degenerate lags contribute 0 (SUM-skip semantics)
+      val qScaled = when(coalesce(ts: _*).isNotNull,
+        ts.map(c => coalesce(c, lit(0L))).reduce(_ + _))
+      struct(lit(m.toLong).as("lag"),
+        (col("t") - m).as("n_pairs"),
+        ((col("t") * (col("t") + 2)).cast("double")
+          * qScaled.cast("double") / lit(1.0e9)).as("q_stat"))
+    }
+    one.select(explode(array(rows: _*)).as("s"))
+      .select(col("s.lag").as("lag"), col("s.n_pairs").as("n_pairs"),
+        col("s.q_stat").as("q_stat"))
+      .filter(col("n_pairs") > 0)
+      .orderBy("lag")
+  }
+
+  val ljungBoxSql: String =
+    s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events GROUP BY 1),
+       bounds AS (SELECT CAST(MIN(ts) AS DATE) AS lo,
+                         CAST(MAX(ts) AS DATE) AS hi FROM events),
+       spine AS (SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY))::DATE AS day
+                 FROM bounds),
+       filled AS MATERIALIZED (
+         SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+         FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       pairs AS (
+         SELECT l.lag, CAST(a.n AS HUGEINT) AS x, CAST(b.n AS HUGEINT) AS y
+         FROM filled a
+           CROSS JOIN (SELECT UNNEST(generate_series(1, $AcfMaxLag))
+                         AS lag) l
+           JOIN filled b ON b.day = a.day + CAST(l.lag AS INT)),
+       m AS (SELECT lag, CAST(COUNT(*) AS HUGEINT) AS cnt,
+                    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                    SUM(x * x) AS sxx, SUM(y * y) AS syy
+             FROM pairs GROUP BY 1),
+       tt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM filled),
+       terms AS (
+         SELECT lag, cnt, t,
+                CASE WHEN (cnt * sxx - sx * sx) * (cnt * syy - sy * sy)
+                       > 0 THEN
+                  ((cnt * sxy - sx * sy) * (cnt * sxy - sx * sy)
+                     * ${LbScale})
+                    // ((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)
+                        * (t - lag))
+                END AS term
+         FROM m CROSS JOIN tt),
+       agg AS (SELECT MAX(t) AS t,
+${(1 to AcfMaxLag).map(k =>
+      s"                      MAX(CASE WHEN lag = $k THEN term END) AS t$k")
+      .mkString(",\n")}
+               FROM terms),
+       qrows AS (
+${(1 to AcfMaxLag).map { mm =>
+      val cs = (1 to mm).map(k => s"t$k")
+      val co = cs.map(c => s"COALESCE($c, 0)").mkString(" + ")
+      s"""         SELECT CAST($mm AS BIGINT) AS lag,
+         CAST(t - $mm AS BIGINT) AS n_pairs,
+         CASE WHEN COALESCE(${cs.mkString(", ")}) IS NOT NULL THEN
+           CAST(CAST(t * (t + 2) AS BIGINT) AS DOUBLE)
+             * CAST(CAST($co AS BIGINT) AS DOUBLE) / 1000000000.0
+         END AS q_stat FROM agg"""
+    }.mkString("\n         UNION ALL\n")})
+       SELECT lag, n_pairs, q_stat FROM qrows
+       WHERE n_pairs > 0 ORDER BY lag"""
+
+  /** Grubbs' max-outlier statistic of the daily event-count series —
+    * "how extreme is the single most extreme day" as one
+    * distribution-backed number (the formal cousin of
+    * [[graft.operators.Stats]]' z-score flags: those list days over a
+    * fixed threshold, this scores THE argmax against its proper
+    * G-distribution input): G = max|n_i − mean| / s. The deviation
+    * ranking is exact — dev_i = |n_i·T − Σn| in BIGINT (T·|n−mean|,
+    * monotone in the true deviation), argmax tie-broken by earliest
+    * day; mean and s appear only in the final double expression from
+    * exact decimal moments. Zero variance (constant series) yields
+    * NULL, never a throw. Scale: one span-sized scan + a broadcast
+    * 1-row moment frame; TakeOrdered top-1. (round 9)
+    */
+  def grubbsMaxDay(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"), col("lo"))
+    val ser = broadcast(spine).join(daily, Seq("day"), "left")
+      .select(datediff(col("day"), col("lo")).cast("long").as("di"),
+        coalesce(col("n"), lit(0L)).as("n"))
+    val mom = ser.agg(count(lit(1)).as("t"),
+      sum(col("n").cast("decimal(19,0)")).cast("decimal(38,0)").as("sx"),
+      sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("sxx"))
+    ser.crossJoin(broadcast(mom))
+      .select(col("di"), col("n"), col("t"), col("sx"), col("sxx"),
+        abs(col("n").cast("decimal(38,0)") * col("t") - col("sx"))
+          .as("dev"))
+      .orderBy(col("dev").desc, col("di"))
+      .limit(1)
+      .select(col("di"), col("n"), col("t").as("n_days"),
+        when(col("t") >= 3 &&
+            col("t") * col("sxx") - col("sx") * col("sx") > 0,
+          col("dev").cast("double") / col("t").cast("double")
+            / sqrt((col("t") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")
+              / (col("t") * (col("t") - 1)).cast("double")))
+          .as("g_stat"))
+  }
+
+  val grubbsMaxDaySql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events GROUP BY 1),
+       bounds AS (SELECT CAST(MIN(ts) AS DATE) AS lo,
+                         CAST(MAX(ts) AS DATE) AS hi FROM events),
+       spine AS (SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY))::DATE AS day, lo
+                 FROM bounds),
+       ser AS (SELECT CAST(date_diff('day', s.lo, s.day) AS BIGINT) AS di,
+                      CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+               FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       mom AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t,
+                      CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS sx,
+                      CAST(SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+                        AS HUGEINT) AS sxx
+               FROM ser)
+       SELECT di, n, CAST(t AS BIGINT) AS n_days,
+              CASE WHEN t >= 3 AND t * sxx - sx * sx > 0 THEN
+                CAST(CAST(abs(CAST(n AS HUGEINT) * t - sx) AS VARCHAR)
+                    AS DOUBLE)
+                  / CAST(CAST(t AS VARCHAR) AS DOUBLE)
+                  / sqrt(CAST(CAST(t * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(t * (t - 1) AS VARCHAR) AS DOUBLE))
+              END AS g_stat
+       FROM ser CROSS JOIN mom
+       ORDER BY abs(CAST(n AS HUGEINT) * t - sx) DESC, di
+       LIMIT 1"""
+
+  /** Additive seasonal decomposition of the daily series at weekly
+    * period — the classical decompose step between [[seasonalityDow]]'s
+    * ratio index and [[seasonalityStrengthDow]]'s variance share: the
+    * trend is a centered 7-day moving average (computed WITHOUT a
+    * global window: the series equi-joins itself through an
+    * explode(-3..3) offset frame — |span|×7 rows, day-keyed — and only
+    * FULL windows qualify, so edges drop instead of biasing), the
+    * seasonal component per ISO weekday is the mean of the detrended
+    * series. Everything until the final division is exact: detrend is
+    * 7·n − t7 in BIGINT (7× avoids fractional trend), the per-dow mean
+    * divides once into a double. Scale: calendar-bounded throughout.
+    * (round 9)
+    */
+  def seasonalDecomposeDow(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev
+      .agg(to_date(min(col("ts"))).as("lo"), to_date(max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val filled = broadcast(spine).join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint() // feeds the window join twice (center + member)
+    val member = filled.select(col("day").as("mday"), col("n").as("mn"))
+    val win = filled
+      .select(col("day"), col("n"),
+        explode(sequence(lit(-3), lit(3))).as("off"))
+      .withColumn("jday", expr("date_add(day, off)"))
+      .join(member, col("jday") === col("mday"))
+      .groupBy(col("day"), col("n"))
+      .agg(count(lit(1)).as("wcnt"), sum(col("mn")).as("t7"))
+      .filter(col("wcnt") === 7)
+    win
+      .groupBy((expr("weekday(day)") + 1).as("iso_dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n") * 7 - col("t7")).as("detrend_7x"))
+      .select(col("iso_dow"), col("n_days"), col("detrend_7x"),
+        when(col("n_days") > 0,
+          col("detrend_7x").cast("double")
+            / (col("n_days") * 7).cast("double")).as("seasonal"))
+      .orderBy("iso_dow")
+  }
+
+  val seasonalDecomposeDowSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM events GROUP BY 1),
+       bounds AS (SELECT CAST(MIN(ts) AS DATE) AS lo,
+                         CAST(MAX(ts) AS DATE) AS hi FROM events),
+       spine AS (SELECT unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY))::DATE AS day
+                 FROM bounds),
+       filled AS MATERIALIZED (
+         SELECT s.day, CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+         FROM spine s LEFT JOIN daily d ON s.day = d.day),
+       win AS (
+         SELECT a.day, a.n, CAST(COUNT(*) AS BIGINT) AS wcnt,
+                CAST(SUM(b.n) AS BIGINT) AS t7
+         FROM filled a
+           CROSS JOIN (SELECT UNNEST(generate_series(-3, 3)) AS off) o
+           JOIN filled b ON b.day = a.day + CAST(o.off AS INT)
+         GROUP BY 1, 2),
+       full_w AS (SELECT * FROM win WHERE wcnt = 7)
+       SELECT CAST(isodow(day) AS INT) AS iso_dow,
+              CAST(COUNT(*) AS BIGINT) AS n_days,
+              CAST(SUM(n * 7 - t7) AS BIGINT) AS detrend_7x,
+              CASE WHEN COUNT(*) > 0 THEN
+                CAST(SUM(n * 7 - t7) AS DOUBLE)
+                  / CAST(COUNT(*) * 7 AS DOUBLE)
+              END AS seasonal
+       FROM full_w GROUP BY 1 ORDER BY iso_dow"""
+
+  /** Cochran-Armitage trend test — "does the completed-order share
+    * TREND across the ordered priority levels" (chi² independence says
+    * association exists somewhere; this tests the specifically ORDERED
+    * alternative, the right question for an ordinal factor): scores
+    * s_i = the priority's leading digit (1..5), outcome = orderstatus
+    * 'F'. z = T̃ / sqrt(R(N−R)·B / N) with T̃ = Σ s_i(N·r_i − R·n_i)
+    * and B = N·Σn_i s_i² − (Σn_i s_i)² — every sum an exact
+    * BIGINT/DECIMAL over the 5-row contingency frame, one sqrt + one
+    * double division at the end, NULL when the variance degenerates
+    * (all orders one status, or one priority level). Scale: one orders
+    * scan → 5 groups → 1 row. (round 9)
+    */
+  def cochranArmitageTrend(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val g = o.groupBy(substring(col("o_orderpriority"), 1, 1).cast("int")
+        .as("score"))
+      .agg(count(lit(1)).as("n_i"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("r_i"))
+    val tots = g.agg(sum(col("n_i")).as("nn"), sum(col("r_i")).as("rr"))
+    g.crossJoin(broadcast(tots))
+      .agg(max(col("nn")).as("n"), max(col("rr")).as("r"),
+        // N·r_i widens to decimal BEFORE the multiply: at N ~ 10^9
+        // orders the long product would sit one digit from wrap
+        sum(col("score").cast("decimal(38,0)")
+          * (col("nn").cast("decimal(38,0)") * col("r_i")
+            - col("rr").cast("decimal(38,0)") * col("n_i"))).as("t_num"),
+        sum(col("n_i").cast("decimal(38,0)") * col("score")).as("sns"),
+        sum(col("n_i").cast("decimal(38,0)") * col("score") * col("score"))
+          .as("sns2"))
+      .select(col("n"), col("r"), col("t_num").cast("long").as("t_num"),
+        when(col("r") * (col("n") - col("r"))
+            * (col("n") * col("sns2") - col("sns") * col("sns")) > 0,
+          col("t_num").cast("double")
+            / sqrt((col("r") * (col("n") - col("r"))
+                * (col("n") * col("sns2") - col("sns") * col("sns")))
+                .cast("decimal(38,0)").cast("double")
+              / col("n").cast("double")))
+          .as("z"))
+  }
+
+  val cochranArmitageTrendSql: String =
+    """WITH g AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS INT)
+                    AS score,
+                        CAST(COUNT(*) AS HUGEINT) AS n_i,
+                        CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                                      THEN 1 ELSE 0 END) AS HUGEINT) AS r_i
+                 FROM orders GROUP BY 1),
+       tt AS (SELECT CAST(SUM(n_i) AS HUGEINT) AS nn,
+                     CAST(SUM(r_i) AS HUGEINT) AS rr FROM g),
+       agg AS (SELECT MAX(nn) AS n, MAX(rr) AS r,
+                      SUM(CAST(score AS HUGEINT)
+                        * (nn * r_i - rr * n_i)) AS t_num,
+                      SUM(n_i * score) AS sns,
+                      SUM(n_i * score * score) AS sns2
+               FROM g CROSS JOIN tt)
+       SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+              CAST(t_num AS BIGINT) AS t_num,
+              CASE WHEN r * (n - r) * (n * sns2 - sns * sns) > 0 THEN
+                CAST(CAST(t_num AS VARCHAR) AS DOUBLE)
+                  / sqrt(CAST(CAST(r * (n - r)
+                        * (n * sns2 - sns * sns) AS VARCHAR) AS DOUBLE)
+                      / CAST(CAST(n AS VARCHAR) AS DOUBLE))
+              END AS z
+       FROM agg"""
+
   def queries: Seq[Q] = Seq(
     Q("chi2_independence", Some(chi2IndependenceSql))(chi2Independence),
     Q("cramers_v", Some(cramersVSql))(cramersV),
@@ -3112,5 +3557,13 @@ object Inference {
       Some(forecastSeasonalNaiveSql))(forecastSeasonalNaive),
     Q("bootstrap_means", Some(bootstrapMeansSql))(bootstrapMeans),
     Q("bootstrap_medians", Some(bootstrapMediansSql))(bootstrapMedians),
-    Q("odds_ratio_funnel", Some(oddsRatioFunnelSql))(oddsRatioFunnel))
+    Q("odds_ratio_funnel", Some(oddsRatioFunnelSql))(oddsRatioFunnel),
+    Q("seasonal_mann_kendall",
+      Some(seasonalMannKendallSql))(seasonalMannKendall),
+    Q("ljung_box", Some(ljungBoxSql))(ljungBox),
+    Q("grubbs_max_day", Some(grubbsMaxDaySql))(grubbsMaxDay),
+    Q("seasonal_decompose_dow",
+      Some(seasonalDecomposeDowSql))(seasonalDecomposeDow),
+    Q("cochran_armitage_trend",
+      Some(cochranArmitageTrendSql))(cochranArmitageTrend))
 }

@@ -1305,6 +1305,78 @@ object Temporal {
        FROM cells CROSS JOIN tot
        ORDER BY iso_dow, hour"""
 
+  /** Reciprocity of the directed event-transition graph — "when A
+    * leads to B, does B also lead to A" ([[eventTransitions]] gives
+    * the per-edge probabilities; this gives the one-number structure
+    * read: high reciprocity = oscillating UI loops, low = a one-way
+    * funnel): over the off-diagonal transition-count edges, the share
+    * of directed edges whose reverse exists (edge reciprocity) and the
+    * transition-weighted share Σ min(n_ab, n_ba) / Σ n (the
+    * weighted-network form — min counts the paired flow). All exact
+    * BIGINTs; two guarded divisions. Scale: one events scan compacts
+    * to the user-partitioned lead window, then everything is
+    * types²-bounded. (round 9)
+    */
+  def eventReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull && col("to_type") =!= col("from_type"))
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val rev = pairs.select(col("to_type").as("rf"), col("from_type").as("rt"),
+      col("n").as("rn"))
+    pairs.join(broadcast(rev),
+        col("from_type") === col("rf") && col("to_type") === col("rt"),
+        "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("n_recip_edges"),
+        sum(col("n")).as("n_trans"),
+        sum(least(col("n"), coalesce(col("rn"), lit(0L))))
+          .as("n_recip_trans"))
+      .select(col("n_edges"), col("n_recip_edges"), col("n_trans"),
+        col("n_recip_trans"),
+        when(col("n_edges") > 0,
+          col("n_recip_edges").cast("double") / col("n_edges").cast("double"))
+          .as("edge_reciprocity"),
+        when(col("n_trans") > 0,
+          col("n_recip_trans").cast("double") / col("n_trans").cast("double"))
+          .as("weight_reciprocity"))
+  }
+
+  val eventReciprocitySql: String =
+    """WITH e AS (SELECT user_id, event_type AS from_type,
+                    epoch_us(ts) AS t, event_id
+                  FROM events),
+       seq AS (SELECT from_type,
+                 LEAD(from_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id) AS to_type
+               FROM e),
+       pairs AS (SELECT from_type, to_type,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM seq
+                 WHERE to_type IS NOT NULL AND to_type <> from_type
+                 GROUP BY 1, 2),
+       j AS (SELECT p.n, r.n AS rn
+             FROM pairs p LEFT JOIN pairs r
+               ON p.from_type = r.to_type AND p.to_type = r.from_type),
+       agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                      CAST(SUM(CASE WHEN rn IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_recip_edges,
+                      CAST(SUM(n) AS BIGINT) AS n_trans,
+                      CAST(SUM(least(n, COALESCE(rn, 0))) AS BIGINT)
+                        AS n_recip_trans
+               FROM j)
+       SELECT n_edges, n_recip_edges, n_trans, n_recip_trans,
+              CASE WHEN n_edges > 0 THEN
+                CAST(n_recip_edges AS DOUBLE) / CAST(n_edges AS DOUBLE)
+              END AS edge_reciprocity,
+              CASE WHEN n_trans > 0 THEN
+                CAST(n_recip_trans AS DOUBLE) / CAST(n_trans AS DOUBLE)
+              END AS weight_reciprocity
+       FROM agg"""
+
   def queries: Seq[Q] = Seq(
     Q("events_dow_hour_heatmap",
       Some(eventsDowHourHeatmapSql))(eventsDowHourHeatmap),
@@ -1335,5 +1407,6 @@ object Temporal {
     Q("top_event_paths", Some(topEventPathsSql))(topEventPaths),
     Q("event_transitions", Some(eventTransitionsSql))(eventTransitions),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly),
-    Q("slo_burn_rate", Some(sloBurnRateSql))(sloBurnRate))
+    Q("slo_burn_rate", Some(sloBurnRateSql))(sloBurnRate),
+    Q("event_reciprocity", Some(eventReciprocitySql))(eventReciprocity))
 }

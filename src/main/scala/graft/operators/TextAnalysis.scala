@@ -1514,6 +1514,200 @@ object TextAnalysis {
        FROM cnt LEFT JOIN vocab v ON cnt.tok = v.tok
        GROUP BY cnt.source ORDER BY cnt.source"""
 
+  /** Stopword token density per source — the function-word share that
+    * separates prose from keyword-stuffed listings (a classic
+    * quality-filter signal next to [[textQualityScore]]'s per-doc
+    * ratios: natural English runs ~30-50% function words; scraped tag
+    * soup runs near zero): occurrences of the [[Stop]] English list
+    * over all token occurrences, both exact BIGINTs from one (source,
+    * token-hit) aggregation, one double division per source. Scale:
+    * one corpus scan, token explode after the (source, tokens)
+    * projection, source-cardinality output. (round 9)
+    */
+  def stopwordDensity(s: SparkSession, dir: String): DataFrame = {
+    val en = Stop(0)._2
+    Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").isInCollection(en), 1L).otherwise(0L))
+          .as("n_stop"))
+      .select(col("source"), col("n_tokens"), col("n_stop"),
+        when(col("n_tokens") > 0,
+          col("n_stop").cast("double") / col("n_tokens").cast("double"))
+          .as("stop_density"))
+      .orderBy("source")
+  }
+
+  val stopwordDensitySql: String = {
+    val arr = Stop(0)._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH tk AS (
+         SELECT source, UNNEST(${sqlToks("text")}) AS tok FROM documents),
+       agg AS (
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN list_contains($arr, tok)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         FROM tk GROUP BY 1)
+       SELECT source, n_tokens, n_stop,
+              CASE WHEN n_tokens > 0 THEN
+                CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              END AS stop_density
+       FROM agg ORDER BY source"""
+  }
+
+  /** Hapax legomena rate per source — the share of a source's
+    * vocabulary seen exactly once ([[vocabGrowthCurve]]'s pointwise
+    * derivative: a high hapax share means the vocabulary is still
+    * growing — OCR noise, IDs, or genuinely diverse prose; near zero
+    * means templated text): per-(source, token) counts, then vocab /
+    * hapax counts and one double division. Scale: the same (source,
+    * token) aggregate every corpus matrix rides; source-cardinality
+    * output. (round 9)
+    */
+  def hapaxRate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("source"), col("vocab"), col("hapax"),
+        when(col("vocab") > 0,
+          col("hapax").cast("double") / col("vocab").cast("double"))
+          .as("hapax_rate"))
+      .orderBy("source")
+
+  val hapaxRateSql: String =
+    s"""WITH cnt AS (
+         SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+         FROM (SELECT source, UNNEST(${sqlToks("text")}) AS tok
+               FROM documents)
+         GROUP BY 1, 2),
+       agg AS (
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS hapax
+         FROM cnt GROUP BY 1)
+       SELECT source, vocab, hapax,
+              CASE WHEN vocab > 0 THEN
+                CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE)
+              END AS hapax_rate
+       FROM agg ORDER BY source"""
+
+  /** Word-length profile per source — mean token length, long-word
+    * share and max ([[readabilityFlesch]]'s ingredient surfaced as a
+    * per-source fingerprint; a source whose mean word length drifts
+    * changed register or language): length sums exact BIGINT, mean and
+    * share as single double divisions, threshold ≥ 7 chars (the
+    * "complex word" cut readability indices use). Scale: token explode
+    * after projection, source-cardinality output. (round 9)
+    */
+  def wordLengthProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok")).cast("long")).as("sum_len"),
+        sum(when(length(col("tok")) >= 7, 1L).otherwise(0L)).as("n_long"),
+        max(length(col("tok")).cast("long")).as("max_len"))
+      .select(col("source"), col("n_tokens"), col("sum_len"),
+        col("max_len"),
+        when(col("n_tokens") > 0,
+          col("sum_len").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_len"),
+        when(col("n_tokens") > 0,
+          col("n_long").cast("double") / col("n_tokens").cast("double"))
+          .as("long_share"))
+      .orderBy("source")
+
+  val wordLengthProfileSql: String =
+    s"""WITH tk AS (
+         SELECT source, UNNEST(${sqlToks("text")}) AS tok FROM documents),
+       agg AS (
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+                CAST(SUM(CASE WHEN length(tok) >= 7 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_long,
+                CAST(MAX(length(tok)) AS BIGINT) AS max_len
+         FROM tk GROUP BY 1)
+       SELECT source, n_tokens, sum_len, max_len,
+              CASE WHEN n_tokens > 0 THEN
+                CAST(sum_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              END AS mean_len,
+              CASE WHEN n_tokens > 0 THEN
+                CAST(n_long AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+              END AS long_share
+       FROM agg ORDER BY source"""
+
+  /** Character-class profile per source — digit / uppercase / space
+    * shares of the raw character stream (the page-layout fingerprint
+    * under [[textQualityScore]]: tables and SKUs are digit-heavy,
+    * shouting templates uppercase-heavy; a redesigned scrape moves
+    * these before any token statistic notices): class counts as length
+    * deltas under class-targeted regexp_replace (exact integers — no
+    * tokenization involved), three guarded double divisions. ASCII
+    * classes only, deliberately: both engines' regex dialects agree on
+    * [0-9]/[A-Z]/[ ] and the synthetic corpus is ASCII; a Unicode
+    * deployment would swap in character-property classes. Scale: pure
+    * per-row projection then a source-cardinality aggregate. (round 9)
+    */
+  def charClassProfile(s: SparkSession, dir: String): DataFrame = {
+    def classCount(c: Column, re: String): Column =
+      (length(c) - length(regexp_replace(c, re, ""))).cast("long")
+    Tables.documents(s, dir)
+      .select(col("source"), length(col("text")).cast("long").as("nc"),
+        classCount(col("text"), "[0-9]").as("nd"),
+        classCount(col("text"), "[A-Z]").as("nu"),
+        classCount(col("text"), "[ ]").as("ns"))
+      .groupBy("source")
+      .agg(sum(col("nc")).as("n_chars"), sum(col("nd")).as("n_digit"),
+        sum(col("nu")).as("n_upper"), sum(col("ns")).as("n_space"))
+      .select(col("source"), col("n_chars"), col("n_digit"),
+        col("n_upper"), col("n_space"),
+        when(col("n_chars") > 0,
+          col("n_digit").cast("double") / col("n_chars").cast("double"))
+          .as("digit_share"),
+        when(col("n_chars") > 0,
+          col("n_upper").cast("double") / col("n_chars").cast("double"))
+          .as("upper_share"),
+        when(col("n_chars") > 0,
+          col("n_space").cast("double") / col("n_chars").cast("double"))
+          .as("space_share"))
+      .orderBy("source")
+  }
+
+  val charClassProfileSql: String =
+    """WITH cc AS (
+         SELECT source, CAST(length(text) AS BIGINT) AS nc,
+                CAST(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS nd,
+                CAST(length(text)
+                  - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                  AS BIGINT) AS nu,
+                CAST(length(text)
+                  - length(regexp_replace(text, '[ ]', '', 'g'))
+                  AS BIGINT) AS ns
+         FROM documents),
+       agg AS (
+         SELECT source, CAST(SUM(nc) AS BIGINT) AS n_chars,
+                CAST(SUM(nd) AS BIGINT) AS n_digit,
+                CAST(SUM(nu) AS BIGINT) AS n_upper,
+                CAST(SUM(ns) AS BIGINT) AS n_space
+         FROM cc GROUP BY 1)
+       SELECT source, n_chars, n_digit, n_upper, n_space,
+              CASE WHEN n_chars > 0 THEN
+                CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+              END AS digit_share,
+              CASE WHEN n_chars > 0 THEN
+                CAST(n_upper AS DOUBLE) / CAST(n_chars AS DOUBLE)
+              END AS upper_share,
+              CASE WHEN n_chars > 0 THEN
+                CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE)
+              END AS space_share
+       FROM agg ORDER BY source"""
+
   def queries: Seq[Q] = Seq(
     Q("oov_rate_by_source", Some(oovRateBySourceSql))(oovRateBySource),
     Q("quality_source_mix", Some(qualitySourceMixSql))(qualitySourceMix),
@@ -1543,5 +1737,9 @@ object TextAnalysis {
     Q("text_quality_score", Some(textQualityScoreSql))(textQualityScore),
     Q("quality_repetition", Some(qualityRepetitionSql))(qualityRepetition),
     Q("token_count", Some(tokenCountSql))(tokenCount),
-    Q("doc_fingerprint", Some(docFingerprintSql))(docFingerprint))
+    Q("doc_fingerprint", Some(docFingerprintSql))(docFingerprint),
+    Q("stopword_density", Some(stopwordDensitySql))(stopwordDensity),
+    Q("hapax_rate", Some(hapaxRateSql))(hapaxRate),
+    Q("word_length_profile", Some(wordLengthProfileSql))(wordLengthProfile),
+    Q("char_class_profile", Some(charClassProfileSql))(charClassProfile))
 }

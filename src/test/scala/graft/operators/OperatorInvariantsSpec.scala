@@ -1631,4 +1631,147 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(math.abs(ad - 2.0 / (math.sqrt(5.0) * math.sqrt(2.0))) < 1e-12)
     assert(ad > 0.0 && ad < 1.0)
   }
+
+  test("seasonal MK: summed columns equal per-dow sums; z sign follows s") {
+    val rows = Inference.seasonalMannKendall(spark, sf).collect()
+    assert(rows.length === 7)
+    val sSum = rows.map(_.getAs[Long]("s_stat")).sum
+    val vSum = rows.map(_.getAs[Long]("var18")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("s_seasonal") === sSum)
+      assert(r.getAs[Long]("var18_seasonal") === vSum)
+      assert(r.getAs[Long]("var18") >= 0L)
+      val z = r.getAs[Double]("z_seasonal")
+      if (sSum > 0) assert(z >= 0.0) else if (sSum < 0) assert(z <= 0.0)
+    }
+  }
+
+  test("ljung-box: Q nonnegative and nondecreasing in lag") {
+    val rows = Inference.ljungBox(spark, sf).collect().sortBy(_.getAs[Long]("lag"))
+    assert(rows.nonEmpty && rows.length <= Inference.AcfMaxLag)
+    val qs = rows.map(_.getAs[Double]("q_stat"))
+    qs.foreach(q => assert(q >= 0.0))
+    qs.sliding(2).foreach { case Array(a, b) => assert(b >= a - 1e-9)
+      case _ => () }
+  }
+
+  test("grubbs: the flagged day carries the max absolute deviation") {
+    val r = Inference.grubbsMaxDay(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Double]("g_stat") >= 0.0)
+    assert(r.head.getAs[Long]("n_days") >= 1L)
+  }
+
+  test("cochran-armitage: z shares t_num's sign") {
+    val r = Inference.cochranArmitageTrend(spark, sf).head
+    val (t, z) = (r.getAs[Long]("t_num"), r.getAs[Double]("z"))
+    assert(r.getAs[Long]("r") <= r.getAs[Long]("n"))
+    if (t > 0) assert(z > 0.0) else if (t < 0) assert(z < 0.0)
+  }
+
+  test("seasonal decompose: exactly the interior days, one row per dow") {
+    val rows = Inference.seasonalDecomposeDow(spark, sf).collect()
+    assert(rows.map(_.getAs[Int]("iso_dow")).toSet === (1 to 7).toSet)
+    val span = graft.sources.Tables.events(spark, sf)
+      .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts")))))
+      .head.getInt(0) + 1
+    assert(rows.map(_.getAs[Long]("n_days")).sum === (span - 6).toLong)
+  }
+
+  test("event reciprocity: bounds hold and reciprocated edges pair up") {
+    val r = Temporal.eventReciprocity(spark, sf).head
+    assert(r.getAs[Long]("n_recip_edges") <= r.getAs[Long]("n_edges"))
+    assert(r.getAs[Long]("n_recip_trans") <= r.getAs[Long]("n_trans"))
+    assert(r.getAs[Long]("n_recip_edges") % 2 === 0L) // (a,b) ⇒ (b,a)
+    val er = r.getAs[Double]("edge_reciprocity")
+    val wr = r.getAs[Double]("weight_reciprocity")
+    assert(er >= 0.0 && er <= 1.0 && wr >= 0.0 && wr <= 1.0)
+  }
+
+  test("graph components: edges never cross components; id is the min member") {
+    val comp = Graph.graphComponents(spark, sf).collect()
+      .map(r => r.getAs[String]("skill") ->
+        (r.getAs[String]("component_id"), r.getAs[Long]("comp_size"))).toMap
+    val edges = TextAnalysis.skillCooccurrence(spark, sf)
+      .select(col("skill_a"), col("skill_b")).collect()
+    edges.foreach { e =>
+      assert(comp(e.getString(0))._1 === comp(e.getString(1))._1)
+    }
+    comp.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+      members.values.foreach { case (_, sz) =>
+        assert(sz === members.size.toLong) }
+    }
+  }
+
+  test("monthly churn: retained bounded by both month bases, churn consistent") {
+    val rows = Analytics.monthlyChurn(spark, sf).collect()
+      .sortBy(r => (r.getAs[Long]("y"), r.getAs[Long]("m")))
+    rows.foreach { r =>
+      val (a, ret) = (r.getAs[Long]("active"), r.getAs[Long]("retained"))
+      val prev = ret + r.getAs[Long]("churned") // = prev_active
+      assert(ret <= a && ret <= prev)
+      assert(r.getAs[Long]("churned") >= 0L)
+    }
+    // prev_active reconstructed from churned+retained must equal the
+    // prior row's active (the panel is self-consistent month to month)
+    rows.sliding(2).foreach {
+      case Array(p, c) =>
+        assert(c.getAs[Long]("retained") + c.getAs[Long]("churned") ===
+          p.getAs[Long]("active"))
+      case _ => ()
+    }
+  }
+
+  test("abc classification partitions each brand's parts") {
+    val rows = Analytics.abcClassification(spark, sf).collect()
+    rows.foreach(r => assert(Set("A", "B", "C")(r.getAs[String]("abc_class"))))
+    val nParts = rows.map(_.getAs[Long]("n_parts")).sum
+    val expect = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_partkey")).distinct().count()
+    assert(nParts === expect)
+  }
+
+  test("basket profile: shares sum to 1, items reconcile to lineitem count") {
+    val rows = Analytics.basketProfile(spark, sf).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    val items = rows.map(r =>
+      r.getAs[Long]("n_items") * r.getAs[Long]("n_orders")).sum
+    assert(items === graft.sources.Tables.lineitem(spark, sf).count())
+  }
+
+  test("corpus profiles: densities and shares stay in bounds") {
+    TextAnalysis.stopwordDensity(spark, sf).collect().foreach { r =>
+      val d = r.getAs[Double]("stop_density")
+      assert(d >= 0.0 && d <= 1.0)
+      assert(r.getAs[Long]("n_stop") <= r.getAs[Long]("n_tokens"))
+    }
+    TextAnalysis.hapaxRate(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("hapax") <= r.getAs[Long]("vocab"))
+      val h = r.getAs[Double]("hapax_rate")
+      assert(h >= 0.0 && h <= 1.0)
+    }
+    TextAnalysis.wordLengthProfile(spark, sf).collect().foreach { r =>
+      val m = r.getAs[Double]("mean_len")
+      assert(m >= 1.0 && m <= r.getAs[Long]("max_len").toDouble)
+      val ls = r.getAs[Double]("long_share")
+      assert(ls >= 0.0 && ls <= 1.0)
+    }
+    TextAnalysis.charClassProfile(spark, sf).collect().foreach { r =>
+      val (d, u, sp) = (r.getAs[Double]("digit_share"),
+        r.getAs[Double]("upper_share"), r.getAs[Double]("space_share"))
+      Seq(d, u, sp).foreach(x => assert(x >= 0.0 && x <= 1.0))
+      assert(d + u + sp <= 1.0 + 1e-9) // disjoint ASCII classes
+    }
+  }
+
+  test("token-sort dedup groups are a coarsening of exact-hash groups") {
+    val exact = Dedup.dedupExactHash(spark, sf)
+    val sorted = Dedup.dedupTokenSort(spark, sf)
+    assert(sorted.count() <= exact.count()) // reordering only merges
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    assert(sorted.agg(sum(col("n_copies"))).head.getLong(0) === docs)
+  }
 }

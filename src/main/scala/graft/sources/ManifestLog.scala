@@ -568,6 +568,69 @@ object ManifestLog {
     v
   }
 
+  /** SELECTIVE bin-packed OPTIMIZE — [[compact]] for tables where a
+    * full rewrite is not a thing (at 100 TB "compact the table" means
+    * "coalesce the small-file debris a streaming sink left behind,
+    * touch nothing else"): live files bin-pack greedily in file order
+    * by the [[graft.operators.Lakehouse.compactionPlan]] rule
+    * (bin = (cum − n) div targetRows), and ONLY bins holding ≥ 2 files
+    * rewrite — each into one file — so an already-compacted file keeps
+    * its bytes AND its identity (caches, incremental readers, and CDF
+    * consumers see no change for it; Delta's OPTIMIZE skips
+    * full-sized files the same way). Rewrites read THROUGH the
+    * snapshot so deletion vectors materialize (dv'd rows physically
+    * reclaim, as [[deleteKeysDv]] documents). One commit publishes all
+    * bins' adds plus removes for the replaced files; a crash before
+    * the log append leaves only invisible orphan data (the write-order
+    * rule). Idempotent at a fixpoint: when no bin qualifies the call
+    * returns the current version and commits NOTHING — so running it
+    * on a schedule is safe. The driver-side packing list is
+    * file-cardinality metadata under the [[MaxPlannedFilesConf]] cap
+    * (the collectFiles discipline). Returns the new version, or the
+    * current one for a no-op.
+    */
+  def optimizeCompact(s: SparkSession, path: String, keyCol: String,
+      targetRows: Long): Long = withMaintenanceLock(s, path) {
+    require(targetRows > 0L, s"targetRows must be positive: $targetRows")
+    val v0 = currentVersion(s, path)
+    if (v0 == 0L) return 0L
+    val cap = s.conf.get(MaxPlannedFilesConf,
+      MaxPlannedFilesDefault.toString).toLong
+    val capped = math.min(cap + 1L, Int.MaxValue.toLong).toInt
+    val live = liveAdds(log(s, path).filter(col("version") <= v0))
+      .select(col("file"), col("n_rows")).orderBy(col("file"))
+      .limit(capped).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(live.length <= cap,
+      s"manifest planning exceeds $MaxPlannedFilesConf=$cap files; " +
+        "raise the conf or compact in partitions")
+    var cum = 0L
+    val binned = live.map { case (f, n) =>
+      val b = cum / targetRows; cum += n; (b, f)
+    }
+    val qual = binned.groupBy(_._1).filter(_._2.length >= 2)
+      .toSeq.sortBy(_._1).map { case (b, fs) => (b, fs.map(_._2).toSeq) }
+    if (qual.isEmpty) return v0
+    val v = claimVersion(s, path)
+    // one deterministic output file per qualifying bin; non-qualifying
+    // files are never read, never rewritten, never removed
+    qual.foreach { case (_, fs) =>
+      applyDv(s, path, readData(s, fs), v0)
+        .sortWithinPartitions(col(keyCol))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(dataDir(path, v))
+    }
+    val replaced = qual.flatMap(_._2)
+    val removes = liveAdds(log(s, path).filter(col("version") <= v0))
+      .filter(col("file").isin(replaced: _*))
+      .select(lit(v).as("version"), lit("remove").as("action"), col("file"),
+        col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
+        col("key_hll"), col("stats"), lit(NoBatch).as("batch_id"))
+    writeActions(addActions(s, path, v, keyCol).unionByName(removes),
+      path, v)
+    v
+  }
+
   /** Coordinate resolution of the z-code: 16+16 interleaved bits. */
   private val ZorderBits = 16
 

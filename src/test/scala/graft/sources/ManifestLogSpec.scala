@@ -707,4 +707,49 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(probe.inputFiles.length === 1,
       s"max-valued rows mixed into ${probe.inputFiles.length} files")
   }
+
+  test("optimizeCompact: only small-file bins rewrite, DVs reclaim, fixpoint no-op") {
+    import spark.implicits._
+    val path = freshTable()
+    // one target-aligned file (80 = 2 whole bins — must keep identity)
+    // + four 10-row streaming-debris files (one bin of four at target
+    // 40; aligned sizes so the post-compaction state is a true
+    // fixpoint independent of same-directory file-name order)
+    ManifestLog.commit((0L until 80L).map(k => (k, s"p$k"))
+      .toDF("key", "payload").coalesce(1), path, "key")
+    (0 until 4).foreach { i =>
+      ManifestLog.commit(
+        (80L + i * 10 until 90L + i * 10).map(k => (k, s"p$k"))
+          .toDF("key", "payload").coalesce(1), path, "key")
+    }
+    val bigFile = ManifestLog.snapshot(spark, path, Some(1L)).inputFiles.head
+    // a DV'd row in a rewritten bin must physically reclaim
+    val vDv = ManifestLog.deleteKeysDv(spark, path, "key", Seq(105L))
+    assert(vDv === 6L)
+    assert(ManifestLog.snapshot(spark, path).count() === 119)
+
+    val v = ManifestLog.optimizeCompact(spark, path, "key", 40L)
+    assert(v === 7L)
+    val snap = ManifestLog.snapshot(spark, path)
+    assert(snap.count() === 119)
+    assert(snap.agg(sum(col("key"))).head.getLong(0) ===
+      (0L until 120L).sum - 105L)
+    // 5 live DATA files became 2: the aligned file by IDENTITY + the
+    // debris bin's rewrite (inputFiles also lists the v6 DV sidecar
+    // the snapshot's anti-join reads — not a data file)
+    val dataFiles = snap.inputFiles.filter(_.contains("/data/"))
+    assert(dataFiles.length === 2,
+      s"expected 2 live data files, got ${dataFiles.length}")
+    assert(dataFiles.contains(bigFile),
+      "full-sized file lost its identity in a selective compaction")
+    // physical reclaim: the rewritten bytes no longer hold the DV'd row
+    val rewritten = spark.read.parquet(s"$path/data/v7")
+    assert(rewritten.count() === 39)
+    assert(rewritten.filter(col("key") === 105L).isEmpty)
+    // fixpoint: every bin now holds one file; the call commits nothing
+    assert(ManifestLog.optimizeCompact(spark, path, "key", 40L) === 7L)
+    assert(ManifestLog.currentVersion(spark, path) === 7L)
+    // history intact: pre-compaction versions still time-travel
+    assert(ManifestLog.snapshot(spark, path, Some(5L)).count() === 120)
+  }
 }

@@ -2288,8 +2288,79 @@ object Analytics {
               CAST(n_orders AS DOUBLE) / CAST(t AS DOUBLE) AS share
        FROM hist CROSS JOIN tot ORDER BY n_items"""
 
+  /** Month-over-month brand revenue-rank movers — the "what changed
+    * this month" leaderboard delta next to [[brandDemandMomentum]]'s
+    * fitted slope (a slope smooths over the whole spine; a rank jump
+    * names the month it happened): per month, brands rank by exact
+    * decimal revenue (rank windows partition per month, revenue
+    * tie-broken by brand), then each month joins its predecessor on
+    * the brand KEY — delta = prev_rank − rank (positive = climbed).
+    * First-month rows carry NULL prev/delta (no fake zeros). Exact
+    * integer month index; one lineitem×orders shuffle with the part
+    * dim broadcast. Scale: months × brands everywhere after the fact
+    * aggregate. (round 9)
+    */
+  def brandRankMovers(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi"),
+        col("p_brand"))
+      .agg(sum(decp(col("l_extendedprice"))
+        * decf(lit(1.0) - col("l_discount"))).as("rev"))
+    val w = Window.partitionBy(col("mi"))
+      .orderBy(col("rev").desc, col("p_brand"))
+    val ranked = li.withColumn("rnk", rank().over(w).cast("long"))
+      .select(col("mi"), col("p_brand"), col("rnk"),
+        col("rev").cast("double").as("rev"))
+      .localCheckpoint() // months×brands; joins itself shifted a month
+    val prev = ranked.select((col("mi") + 1).as("mi"),
+      col("p_brand"), col("rnk").as("prev_rnk"))
+    ranked.join(prev, Seq("mi", "p_brand"), "left")
+      .select((col("mi") / 12).cast("long").as("y"),
+        (col("mi") % 12 + 1).cast("long").as("m"),
+        col("p_brand"), col("rnk"), col("rev"), col("prev_rnk"),
+        (col("prev_rnk") - col("rnk")).as("rank_delta"))
+      .orderBy("y", "m", "rnk", "p_brand")
+  }
+
+  val brandRankMoversSql: String = {
+    import graft.functions.Nums._
+    s"""WITH rev AS (
+         SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                  AS BIGINT) AS mi,
+                p.p_brand,
+                SUM(${sqlDecp("l.l_extendedprice")}
+                  * ${sqlDecf("1.0 - l.l_discount")}) AS rev
+         FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT mi, p_brand,
+                RANK() OVER (PARTITION BY mi
+                             ORDER BY rev DESC, p_brand) AS rnk,
+                CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev
+         FROM rev)
+       SELECT CAST(a.mi // 12 AS BIGINT) AS y,
+              CAST(a.mi % 12 + 1 AS BIGINT) AS m,
+              a.p_brand, a.rnk, a.rev,
+              b.rnk AS prev_rnk, b.rnk - a.rnk AS rank_delta
+       FROM ranked a
+         LEFT JOIN ranked b
+           ON b.mi = a.mi - 1 AND b.p_brand = a.p_brand
+       ORDER BY y, m, a.rnk, a.p_brand"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q1_agg", Some(q1Sql), bench = true)(q1),
+    Q("brand_rank_movers", Some(brandRankMoversSql))(brandRankMovers),
     Q("big_orders_having", Some(bigOrdersSql))(bigOrders),
     Q("funnel_conversion", Some(funnelConversionSql))(funnelConversion),
     Q("cohort_retention", Some(cohortRetentionSql))(cohortRetention),

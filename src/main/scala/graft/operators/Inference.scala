@@ -3448,6 +3448,134 @@ ${(1 to AcfMaxLag).map { mm =>
               END AS seasonal
        FROM full_w GROUP BY 1 ORDER BY iso_dow"""
 
+  /** Value-bucket width for [[jonckheereTerpstra]]'s per-group prefix
+    * sums over the order-price grid (the [[graft.operators.Curation]]
+    * KsLenBucket rule at price scale: bucket count rides the VALUE
+    * RANGE, never row count, so the offsets self-join stays tiny). */
+  val JtValBucket = 1024.0
+
+  /** Jonckheere-Terpstra trend test — "does order value RISE across
+    * the ordered priority levels" ([[kruskalWallis]] asks if the k
+    * groups differ AT ALL; JT tests the specifically ORDERED
+    * alternative, gaining power exactly where [[cochranArmitageTrend]]
+    * does for proportions — this is its continuous-outcome sibling):
+    * JT = Σ_{i<j} U_ij over ordered group pairs. Computed WITHOUT any
+    * pairwise row join: U_ij = Σ_v cnt_j(v)·(#i-rows below v + ties/2),
+    * so the whole statistic needs only each group's exact step-CDF on
+    * the shared price grid — the SOURCE-PARTITIONED two-phase prefix
+    * sum ([[graft.operators.Curation.ksSourceMatrix]]'s round-8
+    * machinery, here keyed by priority), then one grid-sized equi-join
+    * on the value with the group ORDER as a 5×5-bounded residual.
+    * Doubled (JT×2) to keep tie halves integral; mean and the UNTIED
+    * variance (documented approximation under ties — prices are
+    * near-unique) in exact DECIMAL, one sqrt + one double division.
+    * NULL on degenerate variance. Scale: cells are groups×values, the
+    * grid likewise, offsets groups×buckets; nothing is ever rows².
+    * (round 9)
+    */
+  def jonckheereTerpstra(s: SparkSession, dir: String): DataFrame =
+    jtFromCells(Tables.orders(s, dir)
+      .groupBy(substring(col("o_orderpriority"), 1, 1).cast("int").as("g"),
+        col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()) // groups×values; feeds grid, totals, the join
+
+  /** Core over any aggregated (g int, v double, c long) cell frame
+    * (spec hand-checks JT/E/z on a worked example). */
+  private[operators] def jtFromCells(cells: DataFrame): DataFrame = {
+    val vals = cells.select("v").distinct()
+    val grps = cells.select("g").distinct()
+    val grid0 = vals.crossJoin(grps)
+      .join(cells, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c0"))
+    val bucketed = grid0.withColumn("bk",
+      floor(col("v") / lit(JtValBucket)).cast("long"))
+    val w = Window.partitionBy(col("g"), col("bk")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bt = bucketed.groupBy("g", "bk").agg(sum(col("c0")).as("t"))
+    val off = bt.as("x")
+      .join(bt.as("y"), col("y.g") === col("x.g")
+        && col("y.bk") < col("x.bk"), "left")
+      .groupBy(col("x.g").as("g"), col("x.bk").as("bk"))
+      .agg(coalesce(sum(col("y.t")), lit(0L)).as("off"))
+    val grid = bucketed
+      .withColumn("cw", sum(col("c0")).over(w))
+      .join(broadcast(off), Seq("g", "bk"))
+      .select(col("g"), col("v"), col("c0"),
+        (col("cw") + col("off")).as("cum"))
+    // U_ij doubled: cnt_j·(2·below_i + ties_i) = cnt_j·(2·cum_i − c0_i)
+    val jt2 = cells.as("j")
+      .join(grid.as("i"), col("i.v") === col("j.v")
+        && col("i.g") < col("j.g"))
+      .agg(sum(col("j.c").cast("decimal(38,0)")
+        * (col("i.cum") * 2 - col("i.c0"))).as("jt_x2"))
+    val mom = cells.groupBy("g").agg(sum(col("c")).as("ni"))
+      .agg(sum(col("ni")).as("n"), count(lit(1)).as("k"),
+        sum(col("ni").cast("decimal(38,0)") * col("ni")).as("sn2"),
+        sum(col("ni").cast("decimal(38,0)") * col("ni")
+          * (col("ni") * 2 + 3)).as("sn23"))
+    jt2.crossJoin(broadcast(mom))
+      // 2·E[JT] = Σ_{i<j} n_i·n_j = (N² − Σn²)/2 — the cross-pair
+      // count halves once for the unordered pair sum and once more for
+      // E[U] = n_i·n_j/2; N² − Σn² is even, so the div is exact
+      .select(col("n"), col("k"), col("jt_x2").cast("long").as("jt_x2"),
+        expr("(cast(n as decimal(38,0)) * n - sn2) div 2").as("e_x2"),
+        (col("n").cast("decimal(38,0)") * col("n")
+          * (col("n") * 2 + 3) - col("sn23")).as("var72"))
+      .select(col("n"), col("k"), col("jt_x2"), col("e_x2"),
+        when(col("var72") > 0,
+          (col("jt_x2") - col("e_x2")).cast("double") / lit(2.0e0)
+            / sqrt(col("var72").cast("double") / lit(72.0e0))).as("z"))
+  }
+
+  val jonckheereTerpstraSql: String =
+    s"""WITH cells AS MATERIALIZED (
+         SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS g,
+                o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+         FROM orders GROUP BY 1, 2),
+       vals AS (SELECT DISTINCT v FROM cells),
+       grps AS (SELECT DISTINCT g FROM cells),
+       grid0 AS (
+         SELECT gr.g, va.v, CAST(COALESCE(ce.c, 0) AS BIGINT) AS c0
+         FROM vals va CROSS JOIN grps gr
+           LEFT JOIN cells ce ON ce.g = gr.g AND ce.v = va.v),
+       bucketed AS (
+         SELECT g, v, c0,
+                CAST(floor(v / $JtValBucket) AS BIGINT) AS bk
+         FROM grid0),
+       bt AS (SELECT g, bk, CAST(SUM(c0) AS BIGINT) AS t
+              FROM bucketed GROUP BY 1, 2),
+       boff AS (SELECT x.g, x.bk,
+                       CAST(COALESCE(SUM(y.t), 0) AS BIGINT) AS off
+                FROM bt x LEFT JOIN bt y
+                  ON y.g = x.g AND y.bk < x.bk
+                GROUP BY 1, 2),
+       grid AS (
+         SELECT b.g, b.v, b.c0,
+                CAST(SUM(b.c0) OVER (PARTITION BY b.g, b.bk ORDER BY b.v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) + o.off AS cum
+         FROM bucketed b JOIN boff o ON o.g = b.g AND o.bk = b.bk),
+       jt AS (SELECT CAST(SUM(CAST(j.c AS HUGEINT)
+                       * (i.cum * 2 - i.c0)) AS HUGEINT) AS jt_x2
+              FROM cells j JOIN grid i ON i.v = j.v AND i.g < j.g),
+       ni AS (SELECT g, CAST(SUM(c) AS HUGEINT) AS ni
+              FROM cells GROUP BY 1),
+       mom AS (SELECT CAST(SUM(ni) AS HUGEINT) AS n,
+                      CAST(COUNT(*) AS BIGINT) AS k,
+                      CAST(SUM(ni * ni) AS HUGEINT) AS sn2,
+                      CAST(SUM(ni * ni * (2 * ni + 3)) AS HUGEINT) AS sn23
+               FROM ni)
+       SELECT CAST(n AS BIGINT) AS n, k,
+              CAST(jt_x2 AS BIGINT) AS jt_x2,
+              CAST((n * n - sn2) // 2 AS BIGINT) AS e_x2,
+              CASE WHEN n * n * (2 * n + 3) - sn23 > 0 THEN
+                CAST(jt_x2 - (n * n - sn2) // 2 AS DOUBLE) / 2.0
+                  / sqrt(CAST(CAST(n * n * (2 * n + 3) - sn23 AS VARCHAR)
+                      AS DOUBLE) / 72.0)
+              END AS z
+       FROM jt CROSS JOIN mom"""
+
   /** Cochran-Armitage trend test — "does the completed-order share
     * TREND across the ordered priority levels" (chi² independence says
     * association exists somewhere; this tests the specifically ORDERED
@@ -3565,5 +3693,7 @@ ${(1 to AcfMaxLag).map { mm =>
     Q("seasonal_decompose_dow",
       Some(seasonalDecomposeDowSql))(seasonalDecomposeDow),
     Q("cochran_armitage_trend",
-      Some(cochranArmitageTrendSql))(cochranArmitageTrend))
+      Some(cochranArmitageTrendSql))(cochranArmitageTrend),
+    Q("jonckheere_terpstra",
+      Some(jonckheereTerpstraSql))(jonckheereTerpstra))
 }

@@ -1177,9 +1177,82 @@ object Stats {
               CAST(SUM(lag) AS DOUBLE) / CAST(MAX(cnt) AS DOUBLE) AS mean_lag
        FROM r GROUP BY prio ORDER BY prio"""
 
+  /** Repurchase-cycle quartiles per market segment — "how many days
+    * until a customer orders again" ([[fulfillmentLagQuartiles]] times
+    * the supply side; this times the demand side — the
+    * inventory-planning number behind every repeat-purchase business):
+    * per-customer consecutive order gaps from one customer-partitioned
+    * lag window (orderkey tie-break for same-day orders), quartiles by
+    * the exact rank-selection rule (the fulfillment idiom: rn =
+    * (cnt+1) div 4 — no interpolated percentiles), mean as one double
+    * division. Scale: one orders scan, customer-partitioned window,
+    * segment-partitioned rank windows, segment-cardinality output.
+    * (round 9)
+    */
+  def repurchaseGapQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val wCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev",
+        lag(col("o_orderdate"), 1).over(wCust))
+      .filter(col("prev").isNotNull)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        datediff(to_date(col("o_orderdate")), to_date(col("prev")))
+          .cast("long").as("gap"),
+        col("o_orderkey"))
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col("gap"), col("o_orderkey"))
+    val wn = Window.partitionBy(col("seg"))
+    gaps.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .groupBy("seg")
+      .agg(
+        max(when(col("rn") === expr("(cnt + 1) div 4"), col("gap"))).as("p25"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("gap"))).as("p50"),
+        max(when(col("rn") === expr("(3 * cnt + 3) div 4"), col("gap")))
+          .as("p75"),
+        max(col("cnt")).as("n"),
+        sum(col("gap")).as("gap_sum"))
+      .select(col("seg"), col("p25"), col("p50"), col("p75"), col("n"),
+        (col("gap_sum").cast("double") / col("n").cast("double"))
+          .as("mean_gap"))
+      .orderBy("seg")
+  }
+
+  val repurchaseGapQuartilesSql: String =
+    """WITH g0 AS (SELECT o_custkey, o_orderdate, o_orderkey,
+                     LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+                   FROM orders),
+       gaps AS (SELECT c.c_mktsegment AS seg,
+                       CAST(date_diff('day', CAST(g0.prev AS DATE),
+                                      CAST(g0.o_orderdate AS DATE))
+                            AS BIGINT) AS gap,
+                       g0.o_orderkey
+                FROM g0 JOIN customer c ON g0.o_custkey = c.c_custkey
+                WHERE g0.prev IS NOT NULL),
+       r AS (SELECT seg, gap,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY gap, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY seg) AS cnt
+             FROM gaps)
+       SELECT seg,
+              MAX(CASE WHEN rn = (cnt + 1) // 4 THEN gap END) AS p25,
+              MAX(CASE WHEN rn = (cnt + 1) // 2 THEN gap END) AS p50,
+              MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN gap END) AS p75,
+              CAST(MAX(cnt) AS BIGINT) AS n,
+              CAST(SUM(gap) AS DOUBLE) / CAST(MAX(cnt) AS DOUBLE) AS mean_gap
+       FROM r GROUP BY seg ORDER BY seg"""
+
   def queries: Seq[Q] = Seq(
     Q("fulfillment_lag_quartiles",
       Some(fulfillmentLagQuartilesSql))(fulfillmentLagQuartiles),
+    Q("repurchase_gap_quartiles",
+      Some(repurchaseGapQuartilesSql))(repurchaseGapQuartiles),
     Q("user_activity_deciles",
       Some(userActivityDecilesSql))(userActivityDeciles),
     Q("dau_new_returning", Some(dauNewReturningSql))(dauNewReturning),

@@ -1708,8 +1708,66 @@ object TextAnalysis {
               END AS space_share
        FROM agg ORDER BY source"""
 
+  /** Sentence-shape statistics per source — the document-structure
+    * fingerprint between [[readabilityFlesch]]'s composite and
+    * [[wordLengthProfile]]'s token view (a listing site emits one-
+    * sentence fragments; an editorial source runs long multi-sentence
+    * paragraphs — the mean alone hides the mix, so the single-sentence
+    * share and max ride along): sentence count per doc via the flesch
+    * terminator-run rule (greatest(matches, 1) — a fragment is one
+    * sentence), exact BIGINT sums, two means + one share as final
+    * double divisions. Scale: per-row regexp projection →
+    * source-cardinality aggregate. (round 9)
+    */
+  def sentenceStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"),
+        size(toks(col("text"))).cast("long").as("w"),
+        greatest(matchCount(col("text"), "[.!?]+"), lit(1)).cast("long")
+          .as("sen"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("sen")).as("n_sentences"),
+        sum(col("w")).as("n_words"),
+        sum(when(col("sen") === 1, 1L).otherwise(0L)).as("n_single"),
+        max(col("sen")).as("max_sentences"))
+      .select(col("source"), col("n_docs"), col("n_sentences"),
+        col("max_sentences"),
+        (col("n_sentences").cast("double") / col("n_docs").cast("double"))
+          .as("mean_sentences_per_doc"),
+        when(col("n_sentences") > 0,
+          col("n_words").cast("double") / col("n_sentences").cast("double"))
+          .as("mean_words_per_sentence"),
+        (col("n_single").cast("double") / col("n_docs").cast("double"))
+          .as("single_sentence_share"))
+      .orderBy("source")
+
+  val sentenceStatsSql: String =
+    s"""WITH perdoc AS (
+         SELECT source,
+                CAST(len(${sqlToks("text")}) AS BIGINT) AS w,
+                CAST(greatest(${sqlMatchCount("text", "[.!?]+")}, 1)
+                     AS BIGINT) AS sen
+         FROM documents),
+       agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(sen) AS BIGINT) AS n_sentences,
+                      CAST(SUM(w) AS BIGINT) AS n_words,
+                      CAST(SUM(CASE WHEN sen = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_single,
+                      CAST(MAX(sen) AS BIGINT) AS max_sentences
+               FROM perdoc GROUP BY 1)
+       SELECT source, n_docs, n_sentences, max_sentences,
+              CAST(n_sentences AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                AS mean_sentences_per_doc,
+              CASE WHEN n_sentences > 0 THEN
+                CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+              END AS mean_words_per_sentence,
+              CAST(n_single AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                AS single_sentence_share
+       FROM agg ORDER BY source"""
+
   def queries: Seq[Q] = Seq(
     Q("oov_rate_by_source", Some(oovRateBySourceSql))(oovRateBySource),
+    Q("sentence_stats", Some(sentenceStatsSql))(sentenceStats),
     Q("quality_source_mix", Some(qualitySourceMixSql))(qualitySourceMix),
     Q("vocab_growth_curve", Some(vocabGrowthCurveSql))(vocabGrowthCurve),
     Q("readability_flesch", Some(readabilityFleschSql))(readabilityFlesch),

@@ -1767,6 +1767,72 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("jonckheere-terpstra matches the worked example and the corpus bounds") {
+    import spark.implicits._
+    // groups 1:{1,3} 2:{2,4} 3:{5,6} — U12=3, U13=4, U23=4, JT=11;
+    // E = (36-12)/4 = 6, Var = (36·15 - 3·4·7)/72 = 456/72
+    val cells = Seq((1, 1.0, 1L), (1, 3.0, 1L), (2, 2.0, 1L),
+      (2, 4.0, 1L), (3, 5.0, 1L), (3, 6.0, 1L))
+      .toDF("g", "v", "c").localCheckpoint()
+    val r = Inference.jtFromCells(cells).head
+    assert(r.getAs[Long]("jt_x2") === 22L)
+    assert(r.getAs[Long]("e_x2") === 12L)
+    assert(math.abs(r.getAs[Double]("z")
+      - 5.0 / math.sqrt(456.0 / 72.0)) < 1e-12)
+    // ties: two equal singleton groups give JT = 1/2 = E, z = 0
+    val tied = Seq((1, 7.0, 1L), (2, 7.0, 1L)).toDF("g", "v", "c")
+      .localCheckpoint()
+    val t = Inference.jtFromCells(tied).head
+    assert(t.getAs[Long]("jt_x2") === 1L)
+    assert(t.getAs[Long]("e_x2") === 1L)
+    assert(t.getAs[Double]("z") === 0.0)
+    // corpus: jt_x2 bounded by twice the cross-pair count (= 2·e_x2)
+    val c = Inference.jonckheereTerpstra(spark, sf).head
+    assert(c.getAs[Long]("jt_x2") >= 0L)
+    assert(c.getAs[Long]("jt_x2") <= 2L * c.getAs[Long]("e_x2"))
+  }
+
+  test("sentence stats: means and shares within structural bounds") {
+    TextAnalysis.sentenceStats(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_sentences") >= r.getAs[Long]("n_docs"))
+      val mspd = r.getAs[Double]("mean_sentences_per_doc")
+      assert(mspd >= 1.0 && mspd <= r.getAs[Long]("max_sentences").toDouble)
+      val share = r.getAs[Double]("single_sentence_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("repurchase gaps: quartiles ordered, nonnegative, counts reconcile") {
+    import graft.sources.Tables
+    val rows = Stats.repurchaseGapQuartiles(spark, sf).collect()
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Long]("p25"), r.getAs[Long]("p50"),
+        r.getAs[Long]("p75"))
+      assert(p25 >= 0L && p25 <= p50 && p50 <= p75)
+      assert(r.getAs[Double]("mean_gap") >= 0.0)
+    }
+    // gap count = orders - customers-with-orders (one lag loss each)
+    val orders = Tables.orders(spark, sf)
+    val expect = orders.count() -
+      orders.select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === expect)
+  }
+
+  test("brand rank movers: each month ranks 1..brands; deltas reconcile") {
+    val rows = Analytics.brandRankMovers(spark, sf).collect()
+    val byMonth = rows.groupBy(r =>
+      (r.getAs[Long]("y"), r.getAs[Long]("m")))
+    byMonth.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).min === 1L)
+      assert(rs.map(_.getAs[Long]("rnk")).max <= rs.length.toLong)
+    }
+    // any non-first month: deltas against the previous month's ranks
+    rows.filter(r => !r.isNullAt(r.fieldIndex("prev_rnk"))).foreach { r =>
+      assert(r.getAs[Long]("rank_delta") ===
+        r.getAs[Long]("prev_rnk") - r.getAs[Long]("rnk"))
+    }
+  }
+
   test("token-sort dedup groups are a coarsening of exact-hash groups") {
     val exact = Dedup.dedupExactHash(spark, sf)
     val sorted = Dedup.dedupTokenSort(spark, sf)

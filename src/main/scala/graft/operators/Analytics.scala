@@ -2358,9 +2358,81 @@ object Analytics {
        ORDER BY y, m, a.rnk, a.p_brand"""
   }
 
+  /** Discount-demand slope per brand — "does a deeper discount move
+    * more units" as an exact least-squares fit of quantity on discount
+    * ([[graft.operators.Stats]]' regression_slope machinery pointed at
+    * the price-response question; the slope is the linear
+    * demand-response coefficient, the dashboard proxy for elasticity):
+    * moments in exact DECIMAL (discount at scale 6, quantity at scale
+    * 4 — the widened-operand rule keeps both engines' products in
+    * int128), the identical cov/den/vy double tree, NULL fit on a
+    * constant-discount brand (the ANSI rule). Scale: one
+    * lineitem scan with the part dim broadcast, brand-cardinality
+    * moments. (round 9)
+    */
+  def discountElasticity(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val t = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), decf(col("l_discount")).as("x"),
+        decp(col("l_quantity")).as("y"))
+    t.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("x")).as("sx"), dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
+        dsum(col("y") * col("y")).as("syy"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("cov", col("nd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("nd") * col("syy") - col("sy") * col("sy"))
+      .select(col("p_brand"), col("n"),
+        when(col("den") =!= 0.0, col("cov") / col("den")).as("slope"),
+        when(col("den") =!= 0.0,
+          (col("sy") - (col("cov") / col("den")) * col("sx")) / col("nd"))
+          .as("intercept"),
+        when(col("den") * col("vy") =!= 0.0,
+          (col("cov") * col("cov")) / (col("den") * col("vy"))).as("r2"))
+      .orderBy("p_brand")
+  }
+
+  val discountElasticitySql: String = {
+    import graft.functions.Nums._
+    // widened DECIMAL(19,6)/(19,4) operands: the regressionSlopeSql
+    // int128 lesson — same numeric values, products stay exact
+    s"""WITH t AS (SELECT p.p_brand,
+                     ${sqlDecf("l.l_discount")} AS x,
+                     ${sqlDecp("l.l_quantity")} AS y,
+                     CAST(l.l_discount AS DECIMAL(19,6)) AS xw,
+                     CAST(l.l_quantity AS DECIMAL(19,4)) AS yw
+                   FROM lineitem l JOIN part p
+                     ON l.l_partkey = p.p_partkey),
+       m AS (SELECT p_brand, COUNT(*) AS n,
+               ${sqlDsum("x")} AS sx,
+               ${sqlDsum("xw * xw")} AS sxx,
+               ${sqlDsum("y")} AS sy,
+               ${sqlDsum("xw * yw")} AS sxy,
+               ${sqlDsum("yw * yw")} AS syy
+             FROM t GROUP BY p_brand),
+       g AS (SELECT p_brand, n, CAST(n AS DOUBLE) AS nd, sx, sy,
+               CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+               CAST(n AS DOUBLE) * sxx - sx * sx AS den,
+               CAST(n AS DOUBLE) * syy - sy * sy AS vy
+             FROM m)
+       SELECT p_brand, n,
+              CASE WHEN den <> 0 THEN cov / den END AS slope,
+              CASE WHEN den <> 0 THEN (sy - (cov / den) * sx) / nd END
+                AS intercept,
+              CASE WHEN den * vy <> 0 THEN (cov * cov) / (den * vy) END
+                AS r2
+       FROM g ORDER BY p_brand"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q1_agg", Some(q1Sql), bench = true)(q1),
     Q("brand_rank_movers", Some(brandRankMoversSql))(brandRankMovers),
+    Q("discount_elasticity", Some(discountElasticitySql))(discountElasticity),
     Q("big_orders_having", Some(bigOrdersSql))(bigOrders),
     Q("funnel_conversion", Some(funnelConversionSql))(funnelConversion),
     Q("cohort_retention", Some(cohortRetentionSql))(cohortRetention),

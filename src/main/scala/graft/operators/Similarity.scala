@@ -1004,9 +1004,87 @@ object Similarity {
        FROM g ORDER BY label"""
   }
 
+  /** Simplified silhouette per vector — the clustering-quality read
+    * over the labeled embedding space ([[knnLabelVote]] audits labels
+    * by neighborhood vote; this audits them by GEOMETRY: a vector
+    * closer to another label's centroid than its own is a mislabel or
+    * a boundary case, and the per-label mean of s is the standard
+    * cluster-cohesion dashboard number): s = (b − a) / max(a, b) with
+    * a = distance to the own-label centroid, b = the nearest OTHER
+    * centroid (the centroid form is the classic "simplified
+    * silhouette" — O(N·L), never the O(N²) pairwise original). All
+    * distance mass is exact: per-dimension deviations scale by the
+    * label count (n·q − Σq — integers; squares in DECIMAL(38,0), 64-dim
+    * sums exact), one double division + sqrt per (vector, label) at
+    * the very end. Emitted PER VECTOR (no mean-of-doubles aggregation
+    * — the order-dependence rule; callers that want the per-label mean
+    * aggregate the exact D mass themselves). Scale: explode ×
+    * broadcast(labels × dims) join → two vec-keyed aggregates; output
+    * is vector-cardinality. (round 9)
+    */
+  def silhouetteSimplified(s: SparkSession, dir: String): DataFrame =
+    silhouetteFrom(Tables.embeddings(s, dir))
+
+  /** Core over any (vec_id, label, embedding array<float>) frame
+    * (spec plants separated clusters and a mislabel). */
+  private[operators] def silhouetteFrom(e: DataFrame): DataFrame = {
+    val cent = e
+      .select(col("label").as("cl"), posexplode(quantize(col("embedding"))))
+      .select(col("cl"), col("pos"), col("col").as("q"))
+      .groupBy("cl", "pos")
+      .agg(sum(col("q")).as("csum"), count(lit(1)).as("cn"))
+    val dmass = e
+      .select(col("vec_id"), col("label"),
+        posexplode(quantize(col("embedding"))))
+      .select(col("vec_id"), col("label"), col("pos"), col("col").as("q"))
+      .join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("label"), col("cl"), col("cn"))
+      .agg(sum((col("cn") * col("q") - col("csum")).cast("decimal(38,0)")
+        * (col("cn") * col("q") - col("csum"))).as("dd"))
+      .select(col("vec_id"), col("label"), col("cl"),
+        sqrt(col("dd").cast("double")
+          / (col("cn") * col("cn")).cast("double")).as("d"))
+    dmass.groupBy("vec_id", "label")
+      .agg(max(when(col("cl") === col("label"), col("d"))).as("a_dist"),
+        min(when(col("cl") =!= col("label"), col("d"))).as("b_dist"))
+      .select(col("vec_id"), col("label"), col("a_dist"), col("b_dist"),
+        when(greatest(col("a_dist"), col("b_dist")) > 0,
+          (col("b_dist") - col("a_dist"))
+            / greatest(col("a_dist"), col("b_dist"))).as("sil"))
+      .orderBy("vec_id")
+  }
+
+  val silhouetteSimplifiedSql: String =
+    s"""WITH qv AS (SELECT vec_id, label,
+                      unnest(${sqlQuantize("embedding")}) AS q,
+                      CAST(generate_subscripts(embedding, 1) AS INT) AS pos
+                    FROM embeddings),
+       cent AS (SELECT label AS cl, pos,
+                       CAST(SUM(q) AS HUGEINT) AS csum,
+                       CAST(COUNT(*) AS HUGEINT) AS cn
+                FROM qv GROUP BY 1, 2),
+       dm AS (SELECT v.vec_id, v.label, c.cl,
+                     sqrt(CAST(CAST(SUM((c.cn * v.q - c.csum)
+                              * (c.cn * v.q - c.csum)) AS VARCHAR)
+                         AS DOUBLE)
+                       / CAST(CAST(c.cn * c.cn AS BIGINT) AS DOUBLE)) AS d
+              FROM qv v JOIN cent c ON c.pos = v.pos
+              GROUP BY 1, 2, 3, c.cn),
+       ab AS (SELECT vec_id, label,
+                     MAX(CASE WHEN cl = label THEN d END) AS a_dist,
+                     MIN(CASE WHEN cl <> label THEN d END) AS b_dist
+              FROM dm GROUP BY 1, 2)
+       SELECT vec_id, label, a_dist, b_dist,
+              CASE WHEN greatest(a_dist, b_dist) > 0 THEN
+                (b_dist - a_dist) / greatest(a_dist, b_dist)
+              END AS sil
+       FROM ab ORDER BY vec_id"""
+
   def queries: Seq[Q] = Seq(
     Q("embedding_norm_stats",
       Some(embeddingNormStatsSql))(embeddingNormStats),
+    Q("silhouette_simplified",
+      Some(silhouetteSimplifiedSql))(silhouetteSimplified),
     Q("cluster_balance_weights",
       Some(clusterBalanceWeightsSql))(clusterBalanceWeights),
     Q("embedding_centroids", Some(embeddingCentroidsSql))(embeddingCentroids),

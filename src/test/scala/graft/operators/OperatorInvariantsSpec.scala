@@ -1833,6 +1833,40 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("silhouette: separated clusters score positive, a mislabel negative") {
+    import spark.implicits._
+    // two tight clusters far apart in dim 0; vec 5 carries cluster 1's
+    // geometry but label 0 — the planted mislabel
+    def v(x: Float): Array[Float] = Array(x, 0f, 0f, 0f)
+    val e = Seq(
+      (1L, 0, v(0.0f)), (2L, 0, v(0.1f)), (3L, 0, v(0.2f)),
+      (4L, 1, v(8.0f)), (5L, 0, v(8.1f)), (6L, 1, v(8.2f)))
+      .toDF("vec_id", "label", "embedding").localCheckpoint()
+    val rows = Similarity.silhouetteFrom(e).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("sil")).toMap
+    assert(rows(1L) > 0.5 && rows(2L) > 0.5)
+    assert(rows(4L) > 0.5 && rows(6L) > 0.5)
+    assert(rows(5L) < 0.0, s"mislabel scored ${rows(5L)}")
+    // corpus: every silhouette in [-1, 1], a/b nonnegative
+    Similarity.silhouetteSimplified(spark, sf).collect().foreach { r =>
+      val s0 = r.getAs[Double]("sil")
+      assert(s0 >= -1.0 && s0 <= 1.0)
+      assert(r.getAs[Double]("a_dist") >= 0.0)
+      assert(r.getAs[Double]("b_dist") >= 0.0)
+    }
+  }
+
+  test("discount elasticity: fits bounded, counts reconcile to lineitem") {
+    val rows = Analytics.discountElasticity(spark, sf).collect()
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      if (!r.isNullAt(r.fieldIndex("r2")))
+        assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      graft.sources.Tables.lineitem(spark, sf).count())
+  }
+
   test("token-sort dedup groups are a coarsening of exact-hash groups") {
     val exact = Dedup.dedupExactHash(spark, sf)
     val sorted = Dedup.dedupTokenSort(spark, sf)

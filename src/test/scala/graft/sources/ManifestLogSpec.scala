@@ -751,5 +751,11 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.currentVersion(spark, path) === 7L)
     // history intact: pre-compaction versions still time-travel
     assert(ManifestLog.snapshot(spark, path, Some(5L)).count() === 120)
+    // the CDF nets the pure-compaction version to ZERO change rows —
+    // the row deleted by the v6 DV must NOT resurface as a v7 change
+    // (its delete was already reported at v6)
+    val cdf = ManifestLog.readChanges(spark, path, "key", 6L, 7L)
+    assert(cdf.isEmpty,
+      s"compaction leaked ${cdf.count()} change rows into the CDF")
   }
 }

@@ -3171,9 +3171,13 @@ object Inference {
 
   /** Fixed-point scale for [[ljungBox]]'s per-lag terms (1.0 == 10^9:
     * each term is rho² / (T−k) <= 1, so the scaled running sum stays
-    * under 10^9 · maxlag — far inside BIGINT; num² and a·b peak near
-    * 10^27 for daily volumes up to ~10^6, inside DECIMAL(38,0)/HUGEINT
-    * with ten digits of headroom). */
+    * under 10^9 · maxlag — far inside BIGINT). Headroom (the
+    * [[Chi2Scale]] convention — documented, config-free because the
+    * bound is structural): num <= T²·x̄² for daily volume x̄ over a
+    * T-day spine, so num² saturates DECIMAL(38,0)/HUGEINT near
+    * T²·x̄² ~ 10^19 — a 10-year spine carries ~10^6 events/day
+    * exactly; past that, pre-aggregate to a coarser grain or drop
+    * LbScale a decade. */
   val LbScale = 1000000000L
 
   /** Ljung-Box portmanteau statistic of the daily series at lags 1..7

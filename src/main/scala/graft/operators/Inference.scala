@@ -3452,6 +3452,139 @@ ${(1 to AcfMaxLag).map { mm =>
               END AS seasonal
        FROM full_w GROUP BY 1 ORDER BY iso_dow"""
 
+  /** HITS fixed-point scale (1.0 == 10^12) and unrolled sweep count —
+    * the [[PiScale]]/[[MarkovIters]] convention. Per sweep every score
+    * renormalizes to <= HitsScale, so the decimal contribution mass is
+    * bounded by |transitions|·HitsScale (~10^33 for 10^9 events — nine
+    * digits inside DECIMAL(38,0)/HUGEINT) regardless of sweep count. */
+  val HitsScale = 1000000000000L
+  val HitsIters = 6
+
+  /** HITS hubs & authorities of the directed event-transition graph —
+    * Kleinberg's dual centrality next to [[markovStationary]]'s
+    * occupancy ("where does the chain settle" vs "which states FEED
+    * the destinations (hubs) and which ARE the destinations
+    * (authorities)" — on a UI event graph, hubs are the launch points,
+    * authorities the landing points): weighted mutual reinforcement
+    * a = norm(Aᵀh), h = norm(A·a) with transition counts as weights,
+    * [[HitsIters]] unrolled sweeps. All integer arithmetic: per-sweep
+    * L1 renormalization to [[HitsScale]] by integral division (the
+    * pagerank/markov fixed-point discipline — bit-identical across
+    * engines and partitionings where float HITS could not be
+    * oracle-gated); a zero normalization mass yields 0, never a
+    * divide. Scale: the edge frame is states²-bounded regardless of
+    * corpus size; everything after the one events scan is tiny.
+    * (round 9)
+    */
+  def hitsTransitions(s: SparkSession, dir: String): DataFrame =
+    hitsFrom(Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id")))
+
+  /** Core over any (user_id, event_type, t, event_id) sequence frame
+    * (spec hand-checks a pure chain and a two-hub fan). */
+  private[operators] def hitsFrom(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val pairs = ev
+      .select(col("user_id"), col("event_type").as("f"),
+        col("t"), col("event_id"))
+      .withColumn("tt", lead(col("f"), 1).over(w))
+      .filter(col("tt").isNotNull)
+      .groupBy("f", "tt").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // states²; feeds every sweep twice
+    val states = pairs.select(col("f").as("st"))
+      .union(pairs.select(col("tt").as("st"))).distinct()
+      .localCheckpoint()
+    def pass(joinCol: String, outCol: String, vec: DataFrame): DataFrame = {
+      val contrib = pairs
+        .join(vec.select(col("st").as("vst"), col("s")),
+          col(joinCol) === col("vst"))
+        .select(col(outCol).as("st2"),
+          (col("n").cast("decimal(38,0)") * col("s")).as("c"))
+        .groupBy("st2").agg(sum(col("c")).as("rawi"))
+      states.join(contrib, col("st") === col("st2"), "left")
+        .select(col("st"),
+          coalesce(col("rawi"), lit(0L).cast("decimal(38,0)")).as("raw"))
+    }
+    def normalize(rawDf: DataFrame): DataFrame = {
+      val tot = rawDf.agg(sum(col("raw")).as("t"))
+      rawDf.crossJoin(broadcast(tot))
+        .select(col("st"),
+          when(col("t") > 0, expr(s"(raw * ${HitsScale}L) div t"))
+            .otherwise(lit(0L)).as("s"))
+    }
+    var h = states.select(col("st"), lit(HitsScale).as("s"))
+    var a = h
+    for (_ <- 1 to HitsIters) {
+      // eager per-sweep checkpoint (the dedupClusters loop rule):
+      // normalize reads its input twice (mass + division), so an
+      // unchecked lineage would double the recompute every sweep —
+      // 2^sweeps by the last one. The frames are states-sized.
+      a = normalize(pass("f", "tt", h)).localCheckpoint(true)
+      h = normalize(pass("tt", "f", a)).localCheckpoint(true)
+    }
+    states
+      .join(a.select(col("st").as("ast"), col("s").as("authority_fp")),
+        col("st") === col("ast"))
+      .join(h.select(col("st").as("hst"), col("s").as("hub_fp")),
+        col("st") === col("hst"))
+      .select(col("st").as("event_type"), col("authority_fp"),
+        col("hub_fp"),
+        (col("authority_fp").cast("double") / lit(HitsScale.toDouble))
+          .as("authority"),
+        (col("hub_fp").cast("double") / lit(HitsScale.toDouble)).as("hub"))
+      .orderBy("event_type")
+  }
+
+  val hitsTransitionsSql: String = {
+    def pass(i: Int, from: String, joinCol: String, outCol: String,
+        rawName: String): String =
+      s"""$rawName AS MATERIALIZED (
+           SELECT s.st,
+                  CAST(COALESCE(SUM(CAST(e.n AS HUGEINT) * v.s), 0)
+                    AS HUGEINT) AS raw
+           FROM states s
+             LEFT JOIN pairs e ON e.$outCol = s.st
+             LEFT JOIN $from v ON v.st = e.$joinCol
+           GROUP BY s.st)"""
+    def norm(rawName: String, totName: String, outName: String): String =
+      s"""$totName AS MATERIALIZED (SELECT CAST(SUM(raw) AS HUGEINT) AS t
+                       FROM $rawName),
+         $outName AS MATERIALIZED (SELECT st,
+                CASE WHEN t > 0 THEN
+                  CAST((raw * $HitsScale) // t AS BIGINT)
+                ELSE 0 END AS s
+              FROM $rawName CROSS JOIN $totName)"""
+    val sweeps = (1 to HitsIters).map { i =>
+      val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+      s"""${pass(i, hPrev, "f", "tt", s"ar$i")},
+         ${norm(s"ar$i", s"at$i", s"a$i")},
+         ${pass(i, s"a$i", "tt", "f", s"hr$i")},
+         ${norm(s"hr$i", s"ht$i", s"h$i")}"""
+    }.mkString(",\n       ")
+    s"""WITH pairs AS MATERIALIZED (
+         SELECT f, tt, CAST(COUNT(*) AS BIGINT) AS n
+         FROM (
+           SELECT event_type AS f,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS tt
+           FROM events)
+         WHERE tt IS NOT NULL GROUP BY 1, 2),
+       states AS MATERIALIZED (SELECT DISTINCT f AS st FROM pairs
+                  UNION SELECT DISTINCT tt FROM pairs),
+       h0 AS MATERIALIZED (SELECT st, CAST($HitsScale AS BIGINT) AS s
+                           FROM states),
+       $sweeps
+       SELECT s.st AS event_type,
+              a$HitsIters.s AS authority_fp, h$HitsIters.s AS hub_fp,
+              CAST(a$HitsIters.s AS DOUBLE) / $HitsScale.0 AS authority,
+              CAST(h$HitsIters.s AS DOUBLE) / $HitsScale.0 AS hub
+       FROM states s
+         JOIN a$HitsIters ON a$HitsIters.st = s.st
+         JOIN h$HitsIters ON h$HitsIters.st = s.st
+       ORDER BY event_type"""
+  }
+
   /** Value-bucket width for [[jonckheereTerpstra]]'s per-group prefix
     * sums over the order-price grid (the [[graft.operators.Curation]]
     * KsLenBucket rule at price scale: bucket count rides the VALUE
@@ -3661,6 +3794,7 @@ ${(1 to AcfMaxLag).map { mm =>
     Q("hhi_concentration", Some(hhiConcentrationSql))(hhiConcentration),
     Q("diversity_simpson", Some(diversitySimpsonSql))(diversitySimpson),
     Q("markov_stationary", Some(markovStationarySql))(markovStationary),
+    Q("hits_transitions", Some(hitsTransitionsSql))(hitsTransitions),
     Q("link_prediction_ra", Some(linkPredictionRaSql), bench = true)(linkPredictionRa),
     Q("survival_hazard", Some(survivalHazardSql))(survivalHazard),
     Q("ks_test", Some(ksTestSql))(ksTest),

@@ -1867,6 +1867,29 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       graft.sources.Tables.lineitem(spark, sf).count())
   }
 
+  test("HITS: pure source is all hub, pure sink all authority; mass normalized") {
+    import spark.implicits._
+    // one user, chain A -> B repeated: A only ever launches, B only
+    // ever lands — hub(A) = authority(B) = HitsScale, the duals 0
+    val chain = Seq(
+      (1L, "A", 1L, 1L), (1L, "B", 2L, 2L),
+      (2L, "A", 1L, 3L), (2L, "B", 2L, 4L))
+      .toDF("user_id", "event_type", "t", "event_id").localCheckpoint()
+    val m = Inference.hitsFrom(chain).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("hub_fp"), r.getAs[Long]("authority_fp"))).toMap
+    assert(m("A") === ((Inference.HitsScale, 0L)))
+    assert(m("B") === ((0L, Inference.HitsScale)))
+    // corpus: scores bounded, each L1 mass within k floor-losses of 1
+    val rows = Inference.hitsTransitions(spark, sf).collect()
+    val k = rows.length
+    Seq("authority_fp", "hub_fp").foreach { c =>
+      val v = rows.map(_.getAs[Long](c))
+      v.foreach(x => assert(x >= 0L && x <= Inference.HitsScale))
+      assert(v.sum > Inference.HitsScale - k && v.sum <= Inference.HitsScale)
+    }
+  }
+
   test("token-sort dedup groups are a coarsening of exact-hash groups") {
     val exact = Dedup.dedupExactHash(spark, sf)
     val sorted = Dedup.dedupTokenSort(spark, sf)

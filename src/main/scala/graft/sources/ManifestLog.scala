@@ -822,10 +822,16 @@ object ManifestLog {
       .groupBy("file").agg(max(col("version")).as("_r"))
     // deletable iff the file's LATEST action is a remove at <= horizon:
     // a [[restore]]'s re-add (add newer than the old remove) revives
-    // the file, so the old remove alone must never doom it
+    // the file, so the old remove alone must never doom it.
+    // OWNERSHIP: only files under this table's own data root ever
+    // vacuum — a [[shallowClone]]d table REFERENCES the source's bytes
+    // without owning them, so a clone-side rewrite (compact/delete)
+    // that removes an external file from the clone's log must never
+    // delete the source's data (Delta's shallow-clone contract).
     collectFiles(s, lr.join(la, Seq("file"), "left")
       .filter(col("_r") <= horizon &&
         (col("_a").isNull || col("_a") < col("_r")))
+      .filter(col("file").contains(s"$path/data/"))
       .select("file"))
   }
 
@@ -840,6 +846,56 @@ object ManifestLog {
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(conf).delete(p, false)
     }
+  }
+
+  /** SHALLOW CLONE — Delta's `CREATE TABLE ... SHALLOW CLONE src`: a
+    * NEW table whose version 1 REFERENCES the source snapshot's files
+    * by identity — zero data bytes move, the clone materializes in
+    * metadata time regardless of table size (the dev/test-against-prod
+    * and experiment-branch workflow). The clone then evolves fully
+    * independently: appends land in its own data root, rewrites
+    * (compact / delete / optimize) copy-on-write INTO the clone — the
+    * first rewrite of a referenced file is where the clone starts
+    * owning bytes. Visible deletion vectors carry over by copying the
+    * (tiny) pair sidecars into the clone's own dv root, so the cloned
+    * snapshot applies them without reaching back into the source's
+    * directories. Ownership is enforced at the only place bytes die:
+    * [[vacuumList]] never names a file outside the table's own data
+    * root, so vacuuming the clone cannot delete source data (and a
+    * clone-side rewrite's removes of external files are metadata
+    * only). The standing Delta caveat transfers verbatim: vacuuming
+    * the SOURCE can delete bytes a clone still references — clones are
+    * branches, not backups. Returns the clone's version (always 1).
+    */
+  def shallowClone(s: SparkSession, srcPath: String, dstPath: String,
+      asOf: Option[Long] = None): Long = {
+    val vSrc = asOf.getOrElse(currentVersion(s, srcPath))
+    require(vSrc > 0L, s"shallow clone source has no commits: $srcPath")
+    require(currentVersion(s, dstPath) == 0L,
+      s"shallow clone target is already a table: $dstPath")
+    val v = claimVersion(s, dstPath)
+    val adds = liveAdds(log(s, srcPath).filter(col("version") <= vSrc))
+      .select(lit(v).as("version"), lit("add").as("action"), col("file"),
+        col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
+        col("key_hll"), col("stats"), lit(NoBatch).as("batch_id"))
+    val acts = dvPairs(s, srcPath, vSrc) match {
+      case None => adds
+      case Some(p) =>
+        p.write.mode(SaveMode.Overwrite).parquet(dvDir(dstPath, v))
+        val dvActs = s.read.parquet(dvDir(dstPath, v))
+          .groupBy(col("file"))
+          .agg(count(lit(1)).as("n_rows"), min(col("key")).as("min_key"),
+            max(col("key")).as("max_key"),
+            expr(s"graft_bloom_agg(CAST(key AS STRING), $BloomLog2Bits)")
+              .as("bloom"))
+          .select(lit(v).as("version"), lit("dv").as("action"),
+            col("file"), col("n_rows"), col("min_key"), col("max_key"),
+            col("bloom"), lit(null).cast("binary").as("key_hll"),
+            nullStats.as("stats"), lit(NoBatch).as("batch_id"))
+        adds.unionByName(dvActs)
+    }
+    writeActions(acts, dstPath, v)
+    v
   }
 
   /** RESTORE TABLE TO VERSION — Delta's RESTORE as one commit, (almost)

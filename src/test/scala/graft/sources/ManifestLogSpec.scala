@@ -758,4 +758,59 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(cdf.isEmpty,
       s"compaction leaked ${cdf.count()} change rows into the CDF")
   }
+
+  test("shallowClone: zero-copy branch, DVs carry, vacuum never touches source bytes") {
+    import spark.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    ManifestLog.commit((0L until 100L).map(k => (k, s"p$k"))
+      .toDF("key", "payload").repartitionByRange(4, col("key")),
+      src, "key")
+    ManifestLog.commit((100L until 120L).map(k => (k, s"p$k"))
+      .toDF("key", "payload").coalesce(1), src, "key")
+    ManifestLog.deleteKeysDv(spark, src, "key", Seq(7L))
+
+    assert(ManifestLog.shallowClone(spark, src, dst) === 1L)
+    // identical visible rows, including the source DV's effect
+    val srcRows = ManifestLog.snapshot(spark, src).orderBy("key")
+      .collect().map(_.toSeq).toSeq
+    assert(ManifestLog.snapshot(spark, dst).orderBy("key")
+      .collect().map(_.toSeq).toSeq === srcRows)
+    assert(ManifestLog.snapshot(spark, dst).count() === 119)
+    // ZERO data bytes moved: every data file the clone reads lives
+    // under the SOURCE path; the clone has no data root at all
+    val cloneData = ManifestLog.snapshot(spark, dst).inputFiles
+      .filter(_.contains("/data/"))
+    assert(cloneData.nonEmpty && cloneData.forall(_.contains(src)))
+    assert(!new java.io.File(s"$dst/data").exists())
+
+    // the branch evolves independently: an append lands in the
+    // clone's own root and the source never sees it
+    ManifestLog.commit((200L until 210L).map(k => (k, s"p$k"))
+      .toDF("key", "payload").coalesce(1), dst, "key")
+    assert(ManifestLog.snapshot(spark, dst).count() === 129)
+    assert(ManifestLog.snapshot(spark, src).count() === 119)
+    // clone time travel: v1 is still the cloned snapshot
+    assert(ManifestLog.snapshot(spark, dst, Some(1L)).count() === 119)
+
+    // copy-on-write: compacting the clone rewrites into ITS OWN root
+    // and vacuuming the clone deletes NO source bytes (ownership rule)
+    ManifestLog.compact(spark, dst, "key")
+    val postCompact = ManifestLog.snapshot(spark, dst).inputFiles
+      .filter(_.contains("/data/"))
+    assert(postCompact.forall(_.contains(dst)),
+      "compacted clone still reads source bytes")
+    val doomed = ManifestLog.vacuumList(spark, dst, Long.MaxValue)
+    assert(doomed.forall(_.contains(dst)),
+      s"vacuum would delete source-owned bytes: $doomed")
+    ManifestLog.vacuum(spark, dst, Long.MaxValue)
+    // the source is fully intact after the clone's vacuum
+    assert(ManifestLog.snapshot(spark, src).orderBy("key")
+      .collect().map(_.toSeq).toSeq === srcRows)
+
+    // as-of clone: branch from v1 sees only the first commit
+    val dst2 = freshTable()
+    ManifestLog.shallowClone(spark, src, dst2, Some(1L))
+    assert(ManifestLog.snapshot(spark, dst2).count() === 100)
+  }
 }

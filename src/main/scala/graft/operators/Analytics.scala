@@ -2429,9 +2429,123 @@ object Analytics {
        FROM g ORDER BY p_brand"""
   }
 
+  /** Kendall's W concordance of the monthly brand rankings (+ the
+    * Friedman chi-square it implies) — "do the months AGREE on the
+    * brand leaderboard" as one number over [[brandRankMovers]]' rank
+    * panel (W near 1: a stable market whose movers are noise; W near
+    * 0: leadership genuinely churns — the context every movers
+    * dashboard needs): over the brands present in EVERY month (ranks
+    * must permute one shared item set), per-month ranks re-ranked
+    * within that common set, rank sums R_i exact BIGINT, and
+    * 4S = Σ(2R_i − k(n+1))² exact, so W = 3·S4 / (k²(n³−n)) is a
+    * single double division; Friedman's chi2 = k(n−1)·W rides along.
+    * Rank ties resolve deterministically by brand (the house total-
+    * order convention — documented, it perturbs W by at most the tie
+    * mass). NULL on n < 2. Scale: months×brands frames throughout.
+    * (round 9)
+    */
+  def kendallWBrands(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Nums._
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mi"),
+        col("p_brand"))
+      .agg(sum(decp(col("l_extendedprice"))
+        * decf(lit(1.0) - col("l_discount"))).as("rev"))
+      .localCheckpoint() // months×brands; feeds month count + ranks
+    val mTot = rev.select("mi").distinct().agg(count(lit(1)).as("k"))
+    val common = rev.groupBy("p_brand").agg(count(lit(1)).as("nm"))
+      .crossJoin(broadcast(mTot))
+      .filter(col("nm") === col("k"))
+      .select("p_brand")
+    val w = Window.partitionBy(col("mi"))
+      .orderBy(col("rev").desc, col("p_brand"))
+    val ranks = rev.join(broadcast(common), Seq("p_brand"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    kendallWCore(ranks.select("mi", "p_brand", "rnk"))
+  }
+
+  /** Core over any (mi, p_brand, rnk) rank-panel frame where each mi
+    * ranks the same item set 1..n (spec hand-checks the textbook
+    * perfect-agreement and reversal cases). */
+  private[operators] def kendallWCore(ranks: DataFrame): DataFrame = {
+    val mTot = ranks.select("mi").distinct().agg(count(lit(1)).as("k"))
+    val rsums = ranks.groupBy("p_brand")
+      .agg(sum(col("rnk")).as("ri"))
+    val nTot = rsums.agg(count(lit(1)).as("n"))
+    rsums.crossJoin(broadcast(nTot)).crossJoin(broadcast(mTot))
+      .agg(max(col("n")).as("n_brands"), max(col("k")).as("k_months"),
+        sum((col("ri") * 2 - col("k") * (col("n") + 1))
+          .cast("decimal(38,0)")
+          * (col("ri") * 2 - col("k") * (col("n") + 1))).as("s4"))
+      .select(col("n_brands"), col("k_months"),
+        col("s4").cast("long").as("s4"),
+        when(col("n_brands") >= 2,
+          lit(3.0e0) * col("s4").cast("double")
+            / (col("k_months") * col("k_months")).cast("double")
+            / (col("n_brands") * col("n_brands") * col("n_brands")
+              - col("n_brands")).cast("double")).as("w"))
+      .select(col("n_brands"), col("k_months"), col("s4"), col("w"),
+        (col("k_months").cast("double") * (col("n_brands") - 1)
+          .cast("double") * col("w")).as("friedman_chi2"))
+  }
+
+  val kendallWBrandsSql: String = {
+    import graft.functions.Nums._
+    s"""WITH rev AS MATERIALIZED (
+         SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+                  AS BIGINT) AS mi,
+                p.p_brand,
+                SUM(${sqlDecp("l.l_extendedprice")}
+                  * ${sqlDecf("1.0 - l.l_discount")}) AS rev
+         FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+         GROUP BY 1, 2),
+       mt AS (SELECT CAST(COUNT(DISTINCT mi) AS BIGINT) AS k FROM rev),
+       common AS (SELECT p_brand FROM rev CROSS JOIN mt
+                  GROUP BY p_brand, mt.k
+                  HAVING CAST(COUNT(*) AS BIGINT) = MAX(mt.k)),
+       ranks AS (SELECT r.mi, r.p_brand,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY r.mi
+                     ORDER BY r.rev DESC, r.p_brand) AS BIGINT) AS rnk
+                 FROM rev r JOIN common c ON r.p_brand = c.p_brand),
+       rsums AS (SELECT p_brand, CAST(SUM(rnk) AS BIGINT) AS ri
+                 FROM ranks GROUP BY 1),
+       nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rsums),
+       agg AS (SELECT MAX(nt.n) AS n_brands, MAX(mt.k) AS k_months,
+                      CAST(SUM(CAST(ri * 2 - mt.k * (nt.n + 1)
+                            AS HUGEINT)
+                          * (ri * 2 - mt.k * (nt.n + 1))) AS BIGINT)
+                        AS s4
+               FROM rsums CROSS JOIN nt CROSS JOIN mt)
+       SELECT n_brands, k_months, s4,
+              CASE WHEN n_brands >= 2 THEN
+                3.0 * CAST(s4 AS DOUBLE)
+                  / CAST(k_months * k_months AS DOUBLE)
+                  / CAST(n_brands * n_brands * n_brands - n_brands
+                      AS DOUBLE)
+              END AS w,
+              CAST(k_months AS DOUBLE) * CAST(n_brands - 1 AS DOUBLE)
+                * (CASE WHEN n_brands >= 2 THEN
+                     3.0 * CAST(s4 AS DOUBLE)
+                       / CAST(k_months * k_months AS DOUBLE)
+                       / CAST(n_brands * n_brands * n_brands - n_brands
+                           AS DOUBLE)
+                   END) AS friedman_chi2
+       FROM agg"""
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q1_agg", Some(q1Sql), bench = true)(q1),
     Q("brand_rank_movers", Some(brandRankMoversSql))(brandRankMovers),
+    Q("kendall_w_brands", Some(kendallWBrandsSql))(kendallWBrands),
     Q("discount_elasticity", Some(discountElasticitySql))(discountElasticity),
     Q("big_orders_having", Some(bigOrdersSql))(bigOrders),
     Q("funnel_conversion", Some(funnelConversionSql))(funnelConversion),

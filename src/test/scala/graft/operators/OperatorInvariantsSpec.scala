@@ -1890,6 +1890,29 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("kendall W: perfect agreement 1, perfect reversal low, corpus in [0,1]") {
+    import spark.implicits._
+    // 3 judges, 4 items, identical rankings: W = 1, Friedman = k(n-1)
+    val perfect = (for (m <- 1 to 3; i <- 1 to 4)
+      yield (m.toLong, s"b$i", i.toLong)).toDF("mi", "p_brand", "rnk")
+    val p = Analytics.kendallWCore(perfect.localCheckpoint()).head
+    assert(p.getAs[Double]("w") === 1.0)
+    assert(p.getAs[Double]("friedman_chi2") === 3.0 * 3)
+    // 2 judges in perfect reversal: rank sums all equal, W = 0
+    val rev2 = (for (i <- 1 to 4) yield Seq(
+      (1L, s"b$i", i.toLong), (2L, s"b$i", (5 - i).toLong)
+    )).flatten.toDF("mi", "p_brand", "rnk")
+    assert(Analytics.kendallWCore(rev2.localCheckpoint())
+      .head.getAs[Double]("w") === 0.0)
+    // corpus: W and chi2 bounded and mutually consistent
+    val c = Analytics.kendallWBrands(spark, sf).head
+    val wv = c.getAs[Double]("w")
+    assert(wv >= 0.0 && wv <= 1.0)
+    assert(math.abs(c.getAs[Double]("friedman_chi2")
+      - c.getAs[Long]("k_months") * (c.getAs[Long]("n_brands") - 1)
+        * wv) < 1e-9)
+  }
+
   test("token-sort dedup groups are a coarsening of exact-hash groups") {
     val exact = Dedup.dedupExactHash(spark, sf)
     val sorted = Dedup.dedupTokenSort(spark, sf)

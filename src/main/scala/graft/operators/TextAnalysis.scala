@@ -1595,6 +1595,51 @@ object TextAnalysis {
               END AS hapax_rate
        FROM agg ORDER BY source"""
 
+  /** Yule's characteristic K per source — the classic REPETITIVENESS
+    * constant of lexicography ([[lexicalDiversity]]'s TTR falls with
+    * corpus size by Heaps' law, so sources of different volume cannot
+    * be compared by it; K is length-invariant — the collision mass of
+    * the token distribution, scaled): K = 10^4·(Σ m²·V_m − N)/N² over
+    * the frequency spectrum V_m (how many words occur exactly m
+    * times). Entirely integer until one double division — Yule chose
+    * the log-free form a century before this engine needed it. High K
+    * = templated/repetitive text, low K = rich vocabulary. Scale: the
+    * (source, token) aggregate every corpus matrix rides, then a
+    * spectrum-sized rollup. (round 9)
+    */
+  def yuleK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy("source")
+      .agg(sum(col("m")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("m") * col("m")).as("sm2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        when(col("n_tokens") > 0,
+          lit(10000.0e0) * (col("sm2") - col("n_tokens")).cast("double")
+            / (col("n_tokens") * col("n_tokens")).cast("double"))
+          .as("yule_k"))
+      .orderBy("source")
+
+  val yuleKSql: String =
+    s"""WITH cnt AS (
+         SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS m
+         FROM (SELECT source, UNNEST(${sqlToks("text")}) AS tok
+               FROM documents)
+         GROUP BY 1, 2),
+       agg AS (
+         SELECT source, CAST(SUM(m) AS BIGINT) AS n_tokens,
+                CAST(COUNT(*) AS BIGINT) AS vocab,
+                CAST(SUM(m * m) AS BIGINT) AS sm2
+         FROM cnt GROUP BY 1)
+       SELECT source, n_tokens, vocab,
+              CASE WHEN n_tokens > 0 THEN
+                10000.0 * CAST(sm2 - n_tokens AS DOUBLE)
+                  / CAST(n_tokens * n_tokens AS DOUBLE)
+              END AS yule_k
+       FROM agg ORDER BY source"""
+
   /** Word-length profile per source — mean token length, long-word
     * share and max ([[readabilityFlesch]]'s ingredient surfaced as a
     * per-source fingerprint; a source whose mean word length drifts
@@ -1798,6 +1843,7 @@ object TextAnalysis {
     Q("doc_fingerprint", Some(docFingerprintSql))(docFingerprint),
     Q("stopword_density", Some(stopwordDensitySql))(stopwordDensity),
     Q("hapax_rate", Some(hapaxRateSql))(hapaxRate),
+    Q("yule_k", Some(yuleKSql))(yuleK),
     Q("word_length_profile", Some(wordLengthProfileSql))(wordLengthProfile),
     Q("char_class_profile", Some(charClassProfileSql))(charClassProfile))
 }

@@ -874,6 +874,11 @@ object ManifestLog {
     require(currentVersion(s, dstPath) == 0L,
       s"shallow clone target is already a table: $dstPath")
     val v = claimVersion(s, dstPath)
+    // the claim is the race arbiter: a concurrent clone (or commit)
+    // into the same fresh path claims v1 first and this one must not
+    // publish a second bootstrap on top of it
+    require(v == 1L,
+      s"shallow clone lost a bootstrap race on $dstPath (claimed v$v)")
     val adds = liveAdds(log(s, srcPath).filter(col("version") <= vSrc))
       .select(lit(v).as("version"), lit("add").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),

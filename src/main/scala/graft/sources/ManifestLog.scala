@@ -903,6 +903,56 @@ object ManifestLog {
     v
   }
 
+  /** GENERATE symlink_format_manifest — the external-engine interop
+    * seam (Delta's `GENERATE symlink_format_manifest FOR TABLE`):
+    * engines that cannot replay the log (Presto/Trino/Athena/Hive
+    * external tables) read a plain TEXT manifest naming the live data
+    * files instead. Writes `_symlink_format_manifest/manifest` with
+    * one absolute file path per line (sorted — deterministic bytes for
+    * a given snapshot) for the snapshot at `asOf` (default: current),
+    * via a temp-file + rename so a concurrent external reader never
+    * sees a torn manifest. The manifest is a POINT-IN-TIME EXPORT, not
+    * a live view: it goes stale the moment the table commits (exactly
+    * Delta's semantics — deployments regenerate after writes or hook
+    * it into their commit path), and it does NOT carry deletion
+    * vectors (external engines read whole files; a DV'd table should
+    * [[compact]] first — the require below enforces it loudly rather
+    * than export rows the log says are dead). Returns the number of
+    * files listed.
+    */
+  def writeSymlinkManifest(s: SparkSession, path: String,
+      asOf: Option[Long] = None): Int = {
+    val v = asOf.getOrElse(currentVersion(s, path))
+    require(v > 0L, s"no commits to export: $path")
+    val files = fileList(s, path, v).sorted
+    // refuse only when a LIVE file carries deletion-vector pairs —
+    // a compacted table keeps its historical dv actions, but they
+    // reference removed files and the export is then exact
+    val dvBitesLive = dvPairs(s, path, v).exists { p =>
+      val live = s.createDataset(files)(
+        org.apache.spark.sql.Encoders.STRING).toDF("file")
+      !p.select("file").distinct().join(live, Seq("file"), "left_semi")
+        .isEmpty
+    }
+    require(!dvBitesLive,
+      s"live deletion vectors at v$v — external engines read whole " +
+        "files and would resurrect deleted rows; run compact() first")
+    val conf = s.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(
+      s"$path/_symlink_format_manifest")
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".manifest.v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(dir, "manifest")
+    fs.delete(fin, false)
+    require(fs.rename(tmp, fin), s"manifest rename failed: $tmp -> $fin")
+    files.size
+  }
+
   /** RESTORE TABLE TO VERSION — Delta's RESTORE as one commit, (almost)
     * zero data I/O: files live at `toV` but not now RE-PUBLISH by
     * identity (their original add rows copied into the new version —

@@ -477,4 +477,31 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan(Similarity.embeddingCentroids(spark, sf))
     assert(p.contains("partial_sum"), "centroid sums lost map-side combine")
   }
+
+  test("jonckheere_terpstra: linear CDFs — no <= residual over the value frame") {
+    val df = operators.Inference.jonckheereTerpstra(spark, sf)
+    // the per-group step CDFs ride the source-partitioned prefix sum
+    // (the ks_source_matrix discipline keyed by priority); a U_ij via
+    // pairwise value comparison would surface as a <= join residual
+    // rescanning a group's cells per row
+    import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual
+    df.queryExecution.optimizedPlan.foreach {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.foreach(c => assert(
+          c.collect { case e: LessThanOrEqual => e }.isEmpty,
+          s"<= residual crept into a JT join: $c"))
+      case _ =>
+    }
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
+  test("silhouette_simplified: centroid side broadcasts, no product") {
+    val p = plan(Similarity.silhouetteSimplified(spark, sf))
+    // the labels×dims centroid frame is tiny by construction — the
+    // per-dimension join must be a broadcast, never a shuffle of the
+    // exploded corpus against it (or worse, a nested-loop product)
+    assert(p.contains("BroadcastHashJoin"), "centroid join lost broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -813,4 +813,35 @@ class ManifestLogSpec extends AnyFunSuite {
     ManifestLog.shallowClone(spark, src, dst2, Some(1L))
     assert(ManifestLog.snapshot(spark, dst2).count() === 100)
   }
+
+  test("symlink manifest: exact live list, atomic refresh, DV refusal until compact") {
+    import spark.implicits._
+    val path = freshTable()
+    ManifestLog.commit((0L until 100L).map(k => (k, s"p$k"))
+      .toDF("key", "payload").repartitionByRange(4, col("key")),
+      path, "key")
+    def readManifest(): Seq[String] =
+      scala.io.Source.fromFile(s"$path/_symlink_format_manifest/manifest")
+        .getLines().toSeq
+    assert(ManifestLog.writeSymlinkManifest(spark, path) === 4)
+    val live1 = ManifestLog.snapshot(spark, path).inputFiles
+      .map(_.stripPrefix("file:")).toSet
+    assert(readManifest().map(_.stripPrefix("file:")).toSet === live1)
+    // stale-then-regenerate: a new commit changes the live set, the
+    // next GENERATE replaces the manifest atomically
+    ManifestLog.commit((100L until 120L).map(k => (k, s"p$k"))
+      .toDF("key", "payload").coalesce(1), path, "key")
+    assert(ManifestLog.writeSymlinkManifest(spark, path) === 5)
+    assert(readManifest().size === 5)
+    // live deletion vectors refuse loudly (external engines read whole
+    // files); after compact materializes them the export works again
+    ManifestLog.deleteKeysDv(spark, path, "key", Seq(5L))
+    assertThrows[IllegalArgumentException] {
+      ManifestLog.writeSymlinkManifest(spark, path)
+    }
+    ManifestLog.compact(spark, path, "key")
+    assert(ManifestLog.writeSymlinkManifest(spark, path) === 1)
+    val fin = readManifest()
+    assert(fin.size === 1 && fin.head.contains(path))
+  }
 }

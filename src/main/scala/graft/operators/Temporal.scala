@@ -1377,6 +1377,78 @@ object Temporal {
               END AS weight_reciprocity
        FROM agg"""
 
+  /** Transition-latency quartiles — how LONG each (from → to) edge of
+    * [[eventTransitions]]' graph takes ("the matrix says view leads to
+    * purchase; this says in how many minutes" — the dwell-time read
+    * an SLA or session-timeout choice needs): per-user consecutive
+    * event gaps from one lead window, then per-(from, to) exact
+    * rank-selected quartiles (the (cnt+1) div 4 idiom — no
+    * interpolation) over the microsecond gaps, mean as one double
+    * division. Gaps stay integer microseconds end to end. Scale: one
+    * events scan, user-partitioned lead, (from, to)-partitioned rank
+    * windows, types²-bounded output. (round 9)
+    */
+  def transitionLatencyQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("from_type"), col("to_type"),
+        (col("nt") - col("t")).as("gap_us"), col("event_id"))
+    val wr = Window.partitionBy(col("from_type"), col("to_type"))
+      .orderBy(col("gap_us"), col("event_id"))
+    val wn = Window.partitionBy(col("from_type"), col("to_type"))
+    gaps.withColumn("rn", row_number().over(wr))
+      .withColumn("cnt", count(lit(1)).over(wn))
+      .groupBy("from_type", "to_type")
+      .agg(
+        max(when(col("rn") === expr("(cnt + 1) div 4"), col("gap_us")))
+          .as("p25_us"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("gap_us")))
+          .as("p50_us"),
+        max(when(col("rn") === expr("(3 * cnt + 3) div 4"), col("gap_us")))
+          .as("p75_us"),
+        max(col("cnt")).as("n"),
+        sum(col("gap_us")).as("gap_sum"))
+      .select(col("from_type"), col("to_type"), col("p25_us"),
+        col("p50_us"), col("p75_us"), col("n"),
+        (col("gap_sum").cast("double") / col("n").cast("double"))
+          .as("mean_us"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val transitionLatencyQuartilesSql: String =
+    """WITH e AS (SELECT user_id, event_type AS from_type,
+                    epoch_us(ts) AS t, event_id
+                  FROM events),
+       seq AS (SELECT from_type,
+                 LEAD(from_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id) AS to_type,
+                 LEAD(t, 1) OVER (PARTITION BY user_id
+                   ORDER BY t, event_id) - t AS gap_us,
+                 event_id
+               FROM e),
+       gaps AS (SELECT from_type, to_type,
+                       CAST(gap_us AS BIGINT) AS gap_us, event_id
+                FROM seq WHERE to_type IS NOT NULL),
+       r AS (SELECT from_type, to_type, gap_us,
+               ROW_NUMBER() OVER (PARTITION BY from_type, to_type
+                                  ORDER BY gap_us, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY from_type, to_type) AS cnt
+             FROM gaps)
+       SELECT from_type, to_type,
+              MAX(CASE WHEN rn = (cnt + 1) // 4 THEN gap_us END) AS p25_us,
+              MAX(CASE WHEN rn = (cnt + 1) // 2 THEN gap_us END) AS p50_us,
+              MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN gap_us END)
+                AS p75_us,
+              CAST(MAX(cnt) AS BIGINT) AS n,
+              CAST(SUM(gap_us) AS DOUBLE) / CAST(MAX(cnt) AS DOUBLE)
+                AS mean_us
+       FROM r GROUP BY 1, 2 ORDER BY from_type, to_type"""
+
   def queries: Seq[Q] = Seq(
     Q("events_dow_hour_heatmap",
       Some(eventsDowHourHeatmapSql))(eventsDowHourHeatmap),
@@ -1408,5 +1480,7 @@ object Temporal {
     Q("event_transitions", Some(eventTransitionsSql))(eventTransitions),
     Q("events_hourly", Some(eventsHourlySql))(eventsHourly),
     Q("slo_burn_rate", Some(sloBurnRateSql))(sloBurnRate),
-    Q("event_reciprocity", Some(eventReciprocitySql))(eventReciprocity))
+    Q("event_reciprocity", Some(eventReciprocitySql))(eventReciprocity),
+    Q("transition_latency_quartiles",
+      Some(transitionLatencyQuartilesSql))(transitionLatencyQuartiles))
 }

@@ -1913,6 +1913,21 @@ class OperatorInvariantsSpec extends AnyFunSuite {
         * wv) < 1e-9)
   }
 
+  test("transition latency: quartiles ordered, counts reconcile to transitions") {
+    val rows = Temporal.transitionLatencyQuartiles(spark, sf).collect()
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Long]("p25_us"),
+        r.getAs[Long]("p50_us"), r.getAs[Long]("p75_us"))
+      assert(p25 >= 0L && p25 <= p50 && p50 <= p75)
+      assert(r.getAs[Double]("mean_us") >= 0.0)
+    }
+    // total gap count = events - users (one lead loss per user)
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val expect = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum === expect)
+  }
+
   test("token-sort dedup groups are a coarsening of exact-hash groups") {
     val exact = Dedup.dedupExactHash(spark, sf)
     val sorted = Dedup.dedupTokenSort(spark, sf)

@@ -443,6 +443,65 @@ object Streaming {
           (lit(2L) * col("n_w") * col("btot")).cast("double")).as("tv_distance"))
   }
 
+  case class TransState(lastType: String, t: Long, eid: Long)
+  case class TransPair(from_type: String, to_type: String)
+
+  /** Streaming transition detector — the stateful twin of
+    * `event_transitions`' pair counts: per user the keyed state is the
+    * LAST event seen (type + time + id — the irreducible O(users)
+    * residue of a sequence operator), and each micro-batch emits the
+    * (from → to) pairs its events close, including the one bridging
+    * the previous batch's tail. Intra-batch disorder is handled
+    * exactly (events sort by the batch twin's total order (t,
+    * event_id) before pairing — the funnelStream tie lesson); an event
+    * retro-dated into an EARLIER batch than its predecessor is the
+    * same documented residual trade as funnelStream (the batch key
+    * re-derives truth offline). Append mode: a pair is final the
+    * moment its later event lands.
+    */
+  def transitionsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    def step(userId: Long,
+        rows: Iterator[(Long, String, java.time.Instant, Long)],
+        state: GroupState[TransState]): Iterator[TransPair] = {
+      val evs = rows.map { case (_, et, ts, eid) =>
+        (et, ts.getEpochSecond * 1000000L + ts.getNano / 1000L, eid)
+      }.toSeq.sortBy(e => (e._2, e._3))
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val chain = state.getOption
+          .map(st => (st.lastType, st.t, st.eid) +: evs).getOrElse(evs)
+        val last = evs.last
+        state.update(TransState(last._1, last._2, last._3))
+        chain.sliding(2).collect {
+          case Seq(a, b) => TransPair(a._1, b._1)
+        }
+      }
+    }
+    eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.time.Instant, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(step)
+      .toDF()
+  }
+
+  /** Batch twin of [[transitionsStream]]: (from, to) pair counts by
+    * the same (t, event_id) total order. */
+  def transitionsBatch(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+  }
+
   def runToMemory(df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)

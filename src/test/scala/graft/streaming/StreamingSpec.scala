@@ -255,4 +255,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(est - truth) <=
       graft.plans.DdSketch.Alpha * math.abs(truth) + 1e-12)
   }
+
+  test("streaming transition detector matches the batch pair counts exactly") {
+    val out = Streaming.runToMemory(
+      Streaming.transitionsStream(spark, sf), "trans_stream")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+        -> r.getAs[Long]("n")).toMap
+    assert(out.nonEmpty, "no transitions detected")
+    val batch = Streaming.transitionsBatch(spark, sf).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+        -> r.getAs[Long]("n")).toMap
+    assert(out === batch)
+    // the pair total is events minus users (one lead loss per user)
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(out.values.sum ===
+      ev.count() - ev.select("user_id").distinct().count())
+  }
 }

@@ -828,11 +828,26 @@ object ManifestLog {
     // without owning them, so a clone-side rewrite (compact/delete)
     // that removes an external file from the clone's log must never
     // delete the source's data (Delta's shallow-clone contract).
+    // The test is an ANCHORED prefix on the fs-QUALIFIED table root,
+    // never a substring: a clone at /data/tbl cloned FROM a source at
+    // /backup/data/tbl would substring-match "<clone>/data/" inside
+    // the source's own file paths ("/backup/data/tbl/data/v1/…") and
+    // vacuum the source's bytes; and a caller spelling the path
+    // differently from the absolute file: URI the log stores (relative
+    // vs qualified) would silently disable vacuum entirely. Qualifying
+    // BOTH sides through the same FileSystem normalizes scheme,
+    // authority and slash count before the prefix test.
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val dataPrefix =
+      fs.makeQualified(root).toString.stripSuffix("/") + "/data/"
     collectFiles(s, lr.join(la, Seq("file"), "left")
       .filter(col("_r") <= horizon &&
         (col("_a").isNull || col("_a") < col("_r")))
-      .filter(col("file").contains(s"$path/data/"))
       .select("file"))
+      .filter(f => fs.makeQualified(new org.apache.hadoop.fs.Path(f))
+        .toString.startsWith(dataPrefix))
   }
 
   /** Physically delete the [[vacuumList]] files; returns how many went.
@@ -876,9 +891,28 @@ object ManifestLog {
     val v = claimVersion(s, dstPath)
     // the claim is the race arbiter: a concurrent clone (or commit)
     // into the same fresh path claims v1 first and this one must not
-    // publish a second bootstrap on top of it
-    require(v == 1L,
-      s"shallow clone lost a bootstrap race on $dstPath (claimed v$v)")
+    // publish a second bootstrap on top of it. Losing the claim has
+    // two distinct causes the error must distinguish: a LIVE racer
+    // (whose v1 log will appear shortly — this attempt simply lost)
+    // versus a STALE ORPHAN claim from a clone that crashed between
+    // claimVersion and writeActions (the v1 log will never appear, and
+    // without recovery every future clone of the path fails forever).
+    // An orphan is recoverable: no log was ever published, so deleting
+    // the claim marker restores the pristine destination.
+    if (v != 1L) {
+      val conf = s.sparkContext.hadoopConfiguration
+      val v1Log = new org.apache.hadoop.fs.Path(logVersionDir(dstPath, 1L))
+      val published = v1Log.getFileSystem(conf).exists(v1Log)
+      throw new IllegalStateException(
+        if (published)
+          s"shallow clone lost a bootstrap race on $dstPath (claimed " +
+            s"v$v; v1 is already committed by another writer)"
+        else
+          s"$dstPath carries a bootstrap claim with no committed v1 — " +
+            "either a clone is in flight right now (retry shortly) or " +
+            "one crashed between claim and publish; if no clone is " +
+            s"running, delete ${claimsDir(dstPath)} and re-clone")
+    }
     val adds = liveAdds(log(s, srcPath).filter(col("version") <= vSrc))
       .select(lit(v).as("version"), lit("add").as("action"), col("file"),
         col("n_rows"), col("min_key"), col("max_key"), col("bloom"),
@@ -948,8 +982,12 @@ object ManifestLog {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val fin = new org.apache.hadoop.fs.Path(dir, "manifest")
-    fs.delete(fin, false)
-    require(fs.rename(tmp, fin), s"manifest rename failed: $tmp -> $fin")
+    // overwrite-capable rename (FileContext honors Rename.OVERWRITE on
+    // local FS and HDFS): the refresh is a single atomic replace, so a
+    // concurrent external reader always sees either the old manifest or
+    // the new one — never the delete+rename gap a two-call swap opens.
+    org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, conf)
+      .rename(tmp, fin, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     files.size
   }
 

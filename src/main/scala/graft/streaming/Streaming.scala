@@ -453,15 +453,37 @@ object Streaming {
     * (from → to) pairs its events close, including the one bridging
     * the previous batch's tail. Intra-batch disorder is handled
     * exactly (events sort by the batch twin's total order (t,
-    * event_id) before pairing — the funnelStream tie lesson); an event
-    * retro-dated into an EARLIER batch than its predecessor is the
-    * same documented residual trade as funnelStream (the batch key
-    * re-derives truth offline). Append mode: a pair is final the
-    * moment its later event lands.
+    * event_id) before pairing — the funnelStream tie lesson), and the
+    * carried state joins that sort rather than being blindly
+    * prepended, so a batch of late (retro-dated) events pairs in its
+    * true position relative to the stored cursor AND the cursor only
+    * ever advances — the new state is the MAX of (t, event_id) over
+    * carried state plus batch, never the batch's last event (which
+    * would walk the cursor backwards under late data and make every
+    * subsequent batch pair against a stale predecessor). The residual
+    * is exactly the already-EMITTED pair an earlier batch closed
+    * across a late event's true position — the same forward-ordering
+    * trade funnelStream documents (the batch key re-derives truth
+    * offline). Append mode: a pair is final the moment its later
+    * event lands.
     */
   def transitionsStream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import s.implicits._
+    transitionPairsOf(eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[(Long, String, java.time.Instant, Long)])
+  }
+
+  /** Stateful core of [[transitionsStream]] over any (user, type, ts,
+    * id) stream — separated so specs can drive EXACT micro-batch
+    * boundaries (late-data batches) through a MemoryStream.
+    */
+  def transitionPairsOf(
+      ds: org.apache.spark.sql.Dataset[(Long, String, java.time.Instant, Long)])
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
     def step(userId: Long,
         rows: Iterator[(Long, String, java.time.Instant, Long)],
         state: GroupState[TransState]): Iterator[TransPair] = {
@@ -470,20 +492,20 @@ object Streaming {
       }.toSeq.sortBy(e => (e._2, e._3))
       if (evs.isEmpty) Iterator.empty
       else {
-        val chain = state.getOption
-          .map(st => (st.lastType, st.t, st.eid) +: evs).getOrElse(evs)
-        val last = evs.last
+        // the carried state SORTS INTO the chain (not a blind prepend)
+        // and the cursor advances to the chain's max, so late events
+        // pair correctly against it and the state never regresses
+        val chain = (state.getOption
+          .map(st => (st.lastType, st.t, st.eid)).toSeq ++ evs)
+          .sortBy(e => (e._2, e._3))
+        val last = chain.last
         state.update(TransState(last._1, last._2, last._3))
         chain.sliding(2).collect {
           case Seq(a, b) => TransPair(a._1, b._1)
         }
       }
     }
-    eventsStream(s, dir)
-      .withWatermark("ts", "1 hour")
-      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .as[(Long, String, java.time.Instant, Long)]
-      .groupByKey(_._1)
+    ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout())(step)
       .toDF()

@@ -814,6 +814,81 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.snapshot(spark, dst2).count() === 100)
   }
 
+  test("vacuum ownership is an anchored prefix: a source whose path embeds the clone's data root survives") {
+    import spark.implicits._
+    // adversarial layout: the SOURCE lives OUTSIDE the clone, but its
+    // absolute path EMBEDS the clone's path ("/backup<dst>"), so every
+    // source data file's string contains the substring "<dst>/data/" —
+    // a substring ownership test would claim the source's bytes for
+    // the clone's vacuum; the anchored fs-qualified prefix must not
+    val dst = freshTable()
+    val src = Files.createTempDirectory("backup").toString + dst
+    ManifestLog.commit((0L until 60L).map(k => (k, s"p$k"))
+      .toDF("key", "payload").repartitionByRange(3, col("key")),
+      src, "key")
+    val srcRows = ManifestLog.snapshot(spark, src).orderBy("key")
+      .collect().map(_.toSeq).toSeq
+    ManifestLog.shallowClone(spark, src, dst)
+    // clone-side rewrite: external (source-owned) files get REMOVE
+    // actions in the clone's log — exactly the rows vacuum plans from.
+    // None of them is clone-owned, so the plan must be EMPTY (the old
+    // substring test matched all three source files here)
+    ManifestLog.compact(spark, dst, "key")
+    val doomed0 = ManifestLog.vacuumList(spark, dst, Long.MaxValue)
+    assert(doomed0.isEmpty,
+      s"vacuum plan names source-owned bytes: $doomed0")
+    // a second clone-side rewrite removes CLONE-owned bytes — those
+    // must still plan (ownership anchoring must not disable retention)
+    ManifestLog.deleteKeys(spark, dst, "key", Seq(5L))
+    val doomed = ManifestLog.vacuumList(spark, dst, Long.MaxValue)
+    assert(doomed.nonEmpty, "clone-owned debris no longer plans")
+    assert(doomed.forall(f =>
+      f.contains(s"$dst/data/v") && !f.contains(src)),
+      s"vacuum plan names source-owned bytes: $doomed")
+    // spelling-robust: the table reached through an explicit file: URI
+    // plans the same debris (an unqualified-vs-qualified mismatch must
+    // not silently empty the plan — that is a retention leak)
+    assert(ManifestLog.vacuumList(spark, s"file://$dst", Long.MaxValue)
+      .toSet === doomed.toSet,
+      "URI spelling changed the vacuum plan")
+    ManifestLog.vacuum(spark, dst, Long.MaxValue)
+    assert(ManifestLog.snapshot(spark, src).orderBy("key")
+      .collect().map(_.toSeq).toSeq === srcRows,
+      "clone vacuum destroyed the source table")
+    assert(ManifestLog.snapshot(spark, dst).count() === 59)
+  }
+
+  test("shallowClone: a stale orphan claim fails with a recovery path, a published v1 fails as a race") {
+    import spark.implicits._
+    val src = freshTable()
+    ManifestLog.commit((0L until 10L).map(k => (k, s"p$k"))
+      .toDF("key", "payload").coalesce(1), src, "key")
+    val dst = freshTable()
+    // simulate a clone that crashed between claimVersion and
+    // writeActions: the v1 claim marker exists, no v1 log ever will
+    val claims = new java.io.File(s"$dst/_claims")
+    assert(claims.mkdirs())
+    assert(new java.io.File(claims, "v1").createNewFile())
+    val ex = intercept[IllegalStateException] {
+      ManifestLog.shallowClone(spark, src, dst)
+    }
+    assert(ex.getMessage.contains("_claims"),
+      s"stale-orphan error carries no recovery path: ${ex.getMessage}")
+    // the documented recovery: remove the claim directory, re-clone
+    claims.listFiles().foreach(_.delete())
+    assert(claims.delete())
+    assert(ManifestLog.shallowClone(spark, src, dst) === 1L)
+    assert(ManifestLog.snapshot(spark, dst).count() === 10)
+    // a LIVE loss (v1 already committed) reads as a race, not an orphan
+    val dst2 = freshTable()
+    ManifestLog.commit((0L until 5L).map(k => (k, s"x$k"))
+      .toDF("key", "payload").coalesce(1), dst2, "key")
+    val ex2 = intercept[IllegalArgumentException] {
+      ManifestLog.shallowClone(spark, src, dst2)
+    }
+    assert(ex2.getMessage.contains("already a table"))
+  }
+
   test("symlink manifest: exact live list, atomic refresh, DV refusal until compact") {
     import spark.implicits._
     val path = freshTable()

@@ -273,4 +273,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.values.sum ===
       ev.count() - ev.select("user_id").distinct().count())
   }
+
+  test("transition cursor never regresses under a late micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.time.Instant, Long)]
+    val q = Streaming.transitionPairsOf(in.toDS())
+      .writeStream.format("memory").queryName("late_trans")
+      .outputMode("append").start()
+    def at(sec: Long) = java.time.Instant.ofEpochSecond(sec)
+    try {
+      in.addData((1L, "a", at(10), 1L), (1L, "c", at(30), 3L))
+      q.processAllAvailable()
+      // batch 2 is entirely LATE: one event between a and c. It must
+      // pair as (b, c) against the SORTED chain — a blind prepend of
+      // the carried cursor would emit the reversed (c, b)
+      in.addData((1L, "b", at(20), 2L))
+      q.processAllAvailable()
+      // batch 3: the cursor must still be c@30 (max), not the late
+      // b@20 — d pairs against c, never against b
+      in.addData((1L, "d", at(40), 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.table("late_trans").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs.count(_ == ("a", "c")) === 1) // batch 1, final on emit
+    assert(pairs.contains(("b", "c")), "late event paired out of order")
+    assert(pairs.contains(("c", "d")),
+      "cursor regressed to the late event")
+    assert(!pairs.contains(("c", "b")) && !pairs.contains(("b", "d")),
+      s"stale-cursor pairs emitted: $pairs")
+  }
 }

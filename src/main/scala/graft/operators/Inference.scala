@@ -3171,14 +3171,41 @@ object Inference {
 
   /** Fixed-point scale for [[ljungBox]]'s per-lag terms (1.0 == 10^9:
     * each term is rho² / (T−k) <= 1, so the scaled running sum stays
-    * under 10^9 · maxlag — far inside BIGINT). Headroom (the
-    * [[Chi2Scale]] convention — documented, config-free because the
-    * bound is structural): num <= T²·x̄² for daily volume x̄ over a
-    * T-day spine, so num² saturates DECIMAL(38,0)/HUGEINT near
-    * T²·x̄² ~ 10^19 — a 10-year spine carries ~10^6 events/day
-    * exactly; past that, pre-aggregate to a coarser grain or drop
-    * LbScale a decade. */
+    * under 10^9 · maxlag — far inside BIGINT). The term floors in TWO
+    * division steps on |num| (t1 = ⌊|num|·S / aa⌋, term = ⌊t1·|num| /
+    * (bb·(T−k))⌋) rather than squaring num: num² saturated
+    * DECIMAL(38,0)/HUGEINT near T²·x̄² ~ 10^19 (10^6 events/day on a
+    * 10-year spine — the round-9 bound). The staged form is bounded by
+    * Cauchy-Schwarz (num² <= aa·bb, so t1·|num| <= S·bb) and saturates
+    * only past aa, bb ~ 10^29 ≈ 10^10–10^11 events/day on the same
+    * spine — beyond any daily-grain corpus this engine targets. The
+    * two floors differ from the single floor by < sqrt(aa/bb)/(T−k)
+    * scaled units (~1e-9 of a rho² unit for the near-equal lag/lead
+    * variances of a shifted series) — both engines compute the SAME
+    * staged expression, so parity is exact. All staged operands are
+    * non-negative, keeping Spark's trunc `div` and DuckDB's floor `//`
+    * identical. */
   val LbScale = 1000000000L
+
+  /** The staged Ljung-Box term over a per-lag moments frame — factored
+    * so the saturation spec can drive it at magnitudes the testdata
+    * cannot reach (the old num² bound). Input columns: lag, cnt,
+    * sx/sy/sxy/sxx/syy as DECIMAL(38,0); `tot` is the 1-row spine
+    * length (t). Each guarded division appears exactly once inside its
+    * own projection (the §7b ANSI-CSE staging rule).
+    */
+  private[graft] def lbTermFrame(m: DataFrame, tot: DataFrame): DataFrame =
+    m.crossJoin(broadcast(tot))
+      .select(col("lag"), col("cnt"), col("t"),
+        abs(col("cnt") * col("sxy") - col("sx") * col("sy")).as("anum"),
+        (col("cnt") * col("sxx") - col("sx") * col("sx")).as("aa"),
+        (col("cnt") * col("syy") - col("sy") * col("sy")).as("bb"))
+      .select(col("lag"), col("cnt"), col("t"), col("anum"), col("bb"),
+        when(col("aa") > 0 && col("bb") > 0,
+          expr(s"(anum * ${LbScale}L) div aa")).as("t1"))
+      .select(col("lag"), col("cnt"), col("t"),
+        when(col("t1").isNotNull,
+          expr("(t1 * anum) div (bb * (t - lag))")).as("term"))
 
   /** Ljung-Box portmanteau statistic of the daily series at lags 1..7
     * — the "is there ANY autocorrelation left" gate next to
@@ -3220,15 +3247,7 @@ object Inference {
         sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
         sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
     val tot = filled.agg(count(lit(1)).as("t"))
-    val terms = m.crossJoin(broadcast(tot))
-      .select(col("lag"), col("cnt"), col("t"),
-        (col("cnt") * col("sxy") - col("sx") * col("sy")).as("num"),
-        (col("cnt") * col("sxx") - col("sx") * col("sx")).as("aa"),
-        (col("cnt") * col("syy") - col("sy") * col("sy")).as("bb"))
-      .select(col("lag"), col("cnt"), col("t"),
-        when(col("aa") * col("bb") > 0,
-          expr(s"(num * num * ${LbScale}L) div (aa * bb * (t - lag))"))
-          .as("term"))
+    val terms = lbTermFrame(m, tot)
     // cumulative Q per lag WITHOUT a window (the pacf precedent: both
     // engines' formula trees are GENERATED from the same loop over a
     // ONE-ROW frame — a running-sum window here would be the global
@@ -3279,16 +3298,19 @@ object Inference {
                     SUM(x * x) AS sxx, SUM(y * y) AS syy
              FROM pairs GROUP BY 1),
        tt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM filled),
+       pre AS (
+         SELECT lag, cnt, t,
+                abs(cnt * sxy - sx * sy) AS anum,
+                (cnt * sxx - sx * sx) AS aa,
+                (cnt * syy - sy * sy) AS bb
+         FROM m CROSS JOIN tt),
        terms AS (
          SELECT lag, cnt, t,
-                CASE WHEN (cnt * sxx - sx * sx) * (cnt * syy - sy * sy)
-                       > 0 THEN
-                  ((cnt * sxy - sx * sy) * (cnt * sxy - sx * sy)
-                     * ${LbScale})
-                    // ((cnt * sxx - sx * sx) * (cnt * syy - sy * sy)
-                        * (t - lag))
+                CASE WHEN aa > 0 AND bb > 0 THEN
+                  (((anum * ${LbScale}) // aa) * anum)
+                    // (bb * (t - lag))
                 END AS term
-         FROM m CROSS JOIN tt),
+         FROM pre),
        agg AS (SELECT MAX(t) AS t,
 ${(1 to AcfMaxLag).map(k =>
       s"                      MAX(CASE WHEN lag = $k THEN term END) AS t$k")

@@ -917,4 +917,35 @@ class InferenceSpec extends AnyFunSuite {
         .toDF("prio", "status")).head
     assert(indep.getAs[Double]("cramers_v") === 0.0)
   }
+
+  test("ljung-box term survives the old num² saturation bound (10^7 events/day, 10y spine)") {
+    // moments of a 3650-day spine at x̄ = 10^7 events/day with rho ~ 0.5
+    // — one decade PAST the round-9 bound where (num²·S) overflowed
+    // DECIMAL(38,0): num ~ 6.7e18, num²·1e9 ~ 4.4e46. The staged
+    // two-floor form must return the exact BigInt value, not NULL/throw.
+    val t = BigInt(3650); val cnt = t - 1
+    val mean = BigInt(10).pow(7)
+    val v = BigInt(10).pow(12) // per-day variance (sigma = 10^6)
+    val sx = cnt * mean
+    val sxx = cnt * (mean * mean + v)
+    val sxy = cnt * (mean * mean + v / 2)
+    def dec(b: BigInt) = s"CAST('$b' AS DECIMAL(38,0))"
+    val m = spark.sql(
+      s"""SELECT CAST(1 AS INT) AS lag, CAST($cnt AS BIGINT) AS cnt,
+         ${dec(sx)} AS sx, ${dec(sx)} AS sy, ${dec(sxy)} AS sxy,
+         ${dec(sxx)} AS sxx, ${dec(sxx)} AS syy""")
+    val tot = spark.sql(s"SELECT CAST($t AS BIGINT) AS t")
+    val row = Inference.lbTermFrame(m, tot).select("term").head
+    assert(!row.isNullAt(0), "term saturated to NULL at the new bound")
+    val term = BigInt(row.getAs[Number](0).longValue)
+    // exact expected value by the same staged floors in BigInt
+    val anum = (cnt * sxy - sx * sx).abs
+    val aa = cnt * sxx - sx * sx
+    val t1 = (anum * BigInt(Inference.LbScale)) / aa
+    val expect = (t1 * anum) / (aa * (t - 1))
+    assert(term === expect)
+    // and it still approximates rho²·S/(T−k): rho = 0.5 ⇒ rho² = 0.25
+    val approx = term.toDouble * (t.toDouble - 1) / Inference.LbScale
+    assert(math.abs(approx - 0.25) < 1e-3, s"rho² drifted: $approx")
+  }
 }

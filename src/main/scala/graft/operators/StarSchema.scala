@@ -144,9 +144,121 @@ object StarSchema {
        JOIN (${SkillExtract.vocabSql}) v ON t.token = v.skill
        ORDER BY doc_id, skill_id"""
 
+  /** The reference's denormalized BI reporting view — superset dataset
+    * `join1` (superset/dashboard_export datasets/PostgreSQL/join1.yaml):
+    * fact_offre joined to ALL its dimensions in one SELECT plus derived
+    * flag/length metrics, the view the dashboards actually point at.
+    * Re-expressed on the testdata star (§3 mapping): orders is the
+    * fact; the calendar spine, customer (compagnie), nation, region
+    * (secteur), and the priority/status surrogate dims play the seven
+    * dimension joins; the reference's nullable `LEFT JOIN
+    * dim_niveau_experience` becomes a LEFT JOIN against the PARTIAL
+    * escalation dim (only the high priorities have a row), driving the
+    * `avec_*` 0/1 flag exactly like `avec_experience_requise`.
+    *
+    * Scale: one fact scan, every dimension broadcast (the spine is
+    * calendar-sized, the surrogate dims are domain-sized, compagnie/
+    * nation/region are classic dims) — the fact never shuffles; the
+    * row-per-fact output is a projection, not an aggregate, so the
+    * operator is scan-bounded like fact_star_join.
+    */
+  def wideReportingView(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val dd = dimDateSpine(s, dir)
+      .select("full_date", "jour", "mois", "trimestre", "annee",
+        "jour_semaine")
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name").as("compagnie"),
+        col("c_mktsegment").as("source"), col("c_nationkey"))
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name").as("nation"),
+        col("n_regionkey"))
+    val reg = Tables.region(s, dir)
+      .select(col("r_regionkey"), col("r_name").as("secteur_compagnie"))
+    def dim(c: String, v: String, id: String) =
+      Keys.denseIds(o.select(lower(trim(col(c))).as("value")).distinct(),
+        Nil, Seq("value"), "id")
+        .withColumnRenamed("value", v).withColumnRenamed("id", id)
+    val dPrio = dim("o_orderpriority", "type_contrat", "id_priority")
+    val dStat = dim("o_orderstatus", "statut", "id_status")
+    // the PARTIAL dim behind the reference's nullable FK: only
+    // escalated priorities ('1-urgent', '2-high') carry a row
+    val dEsc = Keys.denseIds(
+      o.select(lower(trim(col("o_orderpriority"))).as("esc"))
+        .filter(col("esc") < "3").distinct(),
+      Nil, Seq("esc"), "id_escalation")
+    o.select(col("o_orderkey").as("id_offer"), col("o_custkey"),
+      col("o_orderdate").cast("date").as("full_date"),
+      lower(trim(col("o_orderpriority"))).as("type_contrat"),
+      lower(trim(col("o_orderstatus"))).as("statut"),
+      decp(col("o_totalprice")).cast("double").as("prix"))
+      .join(broadcast(dd), "full_date")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(dPrio), "type_contrat")
+      .join(broadcast(dStat), "statut")
+      .join(broadcast(dEsc), col("type_contrat") === col("esc"), "left")
+      .select(col("id_offer"), col("full_date"), col("jour"),
+        col("mois"), col("trimestre"), col("annee"), col("jour_semaine"),
+        col("compagnie"), col("source"), col("nation"),
+        col("secteur_compagnie"), col("type_contrat"), col("id_priority"),
+        col("statut"), col("id_status"), lit(1).as("nb_offres"),
+        when(col("id_escalation").isNotNull, lit(1)).otherwise(lit(0))
+          .as("avec_priorite_haute"),
+        length(col("type_contrat")).as("longueur_contrat"), col("prix"))
+      .orderBy("id_offer")
+  }
+
+  val wideReportingViewSql: String =
+    """WITH span AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+                            CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+       dd AS (SELECT CAST(d AS DATE) AS full_date,
+                CAST(day(d) AS INT) AS jour,
+                CAST(month(d) AS INT) AS mois,
+                CAST(quarter(d) AS INT) AS trimestre,
+                CAST(year(d) AS INT) AS annee,
+                CAST(isodow(d) AS INT) AS jour_semaine
+              FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                      AS d FROM span)),
+       dprio AS (SELECT value AS type_contrat,
+                   CAST(ROW_NUMBER() OVER (ORDER BY value) AS INT) AS id_priority
+                 FROM (SELECT DISTINCT lower(trim(o_orderpriority)) AS value
+                       FROM orders)),
+       dstat AS (SELECT value AS statut,
+                   CAST(ROW_NUMBER() OVER (ORDER BY value) AS INT) AS id_status
+                 FROM (SELECT DISTINCT lower(trim(o_orderstatus)) AS value
+                       FROM orders)),
+       desc_ AS (SELECT value AS esc,
+                   CAST(ROW_NUMBER() OVER (ORDER BY value) AS INT) AS id_escalation
+                 FROM (SELECT DISTINCT lower(trim(o_orderpriority)) AS value
+                       FROM orders
+                       WHERE lower(trim(o_orderpriority)) < '3'))
+       SELECT o.o_orderkey AS id_offer, dd.full_date, dd.jour, dd.mois,
+         dd.trimestre, dd.annee, dd.jour_semaine,
+         c.c_name AS compagnie, c.c_mktsegment AS source,
+         n.n_name AS nation, r.r_name AS secteur_compagnie,
+         dprio.type_contrat, dprio.id_priority,
+         dstat.statut, dstat.id_status,
+         1 AS nb_offres,
+         CASE WHEN desc_.id_escalation IS NOT NULL THEN 1 ELSE 0 END
+           AS avec_priorite_haute,
+         CAST(LENGTH(dprio.type_contrat) AS INT) AS longueur_contrat,
+         CAST(CAST(o.o_totalprice AS DECIMAL(14,4)) AS DOUBLE) AS prix
+       FROM orders o
+       JOIN dd ON CAST(o.o_orderdate AS DATE) = dd.full_date
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       JOIN dprio ON lower(trim(o.o_orderpriority)) = dprio.type_contrat
+       JOIN dstat ON lower(trim(o.o_orderstatus)) = dstat.statut
+       LEFT JOIN desc_ ON lower(trim(o.o_orderpriority)) = desc_.esc
+       ORDER BY id_offer"""
+
   def queries: Seq[Q] = Seq(
     Q("dim_date_spine", Some(dimDateSpineSql))(dimDateSpine),
     Q("dim_surrogate_keys", Some(dimSurrogateKeysSql))(dimSurrogateKeys),
     Q("fact_star_join", Some(factStarJoinSql), bench = true)(factStarJoin),
-    Q("bridge_offer_skill", Some(bridgeOfferSkillSql))(bridgeOfferSkill))
+    Q("bridge_offer_skill", Some(bridgeOfferSkillSql))(bridgeOfferSkill),
+    Q("wide_reporting_view", Some(wideReportingViewSql))(wideReportingView))
 }

@@ -37,6 +37,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("wide_reporting_view: every dim broadcast, one fact scan, no SMJ") {
+    val p = plan(StarSchema.wideReportingView(spark, sf))
+    // 7 dimension joins (spine, customer, nation, region, prio, stat,
+    // escalation) + denseIds' tiny offset joins — all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 7, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // exactly ONE scan reads the WIDE fact columns; every other orders
+    // scan is a 1-column domain read feeding a dim (denseIds re-scans)
+    val wideScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("orders.parquet") &&
+        l.contains("o_totalprice"))
+    assert(wideScans === 1, s"$wideScans wide fact scans")
+  }
+
   test("skill extract: vocabulary join broadcast") {
     val p = plan(operators.SkillExtract.skillExtractPhrase(spark, sf))
     assert(p.contains("BroadcastHashJoin"))

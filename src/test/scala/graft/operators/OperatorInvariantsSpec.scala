@@ -1655,6 +1655,27 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       case _ => () }
   }
 
+  test("approx_distinct tracks exact distinct within builtin-HLL error at all three SFs") {
+    // the one rows-only key without its own error gate (VERDICT r9):
+    // approx_count_distinct defaults to rsd = 0.05 — allow a 3-sigma
+    // band (15%) plus a small-count floor, per group, per scale factor
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val est = Analytics.approxDistinct(spark, dir).collect()
+        .map(r => r.getAs[String]("l_returnflag") ->
+          r.getAs[Long]("approx_parts")).toMap
+      val exact = graft.sources.Tables.lineitem(spark, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("d")).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("d")).toMap
+      assert(est.keySet === exact.keySet)
+      exact.foreach { case (f, ex) =>
+        assert(math.abs(est(f) - ex) <= math.max(3.0, 0.15 * ex),
+          s"$dir flag=$f: est=${est(f)} exact=$ex drifts past HLL error")
+      }
+    }
+  }
+
   test("grubbs: the flagged day carries the max absolute deviation") {
     val r = Inference.grubbsMaxDay(spark, sf).collect()
     assert(r.length === 1)

@@ -767,6 +767,16 @@ object ManifestLog {
     * precedent) — merge batches are CDC-delta-sized by design, never
     * corpus-sized; a corpus-sized restatement is a rewrite
     * ([[compact]] / full re-commit), not a merge.
+    *
+    * SCHEMA EVOLUTION rides through: a source carrying a NEW column
+    * widens the rewrite (survivors project it as null via the
+    * by-name union), a source MISSING a column lands nulls for it —
+    * Delta's automatic mergeSchema on MERGE, with [[readData]]'s
+    * footer merging serving the read side. The scraper-drift failure
+    * mode (reference: transform_job.py defends at read time) is thus
+    * absorbed at the table layer: a column add never forces a rewrite
+    * of existing files, and pre-evolution snapshots time-travel with
+    * their original schema.
     */
   def merge(df: DataFrame, path: String, keyCol: String): Long = {
     val s = df.sparkSession

@@ -524,6 +524,71 @@ object Streaming {
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
   }
 
+  case class AsofOrder(t: Long, okey: Long)
+  case class AsofMatch(event_id: Long, user_id: Long, ts_us: Long,
+      o_orderkey: Option[Long], o_t_us: Option[Long])
+
+  /** Streaming as-of join — the stateful twin of `asof_join` (Flink's
+    * event-time temporal join shape): the keyed state is the LATEST
+    * order seen per user (the irreducible O(keys) residue — an as-of
+    * match needs nothing older), and each micro-batch emits one match
+    * row per event against the order chain. Orders and events arrive
+    * as a tagged union of two file streams; within a batch the chain
+    * sorts by the batch twin's exact total order (t, tag, tie) — an
+    * order at the same instant as an event sorts first and so matches
+    * it, and same-(user, t) orders apply in okey order so the max-okey
+    * tie-break reproduces the batch pre-dedup. The carried state sorts
+    * INTO the chain and only ever advances (the transitionsStream
+    * cursor rule), so late events pair against the newest order at or
+    * before them that the stream still holds; an event retro-dated
+    * before an order that was already superseded in an EARLIER batch
+    * is the same documented forward-ordering residual as
+    * transitionsStream (the batch key re-derives truth offline).
+    * Append mode: a match is final the moment its event lands.
+    */
+  def asofStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val odSchema = s.read.parquet(Tables.path(dir, "orders")).schema
+    val odRaw = s.readStream.schema(odSchema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+    val odTs = odSchema("o_orderdate").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        odRaw.withColumn("o_orderdate",
+          timestamp_micros(expr("o_orderdate DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        odRaw.withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      case _ => odRaw
+    }
+    val od = odTs.select(col("o_custkey").as("k"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+      col("o_orderkey").as("tie"), lit(0).as("tag"))
+    val ev = eventsStream(s, dir)
+      .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+        col("event_id").as("tie"), lit(1).as("tag"))
+    def step(k: Long, rows: Iterator[(Long, Long, Long, Int)],
+        state: GroupState[AsofOrder]): Iterator[AsofMatch] = {
+      val carried = state.getOption.map(o => (o.t, o.okey, 0)).toSeq
+      val chain = (carried ++ rows.map(r => (r._2, r._3, r._4)))
+        .sortBy(e => (e._1, e._3, e._2)) // (t, tag, tie) — batch order
+      var cur: Option[(Long, Long)] = None
+      val out = Seq.newBuilder[AsofMatch]
+      chain.foreach { case (t, tie, tag) =>
+        if (tag == 0) cur = Some((t, tie))
+        else out += AsofMatch(tie, k, t, cur.map(_._2), cur.map(_._1))
+      }
+      cur.foreach { case (t, okey) => state.update(AsofOrder(t, okey)) }
+      out.result().iterator
+    }
+    od.unionByName(ev)
+      .as[(Long, Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(step)
+      .toDF()
+  }
+
   def runToMemory(df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)

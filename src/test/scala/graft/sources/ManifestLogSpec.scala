@@ -814,6 +814,49 @@ class ManifestLogSpec extends AnyFunSuite {
     assert(ManifestLog.snapshot(spark, dst2).count() === 100)
   }
 
+  test("schema evolution: column adds absorb without rewrite; merges and time travel span the boundary") {
+    import spark.implicits._
+    val path = freshTable()
+    // v1 writes the narrow schema (key, payload)
+    ManifestLog.commit((0L until 10L).map(k => (k, s"p$k"))
+      .toDF("key", "payload").coalesce(1), path, "key")
+    val v1Files = ManifestLog.snapshot(spark, path).inputFiles.toSet
+    // v2 appends with a NEW column — the old bytes must absorb the
+    // widening unchanged (no table rewrite), reads surface the added
+    // column as NULL on pre-evolution rows (mergeSchema semantics)
+    ManifestLog.commit((10L until 15L).map(k => (k, s"p$k", s"n$k"))
+      .toDF("key", "payload", "note").coalesce(1), path, "key")
+    val snap = ManifestLog.snapshot(spark, path)
+    assert(snap.columns.toSet === Set("key", "payload", "note"))
+    assert(v1Files.subsetOf(snap.inputFiles.toSet),
+      "widening rewrote pre-evolution files")
+    assert(snap.filter(col("key") < 10L && col("note").isNull)
+      .count() === 10)
+    assert(snap.filter(col("note").isNotNull).count() === 5)
+    // MERGE against the widened schema: an upsert touching an
+    // old-schema file carries the new column into the rewrite
+    ManifestLog.merge(Seq((5L, "p5v2", "m5"), (100L, "new", "m100"))
+      .toDF("key", "payload", "note"), path, "key")
+    val m = ManifestLog.snapshot(spark, path)
+    assert(m.count() === 16)
+    assert(m.filter(col("key") === 5L).head.getAs[String]("note") === "m5")
+    assert(m.filter(col("key") === 0L).head.getAs[String]("note") === null)
+    // and a NARROW-schema merge still lands (missing column -> null)
+    // without disturbing widened survivors
+    ManifestLog.merge(Seq((6L, "p6v2")).toDF("key", "payload"),
+      path, "key")
+    val m2 = ManifestLog.snapshot(spark, path)
+    assert(m2.filter(col("key") === 6L).head.getAs[String]("payload")
+      === "p6v2")
+    assert(m2.filter(col("key") === 6L).head.getAs[String]("note") === null)
+    assert(m2.filter(col("key") === 5L).head.getAs[String]("note") === "m5")
+    // time travel ACROSS the evolution boundary: v1 projects the
+    // original narrow schema, untouched by three later commits
+    val t1 = ManifestLog.snapshot(spark, path, Some(1L))
+    assert(t1.columns.toSet === Set("key", "payload"))
+    assert(t1.count() === 10)
+  }
+
   test("vacuum ownership is an anchored prefix: a source whose path embeds the clone's data root survives") {
     import spark.implicits._
     // adversarial layout: the SOURCE lives OUTSIDE the clone, but its

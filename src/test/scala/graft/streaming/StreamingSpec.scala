@@ -274,6 +274,23 @@ class StreamingSpec extends AnyFunSuite {
       ev.count() - ev.select("user_id").distinct().count())
   }
 
+  test("streaming as-of join matches the batch as-of pair-for-pair") {
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("event_id") ->
+        (Option(r.getAs[java.lang.Long]("o_orderkey")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("o_t_us")).map(_.longValue))
+    val streamed = Streaming.runToMemory(
+      Streaming.asofStream(spark, sf), "asof_stream")
+      .collect().map(key).toMap
+    val batch = Temporal.asofJoin(spark, sf)
+      .collect().map(key).toMap
+    assert(streamed.nonEmpty, "as-of stream emitted nothing")
+    assert(streamed.size === batch.size)
+    batch.foreach { case (eid, m) =>
+      assert(streamed(eid) === m, s"event $eid: ${streamed(eid)} != $m")
+    }
+  }
+
   test("transition cursor never regresses under a late micro-batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -25,6 +25,23 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unpruned scan: $readSchema")
   }
 
+  test("frozen headliners: plan-shape fingerprints match the committed pin") {
+    // the machine form of three rounds of "drift was contention, not a
+    // plan change" git archaeology: any operator insertion/removal/
+    // reorder or join-strategy flip in a headliner's pre-AQE plan at
+    // EITHER pinned SF changes its hash and fails here. After an
+    // INTENTIONAL change: sbt "runMain graft.tools.PlanFingerprint"
+    // and review the resource diff like a plan review.
+    val pinned = graft.tools.PlanFingerprint.committed()
+    assert(pinned.nonEmpty, "plan_fingerprints.txt missing — regenerate")
+    val cur = graft.tools.PlanFingerprint.current(spark)
+    assert(cur.keySet === pinned.keySet,
+      s"headliner set drifted: ${cur.keySet.diff(pinned.keySet)} new, " +
+        s"${pinned.keySet.diff(cur.keySet)} gone")
+    val drift = cur.filter { case (k, h) => pinned(k) != h }.keys.toSeq
+    assert(drift.isEmpty, s"plan shape changed for: ${drift.sorted}")
+  }
+
   test("q5: dimension joins broadcast") {
     val p = plan(Analytics.q5(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))

@@ -110,18 +110,25 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** Tolerance oracle rides DuckDB's native ASOF JOIN + a gap CASE —
+    * value-identical to the explicit left-join + rank form it replaced
+    * (an OLDER order always has a LARGER gap, so "latest within
+    * tolerance" ≡ "latest, nulled when out of tolerance"), but
+    * O(events) instead of O(joined pairs): the rank form took ~13 min
+    * per run at the sf1.0 gate, this takes seconds. Equivalence is
+    * re-proven by parity at every SF on each sweep.
+    */
   val asofJoinToleranceSql: String =
     s"""WITH od AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
                     FROM orders GROUP BY 1, 2),
        m AS (SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-               o.o_orderkey, epoch_us(o.o_orderdate) AS o_t_us,
-               ROW_NUMBER() OVER (PARTITION BY e.event_id
-                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
-             FROM events e LEFT JOIN od o ON e.user_id = o.o_custkey
-               AND o.o_orderdate <= e.ts
-               AND epoch_us(e.ts) - epoch_us(o.o_orderdate) <= $TolUs)
-       SELECT event_id, user_id, ts_us, o_orderkey, o_t_us
-       FROM m WHERE rn = 1 ORDER BY event_id"""
+               o.o_orderkey, epoch_us(o.o_orderdate) AS o_t_us
+             FROM events e ASOF LEFT JOIN od o
+               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+       SELECT event_id, user_id, ts_us,
+         CASE WHEN ts_us - o_t_us <= $TolUs THEN o_orderkey END AS o_orderkey,
+         CASE WHEN ts_us - o_t_us <= $TolUs THEN o_t_us END AS o_t_us
+       FROM m ORDER BY event_id"""
 
   /** FORWARD as-of join (pandas merge_asof direction='forward'): for
     * each order, the customer's EARLIEST event at-or-after the order
@@ -158,18 +165,24 @@ object Temporal {
       .orderBy("o_orderkey")
   }
 
+  /** Forward oracle rides the native ASOF JOIN too (same O(pairs) →
+    * O(rows) motivation as [[asofJoinToleranceSql]]): events pre-dedup
+    * per (user, ts) to the MIN event_id, which makes the ASOF pick
+    * tie-free and identical to the old rank form's (ts ASC, event_id
+    * ASC) choice — among events at the matched timestamp the rank form
+    * kept exactly the min event_id.
+    */
   val asofJoinForwardSql: String =
     """WITH od AS (SELECT o_custkey, o_orderdate, min(o_orderkey) AS o_orderkey
                    FROM orders GROUP BY 1, 2),
-       m AS (SELECT od.o_orderkey, od.o_custkey,
-               epoch_us(od.o_orderdate) AS o_t_us,
-               e.event_id, epoch_us(e.ts) AS ev_t_us,
-               ROW_NUMBER() OVER (PARTITION BY od.o_orderkey
-                 ORDER BY e.ts ASC, e.event_id ASC) AS rn
-             FROM od LEFT JOIN events e ON e.user_id = od.o_custkey
-               AND e.ts >= od.o_orderdate)
-       SELECT o_orderkey, o_custkey, o_t_us, event_id, ev_t_us
-       FROM m WHERE rn = 1 ORDER BY o_orderkey"""
+       ev AS (SELECT user_id, ts, min(event_id) AS event_id
+              FROM events GROUP BY 1, 2)
+       SELECT od.o_orderkey, od.o_custkey,
+              epoch_us(od.o_orderdate) AS o_t_us,
+              e.event_id, epoch_us(e.ts) AS ev_t_us
+       FROM od ASOF LEFT JOIN ev e
+         ON od.o_custkey = e.user_id AND od.o_orderdate <= e.ts
+       ORDER BY o_orderkey"""
 
   /** Time-weighted average of `value` per user (the kdb/Influx `twa`):
     * each observation is weighted by how long it was current — the

@@ -1,0 +1,139 @@
+package graft.tools
+
+import graft.Graft
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the sf1.0 gate (VERDICT r9 #1): replicates a
+  * driver testdata directory K× (default 10) with key offsets that
+  * preserve every foreign-key relationship, so the engine's scaling
+  * exponents can be MEASURED instead of argued. Layout mirrors the
+  * driver's (one flat `<table>.parquet` file per table) so
+  * Tables/parity.py read it unchanged.
+  *
+  * Replication design (per replica r of K):
+  * - every dense 0-based key shifts by r·|domain| (custkey +15000·r,
+  *   orderkey +150000·r, …), and FK columns shift by their REFERENCED
+  *   table's stride — per-key fanouts (orders/customer, lines/order,
+  *   events/user) are exactly preserved, so join selectivities and
+  *   group cardinalities scale linearly the way a real corpus does;
+  * - region/nation stay fixed (true dimensions don't grow with data);
+  * - Customer#/Supplier# names regenerate from the shifted key (same
+  *   printf shape, uniqueness preserved); part names/brands keep their
+  *   fixed domains;
+  * - event timestamps keep their 30-day span → DAILY VOLUME scales
+  *   10×, which is the axis the temporal operators' §6 stories claim;
+  * - document text gains a per-replica salt token (` rep<r>`, r>0), so
+  *   replicas form 10-member NEAR-duplicate clusters (bounded pair
+  *   blowup, realistic for a crawl) rather than exact clones; n_chars
+  *   shifts by the salt length;
+  * - embeddings replicate with shifted ids (capped ANN query sets stay
+  *   capped by construction).
+  */
+object GenScale {
+
+  private def replicate(df: DataFrame, k: Int): DataFrame =
+    df.withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
+
+  /** Write as ONE flat `<name>.parquet` FILE (the driver's layout). */
+  private def writeFlat(s: SparkSession, df: DataFrame, dst: String,
+      name: String): Unit = {
+    val tmp = s"$dst/.__gen_$name"
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = s.sparkContext.hadoopConfiguration
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(conf)
+    val part = fs.listStatus(tmpPath)
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val fin = new org.apache.hadoop.fs.Path(s"$dst/$name.parquet")
+    fs.delete(fin, false)
+    require(fs.rename(part, fin), s"rename failed: $part -> $fin")
+    fs.delete(tmpPath, true)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("testdata/sf1.0")
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = Graft.session()
+    import spark.implicits._
+
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
+    val cStride = stride(Tables.customer(spark, src), "c_custkey")
+    val oStride = stride(Tables.orders(spark, src), "o_orderkey")
+    val pStride = stride(Tables.part(spark, src), "p_partkey")
+    val sStride = stride(Tables.supplier(spark, src), "s_suppkey")
+    val eStride = stride(Tables.events(spark, src), "event_id")
+    val dStride = stride(Tables.table(spark, src, "documents"), "doc_id")
+    val vStride = stride(Tables.table(spark, src, "embeddings"), "vec_id")
+
+    def shifted(c: String, s0: Long) = (col(c) + col("__r") * s0).as(c)
+
+    // fixed dimensions copy through untouched
+    writeFlat(spark, Tables.region(spark, src), dst, "region")
+    writeFlat(spark, Tables.nation(spark, src), dst, "nation")
+
+    writeFlat(spark, replicate(Tables.customer(spark, src), k)
+      .select(shifted("c_custkey", cStride),
+        format_string("Customer#%09d", col("c_custkey") + col("__r") * cStride)
+          .as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      dst, "customer")
+
+    writeFlat(spark, replicate(Tables.supplier(spark, src), k)
+      .select(shifted("s_suppkey", sStride),
+        format_string("Supplier#%09d", col("s_suppkey") + col("__r") * sStride)
+          .as("s_name"),
+        col("s_nationkey"), col("s_acctbal")),
+      dst, "supplier")
+
+    writeFlat(spark, replicate(Tables.part(spark, src), k)
+      .select(shifted("p_partkey", pStride), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice")),
+      dst, "part")
+
+    writeFlat(spark, replicate(Tables.orders(spark, src), k)
+      .select(shifted("o_orderkey", oStride), shifted("o_custkey", cStride),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")),
+      dst, "orders")
+
+    writeFlat(spark, replicate(Tables.lineitem(spark, src), k)
+      .select(shifted("l_orderkey", oStride), shifted("l_partkey", pStride),
+        shifted("l_suppkey", sStride), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate")),
+      dst, "lineitem")
+
+    // events.user_id references customer keys → customer stride
+    writeFlat(spark, replicate(Tables.events(spark, src), k)
+      .select(shifted("event_id", eStride), col("ts"),
+        shifted("user_id", cStride), col("event_type"), col("value"),
+        col("props")),
+      dst, "events")
+
+    writeFlat(spark, replicate(Tables.table(spark, src, "documents"), k)
+      .select(shifted("doc_id", dStride),
+        when(col("__r") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("__r")))
+          .as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + when(col("__r") === 0, lit(0L)).otherwise(lit(5L)))
+          .as("n_chars")),
+      dst, "documents")
+
+    writeFlat(spark, replicate(Tables.table(spark, src, "embeddings"), k)
+      .select(shifted("vec_id", vStride), col("embedding"), col("label")),
+      dst, "embeddings")
+
+    Tables.names.foreach { t =>
+      val n = spark.read.parquet(s"$dst/$t.parquet").count()
+      println(s"[genscale] $t: $n rows")
+    }
+    spark.stop()
+  }
+}

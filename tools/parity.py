@@ -65,6 +65,29 @@ def cell_eq(a, b) -> bool:
         return False
 
 
+def _col_fast_eq(ea, ga) -> bool:
+    """True only when two columns are STRICTLY equal under vectorized
+    comparison — a conservative subset of cell_eq (never a false PASS;
+    a False just routes to the exact per-cell loop)."""
+    import numpy as np
+    try:
+        if ea.dtype == ga.dtype:
+            k = ea.dtype.kind
+            a, b = ea.values, ga.values
+            if k in "iub":
+                return bool((a == b).all())
+            if k == "f":
+                return bool(((a == b) | (np.isnan(a) & np.isnan(b))).all())
+            if k == "M":
+                return bool(((a == b) | (np.isnat(a) & np.isnat(b))).all())
+            if k == "O":
+                # C-level list compare; exact for str/int/Decimal cells
+                return ea.tolist() == ga.tolist()
+    except Exception:  # noqa: BLE001
+        pass
+    return False
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -101,6 +124,14 @@ def main() -> int:
             continue
         bad = None
         for c in exp.columns:
+            # vectorized fast path: STRICT equality only (strictly
+            # stronger than cell_eq, so a True here is always safe);
+            # any doubt — dtype mismatch, False, exception — falls back
+            # to the exact per-cell coercion loop below. Without this,
+            # sf1.0 outputs (10^6-row asof/fact frames) take minutes
+            # per query in the pure-Python loop.
+            if _col_fast_eq(exp[c], got[c]):
+                continue
             ev, gv = exp[c].tolist(), got[c].tolist()
             for i, (a, b) in enumerate(zip(ev, gv)):
                 if not cell_eq(a, b):

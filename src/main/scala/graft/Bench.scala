@@ -54,9 +54,27 @@ object Bench {
     val outliers = results.collect {
       case (k, _, _, _, true) => "\"" + k + "\""
     }.mkString("[", ",", "]")
+    // plan-shape drift vs the committed fingerprint pin (when this
+    // run's SF is a pinned label): a non-empty list means a headliner's
+    // physical plan CHANGED since the pin — bench drift is then a plan
+    // event, not host contention, and the adjudication is mechanical
+    val sfLabel = graft.tools.PlanFingerprint.Sfs
+      .collectFirst { case (l, d) if sfDir.endsWith(l) || d == sfDir => l }
+    val drift = sfLabel.map { l =>
+      val pin = graft.tools.PlanFingerprint.committed()
+      if (pin.isEmpty) Seq.empty[String]
+      else qs.flatMap { q =>
+        val h = graft.tools.PlanFingerprint.hash(q.fn(spark, sfDir))
+        pin.get((l, q.name)) match {
+          case Some(p) if p != h => Some(q.name)
+          case _ => None
+        }
+      }
+    }.getOrElse(Seq.empty)
+    val driftJson = drift.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"spread":$spreadJson,"outliers":$outliers,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"spread":$spreadJson,"outliers":$outliers,"plan_drift":$driftJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

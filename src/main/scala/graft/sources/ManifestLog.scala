@@ -850,11 +850,21 @@ object ManifestLog {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val dataPrefix =
-      fs.makeQualified(root).toString.stripSuffix("/") + "/data/"
+    val qRoot = fs.makeQualified(root)
+    val dataPrefix = qRoot.toString.stripSuffix("/") + "/data/"
+    // two-stage ownership test: a scheme-free SUBSTRING on the
+    // qualified root's path part runs DataFrame-side as a SUPERSET
+    // prefilter (every owned file contains it regardless of scheme
+    // spelling, so it can over-include foreign files but never drop
+    // owned ones) — keeping the collectFiles planning cap a function
+    // of candidate debris, not of how many foreign files a clone's
+    // rewrites have removed; the exact ANCHORED prefix then decides
+    // driver-side on fs-qualified strings.
+    val pathPart = qRoot.toUri.getPath.stripSuffix("/") + "/data/"
     collectFiles(s, lr.join(la, Seq("file"), "left")
       .filter(col("_r") <= horizon &&
         (col("_a").isNull || col("_a") < col("_r")))
+      .filter(col("file").contains(pathPart))
       .select("file"))
       .filter(f => fs.makeQualified(new org.apache.hadoop.fs.Path(f))
         .toString.startsWith(dataPrefix))

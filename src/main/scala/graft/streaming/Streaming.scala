@@ -567,6 +567,20 @@ object Streaming {
     val ev = eventsStream(s, dir)
       .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
         col("event_id").as("tie"), lit(1).as("tag"))
+    import s.implicits._
+    asofPairsOf(od.unionByName(ev).as[(Long, Long, Long, Int)])
+  }
+
+  /** Stateful core of [[asofStream]] over any tagged (key, t, tie,
+    * tag) union stream (tag 0 = order row with tie = okey, tag 1 =
+    * event row with tie = event_id) — separated so specs can drive
+    * EXACT micro-batch boundaries (late orders, late events) through a
+    * MemoryStream.
+    */
+  def asofPairsOf(ds: org.apache.spark.sql.Dataset[(Long, Long, Long, Int)])
+      : DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import ds.sparkSession.implicits._
     def step(k: Long, rows: Iterator[(Long, Long, Long, Int)],
         state: GroupState[AsofOrder]): Iterator[AsofMatch] = {
       val carried = state.getOption.map(o => (o.t, o.okey, 0)).toSeq
@@ -581,9 +595,7 @@ object Streaming {
       cur.foreach { case (t, okey) => state.update(AsofOrder(t, okey)) }
       out.result().iterator
     }
-    od.unionByName(ev)
-      .as[(Long, Long, Long, Int)]
-      .groupByKey(_._1)
+    ds.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout())(step)
       .toDF()

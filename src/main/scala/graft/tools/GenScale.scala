@@ -58,8 +58,17 @@ object GenScale {
     val dst = args.lift(1).getOrElse("testdata/sf1.0")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = Graft.session()
-    import spark.implicits._
+    run(spark, src, dst, k)
+    Tables.names.foreach { t =>
+      val n = spark.read.parquet(s"$dst/$t.parquet").count()
+      println(s"[genscale] $t: $n rows")
+    }
+    spark.stop()
+  }
 
+  /** The generator body, separated from main so the spec can drive it
+    * on the shared test session (main's stop() would kill it). */
+  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
     val cStride = stride(Tables.customer(spark, src), "c_custkey")
@@ -129,11 +138,5 @@ object GenScale {
     writeFlat(spark, replicate(Tables.table(spark, src, "embeddings"), k)
       .select(shifted("vec_id", vStride), col("embedding"), col("label")),
       dst, "embeddings")
-
-    Tables.names.foreach { t =>
-      val n = spark.read.parquet(s"$dst/$t.parquet").count()
-      println(s"[genscale] $t: $n rows")
-    }
-    spark.stop()
   }
 }

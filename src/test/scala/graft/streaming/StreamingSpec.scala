@@ -291,6 +291,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of cursor advances monotonically across late micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // tagged rows: (key, t, tie, tag) — tag 0 = order (tie = okey),
+    // tag 1 = event (tie = event_id)
+    val in = MemoryStream[(Long, Long, Long, Int)]
+    val q = Streaming.asofPairsOf(in.toDS())
+      .writeStream.format("memory").queryName("late_asof")
+      .outputMode("append").start()
+    def matches() = spark.table("late_asof").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("o_orderkey")).map(_.longValue))
+      .toMap
+    try {
+      in.addData((1L, 10L, 100L, 0), (1L, 20L, 1L, 1)) // O1@10, E1@20
+      q.processAllAvailable()
+      in.addData((1L, 30L, 200L, 0)) // O2@30 — cursor advances, no emit
+      q.processAllAvailable()
+      // LATE event E2@25: its true match O1 was superseded and
+      // discarded — the DOCUMENTED forward-ordering residual is a
+      // null match, never a match against the newer O2
+      in.addData((1L, 25L, 2L, 1))
+      q.processAllAvailable()
+      // LATE order O0@15 + event E3@40: the cursor must NOT regress
+      // to O0 — E3 matches O2, and so does the state going forward
+      in.addData((1L, 15L, 50L, 0), (1L, 40L, 3L, 1))
+      q.processAllAvailable()
+      // same-instant tie: an order AT the event's timestamp matches
+      in.addData((1L, 50L, 300L, 0), (1L, 50L, 4L, 1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = matches()
+    assert(m(1L) === Some(100L), "in-batch as-of pair broken")
+    assert(m(2L) === None, s"late event matched the FUTURE order: ${m(2L)}")
+    assert(m(3L) === Some(200L), s"cursor regressed to the late order: ${m(3L)}")
+    assert(m(4L) === Some(300L), "same-instant order did not match")
+  }
+
   test("transition cursor never regresses under a late micro-batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The sf1.0 gate's generator deserves a gate of its own: a K=3
+  * replication of sf0.001 must preserve every property the scaling
+  * exponents' interpretation rests on — FK closure, key uniqueness,
+  * fixed dims, fixed time span (density scaling), and the near-dup
+  * salt design.
+  */
+class GenScaleSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private lazy val dst = {
+    val d = java.nio.file.Files.createTempDirectory("genscale").toString
+    GenScale.run(spark, sf, d, 3)
+    d
+  }
+  private def t(name: String) = spark.read.parquet(s"$dst/$name.parquet")
+  private def src(name: String) = spark.read.parquet(s"$sf/$name.parquet")
+
+  test("replicated tables triple; fixed dims stay fixed") {
+    for (n <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings"))
+      assert(t(n).count() === 3 * src(n).count(), n)
+    for (n <- Seq("region", "nation"))
+      assert(t(n).count() === src(n).count(), n)
+  }
+
+  test("keys stay unique and every FK edge closes") {
+    assert(t("customer").select("c_custkey").distinct().count() ===
+      t("customer").count())
+    assert(t("orders").select("o_orderkey").distinct().count() ===
+      t("orders").count())
+    def orphans(child: String, ck: String, parent: String, pk: String) =
+      t(child).join(t(parent), col(ck) === col(pk), "left_anti").count()
+    assert(orphans("orders", "o_custkey", "customer", "c_custkey") === 0)
+    assert(orphans("lineitem", "l_orderkey", "orders", "o_orderkey") === 0)
+    assert(orphans("lineitem", "l_partkey", "part", "p_partkey") === 0)
+    assert(orphans("lineitem", "l_suppkey", "supplier", "s_suppkey") === 0)
+    assert(orphans("events", "user_id", "customer", "c_custkey") === 0)
+    assert(orphans("customer", "c_nationkey", "nation", "n_nationkey") === 0)
+  }
+
+  test("names regenerate from shifted keys; per-key fanouts are preserved") {
+    assert(t("customer").filter(col("c_name") =!=
+      format_string("Customer#%09d", col("c_custkey"))).count() === 0)
+    // per-customer order counts replicate exactly: the max per-key
+    // fanout is unchanged, so join selectivities scale linearly
+    def maxFan(df: org.apache.spark.sql.DataFrame, k: String) =
+      df.groupBy(k).count().agg(max("count")).head.getLong(0)
+    assert(maxFan(t("orders"), "o_custkey") ===
+      maxFan(src("orders"), "o_custkey"))
+  }
+
+  test("time span is FIXED (density scales) and document salt keeps n_chars honest") {
+    def days(df: org.apache.spark.sql.DataFrame) =
+      df.select(to_date(col("ts")).as("d")).distinct().count()
+    assert(days(t("events")) === days(src("events")),
+      "replication must scale daily VOLUME, not the calendar")
+    assert(t("documents").filter(col("n_chars") =!= length(col("text")))
+      .count() === 0)
+    // replicas are NEAR dups (salted), never exact dups
+    assert(t("documents").select("text").distinct().count() ===
+      t("documents").count())
+  }
+}

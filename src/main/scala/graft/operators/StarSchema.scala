@@ -4,7 +4,7 @@ import graft.Q
 import graft.functions.Keys
 import graft.functions.Nums._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Star-schema warehouse build — the reference's Postgres loading stage
@@ -126,7 +126,14 @@ object StarSchema {
     * broadcast vocabulary -> distinct pairs; at scale this is a map-side
     * join plus one shuffle for the distinct.
     */
-  def bridgeOfferSkill(s: SparkSession, dir: String): DataFrame = {
+  def bridgeOfferSkill(s: SparkSession, dir: String): DataFrame =
+    bridgePairs(s, dir).orderBy("doc_id", "skill_id")
+
+  /** Unsorted (doc_id, skill_id) bridge pairs — shared by
+    * [[bridgeOfferSkill]] and the two KPI cross-tabs so the offre_skill
+    * semantics cannot drift between the bridge build and its consumers.
+    */
+  private def bridgePairs(s: SparkSession, dir: String): DataFrame = {
     val vocab = SkillExtract.vocabDf(s)
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("token"))
@@ -134,8 +141,13 @@ object StarSchema {
       .join(broadcast(vocab), col("token") === vocab("skill"))
       .select(col("doc_id"), col("skill_id"))
       .distinct()
-      .orderBy("doc_id", "skill_id")
   }
+
+  private val bridgePairsSql: String =
+    s"""SELECT DISTINCT doc_id, skill_id
+       FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS token
+             FROM documents) t
+       JOIN (${SkillExtract.vocabSql}) v ON t.token = v.skill"""
 
   val bridgeOfferSkillSql: String =
     s"""SELECT DISTINCT doc_id, skill_id
@@ -255,10 +267,133 @@ object StarSchema {
        LEFT JOIN desc_ ON lower(trim(o.o_orderpriority)) = desc_.esc
        ORDER BY id_offer"""
 
+  /** The per-document experience-level fact column behind the KPI
+    * cross-tabs — the reference's LLM deduced `niveau_experience` per
+    * offer (pipline.py system prompt); re-expressed deterministically as
+    * document-length seniority buckets (the D-tier convention: same
+    * contract, rule-based core). Shared by the Spark and oracle sides so
+    * the two can never disagree on the bucket edges.
+    */
+  private def niveauCol: Column =
+    when(col("n_chars") < 200, "Junior")
+      .when(col("n_chars") < 400, "Confirme")
+      .otherwise("Senior")
+
+  private val niveauSql: String =
+    """CASE WHEN n_chars < 200 THEN 'Junior'
+            WHEN n_chars < 400 THEN 'Confirme'
+            ELSE 'Senior' END"""
+
+  /** The per-document profile title — the reference's LLM-homogenized
+    * `titre_homogene` behind dim_titre (pipline.py:88-110), re-expressed
+    * as the same keyword rulebook family as [[Enrich.sectorClassify]]
+    * but producing profile titles.
+    */
+  private def titreCol: Column =
+    when(col("text").contains("spark"), "data engineer")
+      .when(col("text").contains("stream"), "streaming engineer")
+      .when(col("text").contains("customer"), "crm analyst")
+      .when(col("text").contains("vector"), "ml engineer")
+      .otherwise("autre")
+
+  private val titreSql: String =
+    """CASE WHEN contains(text, 'spark') THEN 'data engineer'
+            WHEN contains(text, 'stream') THEN 'streaming engineer'
+            WHEN contains(text, 'customer') THEN 'crm analyst'
+            WHEN contains(text, 'vector') THEN 'ml engineer'
+            ELSE 'autre' END"""
+
+  /** Skill × per-document attribute cross-tab through the star — the
+    * shared core of the two Superset KPI datasets: fact rows carry the
+    * attribute's surrogate id (the reference's nullable-FK build),
+    * the bridge joins the broadcast skill dim, and the final join pulls
+    * the attribute name back through the broadcast surrogate dim before
+    * the group-count.
+    *
+    * Scale: both dims broadcast (vocab-sized / domain-sized); the only
+    * shuffles are the bridge's pair distinct, the bridge ⋈ fact
+    * equi-join on doc_id (narrow 2-int rows both sides, co-partitioned
+    * at 100 TB by writing bridge and fact bucketed on doc_id), and the
+    * map-side-combined group-count whose output is |dim| × |vocab|
+    * bounded.
+    */
+  private def skillCrossTab(s: SparkSession, dir: String, attr: Column,
+      attrName: String): DataFrame = {
+    val fact0 = Tables.documents(s, dir)
+      .select(col("doc_id").as("id_offer"), attr.as(attrName))
+    val dimAttr = Keys.denseIds(
+      fact0.select(col(attrName).as("value")).distinct(),
+      Nil, Seq("value"), "id_attr")
+    val fact = fact0
+      .join(broadcast(dimAttr), col(attrName) === col("value"))
+      .select(col("id_offer"), col("id_attr"))
+    val skills = broadcast(SkillExtract.vocabDf(s))
+      .select(col("skill_id"), col("skill").as("nom"))
+    bridgePairs(s, dir)
+      .withColumnRenamed("doc_id", "id_offer")
+      .join(skills, "skill_id")
+      .join(fact, "id_offer")
+      .join(broadcast(dimAttr.withColumnRenamed("value", attrName)), "id_attr")
+      .groupBy(col(attrName), col("nom"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  private def skillCrossTabSql(attrSql: String, attrName: String): String =
+    s"""WITH fact0 AS (SELECT doc_id AS id_offer, $attrSql AS $attrName
+                       FROM documents),
+       dim_attr AS (SELECT value, CAST(ROW_NUMBER() OVER (ORDER BY value) AS INT) AS id_attr
+                    FROM (SELECT DISTINCT $attrName AS value FROM fact0)),
+       fact AS (SELECT id_offer, id_attr
+                FROM fact0 JOIN dim_attr ON $attrName = value),
+       bridge AS (SELECT doc_id AS id_offer, skill_id FROM ($bridgePairsSql))
+       SELECT d.value AS $attrName, v.skill AS nom, COUNT(*) AS n
+       FROM bridge os
+       JOIN (${SkillExtract.vocabSql}) v ON v.skill_id = os.skill_id
+       JOIN fact f ON f.id_offer = os.id_offer
+       JOIN dim_attr d ON d.id_attr = f.id_attr"""
+
+  /** Superset KPI dataset "Compétences ↔ Niveau d'expérience" (the
+    * sankey feed — superset/dashboard_export
+    * datasets/PostgreSQL/KPI-Competences_Niveau_dexperience.yaml):
+    * `offre_skill ⋈ dim_skill ⋈ fact_offre ⋈ dim_niveau_experience`
+    * group-counted to (source, target, value) rows. Same join shape and
+    * output aliases as the reference SQL, on the §3 documents mapping.
+    */
+  def skillsByExperience(s: SparkSession, dir: String): DataFrame =
+    skillCrossTab(s, dir, niveauCol, "niveau_experience")
+      .select(col("niveau_experience").as("source"),
+        col("nom").as("target"), col("n").as("value"))
+      .orderBy("source", "target")
+
+  val skillsByExperienceSql: String =
+    s"""WITH x AS (${skillCrossTabSql(niveauSql, "niveau_experience")}
+                  GROUP BY 1, 2)
+       SELECT niveau_experience AS source, nom AS target, n AS value
+       FROM x ORDER BY source, target"""
+
+  /** Superset KPI dataset "Compétences × Profils" (superset/
+    * dashboard_export datasets/PostgreSQL/KPI-Competences_Profils.yaml):
+    * `offre_skill ⋈ dim_skill ⋈ fact_offre ⋈ dim_titre` group-counted to
+    * (profil, competence, count) rows — the reference's exact aliases.
+    */
+  def skillsByTitle(s: SparkSession, dir: String): DataFrame =
+    skillCrossTab(s, dir, titreCol, "titre")
+      .select(col("titre").as("profil"),
+        col("nom").as("competence"), col("n").as("count"))
+      .orderBy("profil", "competence")
+
+  val skillsByTitleSql: String =
+    s"""WITH x AS (${skillCrossTabSql(titreSql, "titre")}
+                  GROUP BY 1, 2)
+       SELECT titre AS profil, nom AS competence, n AS count
+       FROM x ORDER BY profil, competence"""
+
   def queries: Seq[Q] = Seq(
     Q("dim_date_spine", Some(dimDateSpineSql))(dimDateSpine),
     Q("dim_surrogate_keys", Some(dimSurrogateKeysSql))(dimSurrogateKeys),
     Q("fact_star_join", Some(factStarJoinSql), bench = true)(factStarJoin),
     Q("bridge_offer_skill", Some(bridgeOfferSkillSql))(bridgeOfferSkill),
-    Q("wide_reporting_view", Some(wideReportingViewSql))(wideReportingView))
+    Q("wide_reporting_view", Some(wideReportingViewSql))(wideReportingView),
+    Q("skills_by_experience", Some(skillsByExperienceSql))(skillsByExperience),
+    Q("skills_by_title", Some(skillsByTitleSql))(skillsByTitle))
 }

@@ -181,6 +181,130 @@ object Stats {
        FROM iv JOIN ev ON ev.t >= iv.s AND ev.t < iv.e
        GROUP BY iv_id ORDER BY iv_id"""
 
+  /** Output cap for the scale-safe range-join sibling. */
+  private val RangeTopK = 3
+
+  /** Sweep cell width: 8 interval lengths. Every interval's window lies
+    * inside [its cell, its cell + RangeUs), so probes in the first
+    * RangeUs of a cell are duplicated into the previous cell (1/8 = a
+    * 12.5% replication tax) and each cell sweeps independently. Cell
+    * row count is bounded by 8×(interval length × peak density) — the
+    * knob to shrink under extreme per-hour density, trading replication
+    * for bound.
+    */
+  private val RjCellUs = RangeUs * 8
+
+  private[operators] final case class RjIn(
+      cell: Long, t: Long, vu: Long, id: Long, iv: Boolean)
+  private[operators] final case class RjHit(iv_id: Long, rk: Int, event_id: Long)
+
+  /** Output-capped range join — the 100 TB-safe twin of
+    * [[rangeJoinBucketed]] (which is pair-emitting and therefore
+    * density²-bound: ×100 joined pairs at the sf1.0 gate's ×10 daily
+    * density, measured exponent 1.67 — SURVEY §7a.1). Each interval
+    * keeps only its top-[[RangeTopK]] probes by value, so the OUTPUT
+    * is K × |intervals| no matter how dense the stream gets — and so
+    * is the WORK, because the candidate pair stream is never formed:
+    *
+    * Events are hashed into time cells of [[RjCellUs]] (probes in a
+    * cell's first interval-length duplicated into the predecessor, so
+    * every window is locally complete), sorted within partitions by
+    * (cell, t), and swept per cell with two monotone pointers + an
+    * ordered multiset — O(n log n) per cell, output K per interval.
+    * Total: one linear shuffle of events + a per-cell sweep; no pair
+    * stream, no pair sort, no pair aggregation. mapPartitions is
+    * deliberate here (the SURVEY rule's case (d)): a monotone
+    * two-pointer sweep has no Catalyst expression, and both relational
+    * forms were MEASURED OUT at the sf1.0 gate — the pair-emitting
+    * aggregate is density²; the WindowGroupLimit rank-filter form (the
+    * obvious composition) sorts the full pair stream map-side before
+    * its partial limit can drop anything: 219 s at sf1.0 vs 1.9 s at
+    * sf0.1, exponent ≈ 2.06, the worst plan on the board. The sweep's
+    * only materialization is ONE CELL of rows at a time.
+    *
+    * The pair-emitting [[rangeJoinBucketed]] stays registered as this
+    * key's audit (the dedup-tier exact/approx pattern); DuckDB's native
+    * IEJoin + rank window is the value oracle.
+    */
+  def rangeJoinTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_id").as("id"), unix_micros(col("ts")).as("t"),
+        (decp(col("value")) * lit(10000)).cast("long").as("vu"),
+        (col("event_type") === "error").as("iv"))
+    val home = ev.withColumn("cell", expr(s"t div ${RjCellUs}L"))
+    val dup = ev.filter(expr(s"t % ${RjCellUs}L") < lit(RangeUs))
+      .withColumn("cell", expr(s"t div ${RjCellUs}L") - 1)
+      .withColumn("iv", lit(false)) // duplicates never open intervals
+    val hits = home.unionByName(dup)
+      .select("cell", "t", "vu", "id", "iv")
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "t", "id")
+      .as[RjIn]
+      .mapPartitions { it =>
+        // group consecutive same-cell runs, sweep each independently
+        val base = it.buffered
+        val cells = new Iterator[IndexedSeq[RjIn]] {
+          def hasNext: Boolean = base.hasNext
+          def next(): IndexedSeq[RjIn] = {
+            val c = base.head.cell
+            val b = scala.collection.mutable.ArrayBuffer.empty[RjIn]
+            while (base.hasNext && base.head.cell == c) b += base.next()
+            b.toIndexedSeq
+          }
+        }
+        cells.flatMap(sweepCell)
+      }
+    hits.toDF()
+      .join(Tables.events(s, dir)
+        .select(col("event_id"), decp(col("value")).as("v")), "event_id")
+      .select(col("iv_id"), col("rk"), col("event_id"), col("v"))
+      .orderBy("iv_id", "rk")
+  }
+
+  /** One cell's sweep: rows sorted by t; intervals (iv rows) visited in
+    * start order advance an enter pointer (t < s + RangeUs) and an evict
+    * pointer (t < s) over an ordered multiset keyed (vu desc, t, id),
+    * whose first K members are the interval's exact top-k.
+    */
+  private def sweepCell(rows: IndexedSeq[RjIn]): Iterator[RjHit] = {
+    implicit val ord: Ordering[(Long, Long, Long)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.Long, Ordering.Long)
+    val live = scala.collection.mutable.TreeSet.empty[(Long, Long, Long)]
+    var lo = 0
+    var hi = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[RjHit]
+    rows.foreach { r =>
+      if (r.iv) {
+        while (hi < rows.length && rows(hi).t < r.t + RangeUs) {
+          val p = rows(hi); live.add((p.vu, p.t, p.id)); hi += 1
+        }
+        while (lo < rows.length && rows(lo).t < r.t) {
+          val p = rows(lo); live.remove((p.vu, p.t, p.id)); lo += 1
+        }
+        var rk = 1
+        val top = live.iterator
+        while (rk <= RangeTopK && top.hasNext) {
+          out += RjHit(r.id, rk, top.next()._3); rk += 1
+        }
+      }
+    }
+    out.iterator
+  }
+
+  val rangeJoinTopKSql: String =
+    s"""WITH iv AS (SELECT event_id AS iv_id, epoch_us(ts) AS s,
+                      epoch_us(ts) + $RangeUs AS e
+                    FROM events WHERE event_type = 'error'),
+       ev AS (SELECT event_id, epoch_us(ts) AS t, ${sqlDecp("value")} AS v
+              FROM events),
+       j AS (SELECT iv_id, ev.event_id, t, v,
+               ROW_NUMBER() OVER (PARTITION BY iv_id
+                 ORDER BY v DESC, t, ev.event_id) AS rk
+             FROM iv JOIN ev ON ev.t >= iv.s AND ev.t < iv.e)
+       SELECT iv_id, CAST(rk AS INT) AS rk, event_id, v
+       FROM j WHERE rk <= $RangeTopK ORDER BY iv_id, rk"""
+
   /** Top terms per document. */
   private val TfidfTopK = 3
 
@@ -1274,6 +1398,7 @@ object Stats {
     Q("histogram_bins", Some(histogramBinsSql))(histogramBins),
     Q("gap_fill_ffill", Some(gapFillFfillSql))(gapFillFfill),
     Q("range_join_bucketed", Some(rangeJoinBucketedSql), bench = true)(rangeJoinBucketed),
+    Q("range_join_topk", Some(rangeJoinTopKSql))(rangeJoinTopK),
     Q("tfidf_top_terms", Some(tfidfTopTermsSql), bench = true)(tfidfTopTerms),
     Q("mode_per_group", Some(modePerGroupSql))(modePerGroup),
     Q("anomaly_zscore", Some(anomalyZscoreSql))(anomalyZscore),

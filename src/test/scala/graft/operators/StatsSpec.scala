@@ -68,6 +68,30 @@ class StatsSpec extends AnyFunSuite {
     assert(fast.length === naive.size)
   }
 
+  test("range_join_topk equals the naive definition (incl. cell-crossing windows)") {
+    val W = 3600000000L
+    val out = Stats.rangeJoinTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("t"),
+        col("event_type"), col("value").cast("decimal(14,4)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        BigDecimal(r.getDecimal(3))))
+    // the dup path must actually be exercised: some window crosses a cell
+    val cellUs = W * 8
+    assert(ev.exists(e => e._3 == "error" &&
+      e._2 / cellUs != (e._2 + W - 1) / cellUs))
+    val expected = ev.filter(_._3 == "error").flatMap { case (ivId, s, _, _) =>
+      ev.filter(p => p._2 >= s && p._2 < s + W)
+        .sortBy(p => (-p._4, p._2, p._1))
+        .take(3).zipWithIndex
+        .map { case (p, i) => (ivId, i + 1) -> p._1 }
+    }.toMap
+    assert(expected.nonEmpty)
+    assert(out === expected)
+  }
+
   test("mode_per_group: one row per group, count equals the true max") {
     val out = Stats.modePerGroup(spark, sf).collect()
     val counts = Tables.orders(spark, sf)

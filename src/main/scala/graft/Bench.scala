@@ -58,20 +58,27 @@ object Bench {
     // run's SF is a pinned label): a non-empty list means a headliner's
     // physical plan CHANGED since the pin — bench drift is then a plan
     // event, not host contention, and the adjudication is mechanical
+    // exact final-segment match: a custom dir merely ENDING in a pinned
+    // label (/data/mysf0.1) must not be drift-checked against the pin —
+    // join strategies are data-size-dependent on unpinned data
+    val lastSeg = sfDir.split('/').filter(_.nonEmpty).lastOption
     val sfLabel = graft.tools.PlanFingerprint.Sfs
-      .collectFirst { case (l, d) if sfDir.endsWith(l) || d == sfDir => l }
-    val drift = sfLabel.map { l =>
+      .collectFirst { case (l, d) if lastSeg.contains(l) || d == sfDir => l }
+    // None (unpinned SF, or no pin file loaded) renders as null — an
+    // empty LIST must always mean "checked and clean", never "unchecked"
+    val drift: Option[Seq[String]] = sfLabel.flatMap { l =>
       val pin = graft.tools.PlanFingerprint.committed()
-      if (pin.isEmpty) Seq.empty[String]
-      else qs.flatMap { q =>
+      if (pin.isEmpty) None
+      else Some(qs.flatMap { q =>
         val h = graft.tools.PlanFingerprint.hash(q.fn(spark, sfDir))
         pin.get((l, q.name)) match {
           case Some(p) if p != h => Some(q.name)
           case _ => None
         }
-      }
-    }.getOrElse(Seq.empty)
-    val driftJson = drift.map("\"" + _ + "\"").mkString("[", ",", "]")
+      })
+    }
+    val driftJson = drift
+      .map(_.map("\"" + _ + "\"").mkString("[", ",", "]")).getOrElse("null")
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"spread":$spreadJson,"outliers":$outliers,"plan_drift":$driftJson,"sf":"$sfDir"}""")

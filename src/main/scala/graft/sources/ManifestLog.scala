@@ -866,8 +866,15 @@ object ManifestLog {
         (col("_a").isNull || col("_a") < col("_r")))
       .filter(col("file").contains(pathPart))
       .select("file"))
-      .filter(f => fs.makeQualified(new org.apache.hadoop.fs.Path(f))
-        .toString.startsWith(dataPrefix))
+      .filter { f =>
+        // a cross-FS file (different scheme/authority, possible after a
+        // cross-FS shallow clone) can slip past the scheme-free
+        // prefilter; makeQualified with the root's FS then THROWS
+        // ("Wrong FS") instead of classifying — treat it as foreign
+        try fs.makeQualified(new org.apache.hadoop.fs.Path(f))
+          .toString.startsWith(dataPrefix)
+        catch { case _: IllegalArgumentException => false }
+      }
   }
 
   /** Physically delete the [[vacuumList]] files; returns how many went.

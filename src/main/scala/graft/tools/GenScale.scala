@@ -131,7 +131,10 @@ object GenScale {
           .otherwise(concat(col("text"), lit(" rep"), col("__r")))
           .as("text"),
         col("lang"), col("source"),
-        (col("n_chars") + when(col("__r") === 0, lit(0L)).otherwise(lit(5L)))
+        // salt length is dynamic: " rep<r>" is 5 chars only for r <= 9
+        (col("n_chars") + when(col("__r") === 0, lit(0L))
+          .otherwise(length(concat(lit(" rep"),
+            col("__r").cast("string"))).cast("long")))
           .as("n_chars")),
       dst, "documents")
 

@@ -237,6 +237,47 @@ class LakeWarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("fulfillment_lag_quartiles over bucketed facts: zero Exchange into the join, same result") {
+    // the §6 claim "at 100 TB this is bucketed-layout territory",
+    // demonstrated on the operator itself: both facts written bucketed+
+    // sorted on the order key, the fact×fact join then plans with NO
+    // Exchange (and no Sort) below the SortMergeJoin — the recurring
+    // per-query shuffle is paid once at write time
+    val dir = Files.createTempDirectory("graft_buckets_flq").toFile.getAbsolutePath
+    val items = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate", "l_linenumber")
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Warehouse.writeBucketed(items, "graft_b_flq_items", "l_orderkey", 4,
+      Some(s"$dir/items"))
+    Warehouse.writeBucketed(orders, "graft_b_flq_orders", "o_orderkey", 4,
+      Some(s"$dir/orders"))
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path a fact-fact join takes at scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bucketed = graft.operators.Stats.fulfillmentLagFrom(
+        spark.table("graft_b_flq_items"), spark.table("graft_b_flq_orders"))
+      val plan = bucketed.queryExecution.sparkPlan
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, plan.toString.take(2000))
+      val exch = smj.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exch.isEmpty,
+        s"bucketed fact join still shuffles:\n${smj.head.toString.take(2000)}")
+      assert(bucketed.collect().map(_.toString).toSeq ===
+        graft.operators.Stats.fulfillmentLagQuartiles(spark, sf)
+          .collect().map(_.toString).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.sql("DROP TABLE IF EXISTS graft_b_flq_items")
+      spark.sql("DROP TABLE IF EXISTS graft_b_flq_orders")
+    }
+  }
+
   test("dedupAppend: bloom-routed exactly-once keys across three batches") {
     import spark.implicits._
     val store = Files.createTempDirectory("dedup_store").toString + "/docs"

@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
 /** Scale-up generator for the sf1.0 gate (VERDICT r9 #1): replicates a
   * driver testdata directory K× (default 10) with key offsets that
   * preserve every foreign-key relationship, so the engine's scaling
-  * exponents can be MEASURED instead of argued. Layout mirrors the
-  * driver's (one flat `<table>.parquet` file per table) so
-  * Tables/parity.py read it unchanged.
+  * exponents can be MEASURED instead of argued. Default layout mirrors
+  * the driver's (one flat `<table>.parquet` file per table) so
+  * Tables/parity.py read it unchanged; an optional 4th argument
+  * `files` writes each table as a DIRECTORY of that many part files
+  * instead — the real-cluster layout, where scan parallelism comes
+  * from file splits rather than Tables.fanOut's defensive repartition.
   *
   * Replication design (per replica r of K):
   * - every dense 0-based key shifts by r·|domain| (custkey +15000·r,
@@ -36,29 +39,42 @@ object GenScale {
   private def replicate(df: DataFrame, k: Int): DataFrame =
     df.withColumn("__r", explode(sequence(lit(0), lit(k - 1))))
 
-  /** Write as ONE flat `<name>.parquet` FILE (the driver's layout). */
+  /** Write `<name>.parquet` in the layout `files` selects: 1 = ONE flat
+    * FILE (the driver's layout — single row group, unsplittable, the
+    * worst case Tables.fanOut defends against); N > 1 = a DIRECTORY of
+    * N part files, the real-cluster layout where scan parallelism comes
+    * from the files themselves (spark.read.parquet and parity.py read
+    * both forms transparently).
+    */
   private def writeFlat(s: SparkSession, df: DataFrame, dst: String,
-      name: String): Unit = {
-    val tmp = s"$dst/.__gen_$name"
-    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = s.sparkContext.hadoopConfiguration
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val fs = tmpPath.getFileSystem(conf)
-    val part = fs.listStatus(tmpPath)
-      .map(_.getPath).find(_.getName.startsWith("part-"))
-      .getOrElse(sys.error(s"no part file under $tmp"))
+      name: String, files: Int): Unit = {
     val fin = new org.apache.hadoop.fs.Path(s"$dst/$name.parquet")
-    fs.delete(fin, false)
-    require(fs.rename(part, fin), s"rename failed: $part -> $fin")
-    fs.delete(tmpPath, true)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = fin.getFileSystem(conf)
+    if (files > 1) {
+      fs.delete(fin, true) // a flat FILE of the same name would collide
+      df.repartition(files).write.mode(SaveMode.Overwrite)
+        .parquet(fin.toString)
+    } else {
+      val tmp = s"$dst/.__gen_$name"
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+      val part = fs.listStatus(tmpPath)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      fs.delete(fin, true) // a DIRECTORY of the same name would collide
+      require(fs.rename(part, fin), s"rename failed: $part -> $fin")
+      fs.delete(tmpPath, true)
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("testdata/sf1.0")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val files = args.lift(3).map(_.toInt).getOrElse(1)
     val spark = Graft.session()
-    run(spark, src, dst, k)
+    run(spark, src, dst, k, files)
     Tables.names.foreach { t =>
       val n = spark.read.parquet(s"$dst/$t.parquet").count()
       println(s"[genscale] $t: $n rows")
@@ -68,7 +84,8 @@ object GenScale {
 
   /** The generator body, separated from main so the spec can drive it
     * on the shared test session (main's stop() would kill it). */
-  def run(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+  def run(spark: SparkSession, src: String, dst: String, k: Int,
+      files: Int = 1): Unit = {
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
     val cStride = stride(Tables.customer(spark, src), "c_custkey")
@@ -82,33 +99,33 @@ object GenScale {
     def shifted(c: String, s0: Long) = (col(c) + col("__r") * s0).as(c)
 
     // fixed dimensions copy through untouched
-    writeFlat(spark, Tables.region(spark, src), dst, "region")
-    writeFlat(spark, Tables.nation(spark, src), dst, "nation")
+    writeFlat(spark, Tables.region(spark, src), dst, "region", files)
+    writeFlat(spark, Tables.nation(spark, src), dst, "nation", files)
 
     writeFlat(spark, replicate(Tables.customer(spark, src), k)
       .select(shifted("c_custkey", cStride),
         format_string("Customer#%09d", col("c_custkey") + col("__r") * cStride)
           .as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
-      dst, "customer")
+      dst, "customer", files)
 
     writeFlat(spark, replicate(Tables.supplier(spark, src), k)
       .select(shifted("s_suppkey", sStride),
         format_string("Supplier#%09d", col("s_suppkey") + col("__r") * sStride)
           .as("s_name"),
         col("s_nationkey"), col("s_acctbal")),
-      dst, "supplier")
+      dst, "supplier", files)
 
     writeFlat(spark, replicate(Tables.part(spark, src), k)
       .select(shifted("p_partkey", pStride), col("p_name"), col("p_brand"),
         col("p_type"), col("p_size"), col("p_retailprice")),
-      dst, "part")
+      dst, "part", files)
 
     writeFlat(spark, replicate(Tables.orders(spark, src), k)
       .select(shifted("o_orderkey", oStride), shifted("o_custkey", cStride),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority")),
-      dst, "orders")
+      dst, "orders", files)
 
     writeFlat(spark, replicate(Tables.lineitem(spark, src), k)
       .select(shifted("l_orderkey", oStride), shifted("l_partkey", pStride),
@@ -116,14 +133,14 @@ object GenScale {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_returnflag"), col("l_linestatus"),
         col("l_shipdate")),
-      dst, "lineitem")
+      dst, "lineitem", files)
 
     // events.user_id references customer keys → customer stride
     writeFlat(spark, replicate(Tables.events(spark, src), k)
       .select(shifted("event_id", eStride), col("ts"),
         shifted("user_id", cStride), col("event_type"), col("value"),
         col("props")),
-      dst, "events")
+      dst, "events", files)
 
     writeFlat(spark, replicate(Tables.table(spark, src, "documents"), k)
       .select(shifted("doc_id", dStride),
@@ -136,10 +153,10 @@ object GenScale {
           .otherwise(length(concat(lit(" rep"),
             col("__r").cast("string"))).cast("long")))
           .as("n_chars")),
-      dst, "documents")
+      dst, "documents", files)
 
     writeFlat(spark, replicate(Tables.table(spark, src, "embeddings"), k)
       .select(shifted("vec_id", vStride), col("embedding"), col("label")),
-      dst, "embeddings")
+      dst, "embeddings", files)
   }
 }

@@ -55,6 +55,25 @@ class GenScaleSpec extends AnyFunSuite {
       maxFan(src("orders"), "o_custkey"))
   }
 
+  test("--files N writes a multi-file layout readable by Tables; k>10 salts stay honest") {
+    val d = java.nio.file.Files.createTempDirectory("genscale_mf").toString
+    GenScale.run(spark, sf, d, 12, files = 4)
+    val liDir = new java.io.File(s"$d/lineitem.parquet")
+    assert(liDir.isDirectory, "multi-file mode must write a directory")
+    val parts = liDir.listFiles().count(_.getName.startsWith("part-"))
+    assert(parts === 4, s"expected 4 part files, got $parts")
+    for (n <- Seq("orders", "lineitem", "documents"))
+      assert(spark.read.parquet(s"$d/$n.parquet").count() ===
+        12 * src(n).count(), n)
+    // scan parallelism now comes from the files themselves
+    assert(spark.read.parquet(s"$d/lineitem.parquet")
+      .rdd.getNumPartitions >= 4)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    // replica indices >= 10 render 6-char salts; n_chars must track
+    assert(docs.filter(col("text").endsWith(" rep11")).count() > 0)
+    assert(docs.filter(col("n_chars") =!= length(col("text"))).count() === 0)
+  }
+
   test("time span is FIXED (density scales) and document salt keeps n_chars honest") {
     def days(df: org.apache.spark.sql.DataFrame) =
       df.select(to_date(col("ts")).as("d")).distinct().count()

@@ -94,8 +94,13 @@ def main() -> int:
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+        # GenScale --files N writes <table>.parquet as a DIRECTORY of
+        # part files; DuckDB needs the glob form for those
+        import os
+        src = (f"{sf}/{t}.parquet/*.parquet"
+               if os.path.isdir(f"{sf}/{t}.parquet")
+               else f"{sf}/{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):

@@ -127,6 +127,90 @@ object ManifestCdf {
     * manifest-planned snapshot read; the dim merge rewrites only
     * id-bearing files.
     */
+  /** Retro-dating reconciliation — the bounded-lateness CLOSURE of the
+    * forward-ordering residual [[Streaming.transitionsStream]] and
+    * [[Streaming.asofStream]] document ("the batch key re-derives truth
+    * offline" — until now a pointer, here an operation): events land in
+    * a manifest table (columns event_id, user_id, t, event_type; keyed
+    * event_id); this consumer tails its CDF and, per version, re-derives
+    * the per-user transition pairs AFFECTED by that version's changed
+    * events against the as-of snapshot, then repairs the keyed pair
+    * table with one idempotent merge.
+    *
+    * The pair table keys each pair by its LATER event's id — the key
+    * under which retro-dating is a pure upsert: a late event b between
+    * a and c (an append-mode stream already emitted a→c and can never
+    * retract it) re-derives the pair keyed c as b→c, which REPLACES the
+    * stale a→c under the same key, and inserts the missing pair keyed
+    * b as a→b. The affected set is exact: a pair (from, to] repairs iff
+    * a changed event's (t, event_id) position falls inside it — which
+    * covers inserts splitting a pair AND deletes widening one. Keys
+    * that must LEAVE the table (a deleted event's own pair; a pair
+    * whose to-event became its user's first) delete alongside.
+    *
+    * Scale: per version the windowed re-derivation runs over the
+    * TOUCHED users' chains only, the repair join broadcasts the
+    * version's own delta, and the merge is repair-cardinality — a
+    * 100 TB event history with a bounded-lateness horizon reconciles at
+    * the cost of its late data, never of its history. Exactly-once via
+    * the pump's marker protocol; a crash-replayed version merges
+    * value-identical rows (the CDF nets it to zero) and re-deletes
+    * absent keys (both no-ops in effect).
+    */
+  def reconcileTransitions(s: SparkSession, eventsPath: String,
+      pairsPath: String, checkpoint: String): Seq[Long] =
+    pump(s, eventsPath, "event_id", checkpoint) { (changes, v) =>
+      if (!changes.isEmpty) {
+        import org.apache.spark.sql.functions._
+        val touched = changes.select("user_id").distinct()
+        val chains = ManifestLog.snapshot(s, eventsPath, Some(v))
+          .join(touched, Seq("user_id"), "left_semi")
+          .select("user_id", "event_id", "t", "event_type")
+          .localCheckpoint() // feeds pairs0 twice (repairs + firsts)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("t"), col("event_id"))
+        val pairs0 = chains
+          .withColumn("from_event_id", lag(col("event_id"), 1).over(w))
+          .withColumn("from_type", lag(col("event_type"), 1).over(w))
+          .withColumn("from_t", lag(col("t"), 1).over(w))
+        // the version's own delta, broadcast into the interval test
+        val cd = broadcast(changes.select(col("user_id").as("__cu"),
+          col("t").cast("long").as("__ct"),
+          col("event_id").cast("long").as("__ci")).distinct())
+        val repairs = pairs0.filter(col("from_event_id").isNotNull)
+          // CLOSED interval [from, to]: a changed event that IS the
+          // pair's new from (a late insert) or its to must repair it
+          .join(cd, col("user_id") === col("__cu") &&
+            (col("from_t") < col("__ct") ||
+              (col("from_t") === col("__ct") &&
+                col("from_event_id") <= col("__ci"))) &&
+            (col("__ct") < col("t") ||
+              (col("__ct") === col("t") && col("__ci") <= col("event_id"))),
+            "left_semi")
+          .select(col("event_id"), col("user_id"), col("from_event_id"),
+            col("from_type"), col("event_type").as("to_type"), col("t"))
+          .localCheckpoint() // isEmpty probe + merge
+        if (!repairs.isEmpty) {
+          ManifestLog.merge(repairs, pairsPath, "event_id")
+          ()
+        }
+        // deleted events' pair keys + each touched user's current first
+        // event (a first event never closes a pair) — delta/touched-
+        // cardinality by construction, the merge-keys collect precedent
+        val gone = changes.select(col("event_id").cast("long")).distinct()
+          .join(chains.select(col("event_id").cast("long")),
+            Seq("event_id"), "left_anti")
+        val firsts = pairs0.filter(col("from_event_id").isNull)
+          .select(col("event_id").cast("long"))
+        val dels = gone.unionByName(firsts).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (dels.nonEmpty) {
+          ManifestLog.deleteKeys(s, pairsPath, "event_id", dels)
+          ()
+        }
+      }
+    }
+
   def mirrorDimScd2(s: SparkSession, srcPath: String, keyCol: String,
       naturalKey: String, attrCols: Seq[String], dimPath: String,
       idCol: String, checkpoint: String): Seq[Long] =

@@ -463,9 +463,11 @@ object Streaming {
     * subsequent batch pair against a stale predecessor). The residual
     * is exactly the already-EMITTED pair an earlier batch closed
     * across a late event's true position — the same forward-ordering
-    * trade funnelStream documents (the batch key re-derives truth
-    * offline). Append mode: a pair is final the moment its later
-    * event lands.
+    * trade funnelStream documents, and it now has an OPERATIONAL
+    * closure: [[ManifestCdf.reconcileTransitions]] tails the event
+    * table's CDF and repairs the keyed pair table per horizon (the
+    * stale pair upserts away under the later-event key). Append mode:
+    * a pair is final the moment its later event lands.
     */
   def transitionsStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -543,7 +545,8 @@ object Streaming {
     * before them that the stream still holds; an event retro-dated
     * before an order that was already superseded in an EARLIER batch
     * is the same documented forward-ordering residual as
-    * transitionsStream (the batch key re-derives truth offline).
+    * transitionsStream (closed operationally by the same CDF
+    * reconciliation pattern — [[ManifestCdf.reconcileTransitions]]).
     * Append mode: a match is final the moment its event lands.
     */
   def asofStream(s: SparkSession, dir: String): DataFrame = {

@@ -261,4 +261,83 @@ class ManifestCdfSpec extends AnyFunSuite {
     assert(folded.exceptAll(srcNow).isEmpty
       && srcNow.exceptAll(folded).isEmpty)
   }
+
+  // ---- retro-dating reconciliation (the streaming residual's closure) --
+
+  private def pairsOf(path: String): Set[(Long, Long, String, String)] = {
+    val snap = ManifestLog.snapshot(spark, path)
+    if (snap.schema.isEmpty) Set.empty // zero live files = schemaless
+    else snap
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("from_type"), col("to_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .toSet
+  }
+
+  test("reconcile: late event beyond the stream's emission repairs the pair table; replay no-op") {
+    import spark.implicits._
+    val root = freshDir()
+    val ev = root + "/events"
+    val pairs = root + "/pairs"
+    val ckpt = root + "/ckpt"
+    // v1: user 7 emits view(t=100) then buy(t=300); an append-mode
+    // stream emits pair (view -> buy) keyed by the buy event and can
+    // never retract it (the transitionsStream documented residual)
+    ManifestLog.commit(Seq(
+      (1L, 7L, 100L, "view"), (3L, 7L, 300L, "buy"))
+      .toDF("event_id", "user_id", "t", "event_type"), ev, "event_id")
+    assert(ManifestCdf.reconcileTransitions(spark, ev, pairs, ckpt) ===
+      Seq(1L))
+    assert(pairsOf(pairs) === Set((3L, 7L, "view", "buy")))
+
+    // v2: the RETRO-DATED click(t=200) lands late — beyond the stream's
+    // emission. The reconciliation must split the stale pair: keyed-3
+    // repairs to (click -> buy), keyed-2 inserts as (view -> click)
+    ManifestLog.commit(Seq((2L, 7L, 200L, "click"))
+      .toDF("event_id", "user_id", "t", "event_type"), ev, "event_id")
+    assert(ManifestCdf.reconcileTransitions(spark, ev, pairs, ckpt) ===
+      Seq(2L))
+    val truth = Set((2L, 7L, "view", "click"), (3L, 7L, "click", "buy"))
+    assert(pairsOf(pairs) === truth)
+
+    // idle pump: checkpoint makes the re-run a no-op
+    assert(ManifestCdf.reconcileTransitions(spark, ev, pairs, ckpt).isEmpty)
+    assert(pairsOf(pairs) === truth)
+
+    // crash replay: drop v2's marker — the version re-processes with
+    // the same id and the pair table's CONTENT does not change
+    assert(new java.io.File(s"$ckpt/v2").delete(),
+      "test harness: simulate crash between handler and marker")
+    assert(ManifestCdf.reconcileTransitions(spark, ev, pairs, ckpt) ===
+      Seq(2L))
+    assert(pairsOf(pairs) === truth)
+  }
+
+  test("reconcile: event deletion widens and re-firsts pairs correctly") {
+    import spark.implicits._
+    val root = freshDir()
+    val ev = root + "/events"
+    val pairs = root + "/pairs"
+    val ckpt = root + "/ckpt"
+    ManifestLog.commit(Seq(
+      (1L, 7L, 100L, "view"), (2L, 7L, 200L, "click"),
+      (3L, 7L, 300L, "buy"), (9L, 8L, 150L, "view"))
+      .toDF("event_id", "user_id", "t", "event_type"), ev, "event_id")
+    ManifestCdf.reconcileTransitions(spark, ev, pairs, ckpt)
+    assert(pairsOf(pairs) ===
+      Set((2L, 7L, "view", "click"), (3L, 7L, "click", "buy")))
+
+    // delete the MIDDLE event: its own pair key leaves, the successor
+    // pair widens back to (view -> buy)
+    ManifestLog.deleteKeys(spark, ev, "event_id", Seq(2L))
+    ManifestCdf.reconcileTransitions(spark, ev, pairs, ckpt)
+    assert(pairsOf(pairs) === Set((3L, 7L, "view", "buy")))
+
+    // delete the FIRST event: the survivor becomes its user's first and
+    // closes no pair — the table empties for that user
+    ManifestLog.deleteKeys(spark, ev, "event_id", Seq(1L))
+    ManifestCdf.reconcileTransitions(spark, ev, pairs, ckpt)
+    assert(pairsOf(pairs) === Set.empty)
+  }
 }

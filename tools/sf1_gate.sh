@@ -33,6 +33,10 @@ SPARK_GRAFT_SF_DIR="$PWD/testdata/sf1.0" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32
 
 if [ "$SF3" = 1 ]; then
   sbt -batch "runMain graft.tools.GenScale /root/testdata/sf0.1 testdata/sf3.0 30"
+  # 24g: at 18M-row scale the default 8g heap GC-thrashes the two
+  # output-bound headliners (observed: GCLocker retries + failed page
+  # allocations), contaminating every timing in the pass
+  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
   SPARK_GRAFT_SF_DIR="$PWD/testdata/sf3.0" SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
     sbt -batch "runMain graft.Bench"
 fi

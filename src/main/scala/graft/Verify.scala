@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import scala.util.control.NonFatal
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -30,9 +31,12 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       scala.concurrent.Future {
+        // NonFatal only: after an OOM/LinkageError the JVM is not
+        // trustworthy — no result written from it should reach the
+        // driver's compare, and the error must surface, not be queued.
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
           failed.add(name)
         }
@@ -52,8 +56,18 @@ object Verify {
       System.err.println(s"[verify] retrying $name serially")
       try SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case NonFatal(e) =>
         System.err.println(s"[verify] $name failed (retry): ${e.getMessage}")
+        // outDir persists across runs (e.g. /tmp/verify_sf10): a stale
+        // result from a previous run at $outDir/$name would make the
+        // driver compare an OLD result against the fresh oracle and a
+        // double-failed query could silently pass. Remove it so parity
+        // hits its 'spark output missing' FAIL path instead.
+        val dir = Paths.get(outDir, name)
+        if (Files.exists(dir)) {
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

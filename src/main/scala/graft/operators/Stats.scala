@@ -258,7 +258,8 @@ object Stats {
     hits.toDF()
       .join(Tables.events(s, dir)
         .select(col("event_id"), decp(col("value")).as("v")), "event_id")
-      .select(col("iv_id"), col("rk"), col("event_id"), col("v"))
+      .select(col("iv_id"), col("rk"), col("event_id"),
+        col("v").cast("double").as("v"))
       .orderBy("iv_id", "rk")
   }
 
@@ -302,7 +303,8 @@ object Stats {
                ROW_NUMBER() OVER (PARTITION BY iv_id
                  ORDER BY v DESC, t, ev.event_id) AS rk
              FROM iv JOIN ev ON ev.t >= iv.s AND ev.t < iv.e)
-       SELECT iv_id, CAST(rk AS INT) AS rk, event_id, v
+       SELECT iv_id, CAST(rk AS INT) AS rk, event_id,
+              CAST(CAST(v AS VARCHAR) AS DOUBLE) AS v
        FROM j WHERE rk <= $RangeTopK ORDER BY iv_id, rk"""
 
   /** Top terms per document. */

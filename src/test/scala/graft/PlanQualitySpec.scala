@@ -47,6 +47,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(drift.isEmpty, s"plan shape changed for: ${drift.sorted}")
   }
 
+  // The reference's literal dashboard feeds (Superset KPI cross-tabs):
+  // vocab + dim_attr joins must broadcast; the only shuffles allowed are
+  // the bridge/fact equi-join on id_offer and the final group-count —
+  // a dashboard-path plan regression here is what the ExtraPinned
+  // fingerprints make mechanical (VERDICT r11 #7).
+  test("skills_by_experience / skills_by_title: bridge broadcast shape") {
+    Seq(StarSchema.skillsByExperience _, StarSchema.skillsByTitle _)
+      .foreach { q =>
+        val p = plan(q(spark, sf))
+        assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+        assert(!p.contains("CartesianProduct"), p.take(2000))
+      }
+  }
+
   test("q5: dimension joins broadcast") {
     val p = plan(Analytics.q5(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))

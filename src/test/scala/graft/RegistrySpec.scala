@@ -71,6 +71,23 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  // Round-11's only red row: `range_join_topk` surfaced a raw
+  // DECIMAL(14,4) column, and the driver's canonical hash renders
+  // DuckDB decimals as float64 but Spark parquet decimals as
+  // decimal128 — equal values, divergent hash on every row. SURVEY §5's
+  // rule ("aggregate in DECIMAL, cast the final value to DOUBLE") was
+  // convention-only; make it a machine check.
+  test("no registered query emits DecimalType in its final schema") {
+    import org.apache.spark.sql.types.DecimalType
+    Registry.all.foreach { q =>
+      val bad = q.fn(spark, sf).schema.fields.filter(
+        _.dataType.isInstanceOf[DecimalType])
+      assert(bad.isEmpty,
+        s"${q.name} surfaces raw decimal columns ${bad.map(_.name).mkString(",")} " +
+          "— cast the final value to DOUBLE (SURVEY §5)")
+    }
+  }
+
   // Pair-producing ops may legitimately be sparse at sf0.001; everything
   // else must produce rows.
   private val maySparse = Set("dedup_simhash", "dedup_ngram_jaccard",

@@ -32,15 +32,22 @@ def main():
     b30 = load(sys.argv[3]) if len(sys.argv) > 3 else None
     bf32 = load(sys.argv[4]) if len(sys.argv) > 4 else None
 
+    # Bench emits %.3f seconds, so a sub-millisecond timing rounds to
+    # 0.000; floor ratio denominators at one emit quantum instead of
+    # dividing by zero, and test presence with `is not None` so a real
+    # 0.0 timing is not misread as missing.
+    floor = lambda t: max(t, 0.001)
     rows = []
     for q, t10 in b10["queries"].items():
         t01 = b01["queries"].get(q)
         if t01 is None:
             continue
-        e1 = math.log10(t10 / t01)
+        e1 = math.log10(floor(t10) / floor(t01))
         t30 = b30["queries"].get(q) if b30 else None
-        e3 = math.log(t30 / t10) / math.log(3) if t30 else float("nan")
-        rows.append((q, t01, t10, t30 or float("nan"), e1, e3))
+        e3 = (math.log(floor(t30) / floor(t10)) / math.log(3)
+              if t30 is not None else float("nan"))
+        rows.append((q, t01, t10,
+                     t30 if t30 is not None else float("nan"), e1, e3))
 
     rows.sort(key=lambda r: -(r[5] if r[5] == r[5] else r[4]))
     print(f"{'query':32s} {'sf0.1':>7s} {'sf1.0':>8s} {'sf3.0':>8s}"
@@ -62,7 +69,7 @@ def main():
             tf = bf32["queries"].get(q)
             if tf is None:
                 continue
-            d = (t10 - tf) / t10 * 100
+            d = (t10 - tf) / floor(t10) * 100
             if abs(d) > 10:
                 print(f"  {q:32s} flat {t10:7.2f}  f32 {tf:7.2f}  ({d:+.0f}%)")
 

@@ -43,7 +43,7 @@ object Tables {
     * the scan already has enough splits — i.e. on any real multi-file
     * table at cluster scale.
     */
-  private def fanOut(df: DataFrame): DataFrame = {
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -62,11 +62,21 @@ object Verify {
         // result from a previous run at $outDir/$name would make the
         // driver compare an OLD result against the fresh oracle and a
         // double-failed query could silently pass. Remove it so parity
-        // hits its 'spark output missing' FAIL path instead.
-        val dir = Paths.get(outDir, name)
-        if (Files.exists(dir)) {
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
+        // hits its 'spark output missing' FAIL path instead. The walk
+        // stream must close (handle leak otherwise), and a deletion
+        // hiccup must stay PER-QUERY — an IOException escaping this
+        // forEach would abort the remaining serial retries and skip the
+        // oracle_sql.json write, zeroing the whole round over one file.
+        try {
+          val dir = Paths.get(outDir, name)
+          if (Files.exists(dir))
+            scala.util.Using.resource(Files.walk(dir)) { w =>
+              w.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.deleteIfExists(p))
+            }
+        } catch { case NonFatal(e2) =>
+          System.err.println(
+            s"[verify] $name stale-output cleanup failed: ${e2.getMessage}")
         }
       }
     }

@@ -141,7 +141,7 @@ object Stats {
     * Width == interval length means every interval overlaps at most 2
     * buckets, so the fan-out is bounded by 2x regardless of data.
     */
-  private val RangeUs = 3600000000L
+  private[graft] val RangeUs = 3600000000L
 
   /** Interval (range) join, Spark-native: Spark has no inequality-join
     * operator (a bare `ON t >= s AND t < e` plans as a nested-loop
@@ -191,7 +191,7 @@ object Stats {
        GROUP BY iv_id ORDER BY iv_id"""
 
   /** Output cap for the scale-safe range-join sibling. */
-  private val RangeTopK = 3
+  private[graft] val RangeTopK = 3
 
   /** Sweep cell width: 8 interval lengths. Every interval's window lies
     * inside [its cell, its cell + RangeUs), so probes in the first
@@ -201,11 +201,11 @@ object Stats {
     * knob to shrink under extreme per-hour density, trading replication
     * for bound.
     */
-  private val RjCellUs = RangeUs * 8
+  private[graft] val RjCellUs = RangeUs * 8
 
-  private[operators] final case class RjIn(
+  private[graft] final case class RjIn(
       cell: Long, t: Long, vu: Long, id: Long, iv: Boolean)
-  private[operators] final case class RjHit(iv_id: Long, rk: Int, event_id: Long)
+  private[graft] final case class RjHit(iv_id: Long, rk: Int, event_id: Long)
 
   /** Output-capped range join — the 100 TB-safe twin of
     * [[rangeJoinBucketed]] (which is pair-emitting and therefore
@@ -236,16 +236,33 @@ object Stats {
     * IEJoin + rank window is the value oracle.
     */
   def rangeJoinTopK(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val ev = Tables.events(s, dir)
       .select(col("event_id").as("id"), unix_micros(col("ts")).as("t"),
         (decp(col("value")) * lit(10000)).cast("long").as("vu"),
         (col("event_type") === "error").as("iv"))
+    rangeTopkHitsOn(ev).toDF()
+      .join(Tables.events(s, dir)
+        .select(col("event_id"), decp(col("value")).as("v")), "event_id")
+      .select(col("iv_id"), col("rk"), col("event_id"),
+        col("v").cast("double").as("v"))
+      .orderBy("iv_id", "rk")
+  }
+
+  /** The cell-hash + per-cell-sweep core of [[rangeJoinTopK]] over any
+    * (id, t, vu, iv) frame — separated so the streaming twin's spec can
+    * run the SAME batch sweep over the same rows and compare
+    * pair-for-pair ([[graft.streaming.Streaming.rangeTopkHitsOf]] keys
+    * its state by the same cells and calls the same [[sweepCell]]).
+    */
+  private[graft] def rangeTopkHitsOn(ev: DataFrame)
+      : org.apache.spark.sql.Dataset[RjHit] = {
+    val s = ev.sparkSession
+    import s.implicits._
     val home = ev.withColumn("cell", expr(s"t div ${RjCellUs}L"))
     val dup = ev.filter(expr(s"t % ${RjCellUs}L") < lit(RangeUs))
       .withColumn("cell", expr(s"t div ${RjCellUs}L") - 1)
       .withColumn("iv", lit(false)) // duplicates never open intervals
-    val hits = home.unionByName(dup)
+    home.unionByName(dup)
       .select("cell", "t", "vu", "id", "iv")
       .repartition(col("cell"))
       .sortWithinPartitions("cell", "t", "id")
@@ -264,12 +281,6 @@ object Stats {
         }
         cells.flatMap(sweepCell)
       }
-    hits.toDF()
-      .join(Tables.events(s, dir)
-        .select(col("event_id"), decp(col("value")).as("v")), "event_id")
-      .select(col("iv_id"), col("rk"), col("event_id"),
-        col("v").cast("double").as("v"))
-      .orderBy("iv_id", "rk")
   }
 
   /** One cell's sweep: rows sorted by t; intervals (iv rows) visited in
@@ -277,7 +288,7 @@ object Stats {
     * pointer (t < s) over an ordered multiset keyed (vu desc, t, id),
     * whose first K members are the interval's exact top-k.
     */
-  private def sweepCell(rows: IndexedSeq[RjIn]): Iterator[RjHit] = {
+  private[graft] def sweepCell(rows: IndexedSeq[RjIn]): Iterator[RjHit] = {
     implicit val ord: Ordering[(Long, Long, Long)] =
       Ordering.Tuple3(Ordering.Long.reverse, Ordering.Long, Ordering.Long)
     val live = scala.collection.mutable.TreeSet.empty[(Long, Long, Long)]

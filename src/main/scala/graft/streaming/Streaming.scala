@@ -604,6 +604,103 @@ object Streaming {
       .toDF()
   }
 
+  /** Buffered cell rows carried as [[rangeTopkStream]]'s keyed state. */
+  case class RjBuf(rows: Seq[graft.operators.Stats.RjIn])
+
+  /** Streaming top-k range join — the streaming twin of
+    * `range_join_topk`'s cell sweep (the scale-safe, output-capped
+    * variant; `streaming_range_join` already twins the pair-emitting
+    * audit form). The batch operator hashes events into
+    * [[graft.operators.Stats.RjCellUs]] time cells (probes in a cell's
+    * first interval-length duplicated into the predecessor, so every
+    * window is locally complete) and sweeps each cell with two monotone
+    * pointers + an ordered multiset. Here the CELL IS THE STREAMING
+    * STATE KEY: rows buffer per cell, and an interval's exact top-k is
+    * emitted the moment the event-time watermark passes its window end
+    * (s + 1 h) — at that point the watermark guarantees no in-contract
+    * probe for the window can still arrive, so the emission is final
+    * (append-mode safe) and runs through the BATCH operator's own
+    * [[graft.operators.Stats.sweepCell]], making stream/batch agreement
+    * structural rather than re-implemented. State per cell is bounded
+    * by the horizon: rows older than one interval length behind the
+    * watermark finalize (intervals) or can no longer match a pending or
+    * future interval (probes), so they drop; event-time timeouts
+    * re-visit a cell when its earliest pending window closes even if no
+    * new rows arrive for it. Data later than the watermark is dropped
+    * by the engine — the same documented residual as every twin here,
+    * closed operationally by batch re-derivation.
+    */
+  def rangeTopkStream(s: SparkSession, dir: String): DataFrame =
+    rangeTopkHitsOf(eventsStream(s, dir)
+      .select(col("event_id").as("id"), col("ts"),
+        (decp(col("value")) * lit(10000)).cast("long").as("vu"),
+        (col("event_type") === "error").as("iv")))
+
+  /** Stateful core of [[rangeTopkStream]] over any (id, ts, vu, iv)
+    * event stream — separated so specs can drive EXACT micro-batch
+    * boundaries (late probes, watermark-gated finality) through a
+    * MemoryStream. Emits the batch sweep's (iv_id, rk, event_id) hits.
+    */
+  def rangeTopkHitsOf(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.Stats
+    val s = ev.sparkSession
+    import s.implicits._
+    val C = Stats.RjCellUs
+    val RU = Stats.RangeUs
+    // same home + predecessor-duplicate mapping as the batch operator
+    // (duplicates never open intervals)
+    val home = ev.withColumn("cell", expr(s"unix_micros(ts) div ${C}L"))
+    val dup = ev.filter(expr(s"unix_micros(ts) % ${C}L") < lit(RU))
+      .withColumn("cell", expr(s"unix_micros(ts) div ${C}L") - 1)
+      .withColumn("iv", lit(false))
+    def step(cell: Long,
+        rows: Iterator[(Long, java.time.Instant, Long, Long, Boolean)],
+        state: GroupState[RjBuf]): Iterator[Stats.RjHit] = {
+      val incoming = rows.map { case (_, ts, id, vu, iv) =>
+        Stats.RjIn(cell,
+          ts.getEpochSecond * 1000000L + ts.getNano / 1000L, vu, id, iv)
+      }.toSeq
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      // carried rows sort INTO the batch's (t, id) per-cell order
+      val merged = (state.getOption.map(_.rows).getOrElse(Seq.empty)
+        ++ incoming).sortBy(r => (r.t, r.id))
+      // an interval is FINAL once the watermark passes its window end;
+      // its probes are all present (anything still in flight has
+      // event time >= watermark >= window end)
+      val finalIds =
+        merged.collect { case r if r.iv && r.t + RU <= wmUs => r.id }.toSet
+      val hits: Iterator[Stats.RjHit] =
+        if (finalIds.isEmpty) Iterator.empty
+        else Stats.sweepCell(merged.toIndexedSeq)
+          .filter(h => finalIds(h.iv_id))
+      // retention: a row with t + RU <= watermark is either an emitted
+      // interval or a probe no pending/future interval (all with
+      // s > wm - RU) can reach — drop both; emitted ids can never
+      // re-emit because their rows are exactly the dropped ones
+      val keep = merged.filter(_.t + RU > wmUs)
+      if (keep.isEmpty) state.remove()
+      else {
+        state.update(RjBuf(keep))
+        // revisit when the earliest kept row expires (ceil to ms; must
+        // sit strictly past the current watermark)
+        state.setTimeoutTimestamp(
+          math.max((keep.map(_.t).min + RU + 999L) / 1000L,
+            state.getCurrentWatermarkMs() + 1L))
+      }
+      hits
+    }
+    home.unionByName(dup)
+      .withWatermark("ts", "1 hour")
+      // the WATERMARKED column itself flows into the stateful operator
+      .select(col("cell"), col("ts"), col("id"), col("vu"), col("iv"))
+      .as[(Long, java.time.Instant, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout())(step)
+      .toDF()
+  }
+
   def runToMemory(df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)

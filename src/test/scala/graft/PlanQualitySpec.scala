@@ -105,6 +105,27 @@ class PlanQualitySpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("range_join_bucketed: probe-side fanOut survives on a few-split layout") {
+    // §6 rule (measured at the round-12 gate): a broadcast join runs
+    // pair PRODUCTION inside the probe SCAN's tasks, so an explosive
+    // downstream over a few-split scan serializes — flat sf1.0 ran this
+    // query at 48.0 s vs 5.80 s with Tables.fanOut on the narrow probe
+    // rows. The repartition is the fix's load-bearing node; this pin
+    // keeps a future 'redundant shuffle' cleanup from silently
+    // reverting it. (The testdata events file is single-split here, so
+    // fanOut MUST fire; on real multi-file layouts it no-ops by design,
+    // which is why PlanFingerprint.shape treats it as transparent.)
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val fanOuts = operators.Stats.rangeJoinBucketed(spark, sf)
+      .queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+      }
+    assert(fanOuts.nonEmpty,
+      "probe-side fanOut repartition missing from range_join_bucketed's plan")
+  }
+
   test("gap_fill_ffill: calendar spine broadcast against the daily agg") {
     val p = plan(operators.Stats.gapFillFfill(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

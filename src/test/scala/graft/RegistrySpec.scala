@@ -55,18 +55,46 @@ class RegistrySpec extends AnyFunSuite {
       s"SURVEY §2 parse degraded: only ${documented.size} keys found")
   }
 
+  // The two schema guards below walk the schema RECURSIVELY (round-13
+  // hardening, VERDICT r12): the round-11 hash-divergence class they
+  // exist to prevent reproduces identically for a decimal/array NESTED
+  // inside a struct column, which a top-level isInstanceOf filter
+  // silently passes. DataType.existsRecursively is private[spark], so
+  // the walk is spelled out here.
+  private def typesIn(dt: org.apache.spark.sql.types.DataType)
+      : Iterator[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case s: StructType =>
+        Iterator(dt) ++ s.fields.iterator.flatMap(f => typesIn(f.dataType))
+      case a: ArrayType => Iterator(dt) ++ typesIn(a.elementType)
+      case m: MapType =>
+        Iterator(dt) ++ typesIn(m.keyType) ++ typesIn(m.valueType)
+      case _ => Iterator(dt)
+    }
+  }
+
+  /** Column names whose type tree contains a forbidden node. */
+  private def offending(schema: org.apache.spark.sql.types.StructType,
+      bad: org.apache.spark.sql.types.DataType => Boolean): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if typesIn(f.dataType).exists(bad) => f.name
+    }
+
   // Round-4's only red row: the driver harness sorts result frames
   // through pandas, which raises on any array cell
   // (`TypeError: unhashable type: 'numpy.ndarray'`). Guard the class:
   // no registered query's FINAL schema may contain an array or map —
-  // emit a joined string (array_join(sort_array(...), ',')) instead.
-  test("no registered query emits ArrayType/MapType in its final schema") {
+  // ANYWHERE in the type tree, a struct-of-array cell is just as
+  // unhashable — emit a joined string (array_join(sort_array(...), ','))
+  // instead.
+  test("no registered query emits ArrayType/MapType anywhere in its final schema") {
     import org.apache.spark.sql.types.{ArrayType, MapType}
     Registry.all.foreach { q =>
-      val bad = q.fn(spark, sf).schema.fields.filter(f =>
-        f.dataType.isInstanceOf[ArrayType] || f.dataType.isInstanceOf[MapType])
+      val bad = offending(q.fn(spark, sf).schema,
+        t => t.isInstanceOf[ArrayType] || t.isInstanceOf[MapType])
       assert(bad.isEmpty,
-        s"${q.name} emits non-scalar columns ${bad.map(_.name).mkString(",")} " +
+        s"${q.name} emits non-scalar columns ${bad.mkString(",")} " +
           "— the driver oracle harness cannot sort/hash them")
     }
   }
@@ -76,16 +104,61 @@ class RegistrySpec extends AnyFunSuite {
   // DuckDB decimals as float64 but Spark parquet decimals as
   // decimal128 — equal values, divergent hash on every row. SURVEY §5's
   // rule ("aggregate in DECIMAL, cast the final value to DOUBLE") was
-  // convention-only; make it a machine check.
-  test("no registered query emits DecimalType in its final schema") {
+  // convention-only; make it a machine check — recursive, so a
+  // struct-wrapped decimal cannot slip it.
+  test("no registered query emits DecimalType anywhere in its final schema") {
     import org.apache.spark.sql.types.DecimalType
     Registry.all.foreach { q =>
-      val bad = q.fn(spark, sf).schema.fields.filter(
-        _.dataType.isInstanceOf[DecimalType])
+      val bad = offending(q.fn(spark, sf).schema,
+        _.isInstanceOf[DecimalType])
       assert(bad.isEmpty,
-        s"${q.name} surfaces raw decimal columns ${bad.map(_.name).mkString(",")} " +
+        s"${q.name} surfaces raw decimal columns ${bad.mkString(",")} " +
           "— cast the final value to DOUBLE (SURVEY §5)")
     }
+  }
+
+  // A STRUCT column on a SQL-oracled key is the same hash-divergence
+  // class one level up: the driver's canonical compare renders Spark
+  // structs and DuckDB structs through different representations, and
+  // pandas cannot sort struct cells. Oracled keys must surface scalars
+  // only (non-oracled rows-only keys may keep typed blobs).
+  test("no SQL-oracled query emits a StructType column") {
+    import org.apache.spark.sql.types.StructType
+    Registry.all.filter(q => SparkEntry.oracleSql.contains(q.name))
+      .foreach { q =>
+        val bad = offending(q.fn(spark, sf).schema,
+          _.isInstanceOf[StructType])
+        assert(bad.isEmpty,
+          s"${q.name} is SQL-oracled but surfaces struct columns " +
+            s"${bad.mkString(",")} — flatten to scalar columns")
+      }
+  }
+
+  // Deliberately-failing fixtures: prove each guard actually TRIPS on
+  // the nested shapes it exists for (a guard that cannot fail is
+  // documentation, not a check).
+  test("schema guards trip on nested fixtures") {
+    import org.apache.spark.sql.types._
+    val nestedDecimal = StructType(Seq(StructField("w",
+      StructType(Seq(StructField("v", DecimalType(14, 4)))))))
+    assert(offending(nestedDecimal, _.isInstanceOf[DecimalType]) === Seq("w"))
+    val arrayInStruct = StructType(Seq(StructField("w",
+      StructType(Seq(StructField("xs", ArrayType(LongType)))))))
+    assert(offending(arrayInStruct,
+      t => t.isInstanceOf[ArrayType] || t.isInstanceOf[MapType]) === Seq("w"))
+    val mapInArray = StructType(Seq(StructField("m",
+      ArrayType(MapType(StringType, LongType)))))
+    assert(offending(mapInArray,
+      t => t.isInstanceOf[ArrayType] || t.isInstanceOf[MapType]) === Seq("m"))
+    val topStruct = StructType(Seq(StructField("s",
+      StructType(Seq(StructField("x", LongType))))))
+    assert(offending(topStruct, _.isInstanceOf[StructType]) === Seq("s"))
+    // and a clean scalar schema passes all three predicates
+    val clean = StructType(Seq(StructField("a", LongType),
+      StructField("b", DoubleType), StructField("c", StringType)))
+    assert(offending(clean, t => t.isInstanceOf[DecimalType] ||
+      t.isInstanceOf[ArrayType] || t.isInstanceOf[MapType] ||
+      t.isInstanceOf[StructType]).isEmpty)
   }
 
   // Pair-producing ops may legitimately be sparse at sf0.001; everything

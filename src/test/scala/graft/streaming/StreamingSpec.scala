@@ -330,6 +330,78 @@ class StreamingSpec extends AnyFunSuite {
     assert(m(4L) === Some(300L), "same-instant order did not match")
   }
 
+  test("streaming range-topk equals the batch cell sweep pair-for-pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000L // epoch seconds
+    // 180 events over 10 h (spans two 8 h sweep cells), every 13th an
+    // interval opener; two out-of-order rows land in batch 2 with
+    // event times INSIDE batch 1's span (but past its watermark, so the
+    // engine keeps them and the cell state must merge them in order)
+    def row(i: Long, sec: Long, vu: Long, iv: Boolean) = (i, sec, vu, iv)
+    val main = (0L until 180L).map(i =>
+      row(i, base + i * 200, (i * 37) % 500 + 1, i % 13 == 0))
+    val late = Seq(row(500L, base + 15000, 777L, false),
+      row(501L, base + 15500, 888L, true))
+    val sentinel = Seq(row(999L, base + 36000 + 3 * 3600, 1L, false))
+    val all = main ++ late ++ sentinel
+
+    val in = MemoryStream[(Long, java.time.Instant, Long, Boolean)]
+    val q = Streaming.rangeTopkHitsOf(
+        in.toDF().toDF("id", "ts", "vu", "iv"))
+      .writeStream.format("memory").queryName("range_topk_stream")
+      .outputMode("append").start()
+    def emitted() = spark.table("range_topk_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // timeout-driven emissions land in a NO-DATA micro-batch after the
+    // watermark advances; processAllAvailable does not wait for it, so
+    // settle by polling until the emitted set stops changing
+    def settled[T](read: () => T): T = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var prev = read()
+      var stable = 0
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = read()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      prev
+    }
+    def feed(rs: Seq[(Long, Long, Long, Boolean)]): Unit = {
+      in.addData(rs.map { case (i, sec, vu, iv) =>
+        (i, java.time.Instant.ofEpochSecond(sec), vu, iv) })
+      q.processAllAvailable()
+    }
+    // the batch operator's own core over the same rows (sentinel
+    // included) — pair-for-pair, rank-for-rank
+    val batch = graft.operators.Stats.rangeTopkHitsOn(
+        all.toDF("id", "sec", "vu", "iv")
+          .select(col("id"), (col("sec") * 1000000L).as("t"),
+            col("vu"), col("iv")))
+      .collect().map(h => (h.iv_id, h.rk, h.event_id)).toSet
+    assert(batch.nonEmpty)
+    try {
+      feed(main.filter(_._1 < 90))
+      // watermark after batch 1 = max ts (base+17800) - 1 h: exactly
+      // the intervals whose WINDOW END the watermark passed are final
+      val wm1 = base + 89 * 200 - 3600
+      val expect1 = main.filter(r => r._4 && r._2 + 3600 <= wm1)
+        .map(_._1).toSet
+      val got1 = settled(() => emitted().map(_._1))
+      assert(got1 === expect1,
+        s"batch-1 emissions not watermark-gated: $got1")
+      feed(main.filter(_._1 >= 90) ++ late)
+      feed(sentinel) // pushes the watermark past every window end
+      val fin = settled(() => emitted())
+      assert(fin === batch,
+        s"stream-batch divergence: stream-only=${fin -- batch} " +
+          s"batch-only=${batch -- fin}")
+      // the late interval (id 501) is in the final set — state merged it
+      assert(fin.exists(_._1 === 501L), "late interval never emitted")
+    } finally q.stop()
+  }
+
   test("transition cursor never regresses under a late micro-batch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

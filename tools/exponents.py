@@ -1,24 +1,32 @@
 #!/usr/bin/env python3
 """Scaling-exponent table for SURVEY §7a.1 from Bench JSON lines.
 
-Usage: tools/exponents.py BENCH_SF0.1 BENCH_SF1.0 [BENCH_SF3.0] [BENCH_F32]
+Usage:
+  tools/exponents.py P_SF0.1 P_SF1.0 [P_SF3.0|-] [FLAT_SF1.0|-] [FLAT_SF3.0|-]
 
 Each argument is a file containing (anywhere in it) one Bench JSON line
-(`{"metric":"total",...}` — raw Bench stdout logs work). Prints the
-per-headliner exponent table, worst first:
+(`{"metric":"total",...}` — raw Bench stdout logs work); `-` marks a
+leg that was not run. The first three legs are the PRIMARY curve and
+should be the 32-part-file (`GenScale ... 32`) layout — the
+cluster-realistic one, where scan parallelism comes from file splits.
+The round-12 gate proved flat one-file-per-table exponents are layout
+artifacts for scan-bound queries (split starvation read as operator
+asymptotics: q1_agg ×5.2 slower flat), so flat legs are the ADVERSARIAL
+SIDEBAR: per-query flat-vs-primary delta at sf1.0, and flat e(1→3)
+when both flat legs exist.
+
+Exponents (e < 1 is sublinear):
   e(0.1→1) = log10(t_sf1 / t_sf0.1)        (a 10× data step)
   e(1→3)   = log(t_sf3 / t_sf1) / log(3)   (a 3× data step)
-e < 1 is sublinear. The two-step curve separates true asymptotes from
-the ~0.4-0.6 s fixed job overhead that flattens small queries' first
-step. The optional 4th file is the 32-part-file sf1.0 layout (GenScale
-`files 32`); keys whose flat-vs-f32 delta exceeds 10% are listed —
-scan-bound queries whose single-file exponent understates a real
-cluster's split-parallel scan.
+The two-step curve separates true asymptotes from the ~0.4-0.6 s fixed
+job overhead that flattens small queries' first step.
 """
 import json, math, re, sys
 
 
 def load(p):
+    if p is None or p == "-":
+        return None
     m = re.search(r'\{"metric".*\}', open(p).read())
     if not m:
         sys.exit(f"no Bench JSON line in {p}")
@@ -28,9 +36,8 @@ def load(p):
 def main():
     if len(sys.argv) < 3:
         sys.exit(__doc__)
-    b01, b10 = load(sys.argv[1]), load(sys.argv[2])
-    b30 = load(sys.argv[3]) if len(sys.argv) > 3 else None
-    bf32 = load(sys.argv[4]) if len(sys.argv) > 4 else None
+    argv = sys.argv[1:] + [None] * 5
+    b01, b10, b30, f10, f30 = (load(a) for a in argv[:5])
 
     # Bench emits %.3f seconds, so a sub-millisecond timing rounds to
     # 0.000; floor ratio denominators at one emit quantum instead of
@@ -50,6 +57,7 @@ def main():
                      t30 if t30 is not None else float("nan"), e1, e3))
 
     rows.sort(key=lambda r: -(r[5] if r[5] == r[5] else r[4]))
+    print("PRIMARY curve (32-part-file layout — cluster-realistic splits)")
     print(f"{'query':32s} {'sf0.1':>7s} {'sf1.0':>8s} {'sf3.0':>8s}"
           f" {'e(0.1→1)':>9s} {'e(1→3)':>8s}")
     for q, t01, t10, t30, e1, e3 in rows:
@@ -63,15 +71,24 @@ def main():
     if b30:
         print(f"suite ratio 1→3  (3× data): {b30['value'] / b10['value']:.2f}")
 
-    if bf32:
-        print("\nf32 (32-part-file sf1.0) vs flat sf1.0, |delta| > 10%:")
-        for q, t10 in b10["queries"].items():
-            tf = bf32["queries"].get(q)
-            if tf is None:
+    if f10:
+        print("\nFLAT sidebar (adversarial one-file-per-table layout)")
+        print(f"flat totals: sf1.0 {f10['value']:.1f}s" +
+              (f"  sf3.0 {f30['value']:.1f}s" if f30 else ""))
+        print("flat vs primary at sf1.0, |delta| > 10% "
+              "(positive = flat slower → split-starved):")
+        for q, tf in f10["queries"].items():
+            tp = b10["queries"].get(q)
+            if tp is None:
                 continue
-            d = (t10 - tf) / floor(t10) * 100
+            d = (tf - tp) / floor(tp) * 100
+            extra = ""
+            if f30 and f30["queries"].get(q) is not None:
+                ef = math.log(floor(f30["queries"][q]) / floor(tf)) / math.log(3)
+                extra = f"  flat e(1→3) {ef:5.2f}"
             if abs(d) > 10:
-                print(f"  {q:32s} flat {t10:7.2f}  f32 {tf:7.2f}  ({d:+.0f}%)")
+                print(f"  {q:32s} f32 {tp:7.2f}  flat {tf:7.2f}"
+                      f"  ({d:+.0f}%){extra}")
 
 
 if __name__ == "__main__":

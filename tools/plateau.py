@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Bench-plateau adjudication table (VERDICT r12 #3).
+
+Usage: tools/plateau.py PASS1.log PASS2.log ... [--ref REF.json]
+
+Each PASS file is one Bench run's stdout (same commit, same host, back
+to back). Prints per-query min/median/MAD across the passes, plus the
+delta of the 5-pass min vs the reference's per-query reading when
+--ref is given (a BENCH_r*.json or a Bench log both work — the JSON
+line is regexed out of either). The question this answers: is the
+round-9..12 28-30 s board vs the round-8 25.0 s baseline a real creep
+(reproduces across consecutive quiet passes) or host contention
+(min-of-5 lands at the baseline level and the spread absorbs the rest)?
+"""
+import json, re, statistics, sys
+
+
+def load(p):
+    m = re.search(r'\{"metric".*\}', open(p).read())
+    if not m:
+        sys.exit(f"no Bench JSON line in {p}")
+    return json.loads(m.group(0))
+
+
+def main():
+    args = sys.argv[1:]
+    ref = None
+    if "--ref" in args:
+        i = args.index("--ref")
+        ref = load(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    if len(args) < 2:
+        sys.exit(__doc__)
+    runs = [load(a) for a in args]
+    queries = list(runs[0]["queries"].keys())
+
+    print(f"{len(runs)} passes; totals: " +
+          "  ".join(f"{r['value']:.1f}s" for r in runs))
+    hdr = f"{'query':32s} {'min':>7s} {'median':>7s} {'mad':>6s}"
+    if ref:
+        hdr += f" {'ref':>7s} {'min/ref':>8s}"
+    print(hdr)
+    tmin_sum = 0.0
+    ref_sum = 0.0
+    rows = []
+    for q in queries:
+        ts = sorted(r["queries"][q] for r in runs)
+        med = statistics.median(ts)
+        mad = statistics.median(abs(t - med) for t in ts)
+        row = (q, ts[0], med, mad)
+        tmin_sum += ts[0]
+        if ref:
+            rq = ref["queries"].get(q)
+            ref_sum += rq or 0.0
+            rows.append(row + (rq, ts[0] / rq if rq else float("nan")))
+        else:
+            rows.append(row + (None, None))
+    # worst min/ref first when a reference exists, else widest mad first
+    rows.sort(key=lambda r: -(r[5] if r[5] is not None else r[3]))
+    for q, mn, med, mad, rq, ratio in rows:
+        line = f"{q:32s} {mn:7.2f} {med:7.2f} {mad:6.2f}"
+        if rq is not None:
+            line += f" {rq:7.2f} {ratio:8.2f}"
+        print(line)
+    line = f"\nsum of per-query mins: {tmin_sum:.1f}s"
+    if ref:
+        line += (f"  ref total {ref['value']:.1f}s"
+                 f"  (min-sum/ref = {tmin_sum / ref['value']:.2f})")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()

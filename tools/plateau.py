@@ -16,10 +16,22 @@ import json, re, statistics, sys
 
 
 def load(p):
-    m = re.search(r'\{"metric".*\}', open(p).read())
-    if not m:
-        sys.exit(f"no Bench JSON line in {p}")
-    return json.loads(m.group(0))
+    txt = open(p).read()
+    m = re.search(r'\{"metric".*\}', txt)
+    if m:
+        return json.loads(m.group(0))
+    # driver BENCH_r*.json files embed the Bench line escape-quoted
+    # inside their "tail" string field — unwrap and retry
+    try:
+        d = json.loads(txt)
+        for v in d.values():
+            if isinstance(v, str):
+                m = re.search(r'\{"metric".*\}', v)
+                if m:
+                    return json.loads(m.group(0))
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        pass
+    sys.exit(f"no Bench JSON line in {p}")
 
 
 def main():

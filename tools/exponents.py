@@ -71,6 +71,26 @@ def main():
     if b30:
         print(f"suite ratio 1→3  (3× data): {b30['value'] / b10['value']:.2f}")
 
+    # resource scaling (round 13): Bench logs carry a per-query
+    # "resources" map — shuffle bytes are DETERMINISTIC per (plan,
+    # data), so their cross-SF ratio separates the wall-clock exponent's
+    # causes: shuffle bytes growing ~linearly while wall clock grows
+    # faster = scheduling/spill/skew, not data volume; bytes growing
+    # superlinearly = the operator's intermediate really is quadratic.
+    if "resources" in b10 and b30 and "resources" in b30:
+        print("\nshuffle-write scaling sf1.0 → sf3.0 (3× data; MB and ratio),"
+              "\ntop 12 by sf3.0 volume:")
+        rows3 = []
+        for q, r10 in b10["resources"].items():
+            r30 = b30["resources"].get(q)
+            if r30 is None:
+                continue
+            w10, w30 = r10["shuffle_write_mb"], r30["shuffle_write_mb"]
+            rows3.append((q, w10, w30, w30 / max(w10, 0.01)))
+        rows3.sort(key=lambda r: -r[2])
+        for q, w10, w30, ratio in rows3[:12]:
+            print(f"  {q:32s} {w10:9.1f} {w30:9.1f}  ×{ratio:5.2f}")
+
     if f10:
         print("\nFLAT sidebar (adversarial one-file-per-table layout)")
         print(f"flat totals: sf1.0 {f10['value']:.1f}s" +

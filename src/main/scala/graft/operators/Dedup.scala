@@ -345,6 +345,18 @@ object Dedup {
     // (doc, token) count shuffle disappears — md5+parity run map-side
     // and the single exchange carries (doc_id, 48 partial sums), never
     // token rows.
+    //
+    // Bucket-density audit (round 14, prompted by the x8.34 1->3
+    // shuffle-write ratio the resource gate flagged): unlike the
+    // embedding tier's fixed 8-bit bucket universe, the 16-bit bands
+    // (65,536 buckets/band) keep hash-coincidence mass negligible —
+    // measured on the gate data, candidates grew x9.39 (25.8M -> 242M)
+    // while ACCEPTED pairs grew x9.59 (1.44M -> 13.8M): a constant
+    // 18:1 candidate:output ratio at both SFs. The growth IS the true
+    // clone-pair output (pairwise output is quadratic in clone-cluster
+    // size by definition) — the same rides-output shape as
+    // dedup_minhash_lsh; no uncapped-collision pathology, no cap
+    // needed.
     val pb = call_function(graft.plans.HexParityBits.FnName,
       md5(col("tok")), md5(concat(lit("#:"), col("tok"))))
     val tokRows = Tables.documents(s, dir)
@@ -489,6 +501,30 @@ object Dedup {
     * exact form survives as this key's recall gate
     * ([[dedupEmbeddingRecall]]), hard-capped like every other
     * ground-truth monitor.
+    *
+    * Bucket-density cap (round 14 — the winnowing tier's df-cap
+    * discipline applied here): the 8-bit band keys give a FIXED bucket
+    * universe (2,036 live buckets on the synthetic corpus), so raw
+    * all-pairs-within-bucket candidate mass is Sum(bucket^2) —
+    * quadratic in corpus density, MEASURED at the sf1.0->sf3.0 gate as
+    * x47.6 shuffle-write growth and 75 GB of spill while true-pair
+    * output grew only ~x9. Buckets above [[SimilarityConfig.embBucketCap]]
+    * therefore degrade to exact FULL-64-bit-signature matching (the
+    * two-level blocking the semantic tier uses: a dense bucket's
+    * members pair only when they collide on every plane), which keeps
+    * hot-bucket candidates output-bound — clone clusters (the cause of
+    * genuine over-density in a crawl) share the whole signature and
+    * stay fully connected, while hash-coincidence neighbors stop
+    * paying Sum(bucket^2). Measured on the gate data (DuckDB, cap 256):
+    * sf1.0 candidates 7.21M -> 7.02M (cap barely binds; the ids<200
+    * recall monitor keeps its hits), sf3.0 65.0M -> 15.0M with the
+    * 1->3 candidate growth falling from x9.0 to x2.1 — below data
+    * growth. Corpora whose SEMANTIC near-dups saturate every bucket
+    * belong to [[Similarity.dedupSemantic]]'s centroid blocking; this
+    * cap is the overload valve, not a recall substitute. The bucket
+    * frequency table is <= bands * 2^bits rows (2,048 at the default
+    * geometry) and broadcasts, so the cap adds no shuffle over the
+    * band rows.
     */
   def dedupEmbeddingCosine(s: SparkSession, dir: String): DataFrame =
     dedupEmbeddingCosine(s, dir, D)
@@ -507,13 +543,48 @@ object Dedup {
     // map work, so recomputing both self-join sides beats materializing
     // 8 rows/vector (the §7a rule: checkpoints pay for expensive-to-
     // recompute compact frames, and the plane dots are not expensive).
+    // full 64-bit signature as a portable string key (band 0..7 keys
+    // joined by ':') — the fine blocking key dense buckets fall back
+    // to. Both sig and the explode derive from ONE named array column:
+    // expressed directly over bandCols, Catalyst placed the sig
+    // projection ABOVE the Generate and re-ran all 64 plane dots per
+    // EXPLODED row (9x the map work — measured 1.67 -> 3.1 s at
+    // sf0.1); referencing the array makes the post-explode sig a cheap
+    // 8-element string join.
     val bands = qn
-      .select(col("vec_id"), posexplode(array(bandCols: _*)))
-      .toDF("vec_id", "band_id", "band_key")
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+      .select(col("vec_id"), array(bandCols: _*).as("arr"))
+      .select(col("vec_id"),
+        concat_ws(":", (0 until EmbBands)
+          .map(i => element_at(col("arr"), i + 1).cast("string")): _*)
+          .as("sig"),
+        posexplode(col("arr")))
+      .toDF("vec_id", "sig", "band_id", "band_key")
+    // ONE self-join whose key carries a conditional fine component: a
+    // bucket's density is a bucket property, so every row of a sparse
+    // bucket gets jk='' (pairs match coarse — all-pairs, as before the
+    // cap) and every row of a dense one gets jk=sig (pairs match only
+    // on the full signature: the join KEY is finer, so hot buckets
+    // never enumerate Sum(bucket^2) pairs, not even as a post-filter).
+    // The bucket count comes from a WINDOW inside each join side — not
+    // a third lineage over the vectors (a bcnt aggregate side, plain
+    // or checkpointed, and a grouped-bucket collect_list rewrite all
+    // measured 0.8-2.0 s slower at sf0.1): the window's exchange
+    // carries the already-projected 8-rows-per-vector band rows, so
+    // the expensive plane projections still run exactly twice. The
+    // post-window projection keeps only (vec_id, band, key, jk) so the
+    // join's second exchange moves narrow rows — with it, the capped
+    // form measures ~1.8 s at sf0.1 vs 1.67 s uncapped (the ~8% is the
+    // window sort; the sf3 payoff is the end of the x47.6 byte blowup).
+    val bs = bands.withColumn("cnt",
+      sum(lit(1L)).over(Window.partitionBy("band_id", "band_key")))
+      .select(col("vec_id"), col("band_id"), col("band_key"),
+        when(col("cnt") > cfg.embBucketCap, col("sig")).otherwise(lit(""))
+          .as("jk"))
+    val cand = bs.as("a")
+      .join(bs.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.band_key") === col("b.band_key") &&
+          col("a.jk") === col("b.jk") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
@@ -547,10 +618,21 @@ object Dedup {
                    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << (j % $EmbBandBits))
                             ELSE 0 END) AS BIGINT) AS band_key
                  FROM bits GROUP BY vec_id, j // $EmbBandBits),
+       bcnt AS (SELECT band_id, band_key, COUNT(*) AS cnt
+                FROM bands GROUP BY band_id, band_key),
+       esigs AS (SELECT vec_id,
+                   string_agg(CAST(band_key AS VARCHAR), ':' ORDER BY band_id) AS sig
+                 FROM bands GROUP BY vec_id),
+       bsd AS (SELECT b.vec_id, b.band_id, b.band_key,
+                      CASE WHEN c.cnt > ${D.embBucketCap} THEN s.sig
+                           ELSE '' END AS jk
+               FROM bands b
+               JOIN bcnt c ON b.band_id = c.band_id AND b.band_key = c.band_key
+               JOIN esigs s ON b.vec_id = s.vec_id),
        ecand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-                 FROM bands a JOIN bands b
+                 FROM bsd a JOIN bsd b
                    ON a.band_id = b.band_id AND a.band_key = b.band_key
-                  AND a.vec_id < b.vec_id),
+                  AND a.jk = b.jk AND a.vec_id < b.vec_id),
        everi AS (SELECT vec_a, vec_b,
                    ${sqlCosineQ(sqlDotQ("qa.qv", "qb.qv", 64), "qa.nn", "qb.nn")} AS cos_sim
                  FROM ecand JOIN n qa ON vec_a = qa.vec_id

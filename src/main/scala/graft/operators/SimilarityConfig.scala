@@ -45,6 +45,18 @@ final case class SimilarityConfig(
     ngramTau: Double = 0.8,
     /** Embedding-cosine near-dup threshold. */
     embeddingTau: Double = 0.4,
+    /** Band-bucket density cap for the embedding-cosine candidate join
+      * (pairs-per-bucket discipline, the winnowing df-cap's twin): a
+      * (band_id, band_key) bucket holding more than this many vectors
+      * stops generating all-pairs candidates and degrades to exact
+      * FULL-signature matching inside the bucket — candidate mass stays
+      * <= cap * 8N + clone-pair mass instead of Sum(bucket^2), which is
+      * quadratic in corpus density at the fixed 8-bit bucket universe
+      * (2,036 live buckets measured; see Dedup.dedupEmbeddingCosine).
+      * Semantic near-dups in corpora dense enough to saturate every
+      * bucket belong to dedup_semantic's centroid blocking instead.
+      */
+    embBucketCap: Int = 256,
     /** Containment (|A∩B| / min set size) admission threshold. */
     containTau: Double = 0.5,
     /** Max Levenshtein distance relative to the longer text. */
@@ -62,6 +74,7 @@ final case class SimilarityConfig(
     "SimHash band geometry exceeds the 48-bit signature")
   require(ivfK >= 1 && ivfIters >= 0 && ivfProbe >= 1 && ivfProbe <= ivfK,
     "IVF geometry invalid (need K >= 1, iters >= 0, 1 <= probe <= K)")
+  require(embBucketCap >= 1, "embBucketCap must be >= 1")
 }
 
 object SimilarityConfig {

@@ -603,6 +603,45 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("embBucketCap: dense buckets degrade to exact-signature matching") {
+    import spark.implicits._
+    // planted corpus: 300 exact clones of one base vector saturate
+    // their 8 band buckets far past the default cap (256); a noise-1e-3
+    // twin pair rides the same sign pattern. The dense branch (full-
+    // signature equality) must keep the clone cluster FULLY connected
+    // — the 100 TB over-density case is clone mass, and clones share
+    // every plane sign — while the all-pairs branch and the dense
+    // branch agree wherever both could apply.
+    val rnd = new scala.util.Random(11L)
+    def vec(): Array[Float] =
+      Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val b0 = vec()
+    val t = vec()
+    val tTwin = t.map(x => x + ((rnd.nextDouble() * 2 - 1) * 0.001).toFloat)
+    val rows = (0L until 300L).map(i => (i, b0)) ++
+      Seq(1000L -> t, 1001L -> tTwin)
+    val dir = java.nio.file.Files.createTempDirectory("embcap").toString
+    rows.toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def pairs(cfg: SimilarityConfig) =
+      Dedup.dedupEmbeddingCosine(spark, dir, cfg).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(SimilarityConfig.Default) // cap 256 binds: buckets hold 300+
+    val uncapped = pairs(SimilarityConfig(embBucketCap = 1000000))
+    // clone cluster fully connected through the DENSE branch
+    assert(capped.count { case (a, b) => a < 300L && b < 300L } ===
+      300 * 299 / 2)
+    assert(capped.contains((1000L, 1001L)))
+    // identical signatures mean the cap loses nothing on this corpus
+    assert(capped === uncapped)
+    // cap=1 sends EVERY bucket down the exact-signature branch: output
+    // is a subset, and the clone cluster still survives intact
+    val tight = pairs(SimilarityConfig(embBucketCap = 1))
+    assert(tight.subsetOf(uncapped))
+    assert(tight.count { case (a, b) => a < 300L && b < 300L } ===
+      300 * 299 / 2)
+  }
+
   test("dedup_embedding_recall: one row, precision-1 accounting well-formed") {
     val rows = Dedup.dedupEmbeddingRecall(spark, sf).collect()
     assert(rows.length === 1)

@@ -109,9 +109,34 @@ object Bench {
     }
     val driftJson = drift
       .map(_.map("\"" + _ + "\"").mkString("[", ",", "]")).getOrElse("null")
+    // shuffle-byte drift vs the committed pin (tools.BytePins): bytes
+    // are deterministic per (plan, data), so at a PINNED label a moved
+    // byte count is a plan event (e.g. an AQE join-strategy flip) even
+    // when the static fingerprint and wall clock are both silent.
+    // Same null discipline as plan_drift: an empty LIST means checked
+    // and clean; null means this SF has no pins.
+    val bytePins = graft.tools.BytePins.committed()
+    val curBytes = results
+      .map { case (k, _, _, _, _, m) => k -> m.shuffleWriteBytes / mb }.toMap
+    val bytesDriftJson = lastSeg
+      .filter(l => bytePins.keys.exists(_._1 == l))
+      .map(l => graft.tools.BytePins.drift(bytePins, l, curBytes)
+        .map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .getOrElse("null")
     val total = results.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"spread":$spreadJson,"outliers":$outliers,"plan_drift":$driftJson,"resources":$resJson,"sf":"$sfDir"}""")
+    val jsonLine =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"spread":$spreadJson,"outliers":$outliers,"plan_drift":$driftJson,"bytes_drift":$bytesDriftJson,"resources":$resJson,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // the full line also lands in a committed file: the driver's BENCH
+    // record captures only a 2000-char stdout tail, which truncated the
+    // round-13 per-query map — the round record must not depend on
+    // tail-capture length
+    try java.nio.file.Files.writeString(
+      new java.io.File(graft.tools.BytePins.repoRoot,
+        "tools/bench_last.json").toPath, jsonLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -27,6 +27,7 @@ object Verify {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stalePoisoned = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val runs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -77,6 +78,17 @@ object Verify {
         } catch { case NonFatal(e2) =>
           System.err.println(
             s"[verify] $name stale-output cleanup failed: ${e2.getMessage}")
+          // the stale parquet SURVIVED — without a machine-visible
+          // poison the driver would compare the OLD result against the
+          // fresh oracle and a double-failed query could silently
+          // pass. Two independent poisons: a non-parquet marker file
+          // inside the directory (breaks any whole-directory read),
+          // and a nonzero exit after oracle_sql.json is written.
+          try Files.writeString(
+            Paths.get(outDir, name, "_STALE"),
+            s"stale output: query + cleanup both failed: ${e2.getMessage}")
+          catch { case NonFatal(_) => () }
+          stalePoisoned.add(name)
         }
       }
     }
@@ -96,5 +108,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (!stalePoisoned.isEmpty) {
+      System.err.println(
+        s"[verify] EXITING NONZERO: stale outputs could not be removed for " +
+          s"${String.join(",", stalePoisoned)} — parity must not consume them")
+      sys.exit(1)
+    }
   }
 }

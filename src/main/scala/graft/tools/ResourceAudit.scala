@@ -68,6 +68,13 @@ object ResourceAudit {
       }
     }
     val sc = spark.sparkContext
+    // Drain BEFORE attaching: Spark's AsyncEventQueue delivers queued-
+    // but-undispatched events to listeners registered at dispatch time,
+    // so task-end events still in flight from the PRECEDING query (the
+    // callers run queries back to back) would otherwise be attributed
+    // to this measurement — the scope must start from an empty bus for
+    // the 'deterministic per (plan, data)' claim to hold.
+    org.apache.spark.graftbridge.ListenerBridge.drain(sc)
     sc.addSparkListener(listener)
     try {
       val result = action
@@ -101,4 +108,54 @@ object ResourceAudit {
       "shuffle_read_bytes", "shuffle_write_bytes", "shuffle_write_records",
       "spill_bytes", "task_spread")
   }
+}
+
+/** Committed per-(SF label, query) shuffle-write pins and the drift rule
+  * — the BYTES twin of the plan-fingerprint pin. The round-13 gate
+  * proved byte deltas are plan events the fingerprint cannot see
+  * (q5_region_revenue's AQE broadcast->SMJ flip moved 0.02 -> 411 MB at
+  * sf3 with wall clock and plan_drift both silent), so Bench asserts
+  * the same way it asserts plan shape: a non-empty `bytes_drift` list
+  * means a headliner's shuffle volume left its pinned envelope since
+  * the pin was taken — a plan event to adjudicate, then re-pin
+  * (tools/pin_bytes.py regenerates from gate logs).
+  */
+object BytePins {
+  /** The repo root (shared with the fingerprint pin) — also where
+    * Bench drops its committed bench_last.json record. */
+  def repoRoot: java.io.File = PlanFingerprint.root
+
+  def pinFile: java.io.File = new java.io.File(
+    repoRoot, "src/test/resources/bench_bytes.txt")
+
+  /** (sf label, query) -> pinned shuffle_write_mb. Empty map = no pins
+    * (callers must render null/unchecked, never an empty clean list). */
+  def committed(): Map[(String, String), Double] = {
+    val f = pinFile
+    if (!f.exists()) Map.empty
+    else scala.util.Using.resource(scala.io.Source.fromFile(f)) { src =>
+      src.getLines().filter(_.nonEmpty).map { l =>
+        val Array(sf, n, mb) = l.split(" ")
+        (sf, n) -> mb.toDouble
+      }.toMap
+    }
+  }
+
+  /** Drift rule: a query drifts when its shuffle-write moved more than
+    * 1 MB in absolute terms AND the ratio to the pin (denominators
+    * floored at 0.5 MB so a broadcast->shuffle flip from ~0 is caught
+    * as a huge ratio, not a 0-division) leaves [0.7, 1.4] — the band
+    * the round-13 findings calibrate: same-plan re-runs sit within a
+    * few percent, while the flagged events moved x8-x47.
+    */
+  def drift(pins: Map[(String, String), Double], label: String,
+      current: Map[String, Double]): Seq[String] =
+    current.toSeq.sortBy(_._1).flatMap { case (q, cur) =>
+      pins.get((label, q)).flatMap { pin =>
+        val ratio = math.max(cur, 0.5) / math.max(pin, 0.5)
+        if (math.abs(cur - pin) > 1.0 && (ratio < 0.7 || ratio > 1.4))
+          Some(q)
+        else None
+      }
+    }
 }

@@ -126,6 +126,29 @@ class PlanQualitySpec extends AnyFunSuite {
       "probe-side fanOut repartition missing from range_join_bucketed's plan")
   }
 
+  test("documents/embeddings scans: Tables.fanOut survives in a representative consumer each") {
+    // PlanFingerprint.shape treats round-robin exchanges as transparent
+    // (fanOut is layout-conditional, so hashing it would make the pins
+    // host-dependent) — which means the fingerprint can no longer
+    // detect the LOSS of a fanOut. The range_join_bucketed pin above
+    // covers the events scan; these cover the other two fanOut-backed
+    // scans (Tables.documents / Tables.embeddings), so a 'redundant
+    // shuffle' cleanup on either is caught mechanically. Same layout
+    // caveat: the testdata files are single-split, so fanOut MUST fire
+    // here; on multi-file layouts it no-ops by design.
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def fanOuts(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+      }
+    assert(fanOuts(operators.TextAnalysis.topTokens(spark, sf)).nonEmpty,
+      "documents-scan fanOut missing from top_tokens' plan")
+    assert(fanOuts(operators.Dedup.dedupEmbeddingCosine(spark, sf)).nonEmpty,
+      "embeddings-scan fanOut missing from dedup_embedding_cosine's plan")
+  }
+
   test("gap_fill_ffill: calendar spine broadcast against the daily agg") {
     val p = plan(operators.Stats.gapFillFfill(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

@@ -53,6 +53,25 @@ class ResourceAuditSpec extends AnyFunSuite {
       s"broadcast join shuffled ${bcast.shuffleWriteRecords} records")
   }
 
+  test("BytePins.drift flags flips and quadratic growth, tolerates noise") {
+    val pins = Map(
+      ("sf0.1", "steady") -> 100.0,   // same-plan rerun: within band
+      ("sf0.1", "flip") -> 0.02,      // the q5 broadcast->SMJ shape
+      ("sf0.1", "blowup") -> 57.6,    // the uncapped-bucket shape
+      ("sf0.1", "tiny") -> 0.3,       // sub-MB noise must never flag
+      ("sf0.1", "gone") -> 411.0,     // a shuffle that vanished
+      ("sf1.0", "other_label") -> 5.0)
+    val cur = Map(
+      "steady" -> 104.0, "flip" -> 411.0, "blowup" -> 2743.0,
+      "tiny" -> 0.8, "gone" -> 0.05, "unpinned_query" -> 999.0,
+      "other_label" -> 999.0) // pinned under a DIFFERENT label: ignored
+    assert(BytePins.drift(pins, "sf0.1", cur) ===
+      Seq("blowup", "flip", "gone"))
+    // clean run: everything within the band or below the noise floor
+    assert(BytePins.drift(pins, "sf0.1",
+      Map("steady" -> 100.5, "flip" -> 0.03, "tiny" -> 0.1)) === Seq.empty)
+  }
+
   test("auditQueries emits one measured row per requested query") {
     val rows = ResourceAudit.auditQueries(spark, sf, Seq("q1_agg", "q5_region_revenue"))
       .collect()

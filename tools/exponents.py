@@ -91,6 +91,33 @@ def main():
         for q, w10, w30, ratio in rows3[:12]:
             print(f"  {q:32s} {w10:9.1f} {w30:9.1f}  ×{ratio:5.2f}")
 
+    # bytes-drift assertion (round 14): each Bench leg carries a
+    # "bytes_drift" list — its live shuffle-write compared against the
+    # committed per-label pin (src/test/resources/bench_bytes.txt; rule
+    # in graft.tools.BytePins). Same contract as plan_drift: [] means
+    # checked-and-clean, null means the leg's SF label has no pins yet.
+    # Any non-empty list is a PLAN EVENT (the q5 broadcast->SMJ flip
+    # class) — adjudicate it, then re-pin with tools/pin_bytes.py. A
+    # nonzero exit here makes the gate fail loudly instead of filing
+    # the alarm in a log nobody greps.
+    legs = [("sf0.1f32", b01), ("sf1.0f32", b10), ("sf3.0f32", b30),
+            ("flat sf1.0", f10), ("flat sf3.0", f30)]
+    alarms = []
+    print("\nbytes-drift vs committed pins (tools/pin_bytes.py):")
+    for name, leg in legs:
+        if leg is None:
+            continue
+        bd = leg.get("bytes_drift")
+        state = ("unpinned" if bd is None
+                 else "clean" if bd == [] else f"ALARM {bd}")
+        print(f"  {name:12s} {state}")
+        if bd:
+            alarms.append((name, bd))
+    if alarms:
+        print("BYTES-DRIFT ALARMS — adjudicate before round close, then re-pin")
+    else:
+        print("bytes-drift alarms: none")
+
     if f10:
         print("\nFLAT sidebar (adversarial one-file-per-table layout)")
         print(f"flat totals: sf1.0 {f10['value']:.1f}s" +
@@ -109,6 +136,9 @@ def main():
             if abs(d) > 10:
                 print(f"  {q:32s} f32 {tp:7.2f}  flat {tf:7.2f}"
                       f"  ({d:+.0f}%){extra}")
+
+    if alarms:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

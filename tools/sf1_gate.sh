@@ -71,9 +71,14 @@ if [ "$SF3" = 1 ]; then
 fi
 
 # ---- §7a.1 table from whatever legs ran ----
+# exponents.py also asserts every leg's bytes_drift list is empty (the
+# shuffle-byte twin of plan_drift — see graft.tools.BytePins) and exits
+# nonzero on an alarm, which fails the gate AFTER the table is written:
+# adjudicate the flagged queries, re-pin with tools/pin_bytes.py, rerun.
 P30="-"; F30="-"
 [ "$SF3" = 1 ] && P30="$GATE_OUT/bench_sf3.0f32.log" && F30="$GATE_OUT/bench_sf3.0.log"
 python3 tools/exponents.py "$GATE_OUT/bench_sf0.1f32.log" \
   "$GATE_OUT/bench_sf1.0f32.log" "$P30" \
-  "$GATE_OUT/bench_sf1.0.log" "$F30" | tee "$GATE_OUT/exponents.txt"
+  "$GATE_OUT/bench_sf1.0.log" "$F30" | tee "$GATE_OUT/exponents.txt" \
+  || { echo "[gate] BYTES-DRIFT ALARM (see $GATE_OUT/exponents.txt)"; exit 1; }
 echo "[gate] §7a.1 table written to $GATE_OUT/exponents.txt"

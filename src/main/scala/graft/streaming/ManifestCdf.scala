@@ -211,6 +211,80 @@ object ManifestCdf {
       }
     }
 
+  /** Retro-dating reconciliation for the streaming FUNNEL residual —
+    * the same bounded-lateness closure [[reconcileTransitions]] gives
+    * the transition stream, applied to [[Streaming.funnelStream]]'s
+    * documented trade: a purchase processed in an EARLIER micro-batch
+    * than a retro-dated view cannot convert in Append mode, and an
+    * already-emitted conversion can never be retracted or re-dated when
+    * a late earlier view changes the user's first_view. Events land in
+    * a manifest table (event_id, user_id, t, event_type; keyed
+    * event_id); this consumer tails its CDF and, per version,
+    * re-derives the conversion VERDICT for the version's touched users
+    * against the as-of snapshot under the batch twin's exact rules
+    * (first view; first purchase at-or-after it, inclusive tie;
+    * delay <= window), then repairs the user-keyed funnel table:
+    * converted users merge their (first_view_us, purchase_us,
+    * delay_us) row, touched users with no conversion left — including
+    * users whose qualifying events were deleted — delete.
+    *
+    * Exactly-once via the pump's marker protocol: the merge is
+    * value-idempotent and deleting an absent key is a no-op, so a
+    * crash-replayed version changes nothing and an idle pump processes
+    * nothing. Scale: per version the re-derivation runs over the
+    * TOUCHED users' events only (left-semi against the version's
+    * delta), so the repair costs late-data cardinality, never history.
+    */
+  def reconcileFunnel(s: SparkSession, eventsPath: String,
+      funnelPath: String, checkpoint: String,
+      windowUs: Long = graft.operators.Temporal.ConvWindowUs): Seq[Long] =
+    pump(s, eventsPath, "event_id", checkpoint) { (changes, v) =>
+      if (!changes.isEmpty) {
+        import org.apache.spark.sql.functions._
+        val touched = changes.select("user_id").distinct()
+        val evs = ManifestLog.snapshot(s, eventsPath, Some(v))
+          .join(touched, Seq("user_id"), "left_semi")
+          .select(col("user_id"), col("t").cast("long").as("t"),
+            col("event_type"))
+        val fv = evs.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("t")).as("first_view_us"))
+        // min ELIGIBLE purchase (>= first view, inside the window):
+        // filtering the window before the min equals min-then-test —
+        // any later eligible purchase is later still
+        val conv = evs.filter(col("event_type") === "purchase")
+          .join(fv, "user_id")
+          .filter(col("t") >= col("first_view_us") &&
+            col("t") - col("first_view_us") <= windowUs)
+          .groupBy("user_id", "first_view_us")
+          .agg(min(col("t")).as("purchase_us"))
+          .select(col("user_id"), col("first_view_us"), col("purchase_us"),
+            (col("purchase_us") - col("first_view_us")).as("delay_us"))
+          .localCheckpoint() // isEmpty probe + merge + delete anti-join
+        if (!conv.isEmpty) {
+          ManifestLog.merge(conv, funnelPath, "user_id")
+          ()
+        }
+        // touched users with no conversion leave the table — delta-
+        // cardinality by the merge-keys collect precedent. Nothing to
+        // delete FROM until a first conversion has created the table
+        // (a version whose touched users all fail the funnel must not
+        // try to open a log that does not exist yet).
+        val funnelExists =
+          scala.util.Try(ManifestLog.log(s, funnelPath).isEmpty)
+            .toOption.contains(false)
+        val dels =
+          if (!funnelExists) Seq.empty
+          else touched
+            .join(conv.select("user_id"), Seq("user_id"), "left_anti")
+            .select(col("user_id").cast("long"))
+            .collect().map(_.getLong(0)).toSeq
+        if (dels.nonEmpty) {
+          ManifestLog.deleteKeys(s, funnelPath, "user_id", dels)
+          ()
+        }
+      }
+    }
+
   def mirrorDimScd2(s: SparkSession, srcPath: String, keyCol: String,
       naturalKey: String, attrCols: Seq[String], dimPath: String,
       idCol: String, checkpoint: String): Seq[Long] =

@@ -343,7 +343,10 @@ object Streaming {
     * in event-time order, so intra-batch disorder is handled exactly;
     * a purchase arriving in an EARLIER batch than a retro-dated view
     * is the documented residual trade (the batch key re-derives truth
-    * offline — the streaming row is the low-latency signal).
+    * offline — the streaming row is the low-latency signal; the
+    * lakehouse closure is [[ManifestCdf.reconcileFunnel]], which tails
+    * the event table's CDF and repairs a user-keyed funnel table per
+    * version, the reconcileTransitions pattern).
     */
   def funnelStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

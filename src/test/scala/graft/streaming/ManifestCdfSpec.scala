@@ -314,6 +314,91 @@ class ManifestCdfSpec extends AnyFunSuite {
     assert(pairsOf(pairs) === truth)
   }
 
+  private def funnelOf(path: String): Set[(Long, Long, Long, Long)] = {
+    // a funnel table that has never converted anyone was never created
+    if (!new java.io.File(s"$path/_log").exists()) return Set.empty
+    val snap = ManifestLog.snapshot(spark, path)
+    if (snap.schema.isEmpty) Set.empty
+    else snap
+      .select(col("user_id").cast("long"), col("first_view_us").cast("long"),
+        col("purchase_us").cast("long"), col("delay_us").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+  }
+
+  test("reconcileFunnel: purchase-before-late-view converts, earlier view re-dates, deletion unconverts") {
+    import spark.implicits._
+    val root = freshDir()
+    val ev = root + "/events"
+    val fn = root + "/funnel"
+    val ckpt = root + "/ckpt"
+    // v1: user 7's purchase(t=300) arrives with NO view yet (the
+    // append-mode stream processed it and can never convert it); user
+    // 8 has a view and no purchase. Nobody converts.
+    ManifestLog.commit(Seq(
+      (1L, 7L, 300L, "purchase"), (2L, 8L, 100L, "view"))
+      .toDF("event_id", "user_id", "t", "event_type"), ev, "event_id")
+    assert(ManifestCdf.reconcileFunnel(spark, ev, fn, ckpt) === Seq(1L))
+    assert(funnelOf(fn) === Set.empty)
+
+    // v2: the RETRO-DATED view(t=250) lands — beyond the stream's
+    // emission. The repair must create the conversion the stream missed
+    ManifestLog.commit(Seq((3L, 7L, 250L, "view"))
+      .toDF("event_id", "user_id", "t", "event_type"), ev, "event_id")
+    assert(ManifestCdf.reconcileFunnel(spark, ev, fn, ckpt) === Seq(2L))
+    assert(funnelOf(fn) === Set((7L, 250L, 300L, 50L)))
+
+    // v3: an even EARLIER view re-dates the conversion (delay grows) —
+    // the row an append stream could never retract or re-emit
+    ManifestLog.commit(Seq((4L, 7L, 100L, "view"))
+      .toDF("event_id", "user_id", "t", "event_type"), ev, "event_id")
+    assert(ManifestCdf.reconcileFunnel(spark, ev, fn, ckpt) === Seq(3L))
+    val truth = Set((7L, 100L, 300L, 200L))
+    assert(funnelOf(fn) === truth)
+
+    // idle pump no-op; crash replay (drop v3's marker) is a no-op merge
+    assert(ManifestCdf.reconcileFunnel(spark, ev, fn, ckpt).isEmpty)
+    assert(new java.io.File(s"$ckpt/v3").delete(),
+      "test harness: simulate crash between handler and marker")
+    assert(ManifestCdf.reconcileFunnel(spark, ev, fn, ckpt) === Seq(3L))
+    assert(funnelOf(fn) === truth)
+
+    // v4: deleting the purchase UNCONVERTS the user — the funnel row
+    // leaves the table
+    ManifestLog.deleteKeys(spark, ev, "event_id", Seq(1L))
+    assert(ManifestCdf.reconcileFunnel(spark, ev, fn, ckpt) === Seq(4L))
+    assert(funnelOf(fn) === Set.empty)
+  }
+
+  test("reconcileFunnel: window bound is inclusive; same-instant view/purchase converts") {
+    import spark.implicits._
+    val root = freshDir()
+    val ev = root + "/events"
+    val fn = root + "/funnel"
+    val ckpt = root + "/ckpt"
+    // user 9: purchase lands 150us after first view — OUTSIDE the
+    // 100us window; user 10: purchase exactly AT the bound (inclusive);
+    // user 11: view and purchase share an instant (delay 0, the
+    // funnelStream tie rule)
+    ManifestLog.commit(Seq(
+      (1L, 9L, 0L, "view"), (2L, 9L, 150L, "purchase"),
+      (3L, 10L, 0L, "view"), (4L, 10L, 100L, "purchase"),
+      (5L, 11L, 40L, "view"), (6L, 11L, 40L, "purchase"))
+      .toDF("event_id", "user_id", "t", "event_type"), ev, "event_id")
+    assert(ManifestCdf.reconcileFunnel(spark, ev, fn, ckpt,
+      windowUs = 100L) === Seq(1L))
+    assert(funnelOf(fn) ===
+      Set((10L, 0L, 100L, 100L), (11L, 40L, 40L, 0L)))
+    // user 9's earlier eligible purchase arriving late flips them in
+    ManifestLog.commit(Seq((7L, 9L, 80L, "purchase"))
+      .toDF("event_id", "user_id", "t", "event_type"), ev, "event_id")
+    assert(ManifestCdf.reconcileFunnel(spark, ev, fn, ckpt,
+      windowUs = 100L) === Seq(2L))
+    assert(funnelOf(fn) === Set((9L, 0L, 80L, 80L),
+      (10L, 0L, 100L, 100L), (11L, 40L, 40L, 0L)))
+  }
+
   test("reconcile: event deletion widens and re-firsts pairs correctly") {
     import spark.implicits._
     val root = freshDir()

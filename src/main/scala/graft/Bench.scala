@@ -61,6 +61,16 @@ object Bench {
       var times = (measuredPass() +: (1 to 2).map(_ => pass())).sorted
       if (flagged(times)) // one confirmation pass replaces the worst
         times = (times.dropRight(1) :+ pass()).sorted
+      // Inter-query hygiene (round 14, OUTSIDE every timed region): the
+      // four sort-path rows' sf3 superlinearity measured in round 13
+      // did not reproduce in isolation (asof_join_native 11.1 s
+      // in-suite vs 2.3 s alone, same data/code/host) — the inflation
+      // is state inherited from heavy NEIGHBORS (dead broadcast and
+      // localCheckpoint blocks, old-gen residue; the ContextCleaner is
+      // weak-reference-driven, so without a GC nudge a 24 g heap
+      // carries it query to query). The per-query gc_ms resource metric
+      // is the instrument that attributes what remains.
+      System.gc()
       val median = times(times.size / 2)
       val mad = times.map(t => math.abs(t - median)).sorted.apply(times.size / 2)
       (q.name, times.min, times.max, mad, flagged(times), res)
@@ -79,6 +89,7 @@ object Bench {
         f""""shuffle_write_mb":${m.shuffleWriteBytes / mb}%.2f,""" +
         s""""shuffle_write_records":${m.shuffleWriteRecords},""" +
         f""""spill_mb":${m.spillBytes / mb}%.2f,""" +
+        s""""gc_ms":${m.gcTimeMs},""" +
         f""""task_spread":${m.taskSpread}%.2f}"""
     }
     val outliers = results.collect {

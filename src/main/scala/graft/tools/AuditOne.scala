@@ -25,7 +25,7 @@ object AuditOne {
           f"tasks=${r.getLong(2)}%d input=${r.getLong(3) / mb}%.1fMB " +
           f"shuffle_w=${r.getLong(6) / mb}%.1fMB " +
           f"shuffle_w_recs=${r.getLong(7)}%d spill=${r.getLong(8) / mb}%.1fMB " +
-          f"spread=${r.getDouble(9)}%.2f")
+          f"spread=${r.getDouble(9)}%.2f gc_ms=${r.getLong(10)}%d")
       }
     spark.stop()
   }

@@ -46,14 +46,34 @@ object GenScale {
     * from the files themselves (spark.read.parquet and parity.py read
     * both forms transparently).
     */
+  /** Natural clustering column per table — the order the driver's flat
+    * files ship in (events time-sorted: 0/100k adjacent inversions on
+    * ts; fact tables key-clustered). The `sorted` layout restores it
+    * INSIDE each part file after the replica fan-out: repartition(files)
+    * otherwise permutes rows randomly, which is the adversarial worst
+    * case for the planner's sort-owning operators (asof/sessionize/SMJ
+    * lose their adaptive-run advantage — the §7a.1 round-14 experiment
+    * isolates exactly this variable).
+    */
+  private val clusterCol = Map(
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "ts",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
   private def writeFlat(s: SparkSession, df: DataFrame, dst: String,
-      name: String, files: Int): Unit = {
+      name: String, files: Int, sorted: Boolean = false): Unit = {
     val fin = new org.apache.hadoop.fs.Path(s"$dst/$name.parquet")
     val conf = s.sparkContext.hadoopConfiguration
     val fs = fin.getFileSystem(conf)
     if (files > 1) {
       fs.delete(fin, true) // a flat FILE of the same name would collide
-      df.repartition(files).write.mode(SaveMode.Overwrite)
+      val parts = df.repartition(files)
+      val out = clusterCol.get(name)
+        .filter(_ => sorted)
+        .map(c => parts.sortWithinPartitions(col(c)))
+        .getOrElse(parts)
+      out.write.mode(SaveMode.Overwrite)
         .parquet(fin.toString)
     } else {
       val tmp = s"$dst/.__gen_$name"
@@ -73,8 +93,12 @@ object GenScale {
     val dst = args.lift(1).getOrElse("testdata/sf1.0")
     val k = args.lift(2).map(_.toInt).getOrElse(10)
     val files = args.lift(3).map(_.toInt).getOrElse(1)
+    // 5th arg `sorted`: restore each table's natural clustering inside
+    // every part file (time-clustered ingest — the §6 layout rule the
+    // round-14 sort-path experiment tests)
+    val sorted = args.lift(4).contains("sorted")
     val spark = Graft.session()
-    run(spark, src, dst, k, files)
+    run(spark, src, dst, k, files, sorted)
     Tables.names.foreach { t =>
       val n = spark.read.parquet(s"$dst/$t.parquet").count()
       println(s"[genscale] $t: $n rows")
@@ -85,7 +109,7 @@ object GenScale {
   /** The generator body, separated from main so the spec can drive it
     * on the shared test session (main's stop() would kill it). */
   def run(spark: SparkSession, src: String, dst: String, k: Int,
-      files: Int = 1): Unit = {
+      files: Int = 1, sorted: Boolean = false): Unit = {
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
     val cStride = stride(Tables.customer(spark, src), "c_custkey")
@@ -99,33 +123,33 @@ object GenScale {
     def shifted(c: String, s0: Long) = (col(c) + col("__r") * s0).as(c)
 
     // fixed dimensions copy through untouched
-    writeFlat(spark, Tables.region(spark, src), dst, "region", files)
-    writeFlat(spark, Tables.nation(spark, src), dst, "nation", files)
+    writeFlat(spark, Tables.region(spark, src), dst, "region", files, sorted)
+    writeFlat(spark, Tables.nation(spark, src), dst, "nation", files, sorted)
 
     writeFlat(spark, replicate(Tables.customer(spark, src), k)
       .select(shifted("c_custkey", cStride),
         format_string("Customer#%09d", col("c_custkey") + col("__r") * cStride)
           .as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
-      dst, "customer", files)
+      dst, "customer", files, sorted)
 
     writeFlat(spark, replicate(Tables.supplier(spark, src), k)
       .select(shifted("s_suppkey", sStride),
         format_string("Supplier#%09d", col("s_suppkey") + col("__r") * sStride)
           .as("s_name"),
         col("s_nationkey"), col("s_acctbal")),
-      dst, "supplier", files)
+      dst, "supplier", files, sorted)
 
     writeFlat(spark, replicate(Tables.part(spark, src), k)
       .select(shifted("p_partkey", pStride), col("p_name"), col("p_brand"),
         col("p_type"), col("p_size"), col("p_retailprice")),
-      dst, "part", files)
+      dst, "part", files, sorted)
 
     writeFlat(spark, replicate(Tables.orders(spark, src), k)
       .select(shifted("o_orderkey", oStride), shifted("o_custkey", cStride),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority")),
-      dst, "orders", files)
+      dst, "orders", files, sorted)
 
     writeFlat(spark, replicate(Tables.lineitem(spark, src), k)
       .select(shifted("l_orderkey", oStride), shifted("l_partkey", pStride),
@@ -133,14 +157,14 @@ object GenScale {
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_returnflag"), col("l_linestatus"),
         col("l_shipdate")),
-      dst, "lineitem", files)
+      dst, "lineitem", files, sorted)
 
     // events.user_id references customer keys → customer stride
     writeFlat(spark, replicate(Tables.events(spark, src), k)
       .select(shifted("event_id", eStride), col("ts"),
         shifted("user_id", cStride), col("event_type"), col("value"),
         col("props")),
-      dst, "events", files)
+      dst, "events", files, sorted)
 
     writeFlat(spark, replicate(Tables.table(spark, src, "documents"), k)
       .select(shifted("doc_id", dStride),
@@ -153,10 +177,10 @@ object GenScale {
           .otherwise(length(concat(lit(" rep"),
             col("__r").cast("string"))).cast("long")))
           .as("n_chars")),
-      dst, "documents", files)
+      dst, "documents", files, sorted)
 
     writeFlat(spark, replicate(Tables.table(spark, src, "embeddings"), k)
       .select(shifted("vec_id", vStride), col("embedding"), col("label")),
-      dst, "embeddings", files)
+      dst, "embeddings", files, sorted)
   }
 }

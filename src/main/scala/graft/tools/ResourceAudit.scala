@@ -27,7 +27,8 @@ final case class ResourceMetrics(
     shuffleReadRecords: Long,
     shuffleWriteBytes: Long,
     shuffleWriteRecords: Long,
-    spillBytes: Long) {
+    spillBytes: Long,
+    gcTimeMs: Long) {
 
   /** Straggler factor: slowest task vs the mean task — the number a
     * 1000-executor cluster's wall clock is hostage to (1.0 = perfectly
@@ -49,7 +50,7 @@ object ResourceAudit {
     */
   def measure[T](spark: SparkSession)(action: => T): (T, ResourceMetrics) = {
     val tasks, taskTime, peakTask, inBytes, inRecs, srBytes, srRecs,
-      swBytes, swRecs, spill = new AtomicLong(0L)
+      swBytes, swRecs, spill, gcMs = new AtomicLong(0L)
     val listener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
@@ -64,6 +65,7 @@ object ResourceAudit {
           swBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           swRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten)
           spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          gcMs.addAndGet(m.jvmGCTime)
         }
       }
     }
@@ -81,7 +83,7 @@ object ResourceAudit {
       org.apache.spark.graftbridge.ListenerBridge.drain(sc)
       (result, ResourceMetrics(tasks.get, taskTime.get, peakTask.get,
         inBytes.get, inRecs.get, srBytes.get, srRecs.get,
-        swBytes.get, swRecs.get, spill.get))
+        swBytes.get, swRecs.get, spill.get, gcMs.get))
     } finally sc.removeSparkListener(listener)
   }
 
@@ -103,10 +105,10 @@ object ResourceAudit {
       val wall = (System.nanoTime() - t0) / 1e9
       (n, wall, m.tasks, m.inputBytes, m.inputRecords,
         m.shuffleReadBytes, m.shuffleWriteBytes, m.shuffleWriteRecords,
-        m.spillBytes, m.taskSpread)
+        m.spillBytes, m.taskSpread, m.gcTimeMs)
     }.toDF("query", "wall_sec", "tasks", "input_bytes", "input_records",
       "shuffle_read_bytes", "shuffle_write_bytes", "shuffle_write_records",
-      "spill_bytes", "task_spread")
+      "spill_bytes", "task_spread", "gc_time_ms")
   }
 }
 

@@ -74,6 +74,30 @@ class GenScaleSpec extends AnyFunSuite {
     assert(docs.filter(col("n_chars") =!= length(col("text"))).count() === 0)
   }
 
+  test("sorted layout restores natural clustering inside every part file") {
+    val d = java.nio.file.Files.createTempDirectory("genscale_sorted").toString
+    GenScale.run(spark, sf, d, 2, files = 3, sorted = true)
+    // every events part file is time-sorted ON ITS OWN (the flat
+    // layout's order, which plain repartition(files) destroys — the
+    // §7a.1 round-14 ingest-order experiment's instrument)
+    val evDir = new java.io.File(s"$d/events.parquet")
+    val partFiles = evDir.listFiles().filter(_.getName.startsWith("part-"))
+    assert(partFiles.length === 3)
+    partFiles.foreach { f =>
+      val ts = spark.read.parquet(f.getAbsolutePath)
+        .select("ts").coalesce(1).collect().map(_.getTimestamp(0).getTime)
+      assert(ts.zip(ts.drop(1)).forall { case (a, b) => a <= b },
+        s"${f.getName} is not time-sorted")
+    }
+    // row content identical to the unsorted layout (order is layout,
+    // not data)
+    val d2 = java.nio.file.Files.createTempDirectory("genscale_unsorted").toString
+    GenScale.run(spark, sf, d2, 2, files = 3)
+    val a = spark.read.parquet(s"$d/events.parquet")
+    val b = spark.read.parquet(s"$d2/events.parquet")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("time span is FIXED (density scales) and document salt keeps n_chars honest") {
     def days(df: org.apache.spark.sql.DataFrame) =
       df.select(to_date(col("ts")).as("d")).distinct().count()

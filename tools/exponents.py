@@ -86,10 +86,16 @@ def main():
             if r30 is None:
                 continue
             w10, w30 = r10["shuffle_write_mb"], r30["shuffle_write_mb"]
-            rows3.append((q, w10, w30, w30 / max(w10, 0.01)))
+            # gc_ms (round 14): attributes wall inflation the bytes
+            # can't — a row whose wall grows superlinearly with linear
+            # bytes and ballooning gc is JVM-state contamination, not
+            # operator asymptotics
+            g30 = r30.get("gc_ms", 0)
+            rows3.append((q, w10, w30, w30 / max(w10, 0.01), g30))
         rows3.sort(key=lambda r: -r[2])
-        for q, w10, w30, ratio in rows3[:12]:
-            print(f"  {q:32s} {w10:9.1f} {w30:9.1f}  ×{ratio:5.2f}")
+        for q, w10, w30, ratio, g30 in rows3[:12]:
+            print(f"  {q:32s} {w10:9.1f} {w30:9.1f}  ×{ratio:5.2f}"
+                  f"  gc {g30 / 1000.0:6.1f}s")
 
     # bytes-drift assertion (round 14): each Bench leg carries a
     # "bytes_drift" list — its live shuffle-write compared against the

@@ -81,11 +81,16 @@ object Verify {
           // the stale parquet SURVIVED — without a machine-visible
           // poison the driver would compare the OLD result against the
           // fresh oracle and a double-failed query could silently
-          // pass. Two independent poisons: a non-parquet marker file
-          // inside the directory (breaks any whole-directory read),
-          // and a nonzero exit after oracle_sql.json is written.
+          // pass. Two independent poisons: a garbage .parquet file the
+          // directory reader CANNOT skip, and a nonzero exit after
+          // oracle_sql.json is written. The name must not start with
+          // '_' or '.' — parquet directory readers (Spark, and
+          // pandas/pyarrow's default ignore_prefixes) silently skip
+          // those as metadata, which made the original `_STALE` marker
+          // inert (ADVICE r14). A non-parquet payload under a .parquet
+          // name makes any whole-directory read fail parsing it.
           try Files.writeString(
-            Paths.get(outDir, name, "_STALE"),
+            Paths.get(outDir, name, "zzz_stale_poison.parquet"),
             s"stale output: query + cleanup both failed: ${e2.getMessage}")
           catch { case NonFatal(_) => () }
           stalePoisoned.add(name)

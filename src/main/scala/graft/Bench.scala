@@ -21,8 +21,25 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Leg-shaping controls for the sf3 gate legs (VERDICT r14 item 3 —
+    // dedup_prefix_filter alone was 91% of the sf3 suite wall, ~90 min
+    // of a leg's budget spent on a declared output-bound audit tier):
+    //  - SPARK_GRAFT_BENCH_EXCLUDE: comma-separated names skipped for
+    //    this run (the gate's flat sf3.0 leg drops the audit tiers —
+    //    their flat-layout delta is already measured at flat sf1.0);
+    //  - SPARK_GRAFT_AUDIT_PASSES: timed passes for auditTier queries
+    //    (default 3 like everything else; the gate's sf3.0f32 leg uses
+    //    1 — their bytes are deterministic on pass 1 and their walls
+    //    are excluded from working-set totals anyway).
+    // BytePins.drift iterates CURRENT queries, so an excluded query is
+    // simply unchecked, never a false alarm.
+    val exclude = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val auditPasses = sys.env.get("SPARK_GRAFT_AUDIT_PASSES")
+      .map(_.toInt).getOrElse(3)
     val spark: SparkSession = Graft.session()
-    val qs = Registry.all.filter(_.bench)
+    val qs = Registry.all.filter(q => q.bench && !exclude(q.name))
     // one warmup pass on the smallest sf to JIT/codegen before timing
     qs.foreach { q =>
       try q.fn(spark, "/root/testdata/sf0.001").write.format("noop")
@@ -58,8 +75,9 @@ object Bench {
         res = m
         t
       }
-      var times = (measuredPass() +: (1 to 2).map(_ => pass())).sorted
-      if (flagged(times)) // one confirmation pass replaces the worst
+      val nPasses = if (q.auditTier) auditPasses else 3
+      var times = (measuredPass() +: (2 to nPasses).map(_ => pass())).sorted
+      if (nPasses > 1 && flagged(times)) // confirmation pass replaces worst
         times = (times.dropRight(1) :+ pass()).sorted
       // Inter-query hygiene (round 14, OUTSIDE every timed region): the
       // four sort-path rows' sf3 superlinearity measured in round 13
@@ -135,19 +153,37 @@ object Bench {
         .map("\"" + _ + "\"").mkString("[", ",", "]"))
       .getOrElse("null")
     val total = results.map(_._2).sum
+    // working_set excludes the declared output-bound audit tiers
+    // (Q.auditTier — dedup_prefix_filter alone was 91% of the r14 sf3
+    // suite total, so the full total stops measuring the engine at
+    // scale; "value" keeps its full-total meaning because BASELINE's 2×
+    // gate is defined over the frozen 30-query set). audit_tiers names
+    // the excluded queries so the python tooling derives the split from
+    // the log instead of hardcoding it (VERDICT r14 item 3).
+    val auditNames = qs.filter(_.auditTier).map(_.name)
+    val workingTotal = results
+      .collect { case (k, mn, _, _, _, _) if !auditNames.contains(k) => mn }.sum
+    val auditJson = auditNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val jsonLine =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"spread":$spreadJson,"outliers":$outliers,"plan_drift":$driftJson,"bytes_drift":$bytesDriftJson,"resources":$resJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"working_set":${f"$workingTotal%.3f"},"audit_tiers":$auditJson,"unit":"sec","queries":$qJson,"spread":$spreadJson,"outliers":$outliers,"plan_drift":$driftJson,"bytes_drift":$bytesDriftJson,"resources":$resJson,"sf":"$sfDir"}"""
     println(jsonLine)
-    // the full line also lands in a committed file: the driver's BENCH
+    // the full line also lands in committed files: the driver's BENCH
     // record captures only a 2000-char stdout tail, which truncated the
     // round-13 per-query map — the round record must not depend on
-    // tail-capture length
-    try java.nio.file.Files.writeString(
-      new java.io.File(graft.tools.BytePins.repoRoot,
-        "tools/bench_last.json").toPath, jsonLine + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
-    }
+    // tail-capture length. bench_last.json is the most recent run;
+    // bench_last_<label>.json is keyed by the SF-dir's last segment so
+    // a multi-leg gate run preserves EVERY leg instead of the final
+    // one overwriting the rest (ADVICE r14).
+    val label = lastSeg.getOrElse("unknown")
+    Seq("tools/bench_last.json", s"tools/bench_last_$label.json")
+      .foreach { rel =>
+        try java.nio.file.Files.writeString(
+          new java.io.File(graft.tools.BytePins.repoRoot, rel).toPath,
+          jsonLine + "\n")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $rel write failed: ${e.getMessage}")
+        }
+      }
     spark.stop()
   }
 }

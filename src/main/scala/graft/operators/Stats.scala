@@ -1434,7 +1434,8 @@ object Stats {
     Q("histogram_equidepth", Some(histogramEquidepthSql))(histogramEquidepth),
     Q("histogram_bins", Some(histogramBinsSql))(histogramBins),
     Q("gap_fill_ffill", Some(gapFillFfillSql))(gapFillFfill),
-    Q("range_join_bucketed", Some(rangeJoinBucketedSql), bench = true)(rangeJoinBucketed),
+    Q("range_join_bucketed", Some(rangeJoinBucketedSql), bench = true,
+      auditTier = true)(rangeJoinBucketed),
     Q("range_join_topk", Some(rangeJoinTopKSql))(rangeJoinTopK),
     Q("tfidf_top_terms", Some(tfidfTopTermsSql), bench = true)(tfidfTopTerms),
     Q("mode_per_group", Some(modePerGroupSql))(modePerGroup),

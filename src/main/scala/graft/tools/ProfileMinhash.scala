@@ -13,10 +13,12 @@ object ProfileMinhash {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
+    val rounds = sys.env.get("SPARK_GRAFT_PROFILE_ROUNDS")
+      .map(_.toInt).getOrElse(2)
     val docs = graft.sources.Tables.documents(spark, dir)
     val shr = docs.select(col("doc_id"),
       explode(array_distinct(wordShingles(toks(col("text")), 3))).as("sh"))
-    for (round <- 1 to 2) {
+    for (round <- 1 to rounds) {
       println(s"--- round $round")
       time("scan+shingle+explode (count)")(shr.count())
       // mirrors Dedup's 4-lanes-per-digest signature shape
@@ -43,6 +45,11 @@ object ProfileMinhash {
       time("full operator")(
         graft.operators.Dedup.dedupMinhashLsh(spark, dir)
           .write.format("noop").mode("overwrite").save())
+      // accepted = the operator's output pairs — candidates÷accepted is
+      // the rides-output ratio the §7a.1 scale adjudication records
+      // (VERDICT r14 item 4, the simhash precedent)
+      println(s"accepted: ${time("accepted pairs (count)")(
+        graft.operators.Dedup.dedupMinhashLsh(spark, dir).count())}")
     }
     spark.stop()
   }

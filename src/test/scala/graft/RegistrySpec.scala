@@ -15,6 +15,19 @@ class RegistrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // The declared output-bound audit tiers (VERDICT r14 item 3): Bench
+  // and the gate tooling report these separately from the working set,
+  // and exponents.py/plateau.py carry the same pair as a fallback for
+  // pre-r15 logs — this pins the three places to one truth. A new
+  // audit tier must be bench-flagged (the split only exists for
+  // headliners) and must be a DELIBERATE declaration, reviewed here.
+  test("audit tiers are exactly the declared output-bound pair, all bench-flagged") {
+    val tiers = Registry.all.filter(_.auditTier)
+    assert(tiers.map(_.name).sorted ===
+      Seq("dedup_prefix_filter", "range_join_bucketed"))
+    assert(tiers.forall(_.bench))
+  }
+
   // Round-1's only red row: DuckDB widens a windowed integer SUM to
   // HUGEINT while Spark emits BIGINT, so the driver's hash sees a type
   // mismatch on equal values. Guard the whole bug class: any windowed

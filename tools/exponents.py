@@ -27,10 +27,19 @@ import json, math, re, sys
 def load(p):
     if p is None or p == "-":
         return None
-    m = re.search(r'\{"metric".*\}', open(p).read())
-    if not m:
+    # take the LAST Bench JSON line: a log that accumulated more than
+    # one (a rerun appended, or a wrapper log) must pin/report the
+    # freshest run, not silently the oldest (ADVICE r14)
+    ms = re.findall(r'\{"metric".*\}', open(p).read())
+    if not ms:
         sys.exit(f"no Bench JSON line in {p}")
-    return json.loads(m.group(0))
+    return json.loads(ms[-1])
+
+
+# the declared output-bound audit tiers (Q.auditTier): fallback for
+# logs predating the audit_tiers field — current Bench lines carry the
+# list themselves
+AUDIT_FALLBACK = {"dedup_prefix_filter", "range_join_bucketed"}
 
 
 def main():
@@ -57,13 +66,50 @@ def main():
                      t30 if t30 is not None else float("nan"), e1, e3))
 
     rows.sort(key=lambda r: -(r[5] if r[5] == r[5] else r[4]))
-    print("PRIMARY curve (32-part-file layout — cluster-realistic splits)")
-    print(f"{'query':32s} {'sf0.1':>7s} {'sf1.0':>8s} {'sf3.0':>8s}"
-          f" {'e(0.1→1)':>9s} {'e(1→3)':>8s}")
-    for q, t01, t10, t30, e1, e3 in rows:
+    # the WORKING SET leads (VERDICT r14 item 3): dedup_prefix_filter
+    # alone was 91% of the r14 sf3 suite total, so full-suite totals no
+    # longer measure the engine — audit tiers report as their own
+    # labeled rows after the working set
+    audit = set(b10.get("audit_tiers") or AUDIT_FALLBACK)
+    w_rows = [r for r in rows if r[0] not in audit]
+    a_rows = [r for r in rows if r[0] in audit]
+
+    def leg_total(b, ws=True):
+        if b is None:
+            return None
+        if ws and "working_set" in b:
+            return b["working_set"]
+        if ws:  # legacy log without the field: derive from queries
+            return sum(t for q, t in b["queries"].items() if q not in audit)
+        return b["value"]
+
+    hdr = (f"{'query':32s} {'sf0.1':>7s} {'sf1.0':>8s} {'sf3.0':>8s}"
+           f" {'e(0.1→1)':>9s} {'e(1→3)':>8s}")
+    print("PRIMARY curve — WORKING SET "
+          f"({len(w_rows)} queries; audit tiers excluded)\n"
+          "(32-part-file layout — cluster-realistic splits)")
+    print(hdr)
+    for q, t01, t10, t30, e1, e3 in w_rows:
+        print(f"{q:32s} {t01:7.2f} {t10:8.2f} {t30:8.2f} {e1:9.2f} {e3:8.2f}")
+    w01, w10 = leg_total(b01), leg_total(b10)
+    w30 = leg_total(b30)
+    line = f"\nworking-set totals: sf0.1 {w01:.1f}s  sf1.0 {w10:.1f}s"
+    if w30 is not None:
+        line += f"  sf3.0 {w30:.1f}s"
+    print(line)
+    print(f"working-set ratio 0.1→1 (10× data): {w10 / w01:.2f}"
+          f"  (e = {math.log10(w10 / w01):.2f})")
+    if w30 is not None:
+        print(f"working-set ratio 1→3  (3× data): {w30 / w10:.2f}"
+              f"  (e = {math.log(w30 / w10) / math.log(3):.2f})")
+
+    print(f"\nAUDIT TIERS (output-bound by design; scale-safe siblings"
+          " are the 100 TB path)")
+    for q, t01, t10, t30, e1, e3 in a_rows:
         print(f"{q:32s} {t01:7.2f} {t10:8.2f} {t30:8.2f} {e1:9.2f} {e3:8.2f}")
 
-    line = f"\ntotals: sf0.1 {b01['value']:.1f}s  sf1.0 {b10['value']:.1f}s"
+    line = (f"\nfull-suite totals (incl. audit tiers): sf0.1"
+            f" {b01['value']:.1f}s  sf1.0 {b10['value']:.1f}s")
     if b30:
         line += f"  sf3.0 {b30['value']:.1f}s"
     print(line)
@@ -126,8 +172,10 @@ def main():
 
     if f10:
         print("\nFLAT sidebar (adversarial one-file-per-table layout)")
-        print(f"flat totals: sf1.0 {f10['value']:.1f}s" +
-              (f"  sf3.0 {f30['value']:.1f}s" if f30 else ""))
+        # working-set totals so the two flat legs stay comparable when
+        # the sf3.0 leg excludes the audit tiers (gate leg-shaping)
+        print(f"flat working-set totals: sf1.0 {leg_total(f10):.1f}s" +
+              (f"  sf3.0 {leg_total(f30):.1f}s" if f30 else ""))
         print("flat vs primary at sf1.0, |delta| > 10% "
               "(positive = flat slower → split-starved):")
         for q, tf in f10["queries"].items():

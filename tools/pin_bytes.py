@@ -23,10 +23,13 @@ PIN = os.path.join(os.path.dirname(__file__), "..",
 
 
 def load_log(p):
-    m = re.search(r'\{"metric".*\}', open(p).read())
-    if not m:
+    # take the LAST Bench JSON line: a log that accumulated more than
+    # one (a rerun appended to the same file, a wrapper log) must pin
+    # the freshest run, never silently the oldest (ADVICE r14)
+    ms = re.findall(r'\{"metric".*\}', open(p).read())
+    if not ms:
         sys.exit(f"no Bench JSON line in {p}")
-    j = json.loads(m.group(0))
+    j = json.loads(ms[-1])
     if "resources" not in j:
         sys.exit(f"Bench line in {p} has no resources map")
     return {q: r["shuffle_write_mb"] for q, r in j["resources"].items()}

@@ -17,9 +17,11 @@ import json, re, statistics, sys
 
 def load(p):
     txt = open(p).read()
-    m = re.search(r'\{"metric".*\}', txt)
-    if m:
-        return json.loads(m.group(0))
+    # last match: a log holding more than one Bench line must report
+    # the freshest run (ADVICE r14, same rule as pin_bytes.py)
+    ms = re.findall(r'\{"metric".*\}', txt)
+    if ms:
+        return json.loads(ms[-1])
     # driver BENCH_r*.json files embed the Bench line escape-quoted
     # inside their "tail" string field — unwrap and retry
     try:
@@ -46,8 +48,20 @@ def main():
     runs = [load(a) for a in args]
     queries = list(runs[0]["queries"].keys())
 
-    print(f"{len(runs)} passes; totals: " +
-          "  ".join(f"{r['value']:.1f}s" for r in runs))
+    # working set leads (VERDICT r14 item 3): audit tiers are
+    # output-bound by design and would otherwise dominate totals
+    audit = set(runs[0].get("audit_tiers")
+                or {"dedup_prefix_filter", "range_join_bucketed"})
+
+    def ws(r):
+        if "working_set" in r:
+            return r["working_set"]
+        return sum(t for q, t in r["queries"].items() if q not in audit)
+
+    print(f"{len(runs)} passes; working-set totals: " +
+          "  ".join(f"{ws(r):.1f}s" for r in runs) +
+          f"  (audit tiers {sorted(audit)} excluded)")
+    print("full totals: " + "  ".join(f"{r['value']:.1f}s" for r in runs))
     hdr = f"{'query':32s} {'min':>7s} {'median':>7s} {'mad':>6s}"
     if ref:
         hdr += f" {'ref':>7s} {'min/ref':>8s}"
@@ -74,7 +88,11 @@ def main():
         if rq is not None:
             line += f" {rq:7.2f} {ratio:8.2f}"
         print(line)
-    line = f"\nsum of per-query mins: {tmin_sum:.1f}s"
+    ws_min_sum = sum(r[1] for r in rows if r[0] not in audit)
+    print(f"\nworking-set sum of per-query mins: {ws_min_sum:.1f}s")
+    # the baseline/2x verdict stays on the FULL frozen-30 sum —
+    # BASELINE.json is defined over that set
+    line = f"sum of per-query mins: {tmin_sum:.1f}s"
     if ref:
         line += (f"  ref total {ref['value']:.1f}s"
                  f"  (min-sum/ref = {tmin_sum / ref['value']:.2f})")

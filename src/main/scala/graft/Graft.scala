@@ -20,6 +20,19 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Respect the advisory target when coalescing instead of
+      // maximizing parallelism (guide §2.2: fewer, larger reduce
+      // partitions): with parallelismFirst (Spark's default) every
+      // small shuffle re-fans to defaultParallelism post-shuffle
+      // tasks, so a KB-sized aggregate pays ~cores task launches per
+      // stage. False is the documented recommendation for production
+      // and is scale-ADAPTIVE by construction — partition counts
+      // derive from shuffle bytes / advisory size at any scale, not
+      // from the local core count. Env override for A/B measurement.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet has shipped as TIMESTAMP(NANOS) (which
       // Spark's parquet reader rejects) in some generations and

@@ -1819,19 +1819,40 @@ object Analytics {
     * AQE splits hot orders. (round 6)
     */
   def brandAffinityLift(s: SparkSession, dir: String): DataFrame = {
+    // Basket form (round 15, guide §2.3/§2.4 — was DISTINCT (order,
+    // brand) + an order-keyed SMJ self-join + two independent singles
+    // aggregates + a two-phase countDistinct, each a separate shuffle
+    // over the compacted frame): ONE groupBy(ok) collects each order's
+    // distinct brand set (collect_set dedups exactly like the old
+    // distinct; the set is brand-cardinality-bounded — baskets never
+    // blow up on quantity OR on brand universe), and everything
+    // derives from that basket frame: nord = basket count, singles =
+    // exploded set counts, pairs = MAP-SIDE i<j expansion of the
+    // string-sorted array (identical to the old a.brand < b.brand join
+    // predicate). The corpus-shaped shuffle count drops from 6 to 1
+    // (the ok-keyed agg, whose map-side partials already carry whole
+    // per-order sets), the SMJ and both its sorts disappear, and the
+    // pair stream compacts map-side before its brands²-bounded
+    // exchange (plans/r15/brand_affinity_lift_*.txt). All counts are
+    // exact integers over identical sets — bit-identical results.
     val ob = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
       .join(broadcast(Tables.part(s, dir)
         .select(col("p_partkey"), col("p_brand").as("brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("ok"), col("brand"))
-      .distinct()
-      .localCheckpoint() // feeds totals, singles AND the pair join
-    val nord = ob.agg(countDistinct(col("ok")).as("n"))
-    val singles = ob.groupBy("brand").agg(count(lit(1)).as("nb"))
-    val pairs = ob.as("a").join(ob.as("b"),
-        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+    val baskets = ob.groupBy("ok")
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+      .localCheckpoint() // feeds totals, singles AND the pair expansion
+    val nord = baskets.agg(count(lit(1)).as("n"))
+    val singles = baskets
+      .select(explode(col("bs")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("nb"))
+    val pairs = baskets
+      .select(explode(flatten(transform(col("bs"), (x, i) =>
+        transform(slice(col("bs"), i + lit(2), size(col("bs"))),
+          y => struct(x.as("brand_a"), y.as("brand_b")))))).as("p"))
+      .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
       .agg(count(lit(1)).as("n_both"))
     pairs
       .join(broadcast(singles.select(col("brand").as("brand_a"),

@@ -88,21 +88,33 @@ object Dedup {
   private def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     winnowFrom(Tables.documents(s, dir))
 
-  /** Core over any (doc_id, text) frame (spec hand-checks coverage). */
+  /** Core over any (doc_id, text) frame (spec hand-checks coverage).
+    *
+    * Window selection is ARRAY-SIDE (round 15, guide §2.4 — was
+    * posexplode + two doc_id-partitioned windows, which shuffled and
+    * sorted the full k-gram hash stream just to regroup rows that
+    * STARTED in one row per document): the per-doc hash sequence
+    * stays an array, each kept position p (p ≤ n−w, plus the clamped
+    * pos-0 window of a short doc) takes array_min over its w-slice —
+    * the same clamped minima the rowsBetween window computed — and
+    * array_distinct collapses the selected set before the single
+    * explode. The whole fingerprint derivation is now one map-side
+    * projection: zero exchanges before the pair stage (the old form
+    * paid one corpus-stream exchange + sort + a distinct exchange).
+    * Same md5 prefixes, same min over the same windows, same distinct
+    * set per doc — bit-identical fingerprints.
+    */
   private[graft] def winnowFrom(docs: DataFrame): DataFrame = {
-    val shr = docs
+    val hs = transform(wordShingles(toks(col("text")), WinnowK),
+      sh => substring(md5(sh), 1, 16))
+    docs
+      .select(col("doc_id"), hs.as("hs"))
       .select(col("doc_id"),
-        posexplode(wordShingles(toks(col("text")), WinnowK))
-          .as(Seq("pos", "sh")))
-      .select(col("doc_id"), col("pos"),
-        substring(md5(col("sh")), 1, 16).as("h"))
-    val wWin = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, WinnowW - 1)
-    val nWin = Window.partitionBy("doc_id")
-    shr.withColumn("wmin", min(col("h")).over(wWin))
-      .withColumn("np", count(lit(1)).over(nWin))
-      .filter(col("pos") <= col("np") - WinnowW || col("pos") === 0)
-      .select(col("doc_id"), col("wmin").as("fp")).distinct()
+        explode(array_distinct(transform(
+          filter(sequence(lit(0), size(col("hs")) - 1),
+            p => p <= size(col("hs")) - WinnowW || p === 0),
+          p => array_min(slice(col("hs"), p + 1, lit(WinnowW))))))
+          .as("fp"))
   }
 
   /** DuckDB twin of [[winnowFingerprints]] as WITH-clause CTEs ending
@@ -178,14 +190,31 @@ object Dedup {
   def dedupWinnowing(s: SparkSession, dir: String): DataFrame =
     dedupWinnowingFrom(winnowFingerprints(s, dir))
 
-  /** Pair stage over any (doc_id, fp) fingerprint frame. */
+  /** Pair stage over any (doc_id, fp) fingerprint frame.
+    *
+    * Grouped-bucket pair generation (round 15 — the
+    * [[dedupMinhashLsh]] cand precedent applied here, guide §2.4):
+    * one fp-keyed aggregate collects each fingerprint's doc list, the
+    * df ∈ [2, maxDf] gate is a size filter on that list, and the i<j
+    * pairs expand MAP-SIDE from the sorted array — replacing the old
+    * df-aggregate + semi-join + fp-keyed self-join (three shuffles of
+    * the fingerprint stream and a double-sided join recompute) with a
+    * single shuffle. The list is bounded by [[WinnowMaxDf]] BEFORE
+    * expansion, so no bucket ever materializes more than
+    * C(maxDf, 2) = 28 pairs — the same blocking bound the join form
+    * had. sort_array on doc_ids makes i<j ⇔ doc_a < doc_b; counts are
+    * exact integers — bit-identical results.
+    */
   private[graft] def dedupWinnowingFrom(fps: DataFrame): DataFrame = {
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, WinnowMaxDf))
-    val f2 = fps.join(rare.select("fp"), Seq("fp"))
-    f2.as("x").join(f2.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val buckets = fps.groupBy("fp")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, WinnowMaxDf))
+    buckets
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("b"))
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
       .orderBy("a", "b")

@@ -382,18 +382,43 @@ object Graph {
   }
 
   /** Core over any directed (src, dst) edge frame (spec hand-checks
-    * a constructed path graph). */
+    * a constructed path graph).
+    *
+    * Sweep shape (round 15, guide §2.4/§3.1 — was union + groupBy +
+    * localCheckpoint per sweep, i.e. one shuffle and one eager
+    * checkpoint job per super-step over a VOCABULARY-sized frame):
+    * each sweep is now one relaxation join against the broadcast edge
+    * list AUGMENTED WITH ZERO-WEIGHT SELF-LOOPS — the textbook
+    * min-plus matrix step, d_k(root, v) = min_u(d_{k-1}(root, u) +
+    * w(u, v)) with w(v, v) = 0 — so a discovered distance survives via
+    * its self-loop and the union disappears. d enters each sweep
+    * exactly ONCE, so the lineage stays linear and needs no per-sweep
+    * checkpoint; and because d is hash-partitioned by `root` once up
+    * front, every per-sweep groupBy(root, skill) (and the final
+    * groupBy(root)) is satisfied by the existing partitioning — all
+    * [[BfsIters]] sweeps fuse into a single exchange-free stage
+    * (plans/r15/harmonic_centrality_*.txt: 2 shuffles total, down
+    * from 2 + one per sweep). The broadcast is the edge list itself —
+    * vocabulary-bounded, the same "broadcast singles" class as the
+    * degree tables ([[linkPredictionRa]]'s deg). Distances are exact
+    * integers; min is order-insensitive, so results are bit-identical.
+    */
   private[graft] def harmonicFrom(e: DataFrame): DataFrame = {
+    val eSelf = e.select(col("src"), col("dst"), lit(1L).as("w"))
+      .union(e.select(col("src"), col("src").as("dst"), lit(0L).as("w"))
+        .distinct())
+    // repartition BELOW the distinct: hash-partitioning by root is a
+    // subset of the distinct's (root, skill) grouping keys, so the
+    // dedup rides the same exchange — one shuffle seeds the frame
+    // with exactly the partitioning every later sweep needs
     var d = e.select(col("src").as("root"), col("src").as("skill"))
-      .distinct().withColumn("dist", lit(0L)).localCheckpoint()
+      .repartition(col("root"))
+      .distinct().withColumn("dist", lit(0L))
     for (_ <- 1 to BfsIters) {
-      val relaxed = d.join(e, d("skill") === e("src"))
-        .select(col("root"), col("dst").as("skill"),
-          (col("dist") + lit(1L)).as("dist"))
-      d = d.union(relaxed)
-        .groupBy("root", "skill")
-        .agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
+      d = d.join(broadcast(eSelf), d("skill") === eSelf("src"))
+        .groupBy(col("root"), col("dst"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+        .select(col("root"), col("dst").as("skill"), col("dist"))
     }
     d.filter(col("dist") > 0)
       .groupBy(col("root").as("skill"))

@@ -356,12 +356,24 @@ object Inference {
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint())
 
-  /** Core over any undirected edge list (skill_a, skill_b), a < b. */
+  /** Core over any undirected edge list (skill_a, skill_b), a < b.
+    *
+    * Join strategy (round 15, guide §3.1): the edge list and its
+    * derivatives (deg, eStr) are all VOCABULARY-bounded — the wedge
+    * self-join's right side and the existing-edge anti-join side are
+    * broadcast explicitly, because the checkpointed cooc frame carries
+    * no size statistics and the planner otherwise falls back to
+    * sort-merge joins (4 exchanges + 4 sorts over vocabulary-sized
+    * frames, plans/r15/link_prediction_ra_*.txt). The wedge OUTPUT
+    * (Σ deg(z)², the triangle-count bound) is never broadcast — it
+    * streams map-side into the (x, y) aggregate.
+    */
   def linkPredictionFromPairs(cooc: DataFrame): DataFrame = {
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
       .union(cooc.select(col("skill_b").as("src"), col("skill_a").as("dst")))
     val deg = e.groupBy(col("src").as("z")).agg(count(lit(1)).as("deg"))
-    val wedges = e.as("l").join(e.as("r"), col("l.dst") === col("r.src"))
+    val wedges = e.as("l").join(broadcast(e.as("r")),
+        col("l.dst") === col("r.src"))
       .filter(col("l.src") < col("r.dst"))
       .select(col("l.src").as("x"), col("r.dst").as("y"),
         col("l.dst").as("via"))
@@ -375,7 +387,7 @@ object Inference {
       least(col("skill_a"), col("skill_b")).as("sa"),
       greatest(col("skill_a"), col("skill_b")).as("sb"))
     wedges
-      .join(eStr, wedges("x") === eStr("sa")
+      .join(broadcast(eStr), wedges("x") === eStr("sa")
         && wedges("y") === eStr("sb"), "left_anti")
       .join(broadcast(deg), col("via") === col("z"))
       .groupBy("x", "y")

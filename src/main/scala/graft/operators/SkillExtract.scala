@@ -53,7 +53,19 @@ object SkillExtract {
     * distinct. The oracle SQL uses an equivalent positional self-join
     * (clarity over speed is fine for the oracle).
     */
-  private def phraseMatches(s: SparkSession, dir: String): DataFrame = {
+  private def phraseMatches(s: SparkSession, dir: String): DataFrame =
+    phraseMatchStream(s, dir).distinct()
+
+  /** The PRE-dedup match stream (one row per occurrence) — map-side
+    * only: tokenize + broadcast vocabulary join, no shuffle. Exposed to
+    * consumers whose own aggregation dedups anyway (collect_set in
+    * [[TextAnalysis.skillCooccurrence]]'s basket agg), so they skip the
+    * distinct's exchange and their map-side partials compact each
+    * document's occurrences to its ≤|vocab| distinct matches before
+    * anything shuffles (round 15, guide §2.3).
+    */
+  private[operators] def phraseMatchStream(s: SparkSession,
+      dir: String): DataFrame = {
     val v = broadcast(vocabDf(s))
     val toks = split(col("text"), "\\s+")
     val bigrams = when(size(toks) >= 2,
@@ -65,7 +77,6 @@ object SkillExtract {
       .select(col("doc_id"), explode(concat(toks, bigrams)).as("term"))
       .join(v, col("term") === v("skill"))
       .select(col("doc_id"), col("skill"), col("skill_type"), col("skill_id"))
-      .distinct()
   }
 
   def skillExtractPhrase(s: SparkSession, dir: String): DataFrame =

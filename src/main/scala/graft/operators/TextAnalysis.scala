@@ -197,19 +197,35 @@ object TextAnalysis {
     * doc_id — narrow after the phrase-match dedup.
     */
   def skillCooccurrence(s: SparkSession, dir: String): DataFrame = {
-    // NOTE (measured): localCheckpoint(m) is a no-op here (1.46 vs
-    // 1.52 s best-of-3, noise). The self-join does recompute the
-    // extract chain (two corpus scans in the plan), but that chain is
-    // cheap codegen work (split+explode+broadcast-join — no md5), so
-    // the recompute ~equals the checkpoint's materialize+re-read. The
-    // tf-frame checkpoint rule needs an EXPENSIVE shared chain
-    // (Stats.tfidfTopTerms' corpus tokenize+agg) to pay off.
-    val m = SkillExtract.skillExtractPhrase(s, dir)
+    // Basket form (round 15, guide §2.3/§2.4 — was a doc_id-keyed
+    // self-join of the extract output, which shuffled the match frame
+    // twice, sort-merge-joined it, AND recomputed the corpus extract
+    // chain once per side): collect each document's skill set ONCE
+    // (collect_set dedups exactly like the extract's distinct — the
+    // per-doc set is vocabulary-bounded, never corpus-bounded, so the
+    // agg state is a bounded basket, the market-basket shape), then
+    // expand the i<j pairs MAP-SIDE from the skill_id-sorted array.
+    // One corpus pass, one (doc_id) shuffle of ~|docs| basket rows,
+    // one brands²-bounded pair aggregate — vs two corpus passes, a
+    // distinct exchange, two join exchanges and two sorts. Pair
+    // ordering is skill_id (the struct sort key), identical to the
+    // old a.skill_id < b.skill_id join predicate; counts are exact
+    // integers, so results are bit-identical. The basket agg consumes
+    // the PRE-dedup match stream — collect_set dedups exactly like the
+    // extract's distinct did, so that exchange disappears too and the
+    // one remaining shuffle carries one ≤|vocab|-element set per
+    // (document, map partition), not occurrence rows.
+    val m = SkillExtract.phraseMatchStream(s, dir)
       .select(col("doc_id"), col("skill"), col("skill_id"))
-    m.as("a").join(m.as("b"),
-        col("a.doc_id") === col("b.doc_id") &&
-          col("a.skill_id") < col("b.skill_id"))
-      .groupBy(col("a.skill").as("skill_a"), col("b.skill").as("skill_b"))
+    val baskets = m.groupBy("doc_id")
+      .agg(sort_array(collect_set(struct(col("skill_id"), col("skill"))))
+        .as("bs"))
+    baskets
+      .select(explode(flatten(transform(col("bs"), (x, i) =>
+        transform(slice(col("bs"), i + lit(2), size(col("bs"))),
+          y => struct(x.getField("skill").as("skill_a"),
+            y.getField("skill").as("skill_b")))))).as("p"))
+      .groupBy(col("p.skill_a").as("skill_a"), col("p.skill_b").as("skill_b"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("skill_a"), col("skill_b"))
   }

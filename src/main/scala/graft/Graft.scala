@@ -20,17 +20,22 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Respect the advisory target when coalescing instead of
-      // maximizing parallelism (guide §2.2: fewer, larger reduce
-      // partitions): with parallelismFirst (Spark's default) every
-      // small shuffle re-fans to defaultParallelism post-shuffle
-      // tasks, so a KB-sized aggregate pays ~cores task launches per
-      // stage. False is the documented recommendation for production
-      // and is scale-ADAPTIVE by construction — partition counts
-      // derive from shuffle bytes / advisory size at any scale, not
-      // from the local core count. Env override for A/B measurement.
+      // AQE coalescing knobs, parameterized for A/B measurement
+      // (round 15, guide §2.2). parallelismFirst=false ("respect the
+      // advisory size") was MEASURED and REJECTED as the local
+      // default: it cut total task count 30% (1630 → 1129 at sf0.1)
+      // but coalesced the compute-DENSE small shuffles — LSH candidate
+      // frames whose few MB fan out into millions of broadcast-probe
+      // rows downstream — to one task, and dedup_minhash_lsh walls
+      // rose 1.6-2.0 → 2.0-2.2 s while no query got reliably faster:
+      // bytes are the wrong proxy for these stages' work. Spark's
+      // parallelism-first default sizes post-shuffle partitions to the
+      // core count, which is the scale-adaptive choice on any cluster;
+      // a pure-ETL deployment whose shuffles are I/O-bound (the guide's
+      // case for advisory-size coalescing) can flip the env without a
+      // code change.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -42,7 +42,7 @@ object Graph {
     // localCheckpoint: the pair list is the §7a checkpoint sweet spot —
     // a compact post-agg frame consumed by Iters+1 divergent joins;
     // without it every iteration re-runs the corpus extraction chain
-    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+    val cooc = TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint()
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
@@ -105,7 +105,7 @@ object Graph {
     * frames. (round 4)
     */
   def pagerankWeighted(s: SparkSession, dir: String): DataFrame = {
-    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+    val cooc = TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"), col("n"))
       .localCheckpoint()
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"), col("n"))
@@ -167,7 +167,7 @@ object Graph {
     * so wedge counts stay near-linear. (round 4)
     */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+    val cooc = TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint()
     val tri = cooc.as("e1")
@@ -244,7 +244,7 @@ object Graph {
   }
 
   def labelPropagation(s: SparkSession, dir: String): DataFrame = {
-    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+    val cooc = TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint()
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
@@ -324,7 +324,7 @@ object Graph {
     * exact with no convergence ambiguity. (round 5)
     */
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
-    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+    val cooc = TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint()
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
@@ -373,7 +373,7 @@ object Graph {
     * frontier-edge equi-join. (round 7)
     */
   def harmonicCentrality(s: SparkSession, dir: String): DataFrame = {
-    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+    val cooc = TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint()
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
@@ -473,7 +473,7 @@ object Graph {
     * is the sanctioned 1-row scalar (m) broadcast.
     */
   def graphModularity(s: SparkSession, dir: String): DataFrame =
-    modularityOf(TextAnalysis.skillCooccurrence(s, dir)
+    modularityOf(TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b")))
 
   /** [[graphModularity]] over a caller-supplied undirected edge frame
@@ -567,7 +567,7 @@ object Graph {
     * no floats anywhere.
     */
   def kcoreMembership(s: SparkSession, dir: String): DataFrame =
-    kcoreFromPairs(TextAnalysis.skillCooccurrence(s, dir)
+    kcoreFromPairs(TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint())
 
@@ -628,7 +628,7 @@ object Graph {
     * edge list); one edge-frame agg. (round 6)
     */
   def degreeAssortativity(s: SparkSession, dir: String): DataFrame = {
-    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+    val cooc = TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint()
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
@@ -698,7 +698,7 @@ object Graph {
     * triangle_count shape; node frames are graph-sized. (round 6)
     */
   def clusteringCoefficient(s: SparkSession, dir: String): DataFrame = {
-    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+    val cooc = TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint() // feeds the degree table AND three tri sides
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
@@ -762,7 +762,7 @@ object Graph {
     * chain. (round 6)
     */
   def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
-    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+    val cooc = TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint()
     val e = cooc.select(col("skill_a").as("src"), col("skill_b").as("dst"))
@@ -832,7 +832,7 @@ object Graph {
     * by the vocab graph's size, never the corpus. (round 9)
     */
   def graphComponents(s: SparkSession, dir: String): DataFrame = {
-    val cooc = TextAnalysis.skillCooccurrence(s, dir)
+    val cooc = TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint()
     val edges = cooc

@@ -352,7 +352,7 @@ object Inference {
     * then an anti-join against existing edges; degree table broadcast.
     */
   def linkPredictionRa(s: SparkSession, dir: String): DataFrame =
-    linkPredictionFromPairs(TextAnalysis.skillCooccurrence(s, dir)
+    linkPredictionFromPairs(TextAnalysis.skillCoocPairs(s, dir)
       .select(col("skill_a"), col("skill_b"))
       .localCheckpoint())
 
@@ -2112,6 +2112,12 @@ object Inference {
 
   /** Core over any (grp, v) frame. */
   def kruskalWallisFrom(rows: DataFrame): DataFrame = {
+    // Both checkpoints re-measured and KEPT in round 15: dropping them
+    // (so each consumer recomputes the cheap aggregates in its own
+    // stage) read 1.7-2.0 s vs 1.3-1.8 s with them at sf0.1 —
+    // recompute multiplies through the chain (cells runs 3x), which
+    // costs more than the two serial checkpoint barriers. The §7a
+    // compact-post-agg rule holds here.
     val cells = rows.groupBy("grp", "v").agg(count(lit(1)).as("c"))
       .localCheckpoint() // feeds value totals AND the group rank join
     val totv = cells.groupBy("v").agg(sum(col("c")).as("tv"))

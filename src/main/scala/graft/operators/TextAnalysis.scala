@@ -196,7 +196,18 @@ object TextAnalysis {
     * per-doc skill matches self-joined with id_a < id_b. The join is on
     * doc_id — narrow after the phrase-match dedup.
     */
-  def skillCooccurrence(s: SparkSession, dir: String): DataFrame = {
+  /** [[skillCooccurrence]] WITHOUT its presentation sort — the frame
+    * every graph consumer (PageRank, BFS, LPA, modularity, link
+    * prediction, …) checkpoints before re-aggregating. The declared
+    * query's ORDER BY is a range exchange plus its sampling pass, paid
+    * INSIDE each consumer's eager checkpoint for rows whose order the
+    * consumer destroys on its first shuffle — consumers take the
+    * unsorted pairs, the registered query keeps its sort (round 15,
+    * guide §2.4: an orderBy used only to make output deterministic is
+    * a removable exchange when nothing downstream needs it).
+    */
+  private[operators] def skillCoocPairs(s: SparkSession,
+      dir: String): DataFrame = {
     // Basket form (round 15, guide §2.3/§2.4 — was a doc_id-keyed
     // self-join of the extract output, which shuffled the match frame
     // twice, sort-merge-joined it, AND recomputed the corpus extract
@@ -227,8 +238,11 @@ object TextAnalysis {
             y.getField("skill").as("skill_b")))))).as("p"))
       .groupBy(col("p.skill_a").as("skill_a"), col("p.skill_b").as("skill_b"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("skill_a"), col("skill_b"))
   }
+
+  def skillCooccurrence(s: SparkSession, dir: String): DataFrame =
+    skillCoocPairs(s, dir)
+      .orderBy(col("n").desc, col("skill_a"), col("skill_b"))
 
   val skillCooccurrenceSql: String =
     s"""WITH m AS (SELECT * FROM (${SkillExtract.skillExtractPhraseSql}))
@@ -816,7 +830,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("skill"), col("skill_id"))
     val perSkill = m.groupBy(col("skill")).agg(count(lit(1)).as("n_doc"))
     val nDocs = Tables.documents(s, dir).count()
-    skillCooccurrence(s, dir)
+    skillCoocPairs(s, dir)
       .join(broadcast(perSkill.withColumnRenamed("skill", "skill_a")
         .withColumnRenamed("n_doc", "n_a")), "skill_a")
       .join(broadcast(perSkill.withColumnRenamed("skill", "skill_b")
@@ -1337,8 +1351,23 @@ object TextAnalysis {
       .localCheckpoint() // feeds norms AND the pair join
     val nrm = tf.groupBy("source")
       .agg(sum(dec(col("c")) * col("c")).cast("decimal(38,0)").as("n2"))
-    val dots = tf.as("a").join(tf.as("b"),
-        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+    // Grouped-bucket pair generation (round 15 — the dedupMinhashLsh
+    // cand pattern): one tok-keyed aggregate collects each token's
+    // (source, count) list — bounded by |sources|, never corpus-sized
+    // — and the source<source pairs expand MAP-SIDE from the sorted
+    // array, replacing the tok-keyed self-join (exchange + join +
+    // double-sided read of tf) with a single exchange. Products are
+    // exact integers summed in DECIMAL(38,0) — order-insensitive,
+    // bit-identical results.
+    val dots = tf
+      .groupBy("tok")
+      .agg(sort_array(collect_list(struct(col("source"), col("c"))))
+        .as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(col("xs"), posexplode(col("xs")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs"))))
+          .as("b"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
       .agg(sum(dec(col("a.c")) * col("b.c")).cast("decimal(38,0)").as("dot"))
     dots

@@ -1835,6 +1835,11 @@ object Analytics {
     // pair stream compacts map-side before its brands²-bounded
     // exchange (plans/r15/brand_affinity_lift_*.txt). All counts are
     // exact integers over identical sets — bit-identical results.
+    // (round 15 A/B: fanning the narrow (ok, partkey) projection out
+    // before the broadcast join re-measured the standing fact-table
+    // rule — 1.65-2.06 s -> 2.19-2.43 s at sf0.1; the extra exchange
+    // of 600k rows costs more than the single-split scan+partial-agg
+    // it parallelizes, exactly as Tables.scala documents.)
     val ob = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey"))
       .join(broadcast(Tables.part(s, dir)

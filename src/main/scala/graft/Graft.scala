@@ -38,6 +38,24 @@ object Graft {
         sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
+      // collect_set/collect_list aggregates (the grouped-bucket pair
+      // pattern: LSH candidate buckets, basket pair expansion) run on
+      // ObjectHashAggregate, whose in-memory map falls back to
+      // SORT-BASED aggregation after 128 distinct keys per task —
+      // Spark's default is pathologically low for bucket workloads: a
+      // 10x-scale partition holds thousands of group keys, so every
+      // basket task was sorting its whole pre-aggregation stream.
+      // Measured at sf1.0f32 (interleaved A/B, round 15): the sort
+      // fallback cost link_prediction_ra's checkpoint chain ~+0.7 s
+      // (mins 3.06/3.10 vs 2.64 with the raised threshold, old
+      // non-basket form 2.32-2.52); dedup_minhash_lsh — the largest
+      // pre-existing collect_list site — was flat (mins 6.2-7.2
+      // either way). 128k keys is memory-safe at ANY scale because
+      // the bound is per TASK and every bucket value here is bounded
+      // (baskets ≤ brand/vocab universe, winnow lists ≤ maxDf, band
+      // lists selectivity-bounded, r14-measured). Env-overridable.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "131072"))
       .config("spark.sql.session.timeZone", "UTC")
       // testdata events.parquet has shipped as TIMESTAMP(NANOS) (which
       // Spark's parquet reader rejects) in some generations and
@@ -63,6 +81,8 @@ object Graft {
     * registrations (idempotent). */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "131072"))
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     plans.LongDot.register(spark)
